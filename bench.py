@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all headline queries (lower is better).
+Each query is forced with a cheap count()-style action so the timing covers
+the full plan execution without driver-side collect overhead dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_connect_streams_spark.engine import get_spark  # noqa: E402
+from kafka_connect_streams_spark import queries as Q  # noqa: E402
+
+#: headline set: one per operator family, weighted toward shuffle/join-heavy
+#: plans where scale behavior actually shows.
+HEADLINE = [
+    "wordcount",
+    "filter",
+    "scalar_functions",
+    "join_inner",
+    "join_left",
+    "multiway_join",
+    "interval_join",
+    "agg_pricing",
+    "groupby_stats",
+    "window_rank",
+    "topk",
+    "set_ops",
+    "tumbling_window",
+    "session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # exclude first-query JVM/session warmup from per-query numbers
+    Q.QUERIES["filter"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full execution; count() runs every stage of the plan
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wallclock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

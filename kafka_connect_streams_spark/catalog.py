@@ -34,25 +34,39 @@ TIMESTAMP_COLS = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Load every testdata table as a DataFrame (lazy parquet scans)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    out: dict[str, DataFrame] = {}
-    for t in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        for c in TIMESTAMP_COLS.get(t, ()):
+class Catalog(dict):
+    """Lazy table dict: each parquet footer is read only when the table is
+    first accessed, so a query touching 2 tables doesn't pay schema resolution
+    for all 10 (at cluster scale, footer reads are remote metadata RPCs)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(name)
+        df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
+        for c in TIMESTAMP_COLS.get(name, ()):
             # Only NANOS columns surface as long under nanosAsLong; MICROS
             # columns already arrive as (ntz) timestamps.
             if dict(df.dtypes)[c] == "bigint":
                 df = df.withColumn(
                     c, F.expr(f"timestamp_micros({c} div 1000)").cast("timestamp_ntz"))
-        out[t] = df
-    return out
+        self[name] = df
+        return df
 
 
-def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
+    """Lazy catalog of the testdata tables (parquet scans, loaded on access)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return Catalog(spark, sf_dir)
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
     """Register all tables as temp views so ``spark.sql`` resolves them by name."""
     dfs = load_tables(spark, sf_dir)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+    for name in TABLES:
+        dfs[name].createOrReplaceTempView(name)
     return dfs

@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as shuffled DataFrame plans (no driver-side
+loops, no per-row Python):
+
+- **exact**      — hash-groupBy on a content fingerprint (one shuffle)
+- **MinHash+LSH** — shingle → k min-hashes → band buckets → candidate pairs
+- **SimHash**    — per-token hash bit votes → b-bit signature per doc
+- **n-gram Jaccard** — exact Jaccard on candidate pairs sharing a shingle
+
+Determinism/scale design:
+- md5 is the hash primitive (same hex in Spark and DuckDB → oracle-checkable;
+  stable across executors/retries, unlike ``F.hash`` seeds across engines).
+- Every pipeline is shuffle-bounded: explode-shingles → one groupBy per stage.
+  At 100 TB the shingle explosion dominates; the stop-shingle cap (drop
+  shingles appearing in > max_doc_freq docs) bounds the candidate-pair
+  blowup that otherwise makes hot shingles quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- shared helpers ---------------------------------------------------------
+
+
+def _h64(col) -> F.Column:
+    """Deterministic 48-bit hash from md5 hex — identical in Spark & DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) rows: lowercase \\W+ split, empties dropped."""
+    return (df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("token"))
+        .filter(F.length("token") > 0))
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    Sliding n-gram via collected token array + transform over positions —
+    stays JVM-side (no Python UDF).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\W+")
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    # a doc shorter than n words still yields its full text as one shingle
+    return out.filter(F.length("shingle") > 0).distinct()
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical content by md5 fingerprint; keep the smallest id.
+
+    One shuffle on the fingerprint. At 100 TB, dedup over a 128-bit digest
+    shuffles ~48 bytes/doc instead of the document bodies.
+    """
+    return (df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+              .groupBy("fp")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count("*").alias("copies")))
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, k: int = 16) -> DataFrame:
+    """(id, seed, sig): k independent min-hashes per doc from one explode.
+
+    One aggregation computes all k minima — the seed dimension is a k-way
+    row multiply of the (already distinct) shingle rows, shuffled once.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    seeded = sh.select(F.col(id_col), F.col("shingle"), seeds)
+    sig = _h64(F.concat_ws("#", F.col("seed").cast("string"), F.col("shingle")))
+    return (seeded.select(F.col(id_col), "seed", sig.alias("h"))
+            .groupBy(id_col, "seed")
+            .agg(F.min("h").alias("sig")))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        bands: int = 4, rows: int = 4) -> DataFrame:
+    """Band the signature (bands × rows = k) and self-join on band buckets.
+
+    Emits distinct (id_a < id_b) candidate pairs. The join key is
+    (band, md5-of-band-signature) so only exact band collisions pair up —
+    the standard LSH guarantee that pair probability ≈ jaccard^rows per band.
+    """
+    # band key = md5 of the band's sigs joined in seed order (matches the SQL
+    # oracle's string_agg(sig, ',' ORDER BY seed))
+    ordered_sigs = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+        lambda x: x["sig"].cast("string"))
+    banded = (sigs.withColumn("band", (F.col("seed") / rows).cast("int"))
+              .groupBy(id_col, "band")
+              .agg(F.md5(F.array_join(ordered_sigs, ",")).alias("band_key")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
+def minhash_similarity(sigs: DataFrame, pairs: DataFrame, id_col: str,
+                       k: int = 16) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of matching sig slots."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), "seed",
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), "seed",
+                     F.col("sig").alias("sig_b"))
+    j = pairs.join(sa, "id_a").join(sb, ["id_b", "seed"])
+    return (j.groupBy("id_a", "id_b")
+             .agg((F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1)
+                         .otherwise(0)) / F.lit(k)).alias("est_jaccard")))
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
+                      n: int = 3, k: int = 16, bands: int = 4, rows: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bucket-join → estimate."""
+    sh = shingles(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh, id_col, k)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    sim = minhash_similarity(sigs, pairs, id_col, k)
+    return sim.filter(F.col("est_jaccard") >= threshold)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """b-bit SimHash: per distinct token, hash → bit votes → sign per bit.
+
+    The bit dimension is an explode over 0..bits-1 so the whole computation is
+    two shuffles (token distinct + per-doc vote sum) regardless of b.
+    """
+    toks = tokens(df, text_col, id_col).distinct()
+    hashed = toks.select(F.col(id_col), _h64(F.col("token")).alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = hashed.select(F.col(id_col), F.col("h"), bit)
+    # shiftright/shiftleft need expr() form to accept a column shift amount
+    vote = (F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1)))
+    bitsum = (votes.select(F.col(id_col), F.col("bit"), vote.alias("v"))
+              .groupBy(id_col, "bit").agg(F.sum("v").alias("s")))
+    contrib = F.when(F.col("s") > 0,
+                     F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                     ).otherwise(F.lit(0).cast("bigint"))
+    return (bitsum.select(F.col(id_col), contrib.alias("c"))
+            .groupBy(id_col).agg(F.sum("c").alias("simhash")))
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 5, max_doc_freq: int = 100,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs sharing a rare shingle.
+
+    Stop-shingle cap: shingles in > max_doc_freq docs are dropped BEFORE the
+    pair join — this is what keeps the candidate join from going quadratic on
+    boilerplate at scale. Jaccard is still computed over full set sizes.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    rare = (sh.groupBy("shingle")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle"))
+    shr = sh.join(rare, "shingle")
+    a = shr.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shr.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("n_shared")))
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (shared.join(sza, "id_a").join(szb, "id_b")
+           .withColumn("jaccard",
+                       F.col("n_shared").cast("double")
+                       / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))))
+    return (out.filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "n_shared", "jaccard"))

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **brute-force cosine top-k** — exact baseline: query-set × candidate join,
+  dot/norm via a dimension explode, window top-k. O(|Q|·|C|) pairs; correct at
+  any scale but only affordable when |Q| is a sample or |C| is pre-filtered.
+- **LSH-bucketed top-k** — the scale path: random-hyperplane signatures bucket
+  vectors so the pair join only runs within buckets. Hyperplane weights are
+  derived from md5 (deterministic, engine-independent — no stored model).
+
+Numeric determinism — fixed-point, not floats: each component is quantized to
+an int ``floor(x·10⁴ + 0.5)`` (pure double IEEE ops, bit-identical on any
+engine), and every dot product / norm / projection is then an EXACT int64 sum
+— order-independent across partitions, retries and engines. A float sum is
+none of those things at cluster scale. Cosine on the quantized vectors
+differs from true cosine by O(1e-4) relative — the scale factor itself
+cancels in the ratio. The final division runs in double on identical ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: fixed-point scale: 4 decimal digits of each embedding component.
+FIXED_SCALE = 10_000.0
+
+
+def _fixed(col: Column) -> Column:
+    """Quantize a float component to int64 fixed-point (round-half-up)."""
+    return F.floor(col.cast("double") * FIXED_SCALE + 0.5).cast("bigint")
+
+
+def _dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, d, x): one int64 fixed-point row per vector component (0-based)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("d", "xf"),
+    ).select(F.col(id_col), "d", _fixed(F.col("xf")).alias("x"))
+
+
+def cosine_pairs(queries: DataFrame, candidates: DataFrame,
+                 id_q: str = "q_id", id_c: str = "c_id") -> DataFrame:
+    """Quantized cosine for every (query, candidate) pair via dimension join.
+
+    Inputs must have columns (id, embedding). The dim-explode join shuffles on
+    (d) — at scale, prefer bucketing the candidate dims once and reusing them
+    across query batches.
+    """
+    qd = (_dims(queries, "id", "embedding")
+          .select(F.col("id").alias(id_q), "d", F.col("x").alias("qx")))
+    cd = (_dims(candidates, "id", "embedding")
+          .select(F.col("id").alias(id_c), "d", F.col("x").alias("cx")))
+    sums = (qd.join(cd, "d")
+            .groupBy(id_q, id_c)
+            .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"),
+                 F.sum(F.col("qx") * F.col("qx")).alias("qn"),
+                 F.sum(F.col("cx") * F.col("cx")).alias("cn")))
+    # int64·int64 norm product can exceed int64 → promote to double first
+    return sums.withColumn(
+        "cosine",
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")))
+
+
+def topk_cosine(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                exclude_self: bool = True) -> DataFrame:
+    """Brute-force top-k neighbors per query by quantized cosine.
+
+    Ties broken by candidate id so results are total-ordered and
+    oracle-comparable.
+    """
+    pairs = cosine_pairs(queries, candidates)
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "cosine", "rank"))
+
+
+# -- LSH (random hyperplane) ------------------------------------------------
+
+
+def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
+                          planes: int = 8) -> DataFrame:
+    """Sign-of-projection signature: bit p = 1 iff Σ_d w(p,d)·x_d > 0.
+
+    Hyperplane weight w(p,d) ∈ {+1, −1} comes from one md5 bit of "p:d" —
+    deterministic, identical on any engine, no stored random state. Exact
+    int64 projections make the sign (and so the bucket) reproducible.
+    """
+    dims = _dims(df, id_col, vec_col)
+    plane = F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("p")
+    pd_ = dims.select(F.col(id_col), "d", "x", plane)
+    wbit = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("p").cast("string"),
+                          F.col("d").cast("string"))), 1, 1), 16, 10).cast("int")
+    signed = pd_.withColumn(
+        "wx", F.when(wbit % 2 == 1, F.col("x")).otherwise(-F.col("x")))
+    proj = (signed.groupBy(id_col, "p")
+            .agg(F.sum("wx").alias("proj")))
+    bit = F.when(F.col("proj") > 0,
+                 F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(F.lit(0))
+    return (proj.select(F.col(id_col), bit.alias("b"))
+            .groupBy(id_col).agg(F.sum("b").cast("bigint").alias("bucket")))
+
+
+def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                    planes: int = 8, exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: quantized cosine, but only within shared LSH buckets.
+
+    With p planes the candidate set shrinks ~2^p-fold for near-uniform data;
+    recall loss is the standard hyperplane-LSH tradeoff. This is the plan
+    shape that survives 100 TB: the expensive pair join is bucket-local.
+    """
+    qs = hyperplane_signatures(queries, "id", "embedding", planes)
+    cs = hyperplane_signatures(candidates, "id", "embedding", planes)
+    qb = (queries.join(qs, "id")
+          .select(F.col("id").alias("q_id"), "bucket"))
+    cb = (candidates.join(cs, "id")
+          .select(F.col("id").alias("c_id"), "bucket"))
+    paired = qb.join(cb, "bucket").select("q_id", "c_id")
+    if exclude_self:
+        paired = paired.filter(F.col("q_id") != F.col("c_id"))
+    qd = (_dims(queries, "id", "embedding")
+          .select(F.col("id").alias("q_id"), "d", F.col("x").alias("qx")))
+    cd = (_dims(candidates, "id", "embedding")
+          .select(F.col("id").alias("c_id"), "d", F.col("x").alias("cx")))
+    sums = (paired.join(qd, "q_id").join(cd, ["c_id", "d"])
+            .groupBy("q_id", "c_id")
+            .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"),
+                 F.sum(F.col("qx") * F.col("qx")).alias("qn"),
+                 F.sum(F.col("cx") * F.col("cx")).alias("cn")))
+    sim = sums.withColumn(
+        "cosine",
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "cosine", "rank"))

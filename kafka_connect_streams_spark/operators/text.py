@@ -1,0 +1,116 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All four are single-pass column expressions or one-shuffle aggregations —
+no Python in the hot path, so they run at scan speed over 100 TB of text.
+Formulas are deliberately closed-form (ratios of counts, md5 digests) so a
+SQL oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword-hit heuristic —
+#: enough to discriminate on real text; deterministic on any text.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "en", "por"],
+}
+
+#: BPE-ish token heuristic: word pieces of letters OR digit runs OR single
+#: punctuation — approximates subword tokenizer token counts from a regex.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tok_array(text_col: str) -> Column:
+    toks = F.split(F.lower(F.col(text_col)), r"\W+")
+    return F.filter(toks, lambda t: F.length(t) > 0)
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens, BPE-ish tokens,
+    plus character length. Pure per-row expressions (codegen, no shuffle)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda t: F.length(t) > 0))
+    words = F.size(_tok_array(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        ws.cast("bigint").alias("ws_tokens"),
+        words.cast("bigint").alias("word_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality score from length/punctuation/stopword ratios.
+
+    score = 0.4·len_score + 0.3·stopword_ratio_capped + 0.3·(1 − punct_ratio)
+    where len_score saturates at 500 chars. All terms are ratios of integer
+    counts computed in one projection — exactly reproducible in SQL.
+    """
+    n_chars = F.length(F.col(text_col)).cast("double")
+    toks = _tok_array(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(
+        *STOPWORDS["en"]))).cast("double")
+    n_punct = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^\w\s]"), 0)).cast("double")
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, F.least(n_stop / n_tok * 5.0, F.lit(1.0))
+                        ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = 0.4 * len_score + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+    # raw doubles on purpose: per-row arithmetic is bit-identical across
+    # engines, while round() half-way behavior is not
+    return df.select(
+        F.col(id_col),
+        len_score.alias("len_score"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-hit language ID: score(lang) = |tokens ∩ stopwords(lang)|,
+    predict the argmax (ties broken by language code).
+
+    One explode + one groupBy; the stopword table is a broadcast-sized map
+    folded into the expression, not a join.
+    """
+    toks = _tok_array(text_col)
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(STOPWORDS)
+    # argmax with lexicographic tie-break: compare as (score, reverse-rank)
+    best = F.greatest(*[F.struct(F.col(f"score_{l}").alias("s"),
+                                 F.lit(-i).alias("ri"),
+                                 F.lit(l).alias("lang"))
+                        for i, l in enumerate(langs)])
+    return scored.select(
+        F.col(id_col), *[F.col(f"score_{l}") for l in langs],
+        best["lang"].alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct token set.
+
+    Robust to token order and repetition (catches shuffled/near-identical
+    docs that exact md5 misses); one projection, no shuffle.
+    """
+    toks = _tok_array(text_col)
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(canon).alias("fingerprint"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("vocab_size"),
+    )

@@ -305,6 +305,94 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groupBy (keep smallest doc_id)."""
+    from kafka_connect_streams_spark.operators.dedup import exact_dedup
+    t = load_tables(spark, sf_dir)
+    return exact_dedup(t["documents"], "text", "doc_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4×4) near-dup candidate pairs with est. Jaccard."""
+    from kafka_connect_streams_spark.operators.dedup import minhash_lsh_dedup
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_dedup(t["documents"], "text", "doc_id",
+                             n=3, k=16, bands=4, rows=4, threshold=0.25)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document."""
+    from kafka_connect_streams_spark.operators.dedup import simhash
+    t = load_tables(spark, sf_dir)
+    return simhash(t["documents"], "text", "doc_id", bits=16)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard on pairs sharing a rare shingle."""
+    from kafka_connect_streams_spark.operators.dedup import ngram_jaccard_pairs
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"], "text", "doc_id",
+                               n=5, max_doc_freq=100, threshold=0.05)
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for sampled query vectors."""
+    from kafka_connect_streams_spark.operators.similarity import topk_cosine
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    queries = emb.filter(F.col("id") % 100 == 0)
+    return topk_cosine(queries, emb, k=5)
+
+
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-5 (random-hyperplane buckets, scale path)."""
+    from kafka_connect_streams_spark.operators.similarity import topk_cosine_lsh
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    queries = emb.filter(F.col("id") % 100 == 0)
+    return topk_cosine_lsh(queries, emb, k=5, planes=6)
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace / regex-word / BPE-ish token counts."""
+    from kafka_connect_streams_spark.operators.text import token_stats
+    t = load_tables(spark, sf_dir)
+    return token_stats(t["documents"], "text", "doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length/punct/stopword ratios."""
+    from kafka_connect_streams_spark.operators.text import quality_score
+    t = load_tables(spark, sf_dir)
+    return quality_score(t["documents"], "text", "doc_id")
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification with argmax prediction."""
+    from kafka_connect_streams_spark.operators.text import language_id
+    t = load_tables(spark, sf_dir)
+    return language_id(t["documents"], "text", "doc_id")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical token-set fingerprint (order/repetition-insensitive)."""
+    from kafka_connect_streams_spark.operators.text import fingerprint
+    t = load_tables(spark, sf_dir)
+    return fingerprint(t["documents"], "text", "doc_id")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column → Arrow-batched mapInPandas feature extraction."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        attach_payload, decode_features)
+    t = load_tables(spark, sf_dir)
+    return decode_features(attach_payload(t["documents"], "text", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -330,6 +418,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "ann_lsh_cosine": q_ann_lsh_cosine,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_language_id": q_text_language_id,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLE: dict[str, str] = {
@@ -536,5 +635,252 @@ ORACLE: dict[str, str] = {
         SELECT user_id, count(*) AS n_events, min(ts) AS session_start
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash_lsh": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        sigs AS (
+            SELECT doc_id, seed,
+                   min(('0x' || substr(md5(seed::VARCHAR || '#' || shingle), 1, 12))::BIGINT) AS sig
+            FROM sh CROSS JOIN seeds
+            GROUP BY doc_id, seed),
+        banded AS (
+            SELECT doc_id, seed // 4 AS band,
+                   md5(string_agg(sig::VARCHAR, ',' ORDER BY seed)) AS band_key
+            FROM sigs GROUP BY doc_id, seed // 4),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id),
+        sim AS (
+            SELECT p.id_a, p.id_b,
+                   sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.id_a
+            JOIN sigs sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+            GROUP BY p.id_a, p.id_b)
+        SELECT id_a, id_b, est_jaccard FROM sim WHERE est_jaccard >= 0.25
+    """,
+    "dedup_simhash": """
+        WITH tok AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\W+')) AS token
+                FROM documents) u
+            WHERE length(token) > 0),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(token), 1, 12))::BIGINT AS h
+            FROM tok),
+        bits AS (SELECT unnest(generate_series(0, 15)) AS bit),
+        bitsum AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed CROSS JOIN bits
+            GROUP BY doc_id, bit)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bitsum GROUP BY doc_id
+    """,
+    "dedup_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 5, 0)),
+                           i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        rare AS (
+            SELECT shingle FROM (
+                SELECT shingle, count(DISTINCT doc_id) AS df
+                FROM sh GROUP BY shingle) f
+            WHERE df <= 100),
+        shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        j AS (
+            SELECT id_a, id_b, n_shared,
+                   CAST(n_shared AS DOUBLE)
+                     / (sa.set_size + sb.set_size - n_shared) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, n_shared, jaccard FROM j WHERE jaccard >= 0.05
+    """,
+    "ann_topk_cosine": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        cd AS (SELECT emb.id AS c_id, d,
+                      CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS cx
+               FROM emb CROSS JOIN dims),
+        qd AS (SELECT c_id AS q_id, d, cx AS qx FROM cd WHERE c_id % 100 = 0),
+        sums AS (SELECT q_id, c_id,
+                        CAST(sum(qx * cx) AS BIGINT) AS dot,
+                        CAST(sum(qx * qx) AS BIGINT) AS qn,
+                        CAST(sum(cx * cx) AS BIGINT) AS cn
+                 FROM qd JOIN cd USING (d) GROUP BY q_id, c_id),
+        sim AS (SELECT q_id, c_id,
+                       CAST(dot AS DOUBLE)
+                         / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                FROM sums WHERE q_id <> c_id),
+        ranked AS (SELECT q_id, c_id, cosine,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cosine DESC, c_id) AS rank
+                   FROM sim)
+        SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "ann_lsh_cosine": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        planes AS (SELECT unnest(generate_series(0, 5)) AS p),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        proj AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS proj
+            FROM comp CROSS JOIN planes
+            GROUP BY id, p),
+        bucket AS (
+            SELECT id,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM proj GROUP BY id),
+        pairs AS (SELECT qb.id AS q_id, cb.id AS c_id
+                  FROM bucket qb JOIN bucket cb USING (bucket)
+                  WHERE qb.id % 100 = 0 AND qb.id <> cb.id),
+        sums AS (
+            SELECT p.q_id, p.c_id,
+                   CAST(sum(qd.x * cd.x) AS BIGINT) AS dot,
+                   CAST(sum(qd.x * qd.x) AS BIGINT) AS qn,
+                   CAST(sum(cd.x * cd.x) AS BIGINT) AS cn
+            FROM pairs p
+            JOIN comp qd ON qd.id = p.q_id
+            JOIN comp cd ON cd.id = p.c_id AND cd.d = qd.d
+            GROUP BY p.q_id, p.c_id),
+        sim AS (SELECT q_id, c_id,
+                       CAST(dot AS DOUBLE)
+                         / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                FROM sums),
+        ranked AS (SELECT q_id, c_id, cosine,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cosine DESC, c_id) AS rank
+                   FROM sim)
+        SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "text_tokens": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                                    t -> length(t) > 0)) AS BIGINT) AS word_tokens,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> length(t) > 0)) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> length(t) > 0 AND t IN
+                            ('the','a','of','and','to','in','is','that','it','for')))
+                        AS DOUBLE) AS n_stop,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct
+            FROM documents),
+        r AS (
+            SELECT doc_id,
+                   least(n_chars / 500.0, 1.0) AS len_score,
+                   CASE WHEN n_tok > 0 THEN least(n_stop / n_tok * 5.0, 1.0)
+                        ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                        ELSE 0.0 END AS punct_ratio
+            FROM f)
+        SELECT doc_id, len_score, stop_ratio, punct_ratio,
+               0.4 * len_score + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+                 AS quality
+        FROM r
+    """,
+    "text_language_id": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(toks, t -> t IN
+                     ('der','die','das','und','ist','nicht','ein','mit','auf','zu')))
+                     AS INTEGER) AS score_de,
+                   CAST(len(list_filter(toks, t -> t IN
+                     ('the','a','of','and','to','in','is','that','it','for')))
+                     AS INTEGER) AS score_en,
+                   CAST(len(list_filter(toks, t -> t IN
+                     ('el','la','los','de','y','es','un','una','en','por')))
+                     AS INTEGER) AS score_es,
+                   CAST(len(list_filter(toks, t -> t IN
+                     ('le','la','les','et','est','un','une','dans','pour','que')))
+                     AS INTEGER) AS score_fr
+            FROM toks)
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE WHEN score_de >= score_en AND score_de >= score_es
+                         AND score_de >= score_fr THEN 'de'
+                    WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                    WHEN score_es >= score_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM scored
+    """,
+    "text_fingerprint": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents)
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS vocab_size
+        FROM toks
+    """,
+    "multimodal_decode": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+               md5(text) AS content_hash,
+               CAST(('0x' || substr(md5(text), 1, 4))::INT % 1920 AS BIGINT) AS fake_width,
+               CAST(('0x' || substr(md5(text), 5, 4))::INT % 1080 AS BIGINT) AS fake_height
+        FROM documents
     """,
 }
