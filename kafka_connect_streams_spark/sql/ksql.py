@@ -1,0 +1,184 @@
+"""KSQL-style DDL front end: CREATE STREAM / CSAS over the Spark catalog.
+
+Reference surface (the KSQL 5.1 subset the integration tests exercise,
+SURVEY.md §2 / DatabaseSelectAndProjectIntTest.java + StreamsSelectAndProjectIntTest.java):
+
+- ``CREATE STREAM s (COL TYPE, ...) WITH (kafka_topic='t', value_format='JSON',
+  key='col')`` — register a named, schema-ful stream over a topic/table
+  (StreamsSelectAndProjectIntTest.java:327-344)
+- ``CREATE STREAM out AS SELECT ... FROM s WHERE ...`` (CSAS) with optional
+  ``WITH (timestamp='col', value_format=...)``
+  (DatabaseSelectAndProjectIntTest.java:252-255, :174-208)
+- implicit ``ROWKEY``/``ROWTIME`` pseudo-columns on every stream
+
+Everything after registration IS Spark SQL: the MetaStore is the session
+catalog, parse/analyze/optimize is Catalyst (the reference delegates the same
+way — its KSQL engine compiles to a Streams topology; ours compiles to a
+Spark plan). This front end only handles the KSQL-specific DDL dialect and
+pseudo-column injection; queries run through ``spark.sql`` untouched.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_KSQL_TYPES = {
+    "bigint": "bigint", "int": "int", "integer": "int", "varchar": "string",
+    "string": "string", "double": "double", "boolean": "boolean",
+}
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((?P<cols>.*?)\)\s*"
+    r"WITH\s*\((?P<props>.*?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_CSAS_RE = re.compile(
+    r"^\s*CREATE\s+(STREAM|TABLE)\s+(\w+)\s*"
+    r"(?:WITH\s*\((?P<props>.*?)\)\s*)?AS\s+(?P<select>SELECT\b.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _parse_props(s: str | None) -> dict[str, str]:
+    if not s:
+        return {}
+    return {k.strip().lower(): v.strip().strip("'\"")
+            for k, v in (p.split("=", 1) for p in s.split(","))}
+
+
+def _parse_type(t: str) -> str:
+    t = t.strip().lower()
+    m = re.match(r"array\s*<(.+)>", t)
+    if m:
+        return f"array<{_parse_type(m.group(1))}>"
+    m = re.match(r"map\s*<(.+),(.+)>", t)
+    if m:
+        return f"map<{_parse_type(m.group(1))},{_parse_type(m.group(2))}>"
+    if t not in _KSQL_TYPES:
+        raise ValueError(f"unsupported KSQL type: {t}")
+    return _KSQL_TYPES[t]
+
+
+@dataclass
+class StreamMeta:
+    """Catalog entry: what KSQL's MetaStore tracks per stream."""
+    name: str
+    topic: str
+    value_format: str
+    key_col: str | None
+    timestamp_col: str | None = None
+    columns: dict[str, str] = field(default_factory=dict)
+
+
+class KsqlContext:
+    """Minimal KsqlContext analog: DDL in, temp views + StreamMeta out.
+
+    ``sql()`` dispatches: KSQL DDL forms are handled here; anything else goes
+    straight to ``spark.sql`` (SELECTs over registered streams "just work").
+    Sources are bound by a resolver: topic name → DataFrame (batch or
+    streaming) — tests bind parquet tables, production binds Kafka/JDBC legs.
+    """
+
+    def __init__(self, spark: SparkSession, resolver):
+        self.spark = spark
+        self.resolver = resolver  # Callable[[str], DataFrame]
+        self.metastore: dict[str, StreamMeta] = {}
+
+    def sql(self, statement: str) -> DataFrame | None:
+        m = _CSAS_RE.match(statement)
+        if m:
+            return self._csas(m)
+        m = _CREATE_RE.match(statement)
+        if m:
+            return self._create(m)
+        return self.spark.sql(statement)
+
+    # -- CREATE STREAM s (...) WITH (...) -----------------------------------
+
+    def _create(self, m: re.Match) -> None:
+        name = m.group(2).lower()
+        props = _parse_props(m.group("props"))
+        cols: dict[str, str] = {}
+        for part in self._split_cols(m.group("cols")):
+            cname, ctype = part.strip().split(None, 1)
+            cols[cname.lower()] = _parse_type(ctype)
+        meta = StreamMeta(
+            name=name,
+            topic=props.get("kafka_topic", name),
+            value_format=props.get("value_format", "json").lower(),
+            key_col=props.get("key", "").lower() or None,
+            timestamp_col=props.get("timestamp", "").lower() or None,
+            columns=cols,
+        )
+        df = self.resolver(meta.topic)
+        df = self._with_pseudo_columns(df, meta)
+        df.createOrReplaceTempView(name)
+        self.metastore[name] = meta
+        return None
+
+    @staticmethod
+    def _split_cols(s: str) -> list[str]:
+        """Split column defs on commas not nested in <> (array<double>, ...)."""
+        parts, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        return [p for p in (x.strip() for x in parts) if p]
+
+    def _with_pseudo_columns(self, df: DataFrame, meta: StreamMeta) -> DataFrame:
+        """Inject ROWKEY/ROWTIME (§1.4): rowkey = designated key column as
+        string; rowtime = epoch-ms event time (timestamp col if declared,
+        else a ts/timestamp column if present, else null)."""
+        cols = {c.lower(): c for c in df.columns}
+        out = df
+        if "rowkey" not in cols:
+            key_src = meta.key_col if meta.key_col in cols else None
+            out = out.withColumn(
+                "rowkey",
+                F.col(cols[key_src]).cast("string") if key_src else F.lit(None).cast("string"))
+        if "rowtime" not in cols:
+            ts_src = None
+            for cand in ((meta.timestamp_col,) if meta.timestamp_col else ()) + ("ts", "timestamp"):
+                if cand in cols:
+                    ts_src = cols[cand]
+                    break
+            if ts_src and dict(df.dtypes)[ts_src].startswith("timestamp"):
+                rowtime = (F.unix_micros(F.col(ts_src).cast("timestamp")) / 1000).cast("bigint")
+            elif ts_src:
+                rowtime = F.col(ts_src).cast("bigint")
+            else:
+                rowtime = F.lit(None).cast("bigint")
+            out = out.withColumn("rowtime", rowtime)
+        return out
+
+    # -- CREATE STREAM out AS SELECT ... (CSAS) ------------------------------
+
+    def _csas(self, m: re.Match) -> DataFrame:
+        name = m.group(2).lower()
+        props = _parse_props(m.group("props"))
+        select = m.group("select")
+        df = self.spark.sql(select)
+        # WITH (timestamp='col'): rebind the stream's event time (F10)
+        ts_col = props.get("timestamp", "").lower()
+        if ts_col:
+            df = df.withColumn(
+                "rowtime", F.col(ts_col).cast("bigint"))
+        df.createOrReplaceTempView(name)
+        self.metastore[name] = StreamMeta(
+            name=name, topic=name,
+            value_format=props.get("value_format", "json").lower(),
+            key_col=props.get("key", "").lower() or None,
+            timestamp_col=ts_col or None,
+            columns=dict(df.dtypes))
+        return df

@@ -1,0 +1,86 @@
+"""KSQL DDL surface: CREATE STREAM ... WITH, CSAS, ROWKEY/ROWTIME.
+
+Golden behaviors from DatabaseSelectAndProjectIntTest / FIXTURES.md §4:
+8-row orders fixture, select-star / projection / filter (>40 → 4 rows),
+pseudo-columns, CSAS WITH(timestamp=...) rebinding.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+
+@pytest.fixture()
+def ctx(spark):
+    # the 8-row golden orders fixture (SimpleOrderDataProvider.java:33-41)
+    orders = spark.createDataFrame(
+        [(i, i, f"ORDER_{i}", f"ITEM_{i}", i * 10.0) for i in range(1, 9)],
+        "id bigint, ordertime bigint, orderid string, itemid string, orderunits double")
+    return KsqlContext(spark, resolver=lambda topic: {"orders_topic": orders}[topic])
+
+
+DDL = """CREATE STREAM orders (ORDERTIME bigint, ORDERID varchar,
+         ITEMID varchar, ORDERUNITS double)
+         WITH (kafka_topic='orders_topic', value_format='JSON', key='ordertime')"""
+
+
+class TestCreateStream:
+    def test_registers_view_with_pseudo_columns(self, ctx, spark):
+        ctx.sql(DDL)
+        rows = spark.sql("SELECT rowkey, ordertime, orderid FROM orders").collect()
+        assert len(rows) == 8
+        # ROWKEY = designated key column, stringified (§1.4)
+        assert {r.rowkey for r in rows} == {str(i) for i in range(1, 9)}
+        assert ctx.metastore["orders"].value_format == "json"
+
+    def test_select_star(self, ctx, spark):
+        ctx.sql(DDL)
+        assert ctx.sql("SELECT * FROM orders").count() == 8
+
+    def test_projection(self, ctx, spark):
+        ctx.sql(DDL)
+        rows = ctx.sql("SELECT itemid, orderunits FROM orders").collect()
+        assert len(rows) == 8
+        assert rows[0].__fields__ == ["itemid", "orderunits"]
+
+    def test_filter_cardinality(self, ctx):
+        # testSelectWithFilter: ORDERUNITS > 40 → exactly 4 rows (:247-266)
+        ctx.sql(DDL)
+        assert ctx.sql("SELECT * FROM orders WHERE orderunits > 40").count() == 4
+
+
+class TestCsas:
+    def test_csas_materializes_and_requeries(self, ctx, spark):
+        ctx.sql(DDL)
+        ctx.sql("CREATE STREAM bigorders AS SELECT * FROM orders WHERE orderunits > 40")
+        assert spark.sql("SELECT * FROM bigorders").count() == 4
+        assert "bigorders" in ctx.metastore
+
+    def test_csas_with_timestamp_rebind(self, ctx, spark):
+        # WITH (timestamp='rtime'): output stream's event time from a
+        # computed column (StreamsSelectAndProjectIntTest.java:174-208, F10)
+        ctx.sql(DDL)
+        ctx.sql("""CREATE STREAM ts_stream WITH (timestamp='rtime') AS
+                   SELECT rowkey AS rkey, rowtime + 10000 AS rtime,
+                          rowtime + 100 AS rt100, orderid, itemid
+                   FROM orders WHERE orderunits > 20 AND itemid = 'ITEM_8'""")
+        rows = spark.sql("SELECT * FROM ts_stream").collect()
+        assert len(rows) == 1
+        assert rows[0].rkey == "8"
+        assert rows[0].rowtime == rows[0].rtime
+
+    def test_projection_aliases(self, ctx, spark):
+        # SELECT ROWKEY AS RKEY, ROWTIME AS RTIME (:217-219)
+        ctx.sql(DDL)
+        ctx.sql("""CREATE STREAM aliased AS
+                   SELECT rowkey AS rkey, rowtime AS rtime, itemid
+                   FROM orders WHERE orderunits > 20 AND itemid = 'ITEM_8'""")
+        rows = spark.sql("SELECT rkey, rtime, itemid FROM aliased").collect()
+        assert len(rows) == 1 and rows[0].itemid == "ITEM_8"
+
+
+class TestPassthroughSql:
+    def test_non_ddl_goes_to_spark_sql(self, ctx):
+        assert ctx.sql("SELECT 1 AS x").collect()[0].x == 1

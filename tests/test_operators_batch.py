@@ -1,0 +1,109 @@
+"""Batch operator semantics: focused unit checks complementing the
+DuckDB-oracle gate in tools/check.py (which covers full-query parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_streams_spark.operators.dedup import (exact_dedup,
+                                                         minhash_lsh_dedup,
+                                                         shingles, simhash)
+from kafka_connect_streams_spark.operators.joins import interval_join, value_joiner
+from kafka_connect_streams_spark.operators.multimodal import (attach_payload,
+                                                              decode_features)
+from kafka_connect_streams_spark.operators.projections import flat_map_values
+from kafka_connect_streams_spark.operators.similarity import topk_cosine
+from kafka_connect_streams_spark.operators.text import language_id
+
+
+class TestProjections:
+    def test_flat_map_values_splits_and_drops_empty(self, spark):
+        df = spark.createDataFrame([(1, "To be, or not")], "id long, text string")
+        words = [r.word for r in
+                 flat_map_values(df, "text", keep=["id"]).collect()]
+        assert words == ["to", "be", "or", "not"]
+
+
+class TestIntervalJoin:
+    def test_window_bounds_inclusive(self, spark):
+        mk = lambda rows: spark.createDataFrame(
+            rows, "key long, v string, ts_ms long").selectExpr(
+            "key", "v AS value", "timestamp_micros(ts_ms*1000) AS ts")
+        left = mk([(0, "A", 10_000)])
+        right = mk([(0, "in-low", 0), (0, "in-high", 20_000),
+                    (0, "out", 20_001), (1, "wrong-key", 10_000)])
+        j = interval_join(left, right, key="key", ts="ts", window_ms=10_000)
+        got = {r.r_value for r in j.collect()}
+        assert got == {"in-low", "in-high"}
+
+    def test_value_joiner_null_padding(self, spark):
+        df = spark.createDataFrame([("A", None)], "l string, r string")
+        out = value_joiner(df, "l", "r").collect()[0]
+        assert out.joined_value == "A-null"  # AbstractJoinIntegrationTest.java:118-123
+
+
+class TestDedup:
+    def test_exact_dedup_groups_identical_texts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")],
+            "doc_id long, text string")
+        rows = {r.keep_id: r.copies for r in
+                exact_dedup(df, "text", "doc_id").collect()}
+        assert rows == {1: 2, 3: 1}
+
+    def test_minhash_finds_near_duplicates(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base + " tail"
+        other = "completely different words entirely unrelated content here now"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, other)], "doc_id long, text string")
+        pairs = {(r.id_a, r.id_b) for r in
+                 minhash_lsh_dedup(df, "text", "doc_id", threshold=0.3).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_simhash_similar_docs_close_hamming(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "alpha beta gamma delta epsilon eta"),
+             (3, "one two three four five six")],
+            "doc_id long, text string")
+        sh = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+    def test_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+        got = [r.shingle for r in shingles(df, "text", "doc_id", n=3).collect()]
+        assert got == ["two words"]
+
+
+class TestSimilarity:
+    def test_topk_self_neighbor_excluded_and_identical_found(self, spark):
+        vec = [0.1] * 4
+        other = [0.9, -0.2, 0.05, 0.4]
+        df = spark.createDataFrame(
+            [(1, vec), (2, vec), (3, other)],
+            "id long, embedding array<float>")
+        rows = topk_cosine(df.filter(F.col("id") == 1), df, k=2).collect()
+        assert rows[0].c_id == 2 and abs(rows[0].cosine - 1.0) < 1e-9
+        assert all(r.c_id != 1 for r in rows)
+
+
+class TestText:
+    def test_language_id_english(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat sat of the mat and it is a cat")],
+            "doc_id long, text string")
+        assert language_id(df, "text", "doc_id").collect()[0].pred_lang == "en"
+
+
+class TestMultimodal:
+    def test_payload_and_features(self, spark):
+        df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+        feats = decode_features(attach_payload(df, "text", "doc_id")).collect()[0]
+        import hashlib
+        h = hashlib.md5(b"hello world").hexdigest()
+        assert feats.media_bytes == 11
+        assert feats.content_hash == h
+        assert feats.fake_width == int(h[:4], 16) % 1920

@@ -1,0 +1,57 @@
+"""Plan-shape assertions: the queries must not only be right, they must scale.
+
+Pins the physical properties that matter at 100 TB: filter pushdown into the
+parquet scan, column pruning, broadcast of small dims (no fact shuffle),
+map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_streams_spark import queries as Q
+from kafka_connect_streams_spark.catalog import load_tables
+from kafka_connect_streams_spark.operators.joins import dim_join
+from kafka_connect_streams_spark.plans.explain import (has_broadcast_join,
+                                                       has_partial_aggregate,
+                                                       has_pushed_filter,
+                                                       physical_plan,
+                                                       scan_read_schema,
+                                                       shuffle_count)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = Q.q_filter(spark, sf_dir)
+    assert has_pushed_filter(df, "o_totalprice"), physical_plan(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = Q.q_select_project(spark, sf_dir)
+    cols = scan_read_schema(df)
+    assert "o_orderdate" not in cols, "projection must prune unused columns"
+    assert "o_totalprice" in cols
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    j = dim_join(t["customer"], t["nation"],
+                 t["customer"].c_nationkey == t["nation"].n_nationkey)
+    assert has_broadcast_join(j), physical_plan(j)
+    # a broadcast dim join must not shuffle the fact side
+    assert shuffle_count(j) <= 1, physical_plan(j)
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    df = Q.q_multiway_join(spark, sf_dir)
+    assert has_broadcast_join(df), physical_plan(df)
+
+
+def test_wordcount_has_partial_aggregation(spark, sf_dir):
+    df = Q.q_wordcount(spark, sf_dir)
+    assert has_partial_aggregate(df), physical_plan(df)
+
+
+def test_groupby_single_shuffle(spark, sf_dir):
+    df = Q.q_groupby_stats(spark, sf_dir)
+    # distinct-count forces an expand + two exchanges max; plain agg = 1
+    assert shuffle_count(df) <= 3, physical_plan(df)
