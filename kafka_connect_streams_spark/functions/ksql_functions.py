@@ -1,0 +1,104 @@
+"""KSQL builtin functions → Spark Column expressions.
+
+Two layers:
+
+- ``KSQL_FUNCTIONS``: programmatic registry ``name → Column-builder`` for the
+  DataFrame API (all JVM expressions — codegen-able, no Python UDFs);
+- ``rewrite_ksql_sql``: KSQL spelling → Spark SQL spelling rewriter used by
+  the SQL front end (sql/ksql.py), so ``SELECT UCASE(ITEMID) ...`` parses.
+
+Function list follows the public KSQL 5.1 function reference (the engine the
+reference embeds, pom.xml:55-59); names Spark shares (ABS, CONCAT, TRIM, ...)
+pass through untouched.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# -- programmatic registry ---------------------------------------------------
+
+KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
+    # string
+    "lcase": F.lower,
+    "ucase": F.upper,
+    "trim": F.trim,
+    "concat": F.concat,
+    "substring": lambda c, pos, length=0x7FFFFFFF: F.substring(c, pos, length),
+    "len": F.length,
+    "initcap": F.initcap,
+    "replace": lambda c, find, repl: F.replace(c, F.lit(find), F.lit(repl)),
+    "mask": lambda c: F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, "[A-Z]", "X"), "[a-z]", "x"),
+        "[0-9]", "n"),
+    "split": lambda c, sep: F.split(c, re.escape(sep)),
+    # json (path must be a Python string — get_json_object takes a literal)
+    "extractjsonfield": lambda c, path: F.get_json_object(c, path),
+    # numeric
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "round": F.round,
+    "sign": F.signum,
+    "sqrt": F.sqrt,
+    # null handling
+    "ifnull": F.coalesce,
+    "coalesce": F.coalesce,
+    "nullif": F.nullif,
+    # array / map
+    "arraycontains": F.array_contains,
+    "arraylength": F.size,
+    "slice": F.slice,
+    # time (KSQL works in epoch-ms longs; see ROWTIME, §1.4)
+    "stringtotimestamp": lambda c, fmt: (
+        F.unix_micros(F.to_timestamp(c, _java_to_spark_fmt(fmt))) / 1000
+    ).cast("bigint"),
+    "timestamptostring": lambda c, fmt: F.date_format(
+        F.timestamp_micros((c * 1000).cast("bigint")), _java_to_spark_fmt(fmt)),
+    # aggregates
+    "topk": lambda c, k: F.slice(F.sort_array(F.collect_list(c), asc=False), 1, k),
+    "topkdistinct": lambda c, k: F.slice(
+        F.sort_array(F.collect_set(c), asc=False), 1, k),
+    "count": F.count,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _java_to_spark_fmt(fmt: str) -> str:
+    """KSQL uses java.text.SimpleDateFormat patterns; Spark uses
+    DateTimeFormatter — the subset KSQL docs use is pattern-compatible."""
+    return fmt
+
+
+# -- SQL spelling rewriter ---------------------------------------------------
+
+#: KSQL name → Spark SQL name (only where they differ)
+_SQL_RENAMES = {
+    "ucase": "upper",
+    "lcase": "lower",
+    "len": "length",
+    "ifnull": "coalesce",
+    "arraycontains": "array_contains",
+    "arraylength": "size",
+    "extractjsonfield": "get_json_object",
+    "stringtotimestamp": "to_unix_timestamp",  # seconds; *1000 where ms needed
+}
+
+_FUNC_CALL = re.compile(
+    r"\b(" + "|".join(sorted(_SQL_RENAMES, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE)
+
+
+def rewrite_ksql_sql(sql: str) -> str:
+    """Rewrite KSQL function spellings to Spark SQL equivalents.
+
+    Only touches identifiers immediately followed by '(' so column names
+    that happen to collide (e.g. a column called ``len``) survive.
+    """
+    return _FUNC_CALL.sub(lambda m: _SQL_RENAMES[m.group(1).lower()] + "(", sql)

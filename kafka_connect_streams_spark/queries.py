@@ -305,6 +305,106 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# extended relational coverage (Spark-native surface beyond the reference)
+# ---------------------------------------------------------------------------
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders."""
+    t = load_tables(spark, sf_dir)
+    return (t["orders"]
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .select(F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+                    F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("prio"),
+                    "n"))
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins: customers with vs without open orders."""
+    t = load_tables(spark, sf_dir)
+    open_orders = t["orders"].filter(F.col("o_orderstatus") == "O")
+    semi = (t["customer"].join(open_orders,
+                               t["customer"].c_custkey == open_orders.o_custkey,
+                               "left_semi")
+            .select("c_custkey").withColumn("op", F.lit("semi")))
+    anti = (t["customer"].join(open_orders,
+                               t["customer"].c_custkey == open_orders.o_custkey,
+                               "left_anti")
+            .select("c_custkey").withColumn("op", F.lit("anti")))
+    return semi.union(anti)
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wider string surface: trim/pad/replace/regexp/reverse/position/repeat."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select(
+        F.col("c_custkey"),
+        F.trim(F.col("c_name")).alias("trimmed"),
+        F.lpad(F.col("c_mktsegment"), 12, "_").alias("lpadded"),
+        F.rpad(F.col("c_mktsegment"), 12, ".").alias("rpadded"),
+        F.regexp_replace(F.col("c_name"), "[0-9]+", "#").alias("no_digits"),
+        F.reverse(F.col("c_mktsegment")).alias("rev"),
+        F.instr(F.col("c_name"), "er").alias("pos_er"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("doubled"),
+        F.substring(F.col("c_name"), 1, 8).alias("prefix8"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface over orders + events timestamps."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        F.col("o_orderkey"),
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.hour("o_orderdate").alias("h"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("1999-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_1999"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + post-aggregation filter (KTable filter semantics)."""
+    t = load_tables(spark, sf_dir)
+    return (t["orders"].groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 sum_money("o_totalprice", "spend"))
+            .filter(F.col("n_orders") >= 3))
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: order counts per status column."""
+    t = load_tables(spark, sf_dir)
+    s = F.col("o_orderstatus")
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.sum(F.when(s == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(s == "F", 1).otherwise(0)).alias("n_done"),
+        F.sum(F.when(s == "P", 1).otherwise(0)).alias("n_pending"),
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via Spark SQL (decorrelated by Catalyst to a semi join)."""
+    from kafka_connect_streams_spark.catalog import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """)
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (exact dedup of a key combination)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
 # LLM-data-pipeline operators: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
 
@@ -418,6 +518,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
+    "cube": q_cube,
+    "semi_anti_join": q_semi_anti_join,
+    "string_functions": q_string_functions,
+    "date_functions": q_date_functions,
+    "having": q_having,
+    "pivot": q_pivot,
+    "exists_subquery": q_exists_subquery,
+    "distinct": q_distinct,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -635,6 +743,69 @@ ORACLE: dict[str, str] = {
         SELECT user_id, count(*) AS n_events, min(ts) AS session_start
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    "cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "semi_anti_join": """
+        WITH open_orders AS (SELECT * FROM orders WHERE o_orderstatus = 'O')
+        SELECT c_custkey, 'semi' AS op FROM customer
+        WHERE EXISTS (SELECT 1 FROM open_orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_custkey, 'anti' AS op FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM open_orders WHERE o_custkey = c_custkey)
+    """,
+    "string_functions": """
+        SELECT c_custkey,
+               trim(c_name) AS trimmed,
+               lpad(c_mktsegment, 12, '_') AS lpadded,
+               rpad(c_mktsegment, 12, '.') AS rpadded,
+               regexp_replace(c_name, '[0-9]+', '#', 'g') AS no_digits,
+               reverse(c_mktsegment) AS rev,
+               CAST(strpos(c_name, 'er') AS INTEGER) AS pos_er,
+               repeat(c_mktsegment, 2) AS doubled,
+               substring(c_name, 1, 8) AS prefix8
+        FROM customer
+    """,
+    "date_functions": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS d,
+               CAST(hour(o_orderdate) AS INTEGER) AS h,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                    AS INTEGER) AS days_to_1999,
+               CAST(o_orderdate AS DATE) AS odate
+        FROM orders
+    """,
+    "having": """
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 3
+    """,
+    "pivot": """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "exists_subquery": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+    "distinct": """
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
     """,
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies

@@ -87,13 +87,14 @@ class KsqlContext:
         self.metastore: dict[str, StreamMeta] = {}
 
     def sql(self, statement: str) -> DataFrame | None:
+        from kafka_connect_streams_spark.functions import rewrite_ksql_sql
         m = _CSAS_RE.match(statement)
         if m:
             return self._csas(m)
         m = _CREATE_RE.match(statement)
         if m:
             return self._create(m)
-        return self.spark.sql(statement)
+        return self.spark.sql(rewrite_ksql_sql(statement))
 
     # -- CREATE STREAM s (...) WITH (...) -----------------------------------
 
@@ -165,10 +166,11 @@ class KsqlContext:
     # -- CREATE STREAM out AS SELECT ... (CSAS) ------------------------------
 
     def _csas(self, m: re.Match) -> DataFrame:
+        from kafka_connect_streams_spark.functions import rewrite_ksql_sql
         name = m.group(2).lower()
         props = _parse_props(m.group("props"))
         select = m.group("select")
-        df = self.spark.sql(select)
+        df = self.spark.sql(rewrite_ksql_sql(select))
         # WITH (timestamp='col'): rebind the stream's event time (F10)
         ts_col = props.get("timestamp", "").lower()
         if ts_col:

@@ -1,0 +1,84 @@
+"""KSQL builtin-function surface: programmatic registry + SQL rewriting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_streams_spark.functions import KSQL_FUNCTIONS, rewrite_ksql_sql
+from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+
+class TestRegistry:
+    def _one(self, spark, col_expr, expected):
+        got = spark.range(1).select(col_expr.alias("v")).collect()[0].v
+        assert got == expected, f"{got!r} != {expected!r}"
+
+    def test_string_functions(self, spark):
+        f = KSQL_FUNCTIONS
+        self._one(spark, f["ucase"](F.lit("abc")), "ABC")
+        self._one(spark, f["lcase"](F.lit("AbC")), "abc")
+        self._one(spark, f["len"](F.lit("hello")), 5)
+        self._one(spark, f["trim"](F.lit("  x  ")), "x")
+        self._one(spark, f["substring"](F.lit("ORDER_6"), 7), "6")
+        self._one(spark, f["substring"](F.lit("ORDER_6"), 1, 5), "ORDER")
+        self._one(spark, f["concat"](F.lit("a"), F.lit("b")), "ab")
+        self._one(spark, f["initcap"](F.lit("hello world")), "Hello World")
+        self._one(spark, f["mask"](F.lit("Ab-3")), "xX-n".replace("xX", "Xx"))
+
+    def test_numeric_functions(self, spark):
+        f = KSQL_FUNCTIONS
+        self._one(spark, f["abs"](F.lit(-3.5)), 3.5)
+        self._one(spark, f["ceil"](F.lit(1.2)), 2)
+        self._one(spark, f["floor"](F.lit(1.8)), 1)
+        self._one(spark, f["round"](F.lit(1.25), 1), 1.3)
+        self._one(spark, f["sign"](F.lit(-9)), -1.0)
+
+    def test_null_and_json(self, spark):
+        f = KSQL_FUNCTIONS
+        self._one(spark, f["ifnull"](F.lit(None).cast("string"), F.lit("d")), "d")
+        self._one(spark, f["nullif"](F.lit("a"), F.lit("a")), None)
+        self._one(spark, f["extractjsonfield"](F.lit('{"k": 87}'), "$.k"), "87")
+
+    def test_array_functions(self, spark):
+        f = KSQL_FUNCTIONS
+        arr = F.array(F.lit(1.0), F.lit(2.0))
+        self._one(spark, f["arraycontains"](arr, F.lit(2.0)), True)
+        self._one(spark, f["arraylength"](arr), 2)
+
+    def test_time_functions(self, spark):
+        f = KSQL_FUNCTIONS
+        ms = 1_700_000_000_000
+        s = spark.range(1).select(
+            f["timestamptostring"](F.lit(ms), "yyyy-MM-dd HH:mm:ss").alias("s")
+        ).collect()[0].s
+        assert s == "2023-11-14 22:13:20"  # UTC session timezone
+        back = spark.range(1).select(
+            f["stringtotimestamp"](F.lit(s), "yyyy-MM-dd HH:mm:ss").alias("ms")
+        ).collect()[0].ms
+        assert back == ms
+
+    def test_topk_aggregate(self, spark):
+        df = spark.createDataFrame([(1,), (5,), (3,), (5,)], "v int")
+        got = df.agg(KSQL_FUNCTIONS["topk"](F.col("v"), 2).alias("t")).collect()[0].t
+        assert got == [5, 5]
+        got = df.agg(KSQL_FUNCTIONS["topkdistinct"](F.col("v"), 2).alias("t")
+                     ).collect()[0].t
+        assert got == [5, 3]
+
+
+class TestSqlRewrite:
+    def test_rewrites_only_function_calls(self):
+        sql = "SELECT UCASE(itemid), len FROM t WHERE LEN(name) > 2"
+        out = rewrite_ksql_sql(sql)
+        assert "upper(itemid)" in out
+        assert "length(name) > 2" in out
+        assert ", len FROM" in out  # bare column named len untouched
+
+    def test_ksql_spellings_run_through_context(self, spark):
+        orders = spark.createDataFrame(
+            [(1, "item_1")], "id bigint, itemid string")
+        ctx = KsqlContext(spark, resolver=lambda t: orders)
+        ctx.sql("CREATE STREAM s (ID bigint, ITEMID varchar) "
+                "WITH (kafka_topic='x', key='id')")
+        row = ctx.sql("SELECT UCASE(itemid) AS u, LEN(itemid) AS n FROM s").collect()[0]
+        assert (row.u, row.n) == ("ITEM_1", 6)
