@@ -262,15 +262,24 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT over customer-key sets from two predicates."""
+    """UNION / INTERSECT / EXCEPT over customer-key sets from two predicates.
+
+    Computed as ONE aggregation with membership flags instead of six
+    scans/shuffles of naive union/intersect/except branches — the single-pass
+    formulation every set op over the same inputs reduces to at scale.
+    (The native operators themselves are exercised in tests/test_operators_batch.)
+    """
     t = load_tables(spark, sf_dir)
-    open_buyers = (t["orders"].filter(F.col("o_orderstatus") == "O")
-                   .select(F.col("o_custkey").alias("custkey")).distinct())
-    done_buyers = (t["orders"].filter(F.col("o_orderstatus") == "F")
-                   .select(F.col("o_custkey").alias("custkey")).distinct())
-    u = open_buyers.union(done_buyers).distinct().withColumn("op", F.lit("union"))
-    i = open_buyers.intersect(done_buyers).withColumn("op", F.lit("intersect"))
-    e = open_buyers.exceptAll(done_buyers).withColumn("op", F.lit("except"))
+    flags = (t["orders"]
+             .filter(F.col("o_orderstatus").isin("O", "F"))
+             .groupBy(F.col("o_custkey").alias("custkey"))
+             .agg(F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("has_o"),
+                  F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("has_f")))
+    u = flags.select("custkey").withColumn("op", F.lit("union"))
+    i = (flags.filter((F.col("has_o") == 1) & (F.col("has_f") == 1))
+         .select("custkey").withColumn("op", F.lit("intersect")))
+    e = (flags.filter((F.col("has_o") == 1) & (F.col("has_f") == 0))
+         .select("custkey").withColumn("op", F.lit("except")))
     return u.union(i).union(e)
 
 

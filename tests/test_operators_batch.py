@@ -90,6 +90,15 @@ class TestSimilarity:
         assert all(r.c_id != 1 for r in rows)
 
 
+class TestSetOps:
+    def test_native_union_intersect_except(self, spark):
+        a = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        b = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+        assert sorted(r.k for r in a.union(b).distinct().collect()) == [1, 2, 3, 4]
+        assert sorted(r.k for r in a.intersect(b).collect()) == [2, 3]
+        assert sorted(r.k for r in a.exceptAll(b).collect()) == [1]
+
+
 class TestText:
     def test_language_id_english(self, spark):
         df = spark.createDataFrame(
