@@ -108,6 +108,35 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
             .groupBy(id_col).agg(F.sum("b").cast("bigint").alias("bucket")))
 
 
+def neardup_pairs(vectors: DataFrame, *, planes: int = 8,
+                  threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket → exact cosine ≥ t.
+
+    The dedup-by-embedding operator for training pipelines: only pairs
+    sharing a hyperplane bucket are scored (sub-quadratic at scale), then
+    exact quantized cosine filters to true near-dups. Emits id_a < id_b.
+    """
+    sig = hyperplane_signatures(vectors, "id", "embedding", planes)
+    a = vectors.join(sig, "id").select(F.col("id").alias("id_a"), "bucket")
+    b = vectors.join(sig, "id").select(F.col("id").alias("id_b"), "bucket")
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    d = _dims(vectors, "id", "embedding")
+    da = d.select(F.col("id").alias("id_a"), "d", F.col("x").alias("xa"))
+    db = d.select(F.col("id").alias("id_b"), "d", F.col("x").alias("xb"))
+    sums = (pairs.join(da, "id_a").join(db, ["id_b", "d"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"),
+                 F.sum(F.col("xa") * F.col("xa")).alias("na"),
+                 F.sum(F.col("xb") * F.col("xb")).alias("nb")))
+    sim = sums.withColumn(
+        "cosine",
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")))
+    return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
 def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
                     planes: int = 8, exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: quantized cosine, but only within shared LSH buckets.

@@ -465,6 +465,26 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(queries, emb, k=5, planes=6)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed, cosine ≥ 0.35)."""
+    from kafka_connect_streams_spark.operators.similarity import neardup_pairs
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    return neardup_pairs(emb, planes=8, threshold=0.35)
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch distinct-count (approx_count_distinct) per event type.
+
+    No SQL oracle on purpose: HLL implementations differ across engines, so
+    the driver records the weaker rows-only check for this sketch operator.
+    """
+    t = load_tables(spark, sf_dir)
+    return (t["events"].groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                 F.count("*").alias("n")))
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace / regex-word / BPE-ish token counts."""
     from kafka_connect_streams_spark.operators.text import token_stats
@@ -541,6 +561,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_cosine": q_ann_lsh_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "approx_distinct": q_approx_distinct,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -978,6 +1000,42 @@ ORACLE: dict[str, str] = {
                    FROM sim)
         SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
+    """,
+    "embedding_neardup": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        proj AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS proj
+            FROM comp CROSS JOIN planes
+            GROUP BY id, p),
+        bucket AS (
+            SELECT id,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM proj GROUP BY id),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b
+                  FROM bucket a JOIN bucket b USING (bucket)
+                  WHERE a.id < b.id),
+        sums AS (
+            SELECT p.id_a, p.id_b,
+                   CAST(sum(da.x * db.x) AS BIGINT) AS dot,
+                   CAST(sum(da.x * da.x) AS BIGINT) AS na,
+                   CAST(sum(db.x * db.x) AS BIGINT) AS nb
+            FROM pairs p
+            JOIN comp da ON da.id = p.id_a
+            JOIN comp db ON db.id = p.id_b AND db.d = da.d
+            GROUP BY p.id_a, p.id_b),
+        sim AS (SELECT id_a, id_b,
+                       CAST(dot AS DOUBLE)
+                         / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+                FROM sums)
+        SELECT id_a, id_b, cosine FROM sim WHERE cosine >= 0.35
     """,
     "text_tokens": """
         SELECT doc_id,

@@ -84,3 +84,53 @@ class TestCsas:
 class TestPassthroughSql:
     def test_non_ddl_goes_to_spark_sql(self, ctx):
         assert ctx.sql("SELECT 1 AS x").collect()[0].x == 1
+
+
+class TestArrayMapColumns:
+    """FIXTURES.md §5 / OrderDataProvider.java:32-43: the orders_full fixture
+    with PRICEARRAY array<double> and KEYVALUEMAP map<varchar,double>."""
+
+    @pytest.fixture()
+    def full_ctx(self, spark):
+        kv = {"key1": 1.0, "key2": 2.0, "key3": 3.0}
+        rows = [(i, f"ORDER_{min(i, 6)}", f"ITEM_{i}", i * 10.0,
+                 [100.0 * i, 110.99, 90.0], kv) for i in range(1, 9)]
+        orders = spark.createDataFrame(
+            rows, "ordertime bigint, orderid string, itemid string, "
+                  "orderunits double, pricearray array<double>, "
+                  "keyvaluemap map<string,double>")
+        ctx = KsqlContext(spark, resolver=lambda t: orders)
+        ctx.sql("""CREATE STREAM orders_full (ORDERTIME bigint, ORDERID varchar,
+                   ITEMID varchar, ORDERUNITS double,
+                   PRICEARRAY array<double>,
+                   KEYVALUEMAP map<varchar,double>)
+                   WITH (kafka_topic='orders_topic', value_format='AVRO',
+                         key='ordertime')""")
+        return ctx
+
+    def test_ddl_parses_nested_types(self, full_ctx):
+        meta = full_ctx.metastore["orders_full"]
+        assert meta.columns["pricearray"] == "array<double>"
+        assert meta.columns["keyvaluemap"] == "map<string,double>"
+
+    def test_array_projection(self, full_ctx):
+        # SELECT ITEMID, ORDERUNITS, PRICEARRAY (StreamsSelectAndProjectIntTest.java:242-263)
+        rows = full_ctx.sql(
+            "SELECT itemid, orderunits, pricearray FROM orders_full").collect()
+        assert len(rows) == 8
+        assert rows[0].pricearray[1] == 110.99
+
+    def test_map_access_and_array_index(self, full_ctx):
+        rows = full_ctx.sql("""
+            SELECT itemid, pricearray[0] AS p0, keyvaluemap['key2'] AS k2
+            FROM orders_full WHERE orderunits > 70""").collect()
+        assert len(rows) == 1
+        assert rows[0].p0 == 800.0 and rows[0].k2 == 2.0
+
+    def test_csas_format_conversion(self, full_ctx, spark):
+        # CSAS WITH (value_format='JSON') from an AVRO-format stream (F11)
+        full_ctx.sql("""CREATE STREAM json_out WITH (value_format='JSON') AS
+                        SELECT itemid, orderunits, pricearray FROM orders_full
+                        WHERE orderunits > 20 AND itemid = 'ITEM_8'""")
+        assert full_ctx.metastore["json_out"].value_format == "json"
+        assert spark.sql("SELECT * FROM json_out").count() == 1
