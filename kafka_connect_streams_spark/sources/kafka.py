@@ -42,7 +42,8 @@ def kafka_source(spark: SparkSession, *, brokers: str, subscribe: str,
 
 
 def decode_records(raw: DataFrame, value_schema: StructType,
-                   value_format: str = "json") -> DataFrame:
+                   value_format: str = "json",
+                   keep_headers: bool = False) -> DataFrame:
     """Kafka wire bytes → typed columns + rowkey/rowtime pseudo-columns.
 
     Mirrors the converter chain (JsonDeserializer.java:28-51 /
@@ -60,14 +61,20 @@ def decode_records(raw: DataFrame, value_schema: StructType,
                             F.lit(value_schema.simpleString()))
     else:
         raise ValueError(f"unsupported value_format: {value_format}")
-    out = raw.select(key, rowtime, parsed.alias("v"))
+    cols = [key, rowtime, parsed.alias("v")]
+    if keep_headers:
+        # S12: headers ride along as array<struct<key:string,value:binary>>
+        # (convertHeaderFor, ConnectSourceConsumer.java:300-312)
+        cols.append(F.col("headers"))
+    out = raw.select(*cols)
     # PERMISSIVE from_json maps malformed input to an all-null struct — drop
     # rows where every declared field is null (the bad-data skip contract)
     any_field = None
     for f in value_schema.fields:
         c = F.col(f"v.{f.name}").isNotNull()
         any_field = c if any_field is None else (any_field | c)
-    return out.filter(any_field).select("rowkey", "rowtime", "v.*")
+    tail = ["headers"] if keep_headers else []
+    return out.filter(any_field).select("rowkey", "rowtime", "v.*", *tail)
 
 
 def encode_records(df: DataFrame, *, key_col: str,
