@@ -171,3 +171,72 @@ def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "c_id", "cosine", "rank"))
+
+
+# -- IVF (inverted-file index) ----------------------------------------------
+
+
+def _exact_topk_over_pairs(paired: DataFrame, queries: DataFrame,
+                           candidates: DataFrame, k: int) -> DataFrame:
+    """Exact quantized cosine restricted to a (q_id, c_id) candidate set."""
+    qd = (_dims(queries, "id", "embedding")
+          .select(F.col("id").alias("q_id"), "d", F.col("x").alias("qx")))
+    cd = (_dims(candidates, "id", "embedding")
+          .select(F.col("id").alias("c_id"), "d", F.col("x").alias("cx")))
+    sums = (paired.join(qd, "q_id").join(cd, ["c_id", "d"])
+            .groupBy("q_id", "c_id")
+            .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"),
+                 F.sum(F.col("qx") * F.col("qx")).alias("qn"),
+                 F.sum(F.col("cx") * F.col("cx")).alias("cn")))
+    sim = sums.withColumn(
+        "cosine",
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "cosine", "rank"))
+
+
+def topk_cosine_ivf(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    exclude_self: bool = True) -> DataFrame:
+    """IVF top-k: coarse-quantize candidates into centroid lists; probe a few.
+
+    The classic inverted-file ANN layout (IVF-Flat), Spark-first:
+
+    1. **Codebook** — the ``n_centroids`` lowest-id candidate vectors serve as
+       centroids. Deterministic (no trained k-means state to persist), and at
+       scale the codebook is tiny → every centroid comparison is a broadcast
+       join, never a shuffle of the candidate set.
+    2. **Inverted lists** — each candidate is assigned to its nearest centroid
+       by quantized cosine (ties → lowest centroid id). This is the only full
+       pass over the candidates, and it is centroid-broadcast + map-side.
+    3. **Probe** — each query scores the codebook, keeps its ``nprobe``
+       closest centroids, and runs exact cosine only against those lists:
+       ~``nprobe/n_centroids`` of the data instead of all of it.
+
+    Same recall/latency dial as FAISS IVF-Flat; all joins stay bucket-local.
+    """
+    centroids = (candidates.orderBy("id").limit(n_centroids)
+                 .select(F.col("id").alias("id"), "embedding"))
+    cent = F.broadcast(centroids)
+
+    # candidate → nearest centroid (inverted lists)
+    ap = cosine_pairs(candidates, cent, id_q="c_id", id_c="cent_id")
+    wa = Window.partitionBy("c_id").orderBy(F.col("cosine").desc(),
+                                            F.col("cent_id"))
+    lists = (ap.withColumn("rn", F.row_number().over(wa))
+             .filter(F.col("rn") == 1).select("c_id", "cent_id"))
+
+    # query → nprobe nearest centroids
+    qp = cosine_pairs(queries, cent, id_q="q_id", id_c="cent_id")
+    wq = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                            F.col("cent_id"))
+    probes = (qp.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= nprobe).select("q_id", "cent_id"))
+
+    paired = probes.join(lists, "cent_id").select("q_id", "c_id")
+    if exclude_self:
+        paired = paired.filter(F.col("q_id") != F.col("c_id"))
+    return _exact_topk_over_pairs(paired, queries, candidates, k)

@@ -465,6 +465,15 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(queries, emb, k=5, planes=6)
 
 
+def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat cosine top-5 (16-centroid codebook, 4 probes, scale path)."""
+    from kafka_connect_streams_spark.operators.similarity import topk_cosine_ivf
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    queries = emb.filter(F.col("id") % 100 == 0)
+    return topk_cosine_ivf(queries, emb, k=5, n_centroids=16, nprobe=4)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed, cosine ≥ 0.35)."""
     from kafka_connect_streams_spark.operators.similarity import neardup_pairs
@@ -561,6 +570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_cosine": q_ann_lsh_cosine,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
     "embedding_neardup": q_embedding_neardup,
     "approx_distinct": q_approx_distinct,
     "text_tokens": q_text_tokens,
@@ -990,6 +1000,57 @@ ORACLE: dict[str, str] = {
             JOIN comp qd ON qd.id = p.q_id
             JOIN comp cd ON cd.id = p.c_id AND cd.d = qd.d
             GROUP BY p.q_id, p.c_id),
+        sim AS (SELECT q_id, c_id,
+                       CAST(dot AS DOUBLE)
+                         / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                FROM sums),
+        ranked AS (SELECT q_id, c_id, cosine,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cosine DESC, c_id) AS rank
+                   FROM sim)
+        SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "ann_ivf_cosine": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        cents AS (SELECT id AS cent_id FROM emb ORDER BY id LIMIT 16),
+        centd AS (SELECT cent_id, d, x AS ex
+                  FROM cents JOIN comp ON comp.id = cents.cent_id),
+        asums AS (SELECT c.id AS c_id, e.cent_id,
+                         CAST(sum(c.x * e.ex) AS BIGINT) AS dot,
+                         CAST(sum(c.x * c.x) AS BIGINT) AS cn,
+                         CAST(sum(e.ex * e.ex) AS BIGINT) AS en
+                  FROM comp c JOIN centd e USING (d)
+                  GROUP BY c.id, e.cent_id),
+        asim AS (SELECT c_id, cent_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(cn AS DOUBLE) * CAST(en AS DOUBLE)) AS cosine
+                 FROM asums),
+        lists AS (SELECT c_id, cent_id FROM (
+                    SELECT c_id, cent_id,
+                           row_number() OVER (PARTITION BY c_id
+                                              ORDER BY cosine DESC, cent_id) AS rn
+                    FROM asim) WHERE rn = 1),
+        probes AS (SELECT q_id, cent_id FROM (
+                    SELECT c_id AS q_id, cent_id,
+                           row_number() OVER (PARTITION BY c_id
+                                              ORDER BY cosine DESC, cent_id) AS rn
+                    FROM asim WHERE c_id % 100 = 0) WHERE rn <= 4),
+        paired AS (SELECT q_id, c_id
+                   FROM probes JOIN lists USING (cent_id)
+                   WHERE q_id <> c_id),
+        sums AS (SELECT p.q_id, p.c_id,
+                        CAST(sum(qd.x * cd.x) AS BIGINT) AS dot,
+                        CAST(sum(qd.x * qd.x) AS BIGINT) AS qn,
+                        CAST(sum(cd.x * cd.x) AS BIGINT) AS cn
+                 FROM paired p
+                 JOIN comp qd ON qd.id = p.q_id
+                 JOIN comp cd ON cd.id = p.c_id AND cd.d = qd.d
+                 GROUP BY p.q_id, p.c_id),
         sim AS (SELECT q_id, c_id,
                        CAST(dot AS DOUBLE)
                          / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine

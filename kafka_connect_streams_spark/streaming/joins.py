@@ -72,3 +72,24 @@ def chained_join(left: DataFrame, right: DataFrame, **kw) -> DataFrame:
     )
     second = windowed_join(inner, right, watermark_left=False, **kw)
     return second
+
+
+def stream_table_join(stream: DataFrame, table: DataFrame, *, key: str = "key",
+                      how: str = "inner",
+                      broadcast_table: bool = True) -> DataFrame:
+    """Stream-table (dimension-enrichment) join — KSQL's STREAM ⋈ TABLE.
+
+    KSQL 5.1 supports stream-table joins (the reference links the engine,
+    pom.xml:55-59, but its tests never exercise one — SURVEY.md §2.3); we
+    expose the capability natively. Spark's stream-static join re-reads the
+    static side per micro-batch, so the table may be updated between
+    triggers — the same "latest table state at processing time" semantics as
+    a Streams KTable lookup join.
+
+    At scale the dimension side should broadcast (default): the stream is
+    never shuffled, each micro-batch is a map-side hash join. Set
+    ``broadcast_table=False`` when the dimension is too large to broadcast —
+    then a shuffled sort-merge join with AQE takes over.
+    """
+    t = F.broadcast(table) if broadcast_table else table
+    return stream.join(t, on=key, how=how)

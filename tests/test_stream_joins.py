@@ -147,3 +147,30 @@ def test_chained_join_triples(spark, tmp_path):
     assert triples == {f"{l}-{r1}-{r2}" for l in "ABCD"
                        for r1 in "abcd" for r2 in "abcd"}
     assert len(rows) == 64
+
+
+def test_stream_table_join_enriches(spark, tmp_path):
+    """Stream-static join: each micro-batch hash-joins against the latest
+    dimension snapshot (KSQL STREAM ⋈ TABLE capability, SURVEY.md §2.3)."""
+    from kafka_connect_streams_spark.streaming.joins import stream_table_join
+
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    with open(sdir / "part-0.json", "w") as f:
+        for i, key in enumerate([10, 20, 10, 30]):
+            f.write(json.dumps({"key": key, "value": f"e{i}",
+                                "ts_ms": BASE_MS + i}) + "\n")
+    dim = spark.createDataFrame(
+        [(10, "ten"), (20, "twenty")], "key bigint, name string")
+
+    enriched = stream_table_join(_stream(spark, sdir), dim, key="key")
+    q = (enriched.writeStream.format("memory")
+         .queryName("stream_table_join_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        "SELECT value, name FROM stream_table_join_out").collect()
+    got = {(r.value, r.name) for r in rows}
+    assert got == {("e0", "ten"), ("e1", "twenty"), ("e2", "ten")}
