@@ -465,6 +465,100 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(queries, emb, k=5, planes=6)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's most recent click at or
+    before it (union + carry-forward window — one shuffle, no range blow-up).
+
+    The operator Spark lacks natively (SURVEY.md §2.3 gap list); DuckDB's
+    native ASOF JOIN is the oracle.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    # one deterministic right row per (user, ts): keep the highest event_id
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max_by("value", "event_id").alias("click_value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"), "user_id",
+                         "ts", F.col("value").alias("purchase_value")))
+    return J.asof_join(purchases, clicks, key="user_id", ts="ts",
+                       right_cols=["click_value"], right_ts_alias="click_ts")
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their part's
+    average quantity.
+
+    The correlated scalar subquery decorrelates to groupBy + equi-join (the
+    reduction runs before the join, so the join input is one row per part).
+    The threshold test is exact integer/decimal arithmetic
+    (qty·5·cnt < sum_qty) — no engine-dependent float rounding at the
+    boundary.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    qty = F.col("l_quantity").cast(agg.DEC)
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count("*").alias("cnt"))
+    j = li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity").cast(agg.DEC) * 5 * F.col("cnt") < F.col("sum_qty"))
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast(agg.DEC)).cast("double") / 7.0)
+        .alias("avg_yearly"),
+        F.count("*").alias("n_items"))
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation by account balance (grouped top-k)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    top = (t["supplier"]
+           .withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= 3))
+    return (top.join(F.broadcast(t["nation"]),
+                     top.s_nationkey == F.col("n_nationkey"))
+            .select("n_name", "s_suppkey", "s_name", "s_acctbal", "rnk"))
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: open-order revenue share per priority
+    (CASE WHEN inside SUM — the market-share shape)."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("o_totalprice").cast(agg.DEC)
+    is_open = F.col("o_orderstatus") == "O"
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(is_open, 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(is_open, price).otherwise(F.lit(0).cast(agg.DEC)))
+        .cast("double").alias("open_revenue"),
+        (F.sum(F.when(is_open, price).otherwise(F.lit(0).cast(agg.DEC)))
+         .cast("double")
+         / F.sum(price).cast("double")).alias("open_share"))
+
+
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (median + p75 of order value per status).
+
+    Engine-agnostic discrete convention — the value at 1-based rank
+    ``ceil(q·n)`` under a total order — computed with rank/count windows, not
+    ``collect_list`` (stays distributed at 100 TB; q ∈ {0.5, 0.75} are exact
+    binary fractions so ceil() is deterministic across engines).
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    cw = Window.partitionBy("o_orderstatus")
+    ranked = (t["orders"]
+              .select("o_orderstatus", "o_totalprice", "o_orderkey")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count("*").over(cw)))
+    at = lambda q: F.max(F.when(  # noqa: E731
+        F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+        F.col("o_totalprice")))
+    return ranked.groupBy("o_orderstatus").agg(
+        at(0.5).alias("median_price"), at(0.75).alias("p75_price"))
+
+
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat cosine top-5 (16-centroid codebook, 4 probes, scale path)."""
     from kafka_connect_streams_spark.operators.similarity import topk_cosine_ivf
@@ -571,6 +665,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
+    "asof_join": q_asof_join,
+    "correlated_subquery": q_correlated_subquery,
+    "topn_per_group": q_topn_per_group,
+    "conditional_agg": q_conditional_agg,
+    "percentile_disc": q_percentile_disc,
     "embedding_neardup": q_embedding_neardup,
     "approx_distinct": q_approx_distinct,
     "text_tokens": q_text_tokens,
@@ -1010,6 +1109,72 @@ ORACLE: dict[str, str] = {
                    FROM sim)
         SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
+    """,
+    "asof_join": """
+        WITH clicks AS (
+            SELECT user_id, ts, arg_max(value, event_id) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts,
+                   value AS purchase_value
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id, p.ts, p.purchase_value,
+               c.ts AS click_ts, c.click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "correlated_subquery": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem JOIN per_part USING (l_partkey)
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+    """,
+    "topn_per_group": """
+        WITH ranked AS (
+            SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+                   row_number() OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+            FROM supplier)
+        SELECT n_name, s_suppkey, s_name, s_acctbal, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked JOIN nation ON s_nationkey = n_nationkey
+        WHERE rnk <= 3
+    """,
+    "conditional_agg": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 AS open_revenue,
+               CAST(sum(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS open_share
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "percentile_disc": """
+        WITH ranked AS (
+            SELECT o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+            FROM orders)
+        SELECT o_orderstatus,
+               max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                        THEN o_totalprice END) AS median_price,
+               max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT)
+                        THEN o_totalprice END) AS p75_price
+        FROM ranked GROUP BY o_orderstatus
     """,
     "ann_ivf_cosine": """
         WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),

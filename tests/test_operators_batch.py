@@ -116,3 +116,36 @@ class TestMultimodal:
         assert feats.media_bytes == 11
         assert feats.content_hash == h
         assert feats.fake_width == int(h[:4], 16) % 1920
+
+
+class TestAsofJoin:
+    """asof_join: backward at-or-before match, tolerance, unmatched → null."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3")],
+            "k bigint, t bigint, lv string",
+        ).selectExpr("k", "timestamp_micros(t * 1000) AS t", "lv")
+        right = spark.createDataFrame(
+            [(1, 90, "r_early"), (1, 100, "r_exact"), (1, 200, "r_late"),
+             (3, 10, "r_other")],
+            "k bigint, t bigint, rv string",
+        ).selectExpr("k", "timestamp_micros(t * 1000) AS t", "rv")
+        return left, right
+
+    def test_backward_match_includes_equal_ts(self, spark):
+        from kafka_connect_streams_spark.operators.joins import asof_join
+        left, right = self._frames(spark)
+        out = {r.lv: r.rv for r in asof_join(
+            left, right, key="k", ts="t", right_cols=["rv"]).collect()}
+        # p1 at t=100 sees the right row AT t=100, not the t=90 one
+        assert out == {"p1": "r_exact", "p2": "r_late", "p3": None}
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from kafka_connect_streams_spark.operators.joins import asof_join
+        left, right = self._frames(spark)
+        out = {r.lv: r.rv for r in asof_join(
+            left, right, key="k", ts="t", right_cols=["rv"],
+            tolerance_ms=4).collect()}
+        # p2 (t=205) is 5ms past r_late (t=200) → stale under 4ms tolerance
+        assert out == {"p1": "r_exact", "p2": None, "p3": None}
