@@ -37,6 +37,13 @@ HEADLINE = [
     "set_ops",
     "tumbling_window",
     "session_window",
+    "asof_join",
+    "correlated_subquery",
+    "percentile_disc",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_lsh_cosine",
+    "text_quality",
 ]
 
 

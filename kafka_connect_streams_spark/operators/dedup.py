@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_connect_streams_spark.operators.parallel import fan_out
+
 # -- shared helpers ---------------------------------------------------------
 
 
@@ -32,7 +34,7 @@ def _h64(col) -> F.Column:
 
 def tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, token) rows: lowercase \\W+ split, empties dropped."""
-    return (df.select(
+    return (fan_out(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("token"))
         .filter(F.length("token") > 0))
@@ -50,7 +52,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    out = fan_out(df).select(F.col(id_col), F.explode(grams).alias("shingle"))
     # a doc shorter than n words still yields its full text as one shingle
     return out.filter(F.length("shingle") > 0).distinct()
 
@@ -73,18 +75,36 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # -- MinHash + LSH ----------------------------------------------------------
 
 
-def minhash_signatures(sh: DataFrame, id_col: str, k: int = 16) -> DataFrame:
-    """(id, seed, sig): k independent min-hashes per doc from one explode.
+#: Mersenne prime 2^31−1 — the modulus of the 2-universal seed family.
+MINHASH_P = 2_147_483_647
+#: 2^32 · golden ratio: decorrelates the additive term across seeds.
+MINHASH_GOLD = 2_654_435_769
 
-    One aggregation computes all k minima — the seed dimension is a k-way
-    row multiply of the (already distinct) shingle rows, shuffled once.
+
+def minhash_signatures(sh: DataFrame, id_col: str, k: int = 16) -> DataFrame:
+    """(id, seed, sig): k independent min-hashes per doc, one md5 per shingle.
+
+    The k seed hashes are derived arithmetically from a single base hash —
+    ``h_s = (h0·(2s+1) + s·GOLD) mod P`` (2-universal over the Mersenne
+    prime P=2^31−1; every intermediate fits int64 so the same expression is
+    exact in DuckDB) — instead of k separate md5 calls. The per-doc minima
+    are k array-element ``min`` aggregates over ONE shuffle of the
+    (id, shingle-hash-array) rows: at 100 TB this is 1/k of the shuffle bytes
+    and 1/k of the md5 work of the naive seed-explode plan.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    seeded = sh.select(F.col(id_col), F.col("shingle"), seeds)
-    sig = _h64(F.concat_ws("#", F.col("seed").cast("string"), F.col("shingle")))
-    return (seeded.select(F.col(id_col), "seed", sig.alias("h"))
-            .groupBy(id_col, "seed")
-            .agg(F.min("h").alias("sig")))
+    h0 = _h64(F.col("shingle")) % MINHASH_P
+    hs = F.array(*[
+        (h0 * (2 * s + 1) + s * MINHASH_GOLD) % MINHASH_P for s in range(k)])
+    wide = (sh.select(F.col(id_col), hs.alias("hs"))
+            .groupBy(id_col)
+            .agg(*[F.min(F.col("hs")[s]).alias(f"s{s}") for s in range(k)]))
+    # unpivot back to the long (id, seed, sig) shape the LSH/similarity
+    # stages consume — cheap: input is already one row per doc
+    seed_sig = F.explode(F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"s{s}").alias("sig"))
+        for s in range(k)])).alias("p")
+    return (wide.select(F.col(id_col), seed_sig)
+            .select(F.col(id_col), F.col("p.seed"), F.col("p.sig")))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str,

@@ -1,0 +1,30 @@
+"""Parallelism guard for CPU-heavy narrow pipelines.
+
+Spark's scan parallelism is bounded by input splits (files × row groups). A
+single-row-group parquet file scans as ONE task, so an expression-heavy
+narrow pipeline downstream of it (shingling, n-gram hashing, embedding
+explodes) runs on one core no matter how many executors exist — the shuffle
+that would spread it out only comes AFTER the expensive work.
+
+``fan_out`` repartitions such inputs up to the cluster's parallelism BEFORE
+the heavy expressions, trading one cheap shuffle of the raw rows for full-
+width execution of the expensive stage. It is a no-op whenever the scan
+already has enough splits (the normal case at scale — a 100 TB table arrives
+as ~800k splits), so pipelines keep their shuffle-minimal plans on real data
+while small/singleton inputs (demo files, `.coalesce(1)` outputs, broker
+topics with one partition) stop serializing on a single core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` to at least cluster default parallelism — only if
+    it currently has fewer partitions than that."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_connect_streams_spark.operators.parallel import fan_out
+
 #: fixed-point scale: 4 decimal digits of each embedding component.
 FIXED_SCALE = 10_000.0
 
@@ -35,7 +37,7 @@ def _fixed(col: Column) -> Column:
 
 def _dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, d, x): one int64 fixed-point row per vector component (0-based)."""
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("d", "xf"),
     ).select(F.col(id_col), "d", _fixed(F.col("xf")).alias("x"))

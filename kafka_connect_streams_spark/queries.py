@@ -966,10 +966,14 @@ ORACLE: dict[str, str] = {
                 FROM toks) u
             WHERE length(shingle) > 0),
         seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        sh2 AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 12))::BIGINT % 2147483647 AS h0
+            FROM sh),
         sigs AS (
             SELECT doc_id, seed,
-                   min(('0x' || substr(md5(seed::VARCHAR || '#' || shingle), 1, 12))::BIGINT) AS sig
-            FROM sh CROSS JOIN seeds
+                   min((h0 * (2*seed + 1) + seed * 2654435769) % 2147483647) AS sig
+            FROM sh2 CROSS JOIN seeds
             GROUP BY doc_id, seed),
         banded AS (
             SELECT doc_id, seed // 4 AS band,
