@@ -55,3 +55,29 @@ def test_groupby_single_shuffle(spark, sf_dir):
     df = Q.q_groupby_stats(spark, sf_dir)
     # distinct-count forces an expand + two exchanges max; plain agg = 1
     assert shuffle_count(df) <= 3, physical_plan(df)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Same-key bucketed tables join with NO Exchange on either side —
+    the write-time layout replaces the reference's repartition topics."""
+    import uuid
+
+    from kafka_connect_streams_spark.sources.bucketing import (
+        bucketed_join, write_bucketed)
+
+    suffix = uuid.uuid4().hex[:8]
+    lt, rt = f"li_b_{suffix}", f"ord_b_{suffix}"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey",
+                                                        "l_orderkey")
+    try:
+        write_bucketed(li, lt, "l_orderkey", 8)
+        write_bucketed(o, rt, "l_orderkey", 8)
+        j = bucketed_join(spark, lt, rt, "l_orderkey")
+        assert shuffle_count(j) == 0, physical_plan(j)
+        assert j.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
