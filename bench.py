@@ -38,6 +38,10 @@ HEADLINE = [
     "tumbling_window",
     "session_window",
     "asof_join",
+    "shipping_priority",
+    "range_join",
+    "grouping_sets",
+    "funnel",
     "correlated_subquery",
     "percentile_disc",
     "dedup_exact",

@@ -625,6 +625,172 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# extended relational surface, batch 3: grouping sets, window frames, band
+# joins, event-funnel / cohort analytics (native Spark; KSQL 5.1 superset)
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — one Expand + one shuffle covers all three groupings
+    (vs three separate scans+aggs); stays a single-pass plan at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    return (t["orders"]
+            .groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                          "o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"), sum_money("o_totalprice", "total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+                    "n", "total"))
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of order value per customer (ROWS frame).
+
+    The frame sum goes through exact DECIMAL and is cast to double *before*
+    the divide, so both engines compute double/int64 — identical bits."""
+    t = load_tables(spark, sf_dir)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-6, 0))
+    return t["orders"].select(
+        "o_custkey", "o_orderkey",
+        (F.sum(agg.dec("o_totalprice")).over(w).cast("double")
+         / F.count("*").over(w)).alias("mov_avg7"))
+
+
+def q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per event, how many events this user emitted
+    in the trailing hour (value-based frame → peer rows handled identically
+    in every engine, no row-order nondeterminism on ts ties)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].select(
+        "user_id", "event_id",
+        F.expr("count(*) OVER (PARTITION BY user_id ORDER BY ts "
+               "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")
+        .alias("n_last_hour"))
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles within status + first/last order per customer
+    (full-partition frame). Partitioned ntile, not global — a global ntile
+    would force a single-partition window at scale."""
+    t = load_tables(spark, sf_dir)
+    wq = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wc = (Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return t["orders"].select(
+        "o_orderkey",
+        F.ntile(4).over(wq).cast("int").alias("price_quartile"),
+        F.first("o_orderkey").over(wc).alias("first_order"),
+        F.last("o_orderkey").over(wc).alias("last_order"))
+
+
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG shape): per-user event history.
+
+    ``array_sort(collect_list(...))`` gives a canonical order regardless of
+    shuffle arrival order — the distributed-safe way to make collect_list
+    deterministic (event_id is unique, so the sort key is total)."""
+    t = load_tables(spark, sf_dir)
+    item = F.concat_ws(":", F.col("event_type"), F.col("event_id"))
+    return (t["events"].groupBy("user_id")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_list(item)))
+                 .alias("history"),
+                 F.count("*").alias("n")))
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 undelivered orders by revenue for one segment.
+
+    Filters reach the parquet scans (PushedFilters on c_mktsegment /
+    o_orderdate / l_shipdate); the group key is the order key so the agg
+    shuffles once; total tie-break (revenue DESC, l_orderkey) makes LIMIT
+    deterministic. Join sizing is left to AQE — customer is not broadcast
+    because it is not a small dim at real scale."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(agg.dec("l_extendedprice")
+                    * (1 - agg.dec("l_discount"))).cast("double")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(revenue.alias("revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10))
+
+
+#: quantity bands for the band (range) join — constant-size dim, broadcast.
+QUANTITY_BANDS = [(0.0, 10.0, "XS"), (10.0, 20.0, "S"),
+                  (20.0, 35.0, "M"), (35.0, 51.0, "L")]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band (range) join: lineitems bucketed by quantity band.
+
+    The band table is constant-size, so ``broadcast()`` turns the non-equi
+    join into a BroadcastNestedLoopJoin with a 4-row build side — the only
+    plan that survives 100 TB (a shuffle range-join here would be absurd)."""
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(QUANTITY_BANDS, "lo double, hi double, band string")
+    return (t["lineitem"]
+            .join(F.broadcast(bands),
+                  (F.col("l_quantity") >= F.col("lo"))
+                  & (F.col("l_quantity") < F.col("hi")))
+            .groupBy("band")
+            .agg(F.count("*").alias("n"),
+                 sum_money("l_extendedprice", "total_price")))
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential event funnel: view → later click → later purchase.
+
+    Each stage is a groupBy-min over the previous stage's users — three
+    keyed shuffles on user_id that AQE co-partitions; no window over the
+    full event stream, so state is O(users) not O(events)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+
+    def stage(event_type: str, prev: DataFrame | None, t_col: str) -> DataFrame:
+        s = ev.filter(F.col("event_type") == event_type).alias("e")
+        if prev is not None:
+            prev_t = prev.columns[-1]
+            s = s.join(prev, "user_id").filter(F.col("e.ts") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("e.ts").alias(t_col))
+
+    v = stage("view", None, "t1")
+    c = stage("click", v, "t2")
+    p = stage("purchase", c, "t3")
+    count = lambda df, name: (  # noqa: E731
+        df.agg(F.count("*").alias("users")).select(F.lit(name).alias("stage"),
+                                                   "users"))
+    return (count(v, "1_view")
+            .unionByName(count(c, "2_click"))
+            .unionByName(count(p, "3_purchase")))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    day-offset of later activity. distinct() runs before the join so the
+    join input is O(user·active-days), not O(events)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    return (activity.join(first, "user_id")
+            .select("cohort_day",
+                    F.datediff("day", "cohort_day").cast("int")
+                    .alias("day_offset"))
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count("*").alias("users")))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -677,6 +843,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_language_id": q_text_language_id,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "grouping_sets": q_grouping_sets,
+    "moving_avg": q_moving_avg,
+    "time_range_frame": q_time_range_frame,
+    "ntile_buckets": q_ntile_buckets,
+    "listagg": q_listagg,
+    "shipping_priority": q_shipping_priority,
+    "range_join": q_range_join,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE: dict[str, str] = {
@@ -1350,5 +1525,110 @@ ORACLE: dict[str, str] = {
                CAST(('0x' || substr(md5(text), 1, 4))::INT % 1920 AS BIGINT) AS fake_width,
                CAST(('0x' || substr(md5(text), 5, 4))::INT % 1080 AS BIGINT) AS fake_height
         FROM documents
+    """,
+    "grouping_sets": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "moving_avg": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS mov_avg7
+        FROM orders
+    """,
+    "time_range_frame": """
+        SELECT user_id, event_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW) AS n_last_hour
+        FROM events
+    """,
+    "ntile_buckets": """
+        SELECT o_orderkey,
+               CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                    AS INTEGER) AS price_quartile,
+               first_value(o_orderkey)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS first_order,
+               last_value(o_orderkey)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS last_order
+        FROM orders
+    """,
+    "listagg": """
+        SELECT user_id,
+               string_agg(event_type || ':' || event_id, ','
+                          ORDER BY event_type || ':' || event_id) AS history,
+               count(*) AS n
+        FROM events
+        GROUP BY user_id
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "range_join": """
+        SELECT band, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM lineitem
+        JOIN (VALUES (0.0, 10.0, 'XS'), (10.0, 20.0, 'S'),
+                     (20.0, 35.0, 'M'), (35.0, 51.0, 'L')) AS b(lo, hi, band)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band
+    """,
+    "funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN v ON e.user_id = v.user_id
+                   WHERE e.event_type = 'click' AND e.ts > v.t1
+                   GROUP BY e.user_id),
+             p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN c ON e.user_id = c.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                   GROUP BY e.user_id)
+        SELECT '1_view' AS stage, count(*) AS users FROM v
+        UNION ALL
+        SELECT '2_click' AS stage, count(*) AS users FROM c
+        UNION ALL
+        SELECT '3_purchase' AS stage, count(*) AS users FROM p
+    """,
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+            FROM events GROUP BY user_id),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events)
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+               count(*) AS users
+        FROM activity JOIN first USING (user_id)
+        GROUP BY cohort_day, day_offset
     """,
 }

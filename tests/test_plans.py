@@ -57,6 +57,31 @@ def test_groupby_single_shuffle(spark, sf_dir):
     assert shuffle_count(df) <= 3, physical_plan(df)
 
 
+def test_range_join_broadcasts_band_table(spark, sf_dir):
+    """The 4-row band table must be the broadcast build side of the
+    non-equi join — the only shape that survives a 100 TB probe side."""
+    df = Q.q_range_join(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_shipping_priority_pushes_filters(spark, sf_dir):
+    """TPC-H Q3 shape: every selective predicate must reach its scan."""
+    df = Q.q_shipping_priority(spark, sf_dir)
+    for col in ("c_mktsegment", "o_orderdate", "l_shipdate"):
+        assert has_pushed_filter(df, col), physical_plan(df)
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """GROUPING SETS must plan as one Expand + one agg pipeline, not a
+    union of three scans."""
+    import re
+    df = Q.q_grouping_sets(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Same-key bucketed tables join with NO Exchange on either side —
     the write-time layout replaces the reference's repartition topics."""
