@@ -46,6 +46,8 @@ HEADLINE = [
     "percentile_disc",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "tfidf_topk",
     "ann_lsh_cosine",
     "text_quality",
 ]

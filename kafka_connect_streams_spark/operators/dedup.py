@@ -212,3 +212,56 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                        / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))))
     return (out.filter(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "n_shared", "jaccard"))
+
+
+# -- near-dup clustering (connected components) -----------------------------
+
+
+def neardup_clusters(df: DataFrame, text_col: str, id_col: str,
+                     pairs: DataFrame | None = None,
+                     n: int = 5, max_doc_freq: int = 100,
+                     threshold: float = 0.2, max_iter: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs → one canonical doc per
+    cluster (the min id), the decision step of a dedup pipeline.
+
+    Min-label propagation: every node starts labeled with its own id; each
+    round takes the min of its label and its neighbors' labels. Labels only
+    decrease, so ``sum(label)`` is monotone — two equal consecutive sums
+    mean a fixed point, checked with a cheap agg action (no row-wise diff
+    join). ``localCheckpoint`` truncates the per-iteration lineage, keeping
+    plan size O(1) across rounds instead of O(iterations).
+
+    Rounds needed = cluster diameter, small for near-dup graphs (dup
+    clusters are clique-ish). At web scale the same loop is the inner step
+    of the alternating large-star/small-star algorithm; this direct form is
+    exact and fully distributed — the driver only compares two sums.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, text_col, id_col, n, max_doc_freq,
+                                    threshold)
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (e.union(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst"))).cache())
+
+    labels = df.select(F.col(id_col).alias("node"),
+                       F.col(id_col).cast("bigint").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.dst == labels.node)
+                 .groupBy("src").agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(neigh, labels.node == neigh.src, "left")
+                  .select(F.col("node"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nlabel"), F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"))

@@ -114,3 +114,62 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("vocab_size"),
     )
+
+
+def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Two shuffles total: per-(doc,term) TF, then per-term DF via a second agg
+    over the TF table (already one row per doc-term, so DF is a plain count).
+    The corpus size joins in as a broadcast 1-row aggregate — no driver-side
+    ``count()`` round-trip in the plan.
+
+    The top-k ordering is (tf DESC, df ASC, term ASC) — integers only, so
+    ranking never depends on float ULPs; the double tfidf score is carried
+    for consumers but not used as a sort key.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(_tok_array(text_col)).alias("term")))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .join(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.col("tf")
+                          * F.log((F.col("n_docs") + 1.0)
+                                  / (F.col("df") + 1.0))))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term")))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col(id_col), "term", "tf", "df", "tfidf",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+#: split-bucket source: first 4 hex chars of md5(id) → 0..99. md5 gives the
+#: same hex in every engine and every run — the split is reproducible across
+#: the cluster, restarts, and the DuckDB oracle (unlike seeded rand()).
+def _split_bucket(id_col: str) -> Column:
+    return (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
+                   16, 10).cast("int") % 100)
+
+
+def hash_split(df: DataFrame, id_col: str,
+               train: int = 80, valid: int = 10) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-free id hash.
+
+    A pure projection (no shuffle, no sampling state): every row's split is
+    a function of its id alone, so the assignment is stable under
+    repartitioning, retries, and incremental appends — the property a
+    training-data pipeline needs that ``df.sample``/``randomSplit`` (seeded
+    per-partition RNG) cannot give at scale.
+    """
+    b = _split_bucket(id_col)
+    return df.select(
+        F.col(id_col),
+        b.alias("bucket"),
+        F.when(b < train, "train")
+         .when(b < train + valid, "valid")
+         .otherwise("test").alias("split"))

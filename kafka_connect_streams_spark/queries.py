@@ -624,6 +624,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_payload(t["documents"], "text", "doc_id"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components: one canonical doc per cluster
+    (min-label propagation over the 5-gram Jaccard pair graph)."""
+    from kafka_connect_streams_spark.operators.dedup import neardup_clusters
+    t = load_tables(spark, sf_dir)
+    return neardup_clusters(t["documents"], "text", "doc_id",
+                            n=5, max_doc_freq=100, threshold=0.05)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF (integer-ordered
+    ranking, float score carried but never compared)."""
+    from kafka_connect_streams_spark.operators.text import tfidf_topk
+    t = load_tables(spark, sf_dir)
+    return tfidf_topk(t["documents"], "text", "doc_id", k=5)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by md5(id) bucket —
+    stable under repartitioning/retries/appends, unlike seeded rand()."""
+    from kafka_connect_streams_spark.operators.text import hash_split
+    t = load_tables(spark, sf_dir)
+    return hash_split(t["documents"], "doc_id", train=80, valid=10)
+
+
 # ---------------------------------------------------------------------------
 # extended relational surface, batch 3: grouping sets, window frames, band
 # joins, event-funnel / cohort analytics (native Spark; KSQL 5.1 superset)
@@ -735,7 +760,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join into a BroadcastNestedLoopJoin with a 4-row build side — the only
     plan that survives 100 TB (a shuffle range-join here would be absurd)."""
     t = load_tables(spark, sf_dir)
-    bands = spark.createDataFrame(QUANTITY_BANDS, "lo double, hi double, band string")
+    # VALUES literal, not createDataFrame: the band table is born JVM-side
+    # (LocalRelation), skipping Python→JVM serialization on every call
+    rows = ", ".join(f"({lo}D, {hi}D, '{b}')" for lo, hi, b in QUANTITY_BANDS)
+    bands = spark.sql(f"SELECT * FROM VALUES {rows} AS b(lo, hi, band)")
     return (t["lineitem"]
             .join(F.broadcast(bands),
                   (F.col("l_quantity") >= F.col("lo"))
@@ -852,6 +880,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "dedup_clusters": q_dedup_clusters,
+    "tfidf_topk": q_tfidf_topk,
+    "hash_split": q_hash_split,
 }
 
 ORACLE: dict[str, str] = {
@@ -1630,5 +1661,83 @@ ORACLE: dict[str, str] = {
                count(*) AS users
         FROM activity JOIN first USING (user_id)
         GROUP BY cohort_day, day_offset
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 5, 0)),
+                           i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        rare AS (
+            SELECT shingle FROM (
+                SELECT shingle, count(DISTINCT doc_id) AS df
+                FROM sh GROUP BY shingle) f
+            WHERE df <= 100),
+        shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT id_a, id_b FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_shared AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_shared) >= 0.05),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        minreach AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(mn, d.doc_id)) AS cluster_id,
+               d.doc_id = least(d.doc_id, coalesce(mn, d.doc_id)) AS is_canonical
+        FROM documents d LEFT JOIN minreach ON minreach.src = d.doc_id
+    """,
+    "tfidf_topk": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\W+')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE length(term) > 0
+            GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        ranked AS (
+            SELECT doc_id, term, tf, df,
+                   tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tf DESC, df ASC, term) AS rnk
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5
+    """,
+    "hash_split": """
+        WITH b AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                     % 100 AS bucket
+            FROM documents)
+        SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM b
     """,
 }
