@@ -50,6 +50,7 @@ HEADLINE = [
     "tfidf_topk",
     "ann_lsh_cosine",
     "text_quality",
+    "training_pipeline",
 ]
 
 

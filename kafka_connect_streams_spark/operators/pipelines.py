@@ -1,0 +1,78 @@
+"""End-to-end training-data pipeline: the composition the engine exists for.
+
+quality-filter → exact dedup → near-dup (token-set) dedup → deterministic
+split → per-split corpus stats, as ONE declarative plan:
+
+- every per-doc feature (quality ratios, fingerprints, token counts, split
+  bucket) is computed in a single projection over the scan — no self-joins
+  between feature "tables";
+- each dedup stage is a window-min over a hash partition (shuffle each, the
+  unavoidable minimum), keeping the lexicographically-first doc_id so
+  retries/replays pick the same survivor;
+- the final rollup aggregates integers and min/max of doubles only —
+  order-independent, so the result is bit-stable under any partitioning.
+
+At 100 TB: 2 hash shuffles (dedup windows) + 1 agg shuffle over ~6 rows.
+No Python, no collect, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_connect_streams_spark.operators.text import (BPE_TOKEN_RE,
+                                                        STOPWORDS, _tok_array,
+                                                        _split_bucket)
+
+
+def training_pipeline(df: DataFrame, text_col: str, id_col: str,
+                      min_quality: float = 0.5,
+                      train: int = 80, valid: int = 10) -> DataFrame:
+    """documents → (split, n_docs, total word/bpe tokens, quality range)."""
+    n_chars = F.length(F.col(text_col)).cast("double")
+    toks = _tok_array(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(
+        *STOPWORDS["en"]))).cast("double")
+    n_punct = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^\w\s]"), 0)).cast("double")
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, F.least(n_stop / n_tok * 5.0, F.lit(1.0))
+                        ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    quality = 0.4 * len_score + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+
+    feats = df.select(
+        F.col(id_col),
+        quality.alias("quality"),
+        F.md5(F.col(text_col)).alias("exact_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+        .alias("neardup_fp"),
+        F.size(toks).cast("bigint").alias("word_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+        .cast("bigint").alias("bpe_tokens"),
+        _split_bucket(id_col).alias("bucket"),
+    ).filter(F.col("quality") >= min_quality)
+
+    # window-min keeps the smallest id per fingerprint — deterministic
+    # survivor selection (same on every retry/replay), one shuffle per stage
+    survives_exact = F.col(id_col) == F.min(id_col).over(
+        Window.partitionBy("exact_fp"))
+    deduped1 = feats.withColumn("keep", survives_exact).filter("keep")
+    survives_near = F.col(id_col) == F.min(id_col).over(
+        Window.partitionBy("neardup_fp"))
+    deduped = deduped1.withColumn("keep2", survives_near).filter("keep2")
+
+    split = (F.when(F.col("bucket") < train, "train")
+             .when(F.col("bucket") < train + valid, "valid")
+             .otherwise("test"))
+    return (deduped.select(split.alias("split"), "word_tokens", "bpe_tokens",
+                           "quality")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("word_tokens").alias("total_word_tokens"),
+                 F.sum("bpe_tokens").alias("total_bpe_tokens"),
+                 F.min("quality").alias("min_quality"),
+                 F.max("quality").alias("max_quality")))

@@ -624,6 +624,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_payload(t["documents"], "text", "doc_id"))
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: quality filter → exact dedup → near-dup dedup →
+    deterministic split → per-split corpus stats, one declarative plan."""
+    from kafka_connect_streams_spark.operators.pipelines import (
+        training_pipeline)
+    t = load_tables(spark, sf_dir)
+    return training_pipeline(t["documents"], "text", "doc_id",
+                             min_quality=0.5, train=80, valid=10)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup connected components: one canonical doc per cluster
     (min-label propagation over the 5-gram Jaccard pair graph)."""
@@ -883,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "tfidf_topk": q_tfidf_topk,
     "hash_split": q_hash_split,
+    "training_pipeline": q_training_pipeline,
 }
 
 ORACLE: dict[str, str] = {
@@ -1739,5 +1750,52 @@ ORACLE: dict[str, str] = {
                     WHEN bucket < 90 THEN 'valid'
                     ELSE 'test' END AS split
         FROM b
+    """,
+    "training_pipeline": """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                     AS n_punct,
+                   md5(text) AS exact_fp,
+                   md5(array_to_string(list_sort(list_distinct(
+                       list_filter(string_split_regex(lower(text), '\\W+'),
+                                   t -> length(t) > 0))), ' ')) AS neardup_fp,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                     AS bpe_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                     % 100 AS bucket
+            FROM documents),
+        q AS (
+            SELECT doc_id, exact_fp, neardup_fp, bucket, bpe_tokens,
+                   CAST(len(toks) AS BIGINT) AS word_tokens,
+                   0.4 * least(n_chars / 500.0, 1.0)
+                   + 0.3 * (CASE WHEN len(toks) > 0
+                            THEN least(CAST(len(list_filter(toks, t -> t IN
+                                 ('the','a','of','and','to','in','is','that',
+                                  'it','for'))) AS DOUBLE)
+                                 / len(toks) * 5.0, 1.0) ELSE 0.0 END)
+                   + 0.3 * (1.0 - CASE WHEN n_chars > 0
+                                  THEN n_punct / n_chars ELSE 0.0 END)
+                     AS quality
+            FROM f),
+        filtered AS (SELECT * FROM q WHERE quality >= 0.5),
+        d1 AS (SELECT * FROM filtered
+               QUALIFY doc_id = min(doc_id) OVER (PARTITION BY exact_fp)),
+        d2 AS (SELECT * FROM d1
+               QUALIFY doc_id = min(doc_id) OVER (PARTITION BY neardup_fp))
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(word_tokens) AS total_word_tokens,
+               sum(bpe_tokens) AS total_bpe_tokens,
+               min(quality) AS min_quality,
+               max(quality) AS max_quality
+        FROM d2
+        GROUP BY 1
     """,
 }
