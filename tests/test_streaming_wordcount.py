@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from kafka_connect_streams_spark.streaming.wordcount import run_to_memory
 
 CORPUS = [
@@ -45,3 +47,28 @@ def test_streaming_wordcount_golden(spark, tmp_path):
     # '\W+' split also strips the apostrophe → 'tis' tokenizes as 'tis'
     # (Derby-variant behavior, DatabaseWordCountTest.java:50)
     assert counts.get("tis") == 1
+
+
+def test_database_wordcount_via_native_datasource(spark, tmp_path):
+    """DatabaseWordCount end-to-end, PySpark-4 native form: external-table
+    deltas via format('table_delta') → stateful wordcount → queryable memory
+    state (reference topology DatabaseWordCount.java:105-133)."""
+    from kafka_connect_streams_spark.sources.python_datasource import register
+    register(spark)
+    table = tmp_path / "ext_lines"
+    spark.createDataFrame(
+        list(enumerate(CORPUS)), "id bigint, value string"
+    ).coalesce(1).write.mode("append").parquet(str(table))
+
+    lines = (spark.readStream.format("table_delta")
+             .option("path", str(table)).option("inc_col", "id")
+             .load().select(F.col("value")))
+    q = run_to_memory(lines, "value", name="wc_pds")
+    try:
+        q.processAllAvailable()
+        counts = {r.word: r.cnt for r in
+                  spark.sql("SELECT word, cnt FROM wc_pds").collect()}
+    finally:
+        q.stop()
+    for word, n in GOLDEN.items():
+        assert counts.get(word) == n, f"{word}: {counts.get(word)} != {n}"
