@@ -243,25 +243,34 @@ def neardup_clusters(df: DataFrame, text_col: str, id_col: str,
     edges = (e.union(e.select(F.col("dst").alias("src"),
                               F.col("src").alias("dst"))).cache())
 
-    labels = df.select(F.col(id_col).alias("node"),
-                       F.col(id_col).cast("bigint").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    # propagate ONLY over nodes that appear in the pair graph — the graph is
+    # tiny relative to the corpus (dup pairs, not docs), so every iteration
+    # touches O(edges) rows; untouched docs join back as singletons at the end
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node").cast("bigint"))
+              .localCheckpoint(eager=False))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.node)
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
+        # non-eager localCheckpoint: materialized by the sum() action below —
+        # one Spark job per round, lineage still truncated to O(1)
         labels = (labels.join(neigh, labels.node == neigh.src, "left")
                   .select(F.col("node"),
                           F.least(F.col("label"),
                                   F.coalesce(F.col("nlabel"), F.col("label")))
                           .alias("label"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("node") == F.col("label")).alias("is_canonical"))
+    clustered = labels.withColumnRenamed("node", id_col)
+    return (df.select(F.col(id_col).cast("bigint").alias(id_col))
+            .join(clustered, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("label"), F.col(id_col))
+                    .alias("cluster_id"))
+            .withColumn("is_canonical",
+                        F.col(id_col) == F.col("cluster_id")))
