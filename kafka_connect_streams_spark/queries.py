@@ -828,6 +828,61 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("users")))
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt) of lineitem measures via stack() —
+    a generated-column Expand, no shuffle, no Python."""
+    t = load_tables(spark, sf_dir)
+    return (t["lineitem"]
+            .select("l_orderkey", "l_linenumber",
+                    F.expr("stack(3, 'quantity', l_quantity, "
+                           "'extendedprice', l_extendedprice, "
+                           "'discount', l_discount) AS (measure, val)")))
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null rate / distinct / min / max) in ONE scan:
+    all per-column aggregates in a single agg, reshaped long with stack —
+    the profile of a 100 TB table costs one pass, not one pass per column."""
+    t = load_tables(spark, sf_dir)
+    wide = t["orders"].agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").cast("string").alias("min_price"),
+        F.max("o_totalprice").cast("string").alias("max_price"))
+    return wide.select(
+        F.col("n"),
+        F.expr("stack(3, "
+               "'o_custkey', nn_custkey, nd_custkey, min_custkey, max_custkey, "
+               "'o_orderstatus', nn_status, nd_status, min_status, max_status, "
+               "'o_totalprice', nn_price, nd_price, min_price, max_price) "
+               "AS (col_name, n_nonnull, n_distinct, min_val, max_val)"))
+
+
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile, KLL-style) per status.
+
+    No SQL oracle on purpose: sketch internals differ engine-to-engine, so
+    the driver records the rows-only check — exact counterparts are pinned
+    by percentile_disc. The sketch path is what survives 100 TB when an
+    exact total-order pass is too expensive.
+    """
+    t = load_tables(spark, sf_dir)
+    return (t["orders"].groupBy("o_orderstatus")
+            .agg(F.percentile_approx("o_totalprice",
+                                     [0.25, 0.5, 0.75, 0.95], 10000)
+                 .alias("price_quantiles"),
+                 F.count("*").alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -894,6 +949,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "hash_split": q_hash_split,
     "training_pipeline": q_training_pipeline,
+    "unpivot": q_unpivot,
+    "data_profile": q_data_profile,
+    "approx_quantile": q_approx_quantile,
 }
 
 ORACLE: dict[str, str] = {
@@ -1797,5 +1855,38 @@ ORACLE: dict[str, str] = {
                max(quality) AS max_quality
         FROM d2
         GROUP BY 1
+    """,
+    "unpivot": """
+        SELECT l_orderkey, l_linenumber, measure, val
+        FROM lineitem
+        UNPIVOT (val FOR measure IN (l_quantity AS quantity,
+                                     l_extendedprice AS extendedprice,
+                                     l_discount AS discount))
+    """,
+    "data_profile": """
+        WITH wide AS (
+            SELECT count(*) AS n,
+                   count(o_custkey) AS nn_custkey,
+                   count(DISTINCT o_custkey) AS nd_custkey,
+                   CAST(min(o_custkey) AS VARCHAR) AS min_custkey,
+                   CAST(max(o_custkey) AS VARCHAR) AS max_custkey,
+                   count(o_orderstatus) AS nn_status,
+                   count(DISTINCT o_orderstatus) AS nd_status,
+                   min(o_orderstatus) AS min_status,
+                   max(o_orderstatus) AS max_status,
+                   count(o_totalprice) AS nn_price,
+                   count(DISTINCT o_totalprice) AS nd_price,
+                   CAST(min(o_totalprice) AS VARCHAR) AS min_price,
+                   CAST(max(o_totalprice) AS VARCHAR) AS max_price
+            FROM orders)
+        SELECT n, 'o_custkey' AS col_name, nn_custkey AS n_nonnull,
+               nd_custkey AS n_distinct, min_custkey AS min_val,
+               max_custkey AS max_val FROM wide
+        UNION ALL
+        SELECT n, 'o_orderstatus', nn_status, nd_status, min_status,
+               max_status FROM wide
+        UNION ALL
+        SELECT n, 'o_totalprice', nn_price, nd_price, min_price,
+               max_price FROM wide
     """,
 }
