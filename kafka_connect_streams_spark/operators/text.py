@@ -128,18 +128,22 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFra
     ranking never depends on float ULPs; the double tfidf score is carried
     for consumers but not used as a sort key.
     """
+    from pyspark.sql.window import Window
     toks = (df.select(F.col(id_col),
                       F.explode(_tok_array(text_col)).alias("term")))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # DF as a window count over the tf table (tf already has one row per
+    # doc-term): no second explode+agg pipeline over the corpus, no join of
+    # two agg subtrees — one term-shuffle instead of a shuffle + shuffle +
+    # join. The corpus size is the only extra input: a count-only scan
+    # broadcast in as one row.
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     n_docs = df.agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(dfreq, "term")
-              .join(F.broadcast(n_docs))
+    scored = (tf.join(F.broadcast(n_docs))
               .withColumn("tfidf",
                           F.col("tf")
                           * F.log((F.col("n_docs") + 1.0)
                                   / (F.col("df") + 1.0))))
-    from pyspark.sql.window import Window
     w = (Window.partitionBy(id_col)
          .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term")))
     return (scored.withColumn("rnk", F.row_number().over(w))

@@ -12,10 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def physical_plan(df: DataFrame) -> str:
-    """The formatted physical plan as a string."""
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (``formatted`` or ``simple`` mode).
+
+    ``formatted`` carries scan detail (PushedFilters/ReadSchema) but splits
+    operator arguments onto separate lines; ``simple`` keeps one line per
+    operator (``Exchange hashpartitioning(...)``, ``*(n)`` codegen markers),
+    which is what operator-counting helpers need.
+    """
     return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
@@ -45,11 +51,15 @@ def shuffle_count(df: DataFrame) -> int:
     """Number of SHUFFLE exchanges — the shuffle budget of the plan.
 
     BroadcastExchange is excluded on purpose: broadcasting a dim is the cheap
-    alternative to a shuffle, not an instance of one.
+    alternative to a shuffle, not an instance of one. Counted on the
+    ``simple``-mode string, where each Exchange keeps its partitioning on
+    the same line (formatted mode splits it onto an Arguments: line).
     """
     import re
-    plan = physical_plan(df)
-    return len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    plan = physical_plan(df, "simple")
+    return len(re.findall(
+        r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+        plan))
 
 
 def has_partial_aggregate(df: DataFrame) -> bool:
