@@ -93,3 +93,36 @@ def size_balanced(df: DataFrame, bytes_col: str, partitions: int) -> DataFrame:
     """Range-partition by payload size so decode-heavy rows spread evenly —
     the anti-straggler layout for skewed media sizes."""
     return df.repartitionByRange(partitions, F.col(bytes_col))
+
+
+#: schema of sampled frames: one row per (doc, frame index).
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_offset_bytes", LongType()),
+    StructField("frame_hash", StringType()),
+])
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video-like payloads: N evenly-spaced frames per doc.
+
+    1→N row expansion inside ``mapInPandas`` — the output iterator yields one
+    frame-row batch per input batch, so the expansion never materializes a
+    doc's full frame list in driver or python-worker memory. A real pipeline
+    replaces ``_frame_at`` (offset slice + md5) with an ffmpeg seek-decode at
+    the same seam; offsets are computed from payload length, deterministic.
+    """
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                size = len(payload)
+                for i in range(n_frames):
+                    off = (size * i) // n_frames
+                    chunk = payload[off:off + 64]
+                    rows.append((doc_id, i, off,
+                                 hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.select("doc_id", "payload").mapInPandas(expand, FRAME_SCHEMA)

@@ -149,3 +149,32 @@ class TestAsofJoin:
             tolerance_ms=4).collect()}
         # p2 (t=205) is 5ms past r_late (t=200) → stale under 4ms tolerance
         assert out == {"p1": "r_exact", "p2": None, "p3": None}
+
+
+class TestSplitStability:
+    def test_hash_split_stable_under_repartition(self, spark, sf_dir):
+        """The split assignment is a pure function of the id: any physical
+        layout (repartition width, input order) yields identical rows."""
+        from kafka_connect_streams_spark.operators.text import hash_split
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = hash_split(docs, "doc_id").collect()
+        b = hash_split(docs.repartition(7, "lang"), "doc_id").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        splits = {r.split for r in a}
+        assert splits == {"train", "valid", "test"}
+
+
+class TestFrameSampling:
+    def test_sample_frames_shape_and_determinism(self, spark, sf_dir):
+        from kafka_connect_streams_spark.operators.multimodal import (
+            attach_payload, sample_frames)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+        media = attach_payload(docs, "text", "doc_id")
+        frames = sample_frames(media, n_frames=4)
+        rows = frames.collect()
+        assert len(rows) == 20 * 4
+        # evenly spaced, monotone offsets per doc; md5 stable across runs
+        again = {(r.doc_id, r.frame_idx): r.frame_hash
+                 for r in sample_frames(media, n_frames=4).collect()}
+        for r in rows:
+            assert again[(r.doc_id, r.frame_idx)] == r.frame_hash
