@@ -828,6 +828,40 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("users")))
 
 
+def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys: gap-sessionize, then the ordered event-type
+    path per session, counted across sessions.
+
+    The path is built from ``array_sort(collect_list(struct(ts, event_id,
+    type)))`` — sorted on (ts, event_id), a total order, so the same path
+    string emerges from any shuffle arrival order. Two shuffles (session
+    windows + path count) and a top-k with full tie-break."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds on both engines (a seconds cast truncates
+    # in Spark but keeps fractions in DuckDB's epoch() — boundary drift)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = t["events"].withColumn(
+        "new_session",
+        F.when(gap <= 600_000_000, F.lit(0)).otherwise(F.lit(1)))
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    paths = (sess.groupBy("user_id", "session_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ts", "event_id", "event_type"))),
+                     lambda x: x["event_type"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path")
+            .limit(20))
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape (UNPIVOT/melt) of lineitem measures via stack() —
     a generated-column Expand, no shuffle, no Python."""
@@ -949,6 +983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "hash_split": q_hash_split,
     "training_pipeline": q_training_pipeline,
+    "user_journeys": q_user_journeys,
     "unpivot": q_unpivot,
     "data_profile": q_data_profile,
     "approx_quantile": q_approx_quantile,
@@ -1855,6 +1890,31 @@ ORACLE: dict[str, str] = {
                max(quality) AS max_quality
         FROM d2
         GROUP BY 1
+    """,
+    "user_journeys": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= 600000000 THEN 0 ELSE 1 END AS new_session
+            FROM events),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW)
+                     AS session_id
+            FROM marked),
+        paths AS (
+            SELECT user_id, session_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM sess GROUP BY user_id, session_id)
+        SELECT path, count(*) AS n_sessions
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
     """,
     "unpivot": """
         SELECT l_orderkey, l_linenumber, measure, val
