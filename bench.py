@@ -51,6 +51,9 @@ HEADLINE = [
     "ann_lsh_cosine",
     "text_quality",
     "training_pipeline",
+    "user_journeys",
+    "unpivot",
+    "data_profile",
 ]
 
 
