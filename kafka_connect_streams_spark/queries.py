@@ -828,6 +828,37 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("users")))
 
 
+def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows (percent_rank, cume_dist): both are ratios of
+    exact integer ranks under a total order, so the doubles are bit-identical
+    across engines."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey", "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: exact Levenshtein
+    only on pairs that already share a rare shingle — the verify step runs
+    on O(candidates), never O(n²) texts."""
+    from kafka_connect_streams_spark.operators.dedup import ngram_jaccard_pairs
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=5, max_doc_freq=100, threshold=0.05)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (pairs.join(ta, "id_a").join(tb, "id_b")
+            .select("id_a", "id_b", "jaccard",
+                    F.levenshtein("text_a", "text_b").cast("bigint")
+                    .alias("edit_distance"),
+                    F.greatest(F.length("text_a"), F.length("text_b"))
+                    .cast("bigint").alias("max_len")))
+
+
 def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 session journeys: gap-sessionize, then the ordered event-type
     path per session, counted across sessions.
@@ -983,6 +1014,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "hash_split": q_hash_split,
     "training_pipeline": q_training_pipeline,
+    "percent_rank_cume": q_percent_rank_cume,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "user_journeys": q_user_journeys,
     "unpivot": q_unpivot,
     "data_profile": q_data_profile,
@@ -1890,6 +1923,58 @@ ORACLE: dict[str, str] = {
                max(quality) AS max_quality
         FROM d2
         GROUP BY 1
+    """,
+    "percent_rank_cume": """
+        SELECT o_orderkey, o_orderstatus,
+               percent_rank() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice, o_orderkey)
+                 AS pct_rank,
+               cume_dist() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice, o_orderkey) AS cume
+        FROM orders
+    """,
+    "dedup_edit_distance": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 5, 0)),
+                           i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        rare AS (
+            SELECT shingle FROM (
+                SELECT shingle, count(DISTINCT doc_id) AS df
+                FROM sh GROUP BY shingle) f
+            WHERE df <= 100),
+        shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT id_a, id_b,
+                   CAST(n_shared AS DOUBLE)
+                     / (sa.set_size + sb.set_size - n_shared) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_shared AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_shared) >= 0.05)
+        SELECT id_a, id_b, jaccard,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+               CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+                 AS max_len
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
     """,
     "user_journeys": """
         WITH marked AS (
