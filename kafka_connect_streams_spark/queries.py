@@ -828,6 +828,43 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("users")))
 
 
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: replace-all, group extract, match predicate — all
+    JVM-side codegen expressions (KSQL 5.1 has none of these; Spark SQL is
+    the strict superset SURVEY §2.7 promises)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("digits_masked"),
+        F.regexp_extract(F.col("text"), r"\b([A-Za-z]{4})[A-Za-z]*", 1)
+        .alias("first_word4"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0))
+        .cast("bigint").alias("n_sentences"))
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: outer-join-produced nulls through nullif /
+    coalesce / null-safe equality, with null-aware aggregation."""
+    t = load_tables(spark, sf_dir)
+    li = (t["lineitem"].groupBy("l_orderkey")
+          .agg(F.count("*").alias("n_items")))
+    j = t["orders"].join(li, t["orders"].o_orderkey == li.l_orderkey, "left")
+    return (j.select(
+        "o_orderkey",
+        F.coalesce(F.col("n_items"), F.lit(0)).alias("items"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("closed_status"),
+        F.col("n_items").isNull().alias("no_items"),
+        F.col("n_items").eqNullSafe(F.lit(1)).alias("exactly_one"))
+        .groupBy("closed_status")
+        .agg(F.count("*").alias("n"),
+             F.sum("items").alias("total_items"),
+             F.sum(F.when(F.col("no_items"), 1).otherwise(0))
+             .alias("n_no_items"),
+             F.sum(F.when(F.col("exactly_one"), 1).otherwise(0))
+             .alias("n_single_item")))
+
+
 def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank windows (percent_rank, cume_dist): both are ratios of
     exact integer ranks under a total order, so the doubles are bit-identical
@@ -1014,6 +1051,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "hash_split": q_hash_split,
     "training_pipeline": q_training_pipeline,
+    "regex_functions": q_regex_functions,
+    "null_handling": q_null_handling,
     "percent_rank_cume": q_percent_rank_cume,
     "dedup_edit_distance": q_dedup_edit_distance,
     "user_journeys": q_user_journeys,
@@ -1923,6 +1962,35 @@ ORACLE: dict[str, str] = {
                max(quality) AS max_quality
         FROM d2
         GROUP BY 1
+    """,
+    "regex_functions": """
+        SELECT doc_id,
+               regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
+               regexp_extract(text, '\\b([A-Za-z]{4})[A-Za-z]*', 1)
+                 AS first_word4,
+               regexp_matches(text, '[0-9]') AS has_digit,
+               CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+                 AS n_sentences
+        FROM documents
+    """,
+    "null_handling": """
+        WITH li AS (
+            SELECT l_orderkey, count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey),
+        j AS (
+            SELECT o_orderkey,
+                   coalesce(n_items, 0) AS items,
+                   nullif(o_orderstatus, 'O') AS closed_status,
+                   n_items IS NULL AS no_items,
+                   n_items IS NOT DISTINCT FROM 1 AS exactly_one
+            FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+        SELECT closed_status,
+               count(*) AS n,
+               sum(items) AS total_items,
+               sum(CASE WHEN no_items THEN 1 ELSE 0 END) AS n_no_items,
+               sum(CASE WHEN exactly_one THEN 1 ELSE 0 END) AS n_single_item
+        FROM j
+        GROUP BY closed_status
     """,
     "percent_rank_cume": """
         SELECT o_orderkey, o_orderstatus,
