@@ -217,55 +217,100 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # -- near-dup clustering (connected components) -----------------------------
 
 
+def _canon(df: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u, v) with u > v, no self-loops,
+    distinct. Both star operations consume and produce this shape."""
+    return (df.filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"),
+                    F.least("a", "b").alias("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Exact connected components over a pair graph via alternating
+    **large-star / small-star** (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) → ``(node, label)`` with
+    label = component min.
+
+    Each round:
+
+    - **large-star**: for every node ``x``, connect each *larger* neighbor
+      to ``m = min(Γ(x) ∪ {x})`` — a symmetric-edge groupBy-min + one join.
+    - **small-star**: orient edges large→small; connect each smaller
+      neighbor (and ``x`` itself) to the min — same shape, no symmetrize.
+
+    Both are single-shuffle DataFrame ops, and the round count is
+    **O(log d)** in the component diameter (each round roughly halves path
+    lengths), vs O(d) for plain min-label propagation — a 1000-long dup
+    chain converges in ~10 rounds, not 1000. The fixed point is a star per
+    component (every node points at its component min), detected exactly:
+    both edge sets are distinct+canonical, so equality is one count plus an
+    empty one-way difference. ``localCheckpoint`` truncates lineage so plan
+    size stays O(1) across rounds; per-round driver traffic is two scalars.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching the
+    fixed point — a partially-propagated labeling is silently *wrong* (it
+    splits one true cluster into several), so the cap is a safety valve, not
+    an output mode.
+    """
+    E = _canon(pairs.select(F.col(pairs.columns[0]).cast("bigint").alias("a"),
+                            F.col(pairs.columns[1]).cast("bigint").alias("b"))
+               ).localCheckpoint(eager=False)
+    n_edges = E.count()
+    converged = n_edges == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        # large-star: symmetric neighborhoods, min over Γ(x) ∪ {x}
+        sym = E.select("u", "v").union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        big = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        big = big.select("u", F.least("u", "mn").alias("m"))
+        ls = (sym.join(big, "u").filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("a"), F.col("m").alias("b")))
+        E1 = _canon(ls).localCheckpoint(eager=False)
+        # small-star: edges already oriented u > v; min smaller-neighbor
+        small = E1.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (E1.join(small, "u")
+              .select(F.col("v").alias("a"), F.col("m").alias("b"))
+              .union(small.select(F.col("u").alias("a"),
+                                  F.col("m").alias("b"))))
+        E_new = _canon(ss).localCheckpoint(eager=False)
+        # fixed point ⇔ same distinct canonical set: equal count + empty diff
+        n_new = E_new.count()
+        if n_new == n_edges and E_new.exceptAll(E).isEmpty():
+            converged = True
+        E, n_edges = E_new, n_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ≈ log2 of the largest component "
+            "diameter)")
+    # fixed point is a star per component: non-roots appear as u with their
+    # root as v; roots appear only as v (label themselves)
+    leaves = E.groupBy("u").agg(F.min("v").alias("label"))
+    roots = E.select(F.col("v").alias("u"), F.col("v").alias("label"))
+    return (leaves.union(roots).groupBy("u").agg(F.min("label").alias("label"))
+            .withColumnRenamed("u", "node"))
+
+
 def neardup_clusters(df: DataFrame, text_col: str, id_col: str,
                      pairs: DataFrame | None = None,
                      n: int = 5, max_doc_freq: int = 100,
-                     threshold: float = 0.2, max_iter: int = 15) -> DataFrame:
+                     threshold: float = 0.2, max_iter: int = 30) -> DataFrame:
     """Connected components over near-dup pairs → one canonical doc per
     cluster (the min id), the decision step of a dedup pipeline.
 
-    Min-label propagation: every node starts labeled with its own id; each
-    round takes the min of its label and its neighbors' labels. Labels only
-    decrease, so ``sum(label)`` is monotone — two equal consecutive sums
-    mean a fixed point, checked with a cheap agg action (no row-wise diff
-    join). ``localCheckpoint`` truncates the per-iteration lineage, keeping
-    plan size O(1) across rounds instead of O(iterations).
-
-    Rounds needed = cluster diameter, small for near-dup graphs (dup
-    clusters are clique-ish). At web scale the same loop is the inner step
-    of the alternating large-star/small-star algorithm; this direct form is
-    exact and fully distributed — the driver only compares two sums.
+    Components run over ONLY the pair graph (dup pairs, not the corpus —
+    tiny by comparison); untouched docs join back as singletons at the end.
+    See :func:`connected_components` for the large-star/small-star rounds
+    and the convergence guarantee (raises rather than returning a
+    partially-merged clustering).
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df, text_col, id_col, n, max_doc_freq,
                                     threshold)
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = (e.union(e.select(F.col("dst").alias("src"),
-                              F.col("src").alias("dst"))).cache())
-
-    # propagate ONLY over nodes that appear in the pair graph — the graph is
-    # tiny relative to the corpus (dup pairs, not docs), so every iteration
-    # touches O(edges) rows; untouched docs join back as singletons at the end
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node").cast("bigint"))
-              .localCheckpoint(eager=False))
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        neigh = (edges.join(labels, edges.dst == labels.node)
-                 .groupBy("src").agg(F.min("label").alias("nlabel")))
-        # non-eager localCheckpoint: materialized by the sum() action below —
-        # one Spark job per round, lineage still truncated to O(1)
-        labels = (labels.join(neigh, labels.node == neigh.src, "left")
-                  .select(F.col("node"),
-                          F.least(F.col("label"),
-                                  F.coalesce(F.col("nlabel"), F.col("label")))
-                          .alias("label"))
-                  .localCheckpoint(eager=False))
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+    labels = connected_components(pairs.select("id_a", "id_b"), max_iter)
     clustered = labels.withColumnRenamed("node", id_col)
     return (df.select(F.col(id_col).cast("bigint").alias(id_col))
             .join(clustered, id_col, "left")

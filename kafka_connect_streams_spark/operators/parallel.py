@@ -22,9 +22,19 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` to at least cluster default parallelism — only if
-    it currently has fewer partitions than that."""
+    its scan has fewer input files than that.
+
+    The probe is ``df.inputFiles()`` — a logical-plan metadata lookup (the
+    file index the scan already holds), NOT a ``df.rdd`` conversion, which
+    would force physical planning and break AQE plan reuse on every call.
+    File count underestimates split count (a file may hold several row
+    groups), which errs on the side of one cheap extra shuffle of raw rows
+    before the expensive stage — the safe direction. Non-file inputs (local
+    relations, post-shuffle frames) report zero files and are fanned out:
+    exactly the small/singleton inputs the guard exists for.
+    """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)

@@ -532,9 +532,9 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_open, 1).otherwise(0)).alias("n_open"),
         F.sum(F.when(is_open, price).otherwise(F.lit(0).cast(agg.DEC)))
         .cast("double").alias("open_revenue"),
-        (F.sum(F.when(is_open, price).otherwise(F.lit(0).cast(agg.DEC)))
-         .cast("double")
-         / F.sum(price).cast("double")).alias("open_share"))
+        F.round(F.sum(F.when(is_open, price).otherwise(F.lit(0).cast(agg.DEC)))
+                .cast("double")
+                / F.sum(price).cast("double"), 9).alias("open_share"))
 
 
 def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,16 +792,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t["events"]
 
-    def stage(event_type: str, prev: DataFrame | None, t_col: str) -> DataFrame:
+    def stage(event_type: str, prev: DataFrame | None, prev_t: str | None,
+              t_col: str) -> DataFrame:
         s = ev.filter(F.col("event_type") == event_type).alias("e")
         if prev is not None:
-            prev_t = prev.columns[-1]
             s = s.join(prev, "user_id").filter(F.col("e.ts") > F.col(prev_t))
         return s.groupBy("user_id").agg(F.min("e.ts").alias(t_col))
 
-    v = stage("view", None, "t1")
-    c = stage("click", v, "t2")
-    p = stage("purchase", c, "t3")
+    v = stage("view", None, None, "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
     count = lambda df, name: (  # noqa: E731
         df.agg(F.count("*").alias("users")).select(F.lit(name).alias("stage"),
                                                    "users"))
@@ -1541,10 +1541,10 @@ ORACLE: dict[str, str] = {
                              THEN CAST(o_totalprice AS DECIMAL(18,2))
                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
                  AS open_revenue,
-               CAST(sum(CASE WHEN o_orderstatus = 'O'
+               ROUND(CAST(sum(CASE WHEN o_orderstatus = 'O'
                              THEN CAST(o_totalprice AS DECIMAL(18,2))
                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 9)
                  AS open_share
         FROM orders GROUP BY o_orderpriority
     """,

@@ -78,13 +78,32 @@ class TableDeltaStreamReader(DataSourceStreamReader):
             ds = pads.dataset(self.path, format="parquet")
         except FileNotFoundError:
             return {"hwm": -1}
-        # max() over just the incrementing column — a columnar metadata-cheap
-        # scan, not a full-table read
-        import pyarrow.compute as pc
-        col = ds.to_table(columns=[self.inc_col])[self.inc_col]
-        if len(col) == 0:
-            return {"hwm": -1}
-        return {"hwm": pc.max(col).as_py()}
+        # High-water mark from parquet row-group statistics: O(row groups)
+        # footer reads, zero data pages — the driver never materializes the
+        # column no matter how large the table grows.
+        hwm = None
+        try:
+            for frag in ds.get_fragments():
+                md = frag.metadata
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    if group.num_rows == 0:
+                        continue
+                    stats = None
+                    for ci in range(group.num_columns):
+                        col = group.column(ci)
+                        if col.path_in_schema == self.inc_col:
+                            stats = col.statistics
+                            break
+                    if stats is None or not stats.has_min_max:
+                        raise LookupError("no min/max stats")
+                    hwm = stats.max if hwm is None else max(hwm, stats.max)
+        except LookupError:
+            # stats absent (legacy writer) — fall back to a column scan
+            import pyarrow.compute as pc
+            col = ds.to_table(columns=[self.inc_col])[self.inc_col]
+            hwm = pc.max(col).as_py() if len(col) else None
+        return {"hwm": -1 if hwm is None else int(hwm)}
 
     # -- per-epoch planning --------------------------------------------------
 
@@ -110,12 +129,12 @@ class TableDeltaStreamReader(DataSourceStreamReader):
         ds = pads.dataset(partition.path, format="parquet")
         expr = ((pads.field(partition.inc_col) > partition.lo)
                 & (pads.field(partition.inc_col) <= partition.hi))
-        # filter + column projection push into the parquet scan
+        # filter + column projection push into the parquet scan; yielding
+        # whole arrow RecordBatches keeps the executor path columnar end to
+        # end (the DataSource API arrow-serializes them directly — no
+        # per-row Python conversion)
         table = ds.to_table(filter=expr, columns=self.fields)
-        for batch in table.to_batches():
-            cols = [batch.column(i) for i in range(batch.num_columns)]
-            for r in range(batch.num_rows):
-                yield tuple(c[r].as_py() for c in cols)
+        yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
         # nothing to do: the delta below end["hwm"] is immutable in the

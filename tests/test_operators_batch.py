@@ -78,6 +78,40 @@ class TestDedup:
         assert got == ["two words"]
 
 
+class TestConnectedComponents:
+    """Large-star/small-star: O(log d) rounds, exact labels, hard failure
+    instead of silently-partial clusters (the old min-label propagation
+    needed d rounds on a d-long chain)."""
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from kafka_connect_streams_spark.operators.dedup import (
+            connected_components)
+        # path graph 0-1-2-...-63: diameter 63; log2-ish rounds must suffice
+        chain = [(i, i + 1) for i in range(63)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        got = {r.node: r.label
+               for r in connected_components(pairs, max_iter=10).collect()}
+        assert got == {i: 0 for i in range(64)}
+
+    def test_two_components_and_reversed_edges(self, spark):
+        from kafka_connect_streams_spark.operators.dedup import (
+            connected_components)
+        pairs = spark.createDataFrame(
+            [(5, 3), (3, 9), (20, 21), (21, 20), (7, 7)],
+            "id_a long, id_b long")  # self-loop 7-7 must vanish
+        got = {r.node: r.label for r in connected_components(pairs).collect()}
+        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+    def test_raises_instead_of_partial_result(self, spark):
+        import pytest
+        from kafka_connect_streams_spark.operators.dedup import (
+            connected_components)
+        chain = [(i, i + 1) for i in range(200)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iter=1)
+
+
 class TestSimilarity:
     def test_topk_self_neighbor_excluded_and_identical_found(self, spark):
         vec = [0.1] * 4
