@@ -29,6 +29,33 @@ from kafka_connect_streams_spark.operators.parallel import fan_out
 #: fixed-point scale: 4 decimal digits of each embedding component.
 FIXED_SCALE = 10_000.0
 
+#: target vectors per LSH bucket when auto-sizing ``planes``.
+LSH_TARGET_BUCKET = 128
+
+#: default brute-force pair budget — above this, refuse without explicit
+#: ``allow_full_scan=True`` (see :func:`topk_cosine`).
+MAX_BRUTE_PAIRS = 10_000_000
+
+
+def auto_planes(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Size the hyperplane count from the candidate count:
+    ``planes = ceil(log2(N / target_bucket))``, clipped to [4, 24].
+
+    2^planes buckets × target_bucket vectors each ≈ N, so per-bucket pair
+    joins stay ~O(N · target_bucket) — linear in N — instead of going
+    quadratic as fixed-capacity buckets fill at 100× data.
+    """
+    import math
+    return max(4, min(24, math.ceil(math.log2(max(n / target_bucket, 2.0)))))
+
+
+def auto_centroids(n: int) -> int:
+    """Size the IVF codebook as ``ceil(sqrt(N))`` clipped to [4, 4096] — the
+    standard IVF balance point: ~sqrt(N) lists of ~sqrt(N) vectors keeps both
+    the codebook probe and the per-list scan at O(sqrt(N))."""
+    import math
+    return max(4, min(4096, math.ceil(math.sqrt(max(n, 1)))))
+
 
 def _fixed(col: Column) -> Column:
     """Quantize a float component to int64 fixed-point (round-half-up)."""
@@ -68,12 +95,27 @@ def cosine_pairs(queries: DataFrame, candidates: DataFrame,
 
 
 def topk_cosine(queries: DataFrame, candidates: DataFrame, k: int = 10,
-                exclude_self: bool = True) -> DataFrame:
+                exclude_self: bool = True, max_pairs: int = MAX_BRUTE_PAIRS,
+                allow_full_scan: bool = False) -> DataFrame:
     """Brute-force top-k neighbors per query by quantized cosine.
 
     Ties broken by candidate id so results are total-ordered and
     oracle-comparable.
+
+    **Scale guard**: this is the exact O(|Q|·|C|) baseline — a scale-killer
+    on a full corpus. The guard counts both sides (two metadata-fast count
+    jobs) and raises when |Q|·|C| > ``max_pairs`` unless the caller passes
+    ``allow_full_scan=True``; use :func:`topk_cosine_lsh` /
+    :func:`topk_cosine_ivf` for full-corpus ANN.
     """
+    if not allow_full_scan:
+        nq, nc = queries.count(), candidates.count()
+        if nq * nc > max_pairs:
+            raise ValueError(
+                f"brute-force topk_cosine would score {nq}×{nc} = {nq * nc:,}"
+                f" pairs (> max_pairs={max_pairs:,}). Use topk_cosine_lsh or"
+                " topk_cosine_ivf, or pass allow_full_scan=True if the full"
+                " scan is intentional.")
     pairs = cosine_pairs(queries, candidates)
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
@@ -87,13 +129,19 @@ def topk_cosine(queries: DataFrame, candidates: DataFrame, k: int = 10,
 
 
 def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
-                          planes: int = 8) -> DataFrame:
+                          planes: int | None = None) -> DataFrame:
     """Sign-of-projection signature: bit p = 1 iff Σ_d w(p,d)·x_d > 0.
 
     Hyperplane weight w(p,d) ∈ {+1, −1} comes from one md5 bit of "p:d" —
     deterministic, identical on any engine, no stored random state. Exact
     int64 projections make the sign (and so the bucket) reproducible.
+
+    ``planes=None`` auto-sizes from the row count via :func:`auto_planes`
+    (one cheap count) so bucket occupancy tracks the data instead of going
+    quadratic as a fixed bucket count fills up.
     """
+    if planes is None:
+        planes = auto_planes(df.count())
     dims = _dims(df, id_col, vec_col)
     plane = F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("p")
     pd_ = dims.select(F.col(id_col), "d", "x", plane)
@@ -110,14 +158,17 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
             .groupBy(id_col).agg(F.sum("b").cast("bigint").alias("bucket")))
 
 
-def neardup_pairs(vectors: DataFrame, *, planes: int = 8,
+def neardup_pairs(vectors: DataFrame, *, planes: int | None = None,
                   threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket → exact cosine ≥ t.
 
     The dedup-by-embedding operator for training pipelines: only pairs
     sharing a hyperplane bucket are scored (sub-quadratic at scale), then
     exact quantized cosine filters to true near-dups. Emits id_a < id_b.
+    ``planes=None`` → :func:`auto_planes` of the corpus count.
     """
+    if planes is None:
+        planes = auto_planes(vectors.count())
     sig = hyperplane_signatures(vectors, "id", "embedding", planes)
     a = vectors.join(sig, "id").select(F.col("id").alias("id_a"), "bucket")
     b = vectors.join(sig, "id").select(F.col("id").alias("id_b"), "bucket")
@@ -140,13 +191,18 @@ def neardup_pairs(vectors: DataFrame, *, planes: int = 8,
 
 
 def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
-                    planes: int = 8, exclude_self: bool = True) -> DataFrame:
+                    planes: int | None = None,
+                    exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: quantized cosine, but only within shared LSH buckets.
 
     With p planes the candidate set shrinks ~2^p-fold for near-uniform data;
     recall loss is the standard hyperplane-LSH tradeoff. This is the plan
     shape that survives 100 TB: the expensive pair join is bucket-local.
+    ``planes=None`` → :func:`auto_planes` of the **candidate** count (both
+    sides must hash with the same planes, so it is sized once here).
     """
+    if planes is None:
+        planes = auto_planes(candidates.count())
     qs = hyperplane_signatures(queries, "id", "embedding", planes)
     cs = hyperplane_signatures(candidates, "id", "embedding", planes)
     qb = (queries.join(qs, "id")
@@ -201,7 +257,7 @@ def _exact_topk_over_pairs(paired: DataFrame, queries: DataFrame,
 
 
 def topk_cosine_ivf(queries: DataFrame, candidates: DataFrame, k: int = 10,
-                    n_centroids: int = 16, nprobe: int = 4,
+                    n_centroids: int | None = None, nprobe: int = 4,
                     exclude_self: bool = True) -> DataFrame:
     """IVF top-k: coarse-quantize candidates into centroid lists; probe a few.
 
@@ -219,7 +275,11 @@ def topk_cosine_ivf(queries: DataFrame, candidates: DataFrame, k: int = 10,
        ~``nprobe/n_centroids`` of the data instead of all of it.
 
     Same recall/latency dial as FAISS IVF-Flat; all joins stay bucket-local.
+    ``n_centroids=None`` → :func:`auto_centroids` (≈ sqrt of the candidate
+    count) so list length and codebook size stay balanced as data grows.
     """
+    if n_centroids is None:
+        n_centroids = auto_centroids(candidates.count())
     centroids = (candidates.orderBy("id").limit(n_centroids)
                  .select(F.col("id").alias("id"), "embedding"))
     cent = F.broadcast(centroids)

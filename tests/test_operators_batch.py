@@ -113,6 +113,49 @@ class TestConnectedComponents:
 
 
 class TestSimilarity:
+    def test_brute_force_guard_trips(self, spark):
+        import pytest
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(40)],
+            "id long, embedding array<float>")
+        with pytest.raises(ValueError, match="max_pairs"):
+            topk_cosine(df, df, k=2, max_pairs=100)
+        # explicit override unlocks the same call
+        assert topk_cosine(df, df, k=2, max_pairs=100,
+                           allow_full_scan=True).count() > 0
+
+    def test_auto_sizing_formulas(self):
+        from kafka_connect_streams_spark.operators.similarity import (
+            auto_centroids, auto_planes)
+        assert auto_planes(2048) == 4          # 16 buckets of ~128
+        assert auto_planes(8192) == 6          # 64 buckets of ~128
+        assert auto_planes(10) == 4            # clipped floor
+        assert auto_planes(10 ** 12) == 24     # clipped ceiling
+        assert auto_centroids(10_000) == 100   # sqrt(N)
+        assert auto_centroids(1) == 4          # clipped floor
+
+    def test_lsh_bucket_pairs_grow_linearly(self, spark):
+        """Auto-sized planes keep Σ_bucket C(n_b, 2) ~linear in N: 4× data
+        must yield well under the 16× a fixed bucket count would give."""
+        import numpy as np
+        from kafka_connect_streams_spark.operators.similarity import (
+            hyperplane_signatures)
+        rng = np.random.default_rng(7)
+
+        def pair_count(n):
+            # 32 dims: enough that the md5-derived ±1 hyperplanes are
+            # near-orthogonal (at ≤8 dims they correlate and skew buckets)
+            vecs = rng.standard_normal((n, 32)).astype(float)
+            df = spark.createDataFrame(
+                [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+                "id long, embedding array<float>")
+            occ = (hyperplane_signatures(df, "id", "embedding", planes=None)
+                   .groupBy("bucket").count().collect())
+            return sum(r["count"] * (r["count"] - 1) // 2 for r in occ)
+
+        p1, p4 = pair_count(2048), pair_count(8192)
+        assert p4 <= 8 * p1, f"bucket pairs grew {p4 / p1:.1f}x on 4x data"
+
     def test_topk_self_neighbor_excluded_and_identical_found(self, spark):
         vec = [0.1] * 4
         other = [0.9, -0.2, 0.05, 0.4]
