@@ -86,7 +86,10 @@ def decode_primitive(col: Column, kind: str) -> Column:
 
 
 def decode_avro(col: Column, avro_schema: str) -> Column:
-    """Avro decode — requires the spark-avro package; import-gated."""
+    """Avro decode via the JVM fast path — requires the spark-avro package
+    (`org.apache.spark:spark-avro_2.13`), import-gated. When the jar is
+    absent use `sources.avro_codec.decode_avro_py` (pure-Python, Arrow-
+    batched, spec-conformance-tested against the shipped avro-1.x jar)."""
     try:
         from pyspark.sql.avro.functions import from_avro
     except ImportError as e:  # pragma: no cover
