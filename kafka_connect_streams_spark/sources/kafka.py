@@ -53,7 +53,11 @@ def decode_records(raw: DataFrame, value_schema: StructType,
     (StreamsSelectAndProjectIntTest.java:151-166).
     """
     key = F.col("key").cast("string").alias("rowkey")
-    rowtime = (F.col("timestamp").cast("double") * 1000).cast("bigint").alias("rowtime")
+    # .cast("timestamp") first: no-op on format("kafka")'s TIMESTAMP, and
+    # normalizes TIMESTAMP_NTZ (the filebroker stand-in) which Spark refuses
+    # to cast to double directly
+    rowtime = (F.col("timestamp").cast("timestamp").cast("double") * 1000) \
+        .cast("bigint").alias("rowtime")
     if value_format == "json":
         parsed = F.from_json(F.col("value").cast("string"), value_schema)
     elif value_format == "csv":
