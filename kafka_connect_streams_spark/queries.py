@@ -577,15 +577,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch distinct-count (approx_count_distinct) per event type.
+    """HLL sketch distinct-count (approx_count_distinct) per event type,
+    verified against the exact count in the same plan.
 
-    No SQL oracle on purpose: HLL implementations differ across engines, so
-    the driver records the weaker rows-only check for this sketch operator.
+    HLL registers differ across engines, so the raw sketch value cannot be
+    hash-compared to a DuckDB oracle. Instead the query emits the *exact*
+    distinct count (cross-engine deterministic) plus a tolerance flag
+    ``|approx − exact| ≤ 2·rsd·exact`` computed Spark-side; the oracle emits
+    the exact aggregates and literal TRUE. A sketch regression beyond the
+    published error bound therefore flips the flag and fails the hash
+    check — a full correctness row, not rows-only.
     """
     t = load_tables(spark, sf_dir)
-    return (t["events"].groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-                 F.count("*").alias("n")))
+    rsd = 0.02
+    agg_df = t["events"].groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx"),
+        F.count("*").alias("n"))
+    tol = F.lit(2.0 * rsd) * F.col("exact_users")
+    return agg_df.select(
+        "event_type", "exact_users", "n",
+        (F.abs(F.col("approx") - F.col("exact_users")) <= tol)
+        .alias("approx_ok"))
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +635,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_payload, decode_features)
     t = load_tables(spark, sf_dir)
     return decode_features(attach_payload(t["documents"], "text", "doc_id"))
+
+
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: N evenly-spaced frames per payload,
+    1→N expansion streamed through Arrow batches (never a materialized
+    per-doc frame list). Frame bytes are md5-fingerprinted at the exact
+    seam where an ffmpeg seek-decode would plug in."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        attach_payload, sample_frames)
+    t = load_tables(spark, sf_dir)
+    return sample_frames(attach_payload(t["documents"], "text", "doc_id"),
+                         n_frames=4)
 
 
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,19 +995,40 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketch (approx_percentile, KLL-style) per status.
+    """Mergeable quantile sketch (approx_percentile, KLL-style) per status,
+    verified in-plan against the exact rank-based percentile.
 
-    No SQL oracle on purpose: sketch internals differ engine-to-engine, so
-    the driver records the rows-only check — exact counterparts are pinned
-    by percentile_disc. The sketch path is what survives 100 TB when an
-    exact total-order pass is too expensive.
+    Sketch internals differ engine-to-engine, so the raw sketch values can't
+    be hash-compared to DuckDB. The query instead emits the exact discrete
+    median/p75 (same ceil-rank convention percentile_disc pins) plus a
+    tolerance flag asserting each sketch quantile lands within 1% relative
+    error of its exact counterpart; the oracle emits the exact values and
+    literal TRUE. The sketch path is what survives 100 TB when an exact
+    total-order pass is too expensive — this row proves it stays inside its
+    error bound.
     """
     t = load_tables(spark, sf_dir)
-    return (t["orders"].groupBy("o_orderstatus")
-            .agg(F.percentile_approx("o_totalprice",
-                                     [0.25, 0.5, 0.75, 0.95], 10000)
-                 .alias("price_quantiles"),
-                 F.count("*").alias("n")))
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    cw = Window.partitionBy("o_orderstatus")
+    ranked = (t["orders"]
+              .select("o_orderstatus", "o_totalprice", "o_orderkey")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count("*").over(cw)))
+    at = lambda q: F.max(F.when(  # noqa: E731
+        F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+        F.col("o_totalprice")))
+    exact = ranked.groupBy("o_orderstatus").agg(
+        at(0.5).alias("median_price"), at(0.75).alias("p75_price"),
+        F.max("cnt").alias("n"))
+    approx = (t["orders"].groupBy("o_orderstatus")
+              .agg(F.percentile_approx("o_totalprice", [0.5, 0.75], 10000)
+                   .alias("pq")))
+    close = lambda a, e: (  # noqa: E731
+        F.abs(a - F.col(e)) <= F.lit(0.01) * F.abs(F.col(e)))
+    return (exact.join(approx, "o_orderstatus")
+            .select("o_orderstatus", "median_price", "p75_price", "n",
+                    (close(F.col("pq")[0], "median_price")
+                     & close(F.col("pq")[1], "p75_price")).alias("approx_ok")))
 
 
 # ---------------------------------------------------------------------------
@@ -1038,6 +1084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_language_id": q_text_language_id,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "frame_sampling": q_frame_sampling,
     "grouping_sets": q_grouping_sets,
     "moving_avg": q_moving_avg,
     "time_range_frame": q_time_range_frame,
@@ -1562,6 +1609,29 @@ ORACLE: dict[str, str] = {
                         THEN o_totalprice END) AS p75_price
         FROM ranked GROUP BY o_orderstatus
     """,
+    "approx_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               count(*) AS n,
+               TRUE AS approx_ok
+        FROM events GROUP BY event_type
+    """,
+    "approx_quantile": """
+        WITH ranked AS (
+            SELECT o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+            FROM orders)
+        SELECT o_orderstatus,
+               max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                        THEN o_totalprice END) AS median_price,
+               max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT)
+                        THEN o_totalprice END) AS p75_price,
+               max(cnt) AS n,
+               TRUE AS approx_ok
+        FROM ranked GROUP BY o_orderstatus
+    """,
     "ann_ivf_cosine": """
         WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
         dims AS (SELECT unnest(generate_series(0, 63)) AS d),
@@ -1732,6 +1802,21 @@ ORACLE: dict[str, str] = {
                CAST(('0x' || substr(md5(text), 1, 4))::INT % 1920 AS BIGINT) AS fake_width,
                CAST(('0x' || substr(md5(text), 5, 4))::INT % 1080 AS BIGINT) AS fake_height
         FROM documents
+    """,
+    "frame_sampling": """
+        -- documents.text is ASCII in every sf (verified octet_length =
+        -- length), so VARCHAR substring is byte-identical to the Python
+        -- payload slice; DuckDB has no BLOB substring.
+        WITH docs AS (SELECT doc_id, text,
+                             octet_length(encode(text)) AS size
+                      FROM documents),
+        idx AS (SELECT unnest(generate_series(0, 3)) AS frame_idx)
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST((size * frame_idx) // 4 AS BIGINT) AS frame_offset_bytes,
+               md5(substring(text, CAST((size * frame_idx) // 4 AS BIGINT) + 1,
+                             64)) AS frame_hash
+        FROM docs CROSS JOIN idx
     """,
     "grouping_sets": """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,

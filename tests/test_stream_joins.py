@@ -140,6 +140,64 @@ def test_left_join_emits_expired_unmatched(spark, tmp_path):
     assert "lonely-null" in vals
 
 
+def test_left_join_per_batch_emission_trace(spark, tmp_path):
+    """Per-batch emission discipline for the left join — the closest Spark
+    analogue of the reference's per-record asserts
+    (AbstractJoinIntegrationTest.java:183-223).
+
+    The reference emits an EAGER ``A-null`` that may later be superseded by
+    ``A-a``; Spark's update-mode contract is stricter: a null-padded row is
+    emitted (a) only after the watermark proves no match can arrive, and
+    (b) exactly once. This trace test pins both halves of that refinement
+    (SURVEY.md §7.3 #1): no transient retraction ever reaches the sink.
+    """
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    ckpt = tmp_path / "ckpt"
+    ldir.mkdir(), rdir.mkdir()
+    with open(ldir / "part-0.json", "w") as f:
+        f.write(json.dumps({"key": 1, "value": "lonely", "ts_ms": BASE_MS}) + "\n")
+        f.write(json.dumps({"key": 3, "value": "A", "ts_ms": BASE_MS}) + "\n")
+    with open(rdir / "part-0.json", "w") as f:
+        f.write(json.dumps({"key": 3, "value": "a", "ts_ms": BASE_MS + 1}) + "\n")
+
+    trace: list[tuple[int, int, list[str]]] = []  # (run, batch_id, values)
+
+    def run(run_no: int):
+        joined = windowed_join(_stream(spark, ldir), _stream(spark, rdir),
+                               window_ms=10_000, watermark="1 second",
+                               how="leftOuter")
+
+        def sink(batch_df, batch_id):
+            vals = [r.joined_value for r in batch_df.collect()]
+            trace.append((run_no, batch_id, sorted(vals)))
+
+        q = (joined.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(1)
+    run1_vals = [v for rn, _, vs in trace if rn == 1 for v in vs]
+    # the matched pair emits as soon as both sides arrive...
+    assert "A-a" in run1_vals
+    # ...but no eager null-padding: the unmatched row is withheld until the
+    # watermark proves no partner can arrive
+    assert "lonely-null" not in run1_vals
+
+    # advance event time far past the join window, then drain again
+    with open(ldir / "flush.json", "w") as f:
+        f.write(json.dumps({"key": 9, "value": "zz", "ts_ms": FLUSH_MS}) + "\n")
+    with open(rdir / "flush.json", "w") as f:
+        f.write(json.dumps({"key": 8, "value": "zz", "ts_ms": FLUSH_MS}) + "\n")
+    run(2)
+
+    all_vals = [v for _, _, vs in trace for v in vs]
+    assert all_vals.count("lonely-null") == 1, (
+        f"null-padded row must emit exactly once, after expiry: {trace}")
+    assert all_vals.count("A-a") == 1, (
+        f"matched row must never be re-emitted on expiry: {trace}")
+
+
 @pytest.mark.slow
 def test_chained_join_triples(spark, tmp_path):
     rows = _run_join(spark, tmp_path, "inner", chained=True)
