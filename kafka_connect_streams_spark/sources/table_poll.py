@@ -79,13 +79,22 @@ class TablePollSource:
     """
 
     def __init__(self, reader: TableReader, *, mode: str = "incrementing",
-                 inc_col: str = "id", checkpoint: str | None = None):
+                 inc_col: str = "id", checkpoint: str | None = None,
+                 max_rows_per_poll: int | None = None):
         if mode not in ("bulk", "incrementing"):
             raise ValueError(f"unknown mode: {mode}")
+        if max_rows_per_poll is not None:
+            if mode != "incrementing":
+                raise ValueError(
+                    "max_rows_per_poll requires incrementing mode: a bulk "
+                    "snapshot is all-or-nothing, a capped snapshot is neither")
+            if max_rows_per_poll < 1:
+                raise ValueError("max_rows_per_poll must be >= 1")
         self.reader = reader
         self.mode = mode
         self.inc_col = inc_col
         self.checkpoint = checkpoint
+        self.max_rows_per_poll = max_rows_per_poll
         self._offset_path = (
             os.path.join(checkpoint, "table_poll_offset.json") if checkpoint else None)
 
@@ -108,11 +117,25 @@ class TablePollSource:
     # -- polling -----------------------------------------------------------
 
     def poll(self, spark: SparkSession) -> DataFrame:
-        """One micro-batch worth of rows (delta since the high-water mark)."""
+        """One micro-batch worth of rows (delta since the high-water mark).
+
+        With ``max_rows_per_poll`` set, the delta is capped to the N rows with
+        the smallest ``inc_col`` above the mark — backpressure in the
+        ``maxOffsetsPerTrigger`` sense (ST6): a burst on the source table
+        drains over several triggers instead of one oversized batch. The
+        reference gets the same property from its bounded transfer queue
+        (ConnectSourceConsumer's reader thread blocks when the queue fills).
+        Catalyst plans the cap as TakeOrderedAndProject — per-partition top-N
+        then a single merge of N rows, never a full global sort.
+        """
         snapshot = self.reader(spark)
         if self.mode == "bulk":
             return snapshot
-        return snapshot.filter(F.col(self.inc_col) > F.lit(self._load_offset()))
+        delta = snapshot.filter(F.col(self.inc_col) > F.lit(self._load_offset()))
+        if self.max_rows_per_poll is not None:
+            delta = (delta.orderBy(self.inc_col)
+                     .limit(self.max_rows_per_poll))
+        return delta
 
     def commit(self, batch: DataFrame) -> None:
         """Advance the high-water mark after a batch is durably delivered."""

@@ -60,6 +60,30 @@ class TestTablePoll:
         src.commit(src.poll(spark))
         assert src.poll(spark).count() == 2  # bulk re-emits everything
 
+    def test_backpressure_caps_batch_size_and_drains_fully(self, spark, tmp_path):
+        """ST6 backpressure: a 10-row burst with max_rows_per_poll=3 drains
+        over ceil(10/3)=4 polls, each batch ≤ 3 rows, in inc_col order, with
+        no row lost or duplicated — the maxOffsetsPerTrigger contract the
+        reference gets from its bounded transfer queue."""
+        table = tmp_path / "t"
+        _write_table(spark, table, [(i, f"r{i}") for i in range(1, 11)])
+        src = TablePollSource(parquet_dir_reader(str(table)),
+                              mode="incrementing", inc_col="id",
+                              checkpoint=str(tmp_path / "ckpt"),
+                              max_rows_per_poll=3)
+        batches = []
+        for _ in range(6):  # more polls than needed: later ones must be empty
+            b = src.poll(spark)
+            ids = sorted(r.id for r in b.collect())
+            src.commit(b)
+            batches.append(ids)
+        assert batches == [[1, 2, 3], [4, 5, 6], [7, 8, 9], [10], [], []]
+
+    def test_backpressure_rejects_bulk_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="incrementing"):
+            TablePollSource(parquet_dir_reader(str(tmp_path / "t")),
+                            mode="bulk", max_rows_per_poll=3)
+
     def test_streaming_loop_delivers(self, spark, tmp_path):
         table, out = tmp_path / "t", tmp_path / "out"
         _write_table(spark, table, [(1, "to be or"), (2, "not to be")])
