@@ -54,6 +54,12 @@ HEADLINE = [
     "user_journeys",
     "unpivot",
     "data_profile",
+    "market_share",
+    "returned_items",
+    "disjunctive_predicates",
+    "bigram_topk",
+    "stratified_sample",
+    "frame_sampling",
 ]
 
 

@@ -177,3 +177,73 @@ def hash_split(df: DataFrame, id_col: str,
         F.when(b < train, "train")
          .when(b < train + valid, "valid")
          .otherwise("test").alias("split"))
+
+
+def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
+                      rates: dict[str, int], default_rate: int = 100) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its md5-derived
+    bucket (0..99) falls under its stratum's percentage rate.
+
+    The training-data rebalancing primitive (e.g., downsample the dominant
+    language to 10% while keeping the tail at 100%). Like ``hash_split``
+    this is a pure projection — membership is a function of the row id
+    alone, so the sample is stable under repartitioning, retries, and
+    incremental appends, and the SAME rows are chosen by any engine that
+    can compute md5 (the DuckDB oracle reproduces it exactly). ``rates``
+    folds into one CASE expression: no join, no shuffle, scan-speed at
+    100 TB.
+    """
+    b = _split_bucket(id_col)
+    rate = F.lit(default_rate)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, pct).otherwise(rate)
+    return (df.withColumn("bucket", b)
+            .filter(F.col("bucket") < rate)
+            .drop("bucket"))
+
+
+def redact_terms(df: DataFrame, text_col: str, id_col: str,
+                 pattern: str) -> DataFrame:
+    """Sensitive-term scrubbing: replace every regex match with a fixed mask
+    and count the hits — the PII-removal shape (emails/phones/IDs in real
+    corpora; a term list here because the synthetic text has no digits).
+
+    Two regex expressions per row (replace + extract_all), whole-stage
+    codegen, no shuffle. The pattern must stay in the common subset of Java
+    regex (Spark) and RE2 (DuckDB) for oracle parity — word boundaries,
+    alternation, and classes all qualify.
+    """
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0))
+        .cast("bigint").alias("n_hits"),
+        F.md5(F.regexp_replace(F.col(text_col), pattern, "[REDACTED]"))
+        .alias("redacted_md5"),
+    )
+
+
+def ngram_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k bigrams: adjacent token pairs built inside the token
+    array (one ``transform`` over an index sequence — no self-join of the
+    exploded token table, which would shuffle the corpus twice), then one
+    explode + one count shuffle + a k-row ordered take.
+
+    Vocabulary-building shape for tokenizer training: the count shuffle
+    carries (bigram, partial-count) pairs after map-side combine, never raw
+    text. Tie-break on the bigram string makes the LIMIT deterministic.
+
+    The token array is materialized ONCE per row before the transform:
+    indexing an inline ``split()`` expression from inside the lambda would
+    re-evaluate the split per element — O(tokens²) per document.
+    """
+    t = F.col("_t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i),
+                              F.element_at(t, i + 1)))
+    return (df.select(_tok_array(text_col).alias("_t"))
+            .filter(F.size(t) >= 2)  # sequence(1,0) would run backwards
+            .select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "bigram")
+            .limit(k))

@@ -1032,6 +1032,217 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# extended analytics battery (round 2): decision-support shapes over the full
+# star schema + training-data pipeline primitives
+# ---------------------------------------------------------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of STANDARD-part revenue sold into
+    one region, per year. Two *roles* of the nation dim (supplier nation vs
+    customer nation) — both broadcast; the only shuffles are the three fact
+    joins' and the final year agg's."""
+    t = load_tables(spark, sf_dir)
+    vol = (F.col("l_extendedprice").cast(agg.DEC)
+           * (F.lit(1).cast(agg.DEC) - F.col("l_discount").cast(agg.DEC)))
+    cust_nation = (t["customer"]
+                   .join(F.broadcast(t["nation"]),
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+                   .join(F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("c_custkey"))
+    supp_nation = (t["supplier"]
+                   .join(F.broadcast(t["nation"]),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                   .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    li = (t["lineitem"]
+          .join(F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")
+                            .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .join(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
+          .join(F.broadcast(supp_nation),
+                F.col("l_suppkey") == F.col("s_suppkey")))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol) \
+              .otherwise(F.lit(0).cast(agg.DEC))
+    return (li.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(F.sum(target).cast("double")
+                         / F.sum(vol).cast("double"), 9).alias("mkt_share"),
+                 F.sum(vol).cast("double").alias("total_volume")))
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of one month's revenue — the
+    conditional-share aggregate over a fact-dim broadcast join."""
+    t = load_tables(spark, sf_dir)
+    vol = (F.col("l_extendedprice").cast(agg.DEC)
+           * (F.lit(1).cast(agg.DEC) - F.col("l_discount").cast(agg.DEC)))
+    li = (t["lineitem"]
+          .filter((F.col("l_shipdate") >= F.lit("1996-09-01"))
+                  & (F.col("l_shipdate") < F.lit("1996-10-01")))
+          .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey")))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast(agg.DEC))
+    return li.agg(
+        F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(vol).cast("double"), 9).alias("promo_share_pct"),
+        F.count("*").alias("n_lines"))
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter. Fact-fact join shuffles on the order key; customer and nation
+    dims broadcast; the LIMIT is a deterministic ordered take."""
+    t = load_tables(spark, sf_dir)
+    rev = (F.col("l_extendedprice").cast(agg.DEC)
+           * (F.lit(1).cast(agg.DEC) - F.col("l_discount").cast(agg.DEC)))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (li.join(orders.select("o_orderkey", "o_custkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+def q_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: this schema has no shipmode — linestatus
+    plays the mode role): per linestatus, how many 1996-shipped lines belong
+    to critical- vs normal-priority orders."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(t["orders"].select("o_orderkey", "o_orderpriority"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count")))
+
+
+def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs over a fact-dim join. Catalyst extracts
+    the common l_quantity bounds and pushes the per-branch predicates below
+    the join — the pushdown stress-test for disjunctions."""
+    t = load_tables(spark, sf_dir)
+    rev = (F.col("l_extendedprice").cast(agg.DEC)
+           * (F.lit(1).cast(agg.DEC) - F.col("l_discount").cast(agg.DEC)))
+    j = t["lineitem"].join(F.broadcast(t["part"]),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity")
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand) & (F.col("p_size").between(1, smax))
+        & qty.between(qlo, qhi))
+    cond = (branch("Brand#1", 5, 1, 11)
+            | branch("Brand#2", 10, 10, 20)
+            | branch("Brand#3", 15, 20, 30))
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the global average
+    balance with no recent orders (none since 1999) — scalar subquery
+    (broadcast 1-row agg) + left-anti join, counted per nation."""
+    t = load_tables(spark, sf_dir)
+    bal = F.col("c_acctbal").cast(agg.DEC)
+    avg_bal = (t["customer"].filter(bal > 0)
+               .agg((F.sum(bal).cast("double") / F.count("*")).alias("avg_bal")))
+    rich = (t["customer"]
+            .join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal")))
+    recent = (t["orders"]
+              .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+              .select("o_custkey"))
+    idle = rich.join(recent,
+                     F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (idle.join(F.broadcast(t["nation"]),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_cust"),
+                 F.sum(bal).cast("double").alias("total_bal")))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling: dominant 'en' kept at 10%,
+    the tail at 50% — the corpus-rebalancing primitive, reproduced
+    row-identically by the oracle (md5-bucket membership, no RNG)."""
+    from kafka_connect_streams_spark.operators.text import stratified_sample
+    t = load_tables(spark, sf_dir)
+    return stratified_sample(
+        t["documents"].select("doc_id", "lang", "source"),
+        "doc_id", "lang", rates={"en": 10}, default_rate=50)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term scrubbing with per-doc hit counts (PII-removal shape;
+    a term pattern stands in for email/phone regexes — the synthetic text
+    has no digits)."""
+    from kafka_connect_streams_spark.operators.text import redact_terms
+    t = load_tables(spark, sf_dir)
+    return redact_terms(t["documents"], "text", "doc_id",
+                        r"\b(key|value|secret)\b")
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — vocabulary building for tokenizer
+    training; pairs are formed inside the token array, not via a self-join
+    of the exploded corpus."""
+    from kafka_connect_streams_spark.operators.text import ngram_topk
+    t = load_tables(spark, sf_dir)
+    return ngram_topk(t["documents"], "text", k=20)
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skew-prone event stream:
+    (event_type, salt) partial counts/sums → final combine. The result is
+    bit-identical to the plain groupBy (which is what the oracle runs) —
+    this row proves the hot-key rewrite changes the shuffle layout, never
+    the answer. Use when ONE key holds >~5% of rows and AQE cannot split
+    a hash partition below key granularity."""
+    from kafka_connect_streams_spark.operators.skew import (salted_count,
+                                                            salted_sum)
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    cnt = salted_count(ev, "event_type", "event_id", buckets=16)
+    amt = salted_sum(ev, "event_type", F.col("value").cast(agg.DEC),
+                     "event_id", "total_value", buckets=16)
+    return (cnt.join(amt, "event_type")
+            .select("event_type", "cnt",
+                    F.col("total_value").cast("double").alias("total_value")))
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel over the corpus: how many documents survive each
+    successive training-data gate (length → quality score → language).
+    One pass computes all gates; the funnel is a 4-row union of counts."""
+    from kafka_connect_streams_spark.operators.text import quality_score
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    q = quality_score(docs, "text", "doc_id").select("doc_id", "quality")
+    gated = (docs.select("doc_id", "lang", F.length("text").alias("n_chars"))
+             .join(q, "doc_id"))
+    g1 = F.col("n_chars") >= 200
+    g2 = g1 & (F.col("quality") >= 0.5)
+    g3 = g2 & (F.col("lang") == "en")
+    return gated.agg(
+        F.count("*").alias("n_total"),
+        F.sum(g1.cast("long")).alias("n_len_ok"),
+        F.sum(g2.cast("long")).alias("n_quality_ok"),
+        F.sum(g3.cast("long")).alias("n_en_ok"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1106,6 +1317,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot": q_unpivot,
     "data_profile": q_data_profile,
     "approx_quantile": q_approx_quantile,
+    "market_share": q_market_share,
+    "promo_revenue": q_promo_revenue,
+    "returned_items": q_returned_items,
+    "linestatus_priority": q_linestatus_priority,
+    "disjunctive_predicates": q_disjunctive_predicates,
+    "idle_customers": q_idle_customers,
+    "skew_salted_agg": q_skew_salted_agg,
+    "stratified_sample": q_stratified_sample,
+    "pii_redaction": q_pii_redaction,
+    "bigram_topk": q_bigram_topk,
+    "quality_funnel": q_quality_funnel,
 }
 
 ORACLE: dict[str, str] = {
@@ -2186,5 +2408,168 @@ ORACLE: dict[str, str] = {
         UNION ALL
         SELECT n, 'o_totalprice', nn_price, nd_price, min_price,
                max_price FROM wide
+    """,
+    "market_share": """
+        WITH amer_cust AS (
+            SELECT c_custkey
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'),
+        supp_n AS (
+            SELECT s_suppkey, n_name AS supp_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        j AS (
+            SELECT year(o_orderdate) AS yr, supp_nation,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN amer_cust ON o_custkey = c_custkey
+            JOIN supp_n ON l_suppkey = s_suppkey)
+        SELECT CAST(yr AS INTEGER) AS o_year,
+               ROUND(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END)
+                          AS DOUBLE)
+                     / CAST(sum(vol) AS DOUBLE), 9) AS mkt_share,
+               CAST(sum(vol) AS DOUBLE) AS total_volume
+        FROM j GROUP BY yr
+    """,
+    "promo_revenue": """
+        SELECT ROUND(100.0
+                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE), 9) AS promo_share_pct,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "linestatus_priority": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+    """,
+    "disjunctive_predicates": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "idle_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*) AS avg_bal
+            FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        SELECT n_name,
+               count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer, avg_bal
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY n_name
+    """,
+    "skew_salted_agg": """
+        SELECT event_type, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100
+              < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+    """,
+    "pii_redaction": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\b(key|value|secret)\\b'))
+                    AS BIGINT) AS n_hits,
+               md5(regexp_replace(text, '\\b(key|value|secret)\\b',
+                                  '[REDACTED]', 'g')) AS redacted_md5
+        FROM documents
+    """,
+    "bigram_topk": """
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS t
+            FROM documents),
+        big AS (
+            SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1]))
+                     AS bigram
+            FROM toks WHERE len(t) >= 2)
+        SELECT bigram, count(*) AS n
+        FROM big GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+    "quality_funnel": """
+        WITH f AS (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> length(t) > 0)) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> length(t) > 0 AND t IN
+                            ('the','a','of','and','to','in','is','that','it','for')))
+                        AS DOUBLE) AS n_stop,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                     AS n_punct
+            FROM documents),
+        r AS (
+            SELECT doc_id, lang, n_chars,
+                   0.4 * least(n_chars / 500.0, 1.0)
+                   + 0.3 * (CASE WHEN n_tok > 0
+                                 THEN least(n_stop / n_tok * 5.0, 1.0)
+                                 ELSE 0.0 END)
+                   + 0.3 * (1.0 - CASE WHEN n_chars > 0
+                                       THEN n_punct / n_chars
+                                       ELSE 0.0 END) AS quality
+            FROM f)
+        SELECT count(*) AS n_total,
+               sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS n_len_ok,
+               sum(CASE WHEN n_chars >= 200 AND quality >= 0.5
+                        THEN 1 ELSE 0 END) AS n_quality_ok,
+               sum(CASE WHEN n_chars >= 200 AND quality >= 0.5
+                        AND lang = 'en' THEN 1 ELSE 0 END) AS n_en_ok
+        FROM r
     """,
 }

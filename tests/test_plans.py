@@ -82,6 +82,75 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    """Q8 shape: part/customer/nation/region/supplier are all dim-sized —
+    every join but the lineitem⋈orders fact join must broadcast, and the
+    p_type filter must reach the part scan."""
+    df = Q.q_market_share(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert has_pushed_filter(df, "p_type"), plan
+
+
+def test_disjunctive_predicates_push_to_scan(spark, sf_dir):
+    """Q19 shape: Catalyst must extract scan-level filters from the
+    OR-of-ANDs (at minimum the OR of brand/size bounds on part and the OR
+    of quantity bounds on lineitem)."""
+    df = Q.q_disjunctive_predicates(spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity"), physical_plan(df)
+    assert has_pushed_filter(df, "p_brand"), physical_plan(df)
+
+
+def test_stratified_sample_is_pure_projection(spark, sf_dir):
+    """Deterministic sampling must not shuffle: membership is a per-row
+    hash, so the plan is scan → filter → project, repartition-stable."""
+    df = Q.q_stratified_sample(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+
+
+def test_bigram_topk_single_count_shuffle(spark, sf_dir):
+    """Bigrams form inside the token array (no exploded self-join): the
+    plan carries ONE count shuffle plus the k-row ordered take, with
+    map-side partial aggregation ahead of the exchange."""
+    df = Q.q_bigram_topk(spark, sf_dir)
+    assert shuffle_count(df) <= 1, physical_plan(df)
+    assert has_partial_aggregate(df), physical_plan(df)
+
+
+def test_partition_pruning_skips_directories(spark, sf_dir, tmp_path):
+    """Hive-style date partitioning must prune at planning time: a filter on
+    the partition column reads ONLY the matching directories — the layout
+    that turns a 100 TB full scan into a single-day scan."""
+    events = load_tables(spark, sf_dir)["events"].withColumn(
+        "day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    import re
+
+    part = spark.read.parquet(out)
+    day = events.selectExpr("cast(min(day) as string)").first()[0]
+    one_day = part.filter(F.col("day") == day)
+    plan = physical_plan(one_day)
+    # the day predicate must land in PartitionFilters (directory pruning at
+    # planning time), not merely in the row-level data filters
+    assert re.search(r"PartitionFilters: \[[^\]]*day", plan), plan
+    n_days = events.select("day").distinct().count()
+    assert n_days > 1
+    assert 0 < one_day.count() < events.count()
+
+
+def test_salted_agg_spreads_hot_key(spark, sf_dir):
+    """The salted rewrite's phase-1 shuffle key must be (key, salt) — i.e.
+    two exchanges total (partial over salt, final over key), both behind
+    partial aggregation."""
+    df = Q.q_skew_salted_agg(spark, sf_dir)
+    assert has_partial_aggregate(df), physical_plan(df)
+    # count-branch + sum-branch + their final combines + the key join:
+    # salting must not add more than the expected exchanges
+    assert shuffle_count(df) <= 5, physical_plan(df)
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Same-key bucketed tables join with NO Exchange on either side —
     the write-time layout replaces the reference's repartition topics."""
