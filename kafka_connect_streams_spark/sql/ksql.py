@@ -39,6 +39,54 @@ _CSAS_RE = re.compile(
     r"^\s*CREATE\s+(STREAM|TABLE)\s+(\w+)\s*"
     r"(?:WITH\s*\((?P<props>.*?)\)\s*)?AS\s+(?P<select>SELECT\b.*?);?\s*$",
     re.IGNORECASE | re.DOTALL)
+_WINDOW_RE = re.compile(
+    r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING|SESSION)\s*\((?P<spec>[^)]*)\)",
+    re.IGNORECASE)
+
+
+def rewrite_window_clause(sql: str) -> str:
+    """KSQL ``WINDOW TUMBLING/HOPPING/SESSION (...)`` → Spark grouping exprs.
+
+    KSQL 5.1 windows an aggregate with a clause between FROM and GROUP BY
+    (ksql WindowingIntTest surface); Spark expresses the same thing as a
+    ``window()``/``session_window()`` grouping expression. The rewrite:
+
+    - drops the WINDOW clause,
+    - prepends the equivalent ``window(timestamp_millis(rowtime), ...)`` to
+      the GROUP BY list (ROWTIME is the stream's epoch-ms pseudo-column, so
+      every registered stream can window),
+    - maps ``WINDOWSTART``/``WINDOWEND`` to ``window.start``/``window.end``.
+
+    Pure source-to-source: the result is ordinary Spark SQL and plans as a
+    native (streaming-capable, watermark-compatible) windowed aggregate.
+    """
+    m = _WINDOW_RE.search(sql)
+    if not m:
+        return sql
+    kind, spec = m.group("kind").upper(), m.group("spec")
+    dur_m = re.search(r"(?:SIZE\s+)?(\d+)\s+(\w+)", spec, re.IGNORECASE)
+    if not dur_m:
+        raise ValueError(f"cannot parse window duration: {spec!r}")
+    dur = f"{dur_m.group(1)} {dur_m.group(2).lower()}"
+    ts = "timestamp_millis(rowtime)"
+    if kind == "SESSION":
+        wexpr = f"session_window({ts}, '{dur}')"
+    elif kind == "HOPPING":
+        adv = re.search(r"ADVANCE\s+BY\s+(\d+)\s+(\w+)", spec, re.IGNORECASE)
+        if not adv:
+            raise ValueError(f"HOPPING window needs ADVANCE BY: {spec!r}")
+        wexpr = (f"window({ts}, '{dur}', "
+                 f"'{adv.group(1)} {adv.group(2).lower()}')")
+    else:
+        wexpr = f"window({ts}, '{dur}')"
+    out = sql[:m.start()] + sql[m.end():]
+    out, n = re.subn(r"\bGROUP\s+BY\b", f"GROUP BY {wexpr},", out,
+                     count=1, flags=re.IGNORECASE)
+    if n == 0:  # windowed aggregate without explicit keys
+        out += f" GROUP BY {wexpr}"
+    out = re.sub(r"\bWINDOWSTART\b", "window.start", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bWINDOWEND\b", "window.end", out, flags=re.IGNORECASE)
+    return out
 
 
 def _parse_props(s: str | None) -> dict[str, str]:
@@ -88,6 +136,7 @@ class KsqlContext:
 
     def sql(self, statement: str) -> DataFrame | None:
         from kafka_connect_streams_spark.functions import rewrite_ksql_sql
+        statement = rewrite_window_clause(statement)
         m = _CSAS_RE.match(statement)
         if m:
             return self._csas(m)

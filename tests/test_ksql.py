@@ -86,6 +86,64 @@ class TestPassthroughSql:
         assert ctx.sql("SELECT 1 AS x").collect()[0].x == 1
 
 
+class TestWindowedAggregates:
+    """KSQL WINDOW TUMBLING/HOPPING/SESSION clauses → native Spark
+    window()/session_window() grouping (KSQL 5.1 windowed-aggregate
+    surface). rowtime binds to ordertime (epoch-ms) via WITH(timestamp=...):
+    rows land at 1..8 ms, so a 5 ms tumble splits them [0,5)={1..4},
+    [5,10)={5..8}."""
+
+    WDDL = """CREATE STREAM orders (ORDERTIME bigint, ORDERID varchar,
+              ITEMID varchar, ORDERUNITS double)
+              WITH (kafka_topic='orders_topic', value_format='JSON',
+                    key='ordertime', timestamp='ordertime')"""
+
+    def test_tumbling_counts(self, ctx, spark):
+        ctx.sql(self.WDDL)
+        rows = ctx.sql(
+            "SELECT WINDOWSTART AS wstart, count(*) AS n FROM orders "
+            "WINDOW TUMBLING (SIZE 5 MILLISECONDS) GROUP BY 1"
+        ).collect()
+        # GROUP BY 1 == the injected window expr; two buckets of 4
+        assert sorted(r.n for r in rows) == [4, 4]
+
+    def test_tumbling_with_key(self, ctx, spark):
+        ctx.sql(self.WDDL)
+        rows = ctx.sql(
+            "SELECT itemid, count(*) AS n FROM orders "
+            "WINDOW TUMBLING (SIZE 5 MILLISECONDS) GROUP BY itemid"
+        ).collect()
+        assert len(rows) == 8 and all(r.n == 1 for r in rows)
+
+    def test_hopping_overlap(self, ctx, spark):
+        ctx.sql(self.WDDL)
+        rows = ctx.sql(
+            "SELECT WINDOWSTART AS wstart, count(*) AS n FROM orders "
+            "WINDOW HOPPING (SIZE 4 MILLISECONDS, ADVANCE BY 2 MILLISECONDS) "
+            "GROUP BY 1"
+        ).collect()
+        # every row falls in exactly 2 hops → total count doubles
+        assert sum(r.n for r in rows) == 16
+
+    def test_session_single_burst(self, ctx, spark):
+        ctx.sql(self.WDDL)
+        rows = ctx.sql(
+            "SELECT count(*) AS n FROM orders "
+            "WINDOW SESSION (10 MILLISECONDS)"
+        ).collect()
+        # gaps are 1 ms < 10 ms: one session holding all 8 rows
+        assert [r.n for r in rows] == [8]
+
+    def test_csas_with_window(self, ctx, spark):
+        ctx.sql(self.WDDL)
+        ctx.sql(
+            "CREATE TABLE counts_by_window AS "
+            "SELECT WINDOWSTART AS wstart, WINDOWEND AS wend, count(*) AS n "
+            "FROM orders WINDOW TUMBLING (SIZE 5 MILLISECONDS) GROUP BY 1, 2")
+        rows = spark.sql("SELECT * FROM counts_by_window").collect()
+        assert sorted(r.n for r in rows) == [4, 4]
+
+
 class TestArrayMapColumns:
     """FIXTURES.md §5 / OrderDataProvider.java:32-43: the orders_full fixture
     with PRICEARRAY array<double> and KEYVALUEMAP map<varchar,double>."""
