@@ -1203,6 +1203,36 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_topk(t["documents"], "text", k=20)
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed-token-budget
+    packs (budget 2048) by sequential chunking WITHIN md5-derived buckets.
+
+    A global first-fit pack would need one total order over the corpus — a
+    single-reducer bottleneck at 100 TB. Bucketing first (md5(doc_id) % 32)
+    makes packing embarrassingly parallel: each bucket packs independently
+    under a per-bucket window, and pack ids are (bucket, seq) pairs. The
+    assignment is a pure function of (doc_id, token_count), so it is
+    deterministic across engines, retries, and repartitioning.
+    """
+    t = load_tables(spark, sf_dir)
+    budget = 2048
+    toks = t["documents"].select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                        lambda x: F.length(x) > 0)).cast("bigint").alias("n_tok"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("int") % 32).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    packed = toks.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "doc_id", "n_tok", "bucket",
+        F.floor((F.col("cum") - F.col("n_tok")) / budget).cast("int")
+        .alias("seq"))
+    return (packed.groupBy("bucket", "seq")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("pack_tokens"))
+            .withColumn("bucket", F.col("bucket").cast("int")))
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the skew-prone event stream:
     (event_type, salt) partial counts/sums → final combine. The result is
@@ -1323,6 +1353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linestatus_priority": q_linestatus_priority,
     "disjunctive_predicates": q_disjunctive_predicates,
     "idle_customers": q_idle_customers,
+    "sequence_packing": q_sequence_packing,
     "skew_salted_agg": q_skew_salted_agg,
     "stratified_sample": q_stratified_sample,
     "pii_redaction": q_pii_redaction,
@@ -2506,6 +2537,24 @@ ORACLE: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
+    """,
+    "sequence_packing": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> length(x) > 0)) AS BIGINT) AS n_tok,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                     % 32 AS bucket
+            FROM documents),
+        packed AS (
+            SELECT doc_id, n_tok, bucket,
+                   CAST(floor((sum(n_tok) OVER (PARTITION BY bucket
+                                                ORDER BY doc_id) - n_tok)
+                              / 2048) AS INTEGER) AS seq
+            FROM toks)
+        SELECT CAST(bucket AS INTEGER) AS bucket, seq,
+               count(*) AS n_docs, sum(n_tok) AS pack_tokens
+        FROM packed GROUP BY bucket, seq
     """,
     "skew_salted_agg": """
         SELECT event_type, count(*) AS cnt,
