@@ -109,6 +109,32 @@ class TestTablePoll:
         assert out is not None
 
 
+class TestDatabaseFlatMap:
+    """examples/DatabaseFlatMap.java end to end: external table in, one row
+    PER WORD out to a sink table — the database twin of the Kafka flatMap
+    round-trip (no aggregation, multiplicity preserved)."""
+
+    def test_table_to_table_flatmap(self, spark, tmp_path):
+        from kafka_connect_streams_spark.operators.projections import (
+            flat_map_values)
+        table, out = tmp_path / "t", tmp_path / "words_out"
+        _write_table(spark, table, [(1, "all streams lead to kafka"),
+                                    (2, "hello kafka streams")])
+        src = TablePollSource(parquet_dir_reader(str(table)),
+                              mode="incrementing", inc_col="id",
+                              checkpoint=str(tmp_path / "ckpt"))
+        batch = src.poll(spark)
+        words = flat_map_values(batch, "lines")
+        words.write.mode("append").parquet(str(out))
+        src.commit(batch)
+        got = sorted(r.word for r in spark.read.parquet(str(out)).collect())
+        expected = sorted(w for _, line in
+                          [(1, "all streams lead to kafka"),
+                           (2, "hello kafka streams")]
+                          for w in line.lower().split())
+        assert got == expected
+
+
 class TestSinks:
     def test_upsert_keeps_latest_per_key(self, spark, tmp_path):
         path = str(tmp_path / "counts")

@@ -135,6 +135,39 @@ class TestKafkaWordCountRoundTrip:
         finally:
             q.stop()
 
+    def test_flatmap_round_trip(self, spark, broker, tmp_path):
+        """examples/KafkaFlatMap.java:56-63 end to end: lines in, one record
+        PER WORD out (append mode, no aggregation) — the 1→N expansion hits
+        the output topic with multiplicity preserved."""
+        broker.create_topic("words", partitions=1)
+        _produce(broker, LINES_WAVE1)
+        fb.register(spark)
+        raw = (spark.readStream.format("filebroker")
+               .option("path", broker.root).option("subscribe", "lines")
+               .load())
+        words = (raw.select(F.col("value").cast("string").alias("line"))
+                 .select(F.explode(F.split(F.lower("line"), r"\W+"))
+                         .alias("word"))
+                 .filter(F.length("word") > 0)
+                 .select(F.col("word").alias("key"),
+                         F.col("word").alias("value")))
+        writer = fb.filebroker_writer(broker.root, "words")
+        q = (words.writeStream.outputMode("append")
+             .foreachBatch(writer)
+             .option("checkpointLocation", str(tmp_path / "ckpt_fm"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (spark.read.format("filebroker")
+               .option("path", broker.root).option("subscribe", "words")
+               .load())
+        got = sorted(bytes(r.value).decode() for r in out.collect())
+        expected = sorted(
+            w for line in LINES_WAVE1 for w in line.lower().split())
+        assert got == expected  # multiset equality, repetition preserved
+
     def test_decode_records_runs_unchanged_on_live_source(
             self, spark, broker, tmp_path):
         """The jar-gated kafka.py decode path, against a live stream."""
