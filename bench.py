@@ -60,6 +60,8 @@ HEADLINE = [
     "bigram_topk",
     "stratified_sample",
     "frame_sampling",
+    "sequence_packing",
+    "ann_recall",
 ]
 
 
