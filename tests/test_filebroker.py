@@ -168,6 +168,51 @@ class TestKafkaWordCountRoundTrip:
             w for line in LINES_WAVE1 for w in line.lower().split())
         assert got == expected  # multiset equality, repetition preserved
 
+    def test_windowed_join_over_broker(self, spark, broker, tmp_path):
+        """Stream-stream windowed join with BOTH legs consumed from broker
+        topics and the result produced back — the stand-in twin of
+        StreamStreamJoinIntegrationTest's cluster run. Uses the A/a B/b
+        matched subset of the golden trace; inner join within ±10 s."""
+        broker.create_topic("left", partitions=1)
+        broker.create_topic("right", partitions=1)
+        broker.create_topic("joined", partitions=1)
+        base = 1_700_000_000_000
+        p = broker.producer()
+        for v, off in (("A", 2), ("B", 4)):
+            p.send("left", v, key="0", timestamp_ms=base + off)
+        for v, off in (("a", 3), ("b", 5)):
+            p.send("right", v, key="0", timestamp_ms=base + off)
+        p.flush()
+        fb.register(spark)
+        from kafka_connect_streams_spark.streaming.joins import windowed_join
+
+        def leg(topic):
+            raw = (spark.readStream.format("filebroker")
+                   .option("path", broker.root).option("subscribe", topic)
+                   .load())
+            return raw.select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+                F.col("timestamp").cast("timestamp").alias("ts"))
+
+        joined = windowed_join(leg("left"), leg("right"),
+                               window_ms=10_000, watermark="1 second",
+                               how="inner")
+        out = joined.select(F.col("key"),
+                            F.col("joined_value").alias("value"))
+        writer = fb.filebroker_writer(broker.root, "joined")
+        q = (out.writeStream.outputMode("append").foreachBatch(writer)
+             .option("checkpointLocation", str(tmp_path / "ckpt_j")).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        res = (spark.read.format("filebroker")
+               .option("path", broker.root).option("subscribe", "joined")
+               .load())
+        got = sorted(bytes(r.value).decode() for r in res.collect())
+        assert got == ["A-a", "A-b", "B-a", "B-b"]
+
     def test_decode_records_runs_unchanged_on_live_source(
             self, spark, broker, tmp_path):
         """The jar-gated kafka.py decode path, against a live stream."""
