@@ -465,6 +465,37 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(queries, emb, k=5, planes=6)
 
 
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index quality eval: recall of MinHash-LSH candidate pairs
+    against the EXACT set of near-dup pairs (full n-gram Jaccard ≥ 0.5,
+    no stop-shingle cap — pairs sharing zero shingles have Jaccard 0, so
+    the shared-shingle join IS the complete ground truth). Also reports
+    candidate-set size: together recall + |candidates| quantify the LSH
+    quality/cost trade-off the banding parameters buy. Deterministic
+    (md5-seeded hashes both sides), so the number itself is hash-verified."""
+    from kafka_connect_streams_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
+        shingles)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    exact = (ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                 max_doc_freq=1 << 40, threshold=0.5)
+             .select("id_a", "id_b"))
+    sigs = minhash_signatures(shingles(docs, "text", "doc_id", n=3),
+                              "doc_id", k=16)
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, rows=4)
+    stats = (exact.join(cand.withColumn("_hit", F.lit(1)),
+                        ["id_a", "id_b"], "left")
+             .agg(F.count("*").alias("n_exact"),
+                  F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits")))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    return (stats.join(n_cand)
+            .select(F.round(F.col("n_hits").cast("double")
+                            / F.col("n_exact").cast("double"), 9)
+                    .alias("recall"),
+                    "n_exact", "n_candidates"))
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality eval: recall@5 of the LSH-bucketed search against the
     exact brute-force neighbors, as one plan. The approximate index's
@@ -1378,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linestatus_priority": q_linestatus_priority,
     "disjunctive_predicates": q_disjunctive_predicates,
     "idle_customers": q_idle_customers,
+    "dedup_recall": q_dedup_recall,
     "ann_recall": q_ann_recall,
     "sequence_packing": q_sequence_packing,
     "skew_salted_agg": q_skew_salted_agg,
@@ -2563,6 +2595,63 @@ ORACLE: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
+    """,
+    "dedup_recall": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        exact AS (
+            SELECT id_a, id_b
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_shared AS DOUBLE)
+                  / (sa.set_size + sb.set_size - n_shared) >= 0.5),
+        seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        sh2 AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 12))::BIGINT % 2147483647 AS h0
+            FROM sh),
+        sigs AS (
+            SELECT doc_id, seed,
+                   min((h0 * (2*seed + 1) + seed * 2654435769) % 2147483647) AS sig
+            FROM sh2 CROSS JOIN seeds
+            GROUP BY doc_id, seed),
+        banded AS (
+            SELECT doc_id, seed // 4 AS band,
+                   md5(string_agg(sig::VARCHAR, ',' ORDER BY seed)) AS band_key
+            FROM sigs GROUP BY doc_id, seed // 4),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id),
+        stats AS (
+            SELECT count(*) AS n_exact,
+                   sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+            FROM exact e LEFT JOIN cand c
+              ON e.id_a = c.id_a AND e.id_b = c.id_b)
+        SELECT ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 9)
+                 AS recall,
+               n_exact,
+               (SELECT count(*) FROM cand) AS n_candidates
+        FROM stats
     """,
     "ann_recall": """
         WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
