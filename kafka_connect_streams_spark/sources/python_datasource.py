@@ -42,6 +42,26 @@ _ARROW_TO_DDL = {
 }
 
 
+def _unified_dataset(path: str):
+    """Open the parquet dir with the UNION of all fragments' schemas.
+
+    Connect carries schemas per record and lets a topic's schema widen over
+    time (SURVEY.md §1.4); the parquet analogue is a directory whose later
+    files add nullable columns. ``pads.dataset`` alone binds the FIRST
+    fragment's schema (silently dropping new columns), so we unify across
+    fragments — old files then read with nulls in the added columns, the
+    exact Connect backward-compatible-evolution contract. Metadata-only:
+    unification reads footers, not data pages.
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    ds = pads.dataset(path, format="parquet")
+    unified = pa.unify_schemas([f.physical_schema for f in ds.get_fragments()])
+    if unified == ds.schema:
+        return ds
+    return pads.dataset(path, format="parquet", schema=unified)
+
+
 def _arrow_ddl(field) -> str:
     t = str(field.type)
     if t.startswith("timestamp"):
@@ -126,7 +146,7 @@ class TableDeltaStreamReader(DataSourceStreamReader):
         if partition.hi <= partition.lo:
             return
         import pyarrow.dataset as pads
-        ds = pads.dataset(partition.path, format="parquet")
+        ds = _unified_dataset(partition.path)
         expr = ((pads.field(partition.inc_col) > partition.lo)
                 & (pads.field(partition.inc_col) <= partition.hi))
         # filter + column projection push into the parquet scan; yielding
@@ -155,8 +175,7 @@ class TableDeltaDataSource(DataSource):
         return "table_delta"
 
     def schema(self) -> str:
-        import pyarrow.dataset as pads
-        ds = pads.dataset(self.options["path"], format="parquet")
+        ds = _unified_dataset(self.options["path"])
         return ", ".join(_arrow_ddl(f) for f in ds.schema)
 
     def streamReader(self, schema) -> TableDeltaStreamReader:

@@ -224,6 +224,34 @@ class TestPythonDataSource:
         assert dict(df.dtypes) == {"id": "bigint", "lines": "string"}
 
 
+class TestSchemaEvolution:
+    """Connect schema evolution (SURVEY §1.4): a later file adds a nullable
+    column. A restarted stream binds the WIDENED schema; rows from old
+    files surface with nulls in the new column (backward compatibility)."""
+
+    def test_widened_schema_after_restart(self, spark, tmp_path):
+        from kafka_connect_streams_spark.sources.python_datasource import (
+            register)
+        register(spark)
+        table, out = tmp_path / "ext", str(tmp_path / "out")
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, lines string") \
+            .coalesce(1).write.mode("append").parquet(str(table))
+        spark.createDataFrame([(3, "c", 9.5)],
+                              "id bigint, lines string, score double") \
+            .coalesce(1).write.mode("append").parquet(str(table))
+
+        df = (spark.readStream.format("table_delta")
+              .option("path", str(table)).load())
+        assert dict(df.dtypes) == {"id": "bigint", "lines": "string",
+                                   "score": "double"}
+        q = (df.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {r.id: r.score for r in spark.read.parquet(out).collect()}
+        assert rows == {1: None, 2: None, 3: 9.5}
+
+
 class TestPythonDataSink:
     """Native PySpark DataSource streaming sink (S6/S7): executor-side
     Arrow put + driver-side atomic flush with idempotent epoch commit."""
