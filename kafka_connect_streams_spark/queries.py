@@ -497,28 +497,36 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality eval: recall@5 of the LSH-bucketed search against the
-    exact brute-force neighbors, as one plan. The approximate index's
-    quality becomes a MEASURED, hash-verified number (both algorithms are
-    deterministic, so recall is too) — the eval loop a production ANN
-    deployment runs before trusting an index, kept entirely distributed
-    (per-query hit counts, two scalar sums at the end)."""
+    """ANN quality eval: recall@5 of BOTH approximate indexes (hyperplane
+    LSH and IVF-Flat) against the exact brute-force neighbors, as one plan.
+    Each index's quality becomes a MEASURED, hash-verified number (all three
+    algorithms are deterministic, so recall is too) — the eval loop a
+    production ANN deployment runs before trusting an index, kept entirely
+    distributed (per-query hit counts, scalar sums at the end)."""
     from kafka_connect_streams_spark.operators.similarity import (
-        topk_cosine, topk_cosine_lsh)
+        topk_cosine, topk_cosine_ivf, topk_cosine_lsh)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
     queries = emb.filter(F.col("id") % 100 == 0)
     exact = topk_cosine(queries, emb, k=5).select("q_id", "c_id")
-    approx = topk_cosine_lsh(queries, emb, k=5, planes=6).select("q_id", "c_id")
-    hits = (exact.join(approx, ["q_id", "c_id"])
-            .groupBy("q_id").agg(F.count("*").alias("hits")))
+
+    def hits_of(approx, name):
+        return (exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
+                .groupBy("q_id").agg(F.count("*").alias(name)))
+
+    h_lsh = hits_of(topk_cosine_lsh(queries, emb, k=5, planes=6), "h_lsh")
+    h_ivf = hits_of(topk_cosine_ivf(queries, emb, k=5, n_centroids=16,
+                                    nprobe=4), "h_ivf")
     per_q = (exact.groupBy("q_id").agg(F.count("*").alias("k_actual"))
-             .join(hits, "q_id", "left")
-             .select(F.coalesce("hits", F.lit(0)).alias("hits"), "k_actual"))
-    return per_q.agg(
-        F.round(F.sum("hits").cast("double")
-                / F.sum("k_actual").cast("double"), 9).alias("recall_at_5"),
-        F.count("*").alias("n_queries"))
+             .join(h_lsh, "q_id", "left").join(h_ivf, "q_id", "left")
+             .select(F.coalesce("h_lsh", F.lit(0)).alias("h_lsh"),
+                     F.coalesce("h_ivf", F.lit(0)).alias("h_ivf"),
+                     "k_actual"))
+    recall = lambda c: F.round(  # noqa: E731
+        F.sum(c).cast("double") / F.sum("k_actual").cast("double"), 9)
+    return per_q.agg(recall("h_lsh").alias("recall_lsh"),
+                     recall("h_ivf").alias("recall_ivf"),
+                     F.count("*").alias("n_queries"))
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2707,16 +2715,67 @@ ORACLE: dict[str, str] = {
                                               ORDER BY cosine DESC, c_id) AS rank
                     FROM lsim),
         approx AS (SELECT q_id, c_id FROM lranked WHERE rank <= 5),
-        hits AS (SELECT e.q_id, count(*) AS hits
-                 FROM exact e JOIN approx a
-                   ON e.q_id = a.q_id AND e.c_id = a.c_id
-                 GROUP BY e.q_id),
-        per_q AS (SELECT k.q_id, coalesce(h.hits, 0) AS hits, k.k_actual
+        cents AS (SELECT id AS cent_id FROM emb ORDER BY id LIMIT 16),
+        centd AS (SELECT cent_id, d, x AS ex
+                  FROM cents JOIN comp ON comp.id = cents.cent_id),
+        asums AS (SELECT c.id AS c_id, e.cent_id,
+                         CAST(sum(c.x * e.ex) AS BIGINT) AS dot,
+                         CAST(sum(c.x * c.x) AS BIGINT) AS cn,
+                         CAST(sum(e.ex * e.ex) AS BIGINT) AS en
+                  FROM comp c JOIN centd e USING (d)
+                  GROUP BY c.id, e.cent_id),
+        asim AS (SELECT c_id, cent_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(cn AS DOUBLE) * CAST(en AS DOUBLE)) AS cosine
+                 FROM asums),
+        lists AS (SELECT c_id, cent_id FROM (
+                    SELECT c_id, cent_id,
+                           row_number() OVER (PARTITION BY c_id
+                                              ORDER BY cosine DESC, cent_id) AS rn
+                    FROM asim) WHERE rn = 1),
+        probes AS (SELECT q_id, cent_id FROM (
+                    SELECT c_id AS q_id, cent_id,
+                           row_number() OVER (PARTITION BY c_id
+                                              ORDER BY cosine DESC, cent_id) AS rn
+                    FROM asim WHERE c_id % 100 = 0) WHERE rn <= 4),
+        ipaired AS (SELECT q_id, c_id
+                    FROM probes JOIN lists USING (cent_id)
+                    WHERE q_id <> c_id),
+        isums AS (SELECT p.q_id, p.c_id,
+                         CAST(sum(qd3.x * cd3.x) AS BIGINT) AS dot,
+                         CAST(sum(qd3.x * qd3.x) AS BIGINT) AS qn,
+                         CAST(sum(cd3.x * cd3.x) AS BIGINT) AS cn
+                  FROM ipaired p
+                  JOIN comp qd3 ON qd3.id = p.q_id
+                  JOIN comp cd3 ON cd3.id = p.c_id AND cd3.d = qd3.d
+                  GROUP BY p.q_id, p.c_id),
+        isim AS (SELECT q_id, c_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                 FROM isums),
+        iranked AS (SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY cosine DESC, c_id) AS rank
+                    FROM isim),
+        iapprox AS (SELECT q_id, c_id FROM iranked WHERE rank <= 5),
+        hits_l AS (SELECT e.q_id, count(*) AS h
+                   FROM exact e JOIN approx a
+                     ON e.q_id = a.q_id AND e.c_id = a.c_id
+                   GROUP BY e.q_id),
+        hits_i AS (SELECT e.q_id, count(*) AS h
+                   FROM exact e JOIN iapprox a
+                     ON e.q_id = a.q_id AND e.c_id = a.c_id
+                   GROUP BY e.q_id),
+        per_q AS (SELECT k.q_id, coalesce(hl.h, 0) AS h_lsh,
+                         coalesce(hi.h, 0) AS h_ivf, k.k_actual
                   FROM (SELECT q_id, count(*) AS k_actual
                         FROM exact GROUP BY q_id) k
-                  LEFT JOIN hits h ON k.q_id = h.q_id)
-        SELECT ROUND(CAST(sum(hits) AS DOUBLE)
-                     / CAST(sum(k_actual) AS DOUBLE), 9) AS recall_at_5,
+                  LEFT JOIN hits_l hl ON k.q_id = hl.q_id
+                  LEFT JOIN hits_i hi ON k.q_id = hi.q_id)
+        SELECT ROUND(CAST(sum(h_lsh) AS DOUBLE)
+                     / CAST(sum(k_actual) AS DOUBLE), 9) AS recall_lsh,
+               ROUND(CAST(sum(h_ivf) AS DOUBLE)
+                     / CAST(sum(k_actual) AS DOUBLE), 9) AS recall_ivf,
                count(*) AS n_queries
         FROM per_q
     """,
