@@ -213,6 +213,41 @@ class TestKafkaWordCountRoundTrip:
         got = sorted(bytes(r.value).decode() for r in res.collect())
         assert got == ["A-a", "A-b", "B-a", "B-b"]
 
+    def test_avro_values_over_broker(self, spark, broker, tmp_path):
+        """Avro end to end over the wire: Confluent-framed Avro bodies
+        produced to a topic, consumed by a live stream, decoded with the
+        pure-Python codec, queried typed — the stand-in twin of the
+        reference's Avro serde selection (IntegrationTestHarness.java:335-349
+        via MockAvroConverter.java:24-39)."""
+        from kafka_connect_streams_spark.sources.avro_codec import (
+            confluent_frame, decode_avro_py, encode_datum)
+        schema = {"type": "record", "name": "Order", "fields": [
+            {"name": "orderid", "type": "string"},
+            {"name": "units", "type": "double"}]}
+        broker.create_topic("avro_orders", partitions=1)
+        p = broker.producer()
+        for oid, units in (("O1", 1.5), ("O2", 2.5)):
+            body = encode_datum(schema, {"orderid": oid, "units": units})
+            p.send("avro_orders", confluent_frame(1, body), key=oid,
+                   timestamp_ms=1_700_000_000_000)
+        p.flush()
+        fb.register(spark)
+        raw = (spark.readStream.format("filebroker")
+               .option("path", broker.root).option("subscribe", "avro_orders")
+               .load())
+        typed = decode_avro_py(raw.select("value"), "value", schema)
+        q = (typed.select("value.orderid", "value.units")
+             .writeStream.format("memory").queryName("avro_live")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_av")).start())
+        try:
+            q.processAllAvailable()
+            rows = {(r.orderid, r.units) for r in
+                    spark.sql("select * from avro_live").collect()}
+            assert rows == {("O1", 1.5), ("O2", 2.5)}
+        finally:
+            q.stop()
+
     def test_decode_records_runs_unchanged_on_live_source(
             self, spark, broker, tmp_path):
         """The jar-gated kafka.py decode path, against a live stream."""
