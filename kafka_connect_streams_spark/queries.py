@@ -1316,6 +1316,46 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("total_value").cast("double").alias("total_value")))
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the heaviest orders (total line
+    quantity > 250). The grouped-HAVING subquery runs ONCE and semi-joins
+    the fact table — Catalyst plans the aggregate once, never per-row."""
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast(agg.DEC)
+    heavy = (t["lineitem"].groupBy("l_orderkey")
+             .agg(F.sum(qty).cast("double").alias("total_qty"))
+             .filter(F.col("total_qty") > 250))
+    return (t["orders"]
+            .join(heavy, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_totalprice",
+                    "total_qty")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(20))
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free adaptation): parts whose revenue
+    exceeds 1.2× the MEAN part revenue. The global (total, n_parts) pair is
+    a 1-row broadcast scalar; the HAVING compares each group against it —
+    one fact scan feeds both aggregates, and the relative threshold binds
+    at any scale factor (a fixed share-of-total would not)."""
+    t = load_tables(spark, sf_dir)
+    rev = (F.col("l_extendedprice").cast(agg.DEC)
+           * (F.lit(1).cast(agg.DEC) - F.col("l_discount").cast(agg.DEC)))
+    li = t["lineitem"].select("l_partkey", rev.alias("rev"))
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("part_rev"))
+    total = li.agg(F.sum("rev").alias("total_rev"),
+                   F.count_distinct("l_partkey").alias("n_parts"))
+    return (per_part.join(F.broadcast(total))
+            .filter(F.col("part_rev").cast("double")
+                    > 1.2 * F.col("total_rev").cast("double")
+                    / F.col("n_parts"))
+            .select("l_partkey",
+                    F.col("part_rev").cast("double").alias("part_revenue")))
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate funnel over the corpus: how many documents survive each
     successive training-data gate (length → quality score → language).
@@ -1425,6 +1465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "bigram_topk": q_bigram_topk,
     "quality_funnel": q_quality_funnel,
+    "large_orders": q_large_orders,
+    "important_parts": q_important_parts,
 }
 
 ORACLE: dict[str, str] = {
@@ -2830,6 +2872,35 @@ ORACLE: dict[str, str] = {
         FROM big GROUP BY bigram
         ORDER BY n DESC, bigram
         LIMIT 20
+    """,
+    "large_orders": """
+        WITH heavy AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+        SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+        FROM orders
+        JOIN heavy ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "important_parts": """
+        WITH li AS (
+            SELECT l_partkey,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+            FROM lineitem),
+        per_part AS (
+            SELECT l_partkey, sum(rev) AS part_rev FROM li GROUP BY l_partkey),
+        total AS (SELECT sum(rev) AS total_rev,
+                         count(DISTINCT l_partkey) AS n_parts FROM li)
+        SELECT l_partkey, CAST(part_rev AS DOUBLE) AS part_revenue
+        FROM per_part, total
+        WHERE CAST(part_rev AS DOUBLE)
+              > 1.2 * CAST(total_rev AS DOUBLE) / n_parts
     """,
     "quality_funnel": """
         WITH f AS (
