@@ -1316,6 +1316,44 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("total_value").cast("double").alias("total_value")))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch (doc_id % 5 == 0) deduped against the
+    HISTORICAL corpus (the rest) by canonical token-set fingerprint — the
+    shape of every append-only ingestion pipeline: fingerprint the delta,
+    left-anti join the history index, keep only unseen content. At 100 TB
+    the history side is a compact (fingerprint) table, not the corpus."""
+    from kafka_connect_streams_spark.operators.text import fingerprint
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    fp = fingerprint(docs, "text", "doc_id").select("doc_id", "fingerprint")
+    batch = fp.filter(F.col("doc_id") % 5 == 0)
+    history = (fp.filter(F.col("doc_id") % 5 != 0)
+               .select("fingerprint").distinct())
+    return batch.join(history, "fingerprint", "left_anti") \
+                .select("doc_id", "fingerprint")
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag eval-set documents (doc_id % 50 == 0)
+    whose canonical fingerprint also appears in the training set — the
+    overlap check run before any benchmark number is trusted. One
+    fingerprint pass feeds both sides; the train side joins as a distinct
+    fingerprint set."""
+    from kafka_connect_streams_spark.operators.text import fingerprint
+    t = load_tables(spark, sf_dir)
+    fp = fingerprint(t["documents"], "text", "doc_id") \
+        .select("doc_id", "fingerprint")
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_set = fp.filter(is_eval)
+    train_fps = (fp.filter(~is_eval)
+                 .select("fingerprint").distinct()
+                 .withColumn("_in_train", F.lit(1)))
+    return (eval_set.join(train_fps, "fingerprint", "left")
+            .select("doc_id",
+                    (F.coalesce("_in_train", F.lit(0)) == 1)
+                    .alias("contaminated")))
+
+
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers behind the heaviest orders (total line
     quantity > 250). The grouped-HAVING subquery runs ONCE and semi-joins
@@ -1465,6 +1503,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "bigram_topk": q_bigram_topk,
     "quality_funnel": q_quality_funnel,
+    "incremental_dedup": q_incremental_dedup,
+    "decontamination": q_decontamination,
     "large_orders": q_large_orders,
     "important_parts": q_important_parts,
 }
@@ -2872,6 +2912,41 @@ ORACLE: dict[str, str] = {
         FROM big GROUP BY bigram
         ORDER BY n DESC, bigram
         LIMIT 20
+    """,
+    "incremental_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                     AS fingerprint
+            FROM toks)
+        SELECT doc_id, fingerprint
+        FROM fp b
+        WHERE doc_id % 5 = 0
+          AND NOT EXISTS (SELECT 1 FROM fp h
+                          WHERE h.doc_id % 5 <> 0
+                            AND h.fingerprint = b.fingerprint)
+    """,
+    "decontamination": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                     AS fingerprint
+            FROM toks)
+        SELECT doc_id,
+               EXISTS (SELECT 1 FROM fp t
+                       WHERE t.doc_id % 50 <> 0
+                         AND t.fingerprint = e.fingerprint) AS contaminated
+        FROM fp e WHERE doc_id % 50 = 0
     """,
     "large_orders": """
         WITH heavy AS (
