@@ -198,6 +198,47 @@ def test_left_join_per_batch_emission_trace(spark, tmp_path):
         f"matched row must never be re-emitted on expiry: {trace}")
 
 
+def test_outer_join_per_batch_emission_trace(spark, tmp_path):
+    """fullOuter twin of the left-join trace: the unmatched RIGHT row's
+    null-padded form (null-orphan) must also appear only after watermark
+    expiry and exactly once."""
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    ckpt = tmp_path / "ckpt"
+    ldir.mkdir(), rdir.mkdir()
+    with open(ldir / "part-0.json", "w") as f:
+        f.write(json.dumps({"key": 3, "value": "A", "ts_ms": BASE_MS}) + "\n")
+    with open(rdir / "part-0.json", "w") as f:
+        f.write(json.dumps({"key": 3, "value": "a", "ts_ms": BASE_MS + 1}) + "\n")
+        f.write(json.dumps({"key": 4, "value": "orphan", "ts_ms": BASE_MS}) + "\n")
+
+    trace: list[list[str]] = []
+
+    def run():
+        joined = windowed_join(_stream(spark, ldir), _stream(spark, rdir),
+                               window_ms=10_000, watermark="1 second",
+                               how="fullOuter")
+
+        def sink(batch_df, _bid):
+            trace.append(sorted(r.joined_value for r in batch_df.collect()))
+
+        q = (joined.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    flat1 = [v for vs in trace for v in vs]
+    assert "A-a" in flat1 and "null-orphan" not in flat1
+    with open(ldir / "flush.json", "w") as f:
+        f.write(json.dumps({"key": 9, "value": "zz", "ts_ms": FLUSH_MS}) + "\n")
+    with open(rdir / "flush.json", "w") as f:
+        f.write(json.dumps({"key": 8, "value": "zz", "ts_ms": FLUSH_MS}) + "\n")
+    run()
+    flat = [v for vs in trace for v in vs]
+    assert flat.count("null-orphan") == 1, trace
+    assert flat.count("A-a") == 1, trace
+
+
 @pytest.mark.slow
 def test_chained_join_triples(spark, tmp_path):
     rows = _run_join(spark, tmp_path, "inner", chained=True)
