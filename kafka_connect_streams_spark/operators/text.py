@@ -47,12 +47,16 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def quality_score(df: DataFrame, text_col: str, id_col: str,
+                  keep: list[str] | None = None) -> DataFrame:
     """Heuristic quality score from length/punctuation/stopword ratios.
 
     score = 0.4·len_score + 0.3·stopword_ratio_capped + 0.3·(1 − punct_ratio)
     where len_score saturates at 500 chars. All terms are ratios of integer
     counts computed in one projection — exactly reproducible in SQL.
+    ``keep`` passes extra columns through the same projection so downstream
+    consumers (e.g. the quality funnel) stay single-scan instead of joining
+    the corpus back against itself.
     """
     n_chars = F.length(F.col(text_col)).cast("double")
     toks = _tok_array(text_col)
@@ -70,6 +74,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # engines, while round() half-way behavior is not
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
         len_score.alias("len_score"),
         stop_ratio.alias("stop_ratio"),
         punct_ratio.alias("punct_ratio"),

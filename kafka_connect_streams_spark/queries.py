@@ -1319,39 +1319,41 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a NEW batch (doc_id % 5 == 0) deduped against the
     HISTORICAL corpus (the rest) by canonical token-set fingerprint — the
-    shape of every append-only ingestion pipeline: fingerprint the delta,
-    left-anti join the history index, keep only unseen content. At 100 TB
-    the history side is a compact (fingerprint) table, not the corpus."""
+    shape of every append-only ingestion pipeline: fingerprint the delta
+    and keep only content unseen in history. ONE corpus scan + ONE
+    fingerprint shuffle: both sides fold into a single groupBy(fingerprint)
+    with side flags (a self-anti-join would scan the corpus twice). At
+    100 TB the shuffle carries (fingerprint, id) pairs, not text."""
     from kafka_connect_streams_spark.operators.text import fingerprint
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    fp = fingerprint(docs, "text", "doc_id").select("doc_id", "fingerprint")
-    batch = fp.filter(F.col("doc_id") % 5 == 0)
-    history = (fp.filter(F.col("doc_id") % 5 != 0)
-               .select("fingerprint").distinct())
-    return batch.join(history, "fingerprint", "left_anti") \
-                .select("doc_id", "fingerprint")
+    fp = fingerprint(t["documents"], "text", "doc_id") \
+        .select("doc_id", "fingerprint")
+    is_batch = F.col("doc_id") % 5 == 0
+    per_fp = fp.groupBy("fingerprint").agg(
+        F.max(F.when(~is_batch, 1).otherwise(0)).alias("in_hist"),
+        F.collect_list(F.when(is_batch, F.col("doc_id"))).alias("batch_ids"))
+    return (per_fp.filter(F.col("in_hist") == 0)
+            .select(F.explode("batch_ids").alias("doc_id"), "fingerprint"))
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag eval-set documents (doc_id % 50 == 0)
     whose canonical fingerprint also appears in the training set — the
-    overlap check run before any benchmark number is trusted. One
-    fingerprint pass feeds both sides; the train side joins as a distinct
-    fingerprint set."""
+    overlap check run before any benchmark number is trusted. ONE corpus
+    scan + ONE fingerprint shuffle (groupBy with side flags, same
+    single-pass shape as incremental_dedup — a train⋈eval join would scan
+    the corpus twice)."""
     from kafka_connect_streams_spark.operators.text import fingerprint
     t = load_tables(spark, sf_dir)
     fp = fingerprint(t["documents"], "text", "doc_id") \
         .select("doc_id", "fingerprint")
     is_eval = F.col("doc_id") % 50 == 0
-    eval_set = fp.filter(is_eval)
-    train_fps = (fp.filter(~is_eval)
-                 .select("fingerprint").distinct()
-                 .withColumn("_in_train", F.lit(1)))
-    return (eval_set.join(train_fps, "fingerprint", "left")
-            .select("doc_id",
-                    (F.coalesce("_in_train", F.lit(0)) == 1)
-                    .alias("contaminated")))
+    per_fp = fp.groupBy("fingerprint").agg(
+        F.max(F.when(~is_eval, 1).otherwise(0)).alias("in_train"),
+        F.collect_list(F.when(is_eval, F.col("doc_id"))).alias("eval_ids"))
+    return (per_fp.filter(F.size("eval_ids") > 0)
+            .select(F.explode("eval_ids").alias("doc_id"),
+                    (F.col("in_train") == 1).alias("contaminated")))
 
 
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1377,15 +1379,22 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp-free adaptation): parts whose revenue
     exceeds 1.2× the MEAN part revenue. The global (total, n_parts) pair is
     a 1-row broadcast scalar; the HAVING compares each group against it —
-    one fact scan feeds both aggregates, and the relative threshold binds
-    at any scale factor (a fixed share-of-total would not)."""
+    the relative threshold binds at any scale factor (a fixed
+    share-of-total would not). The global (total, n_parts) scalar is a
+    RE-AGGREGATION of the per-part table — O(parts) work, never a second
+    fact scan — and the shared groupBy exchange is reused (ReusedExchange),
+    so lineitem is scanned once."""
     t = load_tables(spark, sf_dir)
     rev = (F.col("l_extendedprice").cast(agg.DEC)
            * (F.lit(1).cast(agg.DEC) - F.col("l_discount").cast(agg.DEC)))
     li = t["lineitem"].select("l_partkey", rev.alias("rev"))
     per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("part_rev"))
-    total = li.agg(F.sum("rev").alias("total_rev"),
-                   F.count_distinct("l_partkey").alias("n_parts"))
+    # count(l_partkey), not count(*): the re-agg then consumes the same
+    # columns as the join branch, so both per_part subtrees stay IDENTICAL
+    # after column pruning and AQE reuses one shuffle stage (ReusedExchange)
+    # instead of scanning lineitem twice
+    total = per_part.agg(F.sum("part_rev").alias("total_rev"),
+                         F.count("l_partkey").alias("n_parts"))
     return (per_part.join(F.broadcast(total))
             .filter(F.col("part_rev").cast("double")
                     > 1.2 * F.col("total_rev").cast("double")
@@ -1397,13 +1406,13 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate funnel over the corpus: how many documents survive each
     successive training-data gate (length → quality score → language).
-    One pass computes all gates; the funnel is a 4-row union of counts."""
+    ONE corpus scan computes every gate (quality_score passes lang/n_chars
+    through its projection — no corpus self-join); the funnel is a single
+    row of survival counts."""
     from kafka_connect_streams_spark.operators.text import quality_score
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    q = quality_score(docs, "text", "doc_id").select("doc_id", "quality")
-    gated = (docs.select("doc_id", "lang", F.length("text").alias("n_chars"))
-             .join(q, "doc_id"))
+    gated = quality_score(t["documents"], "text", "doc_id",
+                          keep=["lang", "n_chars"])
     g1 = F.col("n_chars") >= 200
     g2 = g1 & (F.col("quality") >= 0.5)
     g3 = g2 & (F.col("lang") == "en")
