@@ -62,6 +62,8 @@ HEADLINE = [
     "frame_sampling",
     "sequence_packing",
     "ann_recall",
+    "incremental_dedup",
+    "large_orders",
 ]
 
 
