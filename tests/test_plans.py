@@ -151,6 +151,40 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
     assert shuffle_count(df) <= 5, physical_plan(df)
 
 
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """A selective build side of a shuffle join must inject a runtime bloom
+    filter into the probe-side scan (Spark's row-level runtime filtering) —
+    at 100 TB this skips most fact rows before the shuffle. Size thresholds
+    are lowered to make the sf-scale fixture eligible; production defaults
+    (10 GB probe side) gate it to genuinely large scans."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        t = load_tables(spark, sf_dir)
+        sel = (t["orders"].filter(F.col("o_totalprice") > 500000)
+               .select("o_orderkey"))
+        j = t["lineitem"].join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Same-key bucketed tables join with NO Exchange on either side —
     the write-time layout replaces the reference's repartition topics."""
