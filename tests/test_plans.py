@@ -151,6 +151,24 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
     assert shuffle_count(df) <= 5, physical_plan(df)
 
 
+def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
+    """Fleet-wide hygiene: NO registered query may plan a row-at-a-time
+    Python eval (BatchEvalPython); Arrow-batched Python (MapInPandas) is
+    allowed only for the multimodal queries whose decode step is
+    intrinsically Python. Everything else must stay JVM-side."""
+    arrow_ok = {"multimodal_decode", "frame_sampling"}
+    offenders = []
+    for name, fn in Q.QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if "MapInPandas" in plan and name not in arrow_ok:
+            offenders.append((name, "MapInPandas"))
+        if "ArrowEvalPython" in plan:
+            offenders.append((name, "ArrowEvalPython"))
+    assert not offenders, offenders
+
+
 def test_runtime_bloom_filter_injected(spark, sf_dir):
     """A selective build side of a shuffle join must inject a runtime bloom
     filter into the probe-side scan (Spark's row-level runtime filtering) —
