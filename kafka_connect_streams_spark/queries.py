@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 from kafka_connect_streams_spark.catalog import load_tables
 from kafka_connect_streams_spark.operators import aggregations as agg
 from kafka_connect_streams_spark.operators import joins as J
-from kafka_connect_streams_spark.operators.aggregations import avg_money, sum_money
+from kafka_connect_streams_spark.operators.aggregations import sum_money
 from kafka_connect_streams_spark.operators.projections import flat_map_values
 
 

@@ -275,7 +275,6 @@ def decode_avro_py(df: DataFrame, value_col: str, avro_schema: str | dict,
     names = [f.name for f in passthrough]
 
     def decode(batches: Iterator) -> Iterator:
-        import pandas as pd
         for pdf in batches:
             decoded = []
             for raw in pdf[value_col]:

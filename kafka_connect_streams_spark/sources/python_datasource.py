@@ -27,7 +27,6 @@ arrow-readable store slots in.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, DataType, DoubleType, LongType,
                                MapType, StringType, StructField, StructType)
