@@ -144,6 +144,43 @@ class TestWindowedAggregates:
         assert sorted(r.n for r in rows) == [4, 4]
 
 
+class TestStreamingWindowedKsql:
+    """The WINDOW rewrite must hold on a STREAMING relation too: the same
+    DDL + windowed SELECT over a readStream-backed topic plans as a native
+    streaming windowed aggregate and emits the tumbling counts."""
+
+    def test_tumbling_over_stream(self, spark, tmp_path):
+        import json as js
+        sdir = tmp_path / "orders_stream"
+        sdir.mkdir()
+        with open(sdir / "part-0.json", "w") as f:
+            for i in range(1, 9):
+                f.write(js.dumps({"ordertime": i, "orderid": f"ORDER_{i}",
+                                  "itemid": f"ITEM_{i}",
+                                  "orderunits": i * 10.0}) + "\n")
+        stream = (spark.readStream
+                  .schema("ordertime bigint, orderid string, itemid string, "
+                          "orderunits double")
+                  .json(str(sdir)))
+        ctx = KsqlContext(spark, resolver=lambda t: stream)
+        ctx.sql("""CREATE STREAM orders_s (ORDERTIME bigint, ORDERID varchar,
+                   ITEMID varchar, ORDERUNITS double)
+                   WITH (kafka_topic='orders_topic', value_format='JSON',
+                         key='ordertime', timestamp='ordertime')""")
+        windowed = ctx.sql(
+            "SELECT WINDOWSTART AS wstart, count(*) AS n FROM orders_s "
+            "WINDOW TUMBLING (SIZE 5 MILLISECONDS) GROUP BY 1")
+        assert windowed.isStreaming
+        q = (windowed.writeStream.format("memory")
+             .queryName("ksql_windowed_stream").outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT n FROM ksql_windowed_stream ORDER BY n").collect()
+        assert [r.n for r in rows] == [4, 4]
+
+
 class TestArrayMapColumns:
     """FIXTURES.md §5 / OrderDataProvider.java:32-43: the orders_full fixture
     with PRICEARRAY array<double> and KEYVALUEMAP map<varchar,double>."""
