@@ -82,8 +82,12 @@ def rewrite_window_clause(sql: str) -> str:
     out = sql[:m.start()] + sql[m.end():]
     out, n = re.subn(r"\bGROUP\s+BY\b", f"GROUP BY {wexpr},", out,
                      count=1, flags=re.IGNORECASE)
-    if n == 0:  # windowed aggregate without explicit keys
-        out += f" GROUP BY {wexpr}"
+    if n == 0:
+        # windowed aggregate without explicit keys: the GROUP BY must land
+        # before any trailing ORDER BY / LIMIT, not at the statement end
+        tail = re.search(r"\b(ORDER\s+BY|LIMIT)\b", out, re.IGNORECASE)
+        at = tail.start() if tail else len(out)
+        out = f"{out[:at].rstrip()} GROUP BY {wexpr} {out[at:]}".rstrip()
     out = re.sub(r"\bWINDOWSTART\b", "window.start", out, flags=re.IGNORECASE)
     out = re.sub(r"\bWINDOWEND\b", "window.end", out, flags=re.IGNORECASE)
     return out

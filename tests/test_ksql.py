@@ -134,6 +134,16 @@ class TestWindowedAggregates:
         # gaps are 1 ms < 10 ms: one session holding all 8 rows
         assert [r.n for r in rows] == [8]
 
+    def test_window_without_group_by_before_order_limit(self, ctx, spark):
+        """The injected GROUP BY must precede a trailing ORDER BY/LIMIT."""
+        ctx.sql(self.WDDL)
+        rows = ctx.sql(
+            "SELECT WINDOWSTART AS wstart, count(*) AS n FROM orders "
+            "WINDOW TUMBLING (SIZE 5 MILLISECONDS) "
+            "ORDER BY wstart LIMIT 1"
+        ).collect()
+        assert len(rows) == 1 and rows[0].n == 4
+
     def test_csas_with_window(self, ctx, spark):
         ctx.sql(self.WDDL)
         ctx.sql(

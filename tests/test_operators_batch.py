@@ -111,6 +111,50 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(pairs, max_iter=1)
 
+    def test_random_graphs_match_union_find(self, spark):
+        """Property check against a plain union-find reference: identical
+        component PARTITIONS (labels compared up to relabeling) on a batch
+        of adversarial random graphs — rings, stars, bridges, multi-edges."""
+        import random
+
+        from kafka_connect_streams_spark.operators.dedup import (
+            connected_components)
+        rng = random.Random(7)
+
+        def union_find_components(edges, nodes):
+            parent = {n: n for n in nodes}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                parent[find(a)] = find(b)
+            groups = {}
+            for n in nodes:
+                groups.setdefault(find(n), set()).add(n)
+            return {frozenset(g) for g in groups.values()}
+
+        for trial in range(5):
+            n = rng.randint(5, 40)
+            m = rng.randint(1, 3 * n)
+            edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+            nodes = {a for e in edges for a in e}
+            # drop pure self-loop nodes: the operator only labels nodes that
+            # appear on a real (non-loop) edge
+            real = [e for e in edges if e[0] != e[1]]
+            nodes = {a for e in real for a in e}
+            if not real:
+                continue
+            pairs = spark.createDataFrame(real, "id_a long, id_b long")
+            got = {}
+            for r in connected_components(pairs, max_iter=30).collect():
+                got.setdefault(r.label, set()).add(r.node)
+            assert {frozenset(g) for g in got.values()} == \
+                union_find_components(real, nodes), (trial, sorted(real))
+
 
 class TestSimilarity:
     def test_brute_force_guard_trips(self, spark):
