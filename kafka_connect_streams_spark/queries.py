@@ -1316,6 +1316,20 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("total_value").cast("double").alias("total_value")))
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (fixed 25k-wide bins): the
+    distribution profile data_profile's min/max summary can't show. Fixed
+    bin edges (not min/max-derived) keep it a single-scan, single-shuffle
+    projection+count — and make bins comparable ACROSS datasets and rounds,
+    which is what drift monitoring needs."""
+    t = load_tables(spark, sf_dir)
+    width = 25_000
+    return (t["orders"]
+            .select((F.floor(F.col("o_totalprice") / width) * width)
+                    .cast("bigint").alias("bin_lo"))
+            .groupBy("bin_lo").agg(F.count("*").alias("n")))
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a NEW batch (doc_id % 5 == 0) deduped against the
     HISTORICAL corpus (the rest) by canonical token-set fingerprint — the
@@ -1512,6 +1526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "bigram_topk": q_bigram_topk,
     "quality_funnel": q_quality_funnel,
+    "histogram": q_histogram,
     "incremental_dedup": q_incremental_dedup,
     "decontamination": q_decontamination,
     "large_orders": q_large_orders,
@@ -2921,6 +2936,11 @@ ORACLE: dict[str, str] = {
         FROM big GROUP BY bigram
         ORDER BY n DESC, bigram
         LIMIT 20
+    """,
+    "histogram": """
+        SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS bin_lo,
+               count(*) AS n
+        FROM orders GROUP BY 1
     """,
     "incremental_dedup": """
         WITH toks AS (
