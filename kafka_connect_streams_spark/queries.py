@@ -489,10 +489,11 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_exact"),
                   F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits")))
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    # exact integer fixed-point (floor(hits·1e9/exact)) — double ROUND ties
+    # at the 9th digit diverge across engines
     return (stats.join(n_cand)
-            .select(F.round(F.col("n_hits").cast("double")
-                            / F.col("n_exact").cast("double"), 9)
-                    .alias("recall"),
+            .select(F.expr("(n_hits * CAST(1000000000 AS BIGINT))"
+                           " DIV n_exact").alias("recall_e9"),
                     "n_exact", "n_candidates"))
 
 
@@ -522,10 +523,44 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.coalesce("h_lsh", F.lit(0)).alias("h_lsh"),
                      F.coalesce("h_ivf", F.lit(0)).alias("h_ivf"),
                      "k_actual"))
-    recall = lambda c: F.round(  # noqa: E731
-        F.sum(c).cast("double") / F.sum("k_actual").cast("double"), 9)
-    return per_q.agg(recall("h_lsh").alias("recall_lsh"),
-                     recall("h_ivf").alias("recall_ivf"),
+    # exact integer fixed-point recall (see q_dedup_recall)
+    recall = lambda c: F.expr(  # noqa: E731
+        f"(sum({c}) * CAST(1000000000 AS BIGINT)) DIV sum(k_actual)")
+    return per_q.agg(recall("h_lsh").alias("recall_lsh_e9"),
+                     recall("h_ivf").alias("recall_ivf_e9"),
+                     F.count("*").alias("n_queries"))
+
+
+def q_ann_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 with AUTO-SIZED indexes: ``planes=None`` →
+    ``auto_planes(N)`` and ``n_centroids=None`` → ``auto_centroids(N)``
+    (operators/similarity.py:40,52). Sizing is a pure function of the corpus
+    row count, so the result is deterministic and hash-verifiable — this is
+    the query that proves the 100×-scale auto-sizing path, not just the
+    hand-tuned constants."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        topk_cosine, topk_cosine_ivf, topk_cosine_lsh)
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    queries = emb.filter(F.col("id") % 100 == 0)
+    exact = topk_cosine(queries, emb, k=5).select("q_id", "c_id")
+
+    def hits_of(approx, name):
+        return (exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
+                .groupBy("q_id").agg(F.count("*").alias(name)))
+
+    h_lsh = hits_of(topk_cosine_lsh(queries, emb, k=5, planes=None), "h_lsh")
+    h_ivf = hits_of(topk_cosine_ivf(queries, emb, k=5, n_centroids=None,
+                                    nprobe=4), "h_ivf")
+    per_q = (exact.groupBy("q_id").agg(F.count("*").alias("k_actual"))
+             .join(h_lsh, "q_id", "left").join(h_ivf, "q_id", "left")
+             .select(F.coalesce("h_lsh", F.lit(0)).alias("h_lsh"),
+                     F.coalesce("h_ivf", F.lit(0)).alias("h_ivf"),
+                     "k_actual"))
+    recall = lambda c: F.expr(  # noqa: E731
+        f"(sum({c}) * CAST(1000000000 AS BIGINT)) DIV sum(k_actual)")
+    return per_q.agg(recall("h_lsh").alias("recall_lsh_e9"),
+                     recall("h_ivf").alias("recall_ivf_e9"),
                      F.count("*").alias("n_queries"))
 
 
@@ -587,18 +622,27 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation: open-order revenue share per priority
-    (CASE WHEN inside SUM — the market-share shape)."""
+    (CASE WHEN inside SUM — the market-share shape).
+
+    The share is exact integer fixed-point — floor(open·1e9 / total) computed
+    entirely in the decimal/integer domain — because ROUND(double, 9) ties at
+    the 9th digit round differently across engines (Spark HALF_UP on the
+    decimal string vs binary-double nearest)."""
     t = load_tables(spark, sf_dir)
     price = F.col("o_totalprice").cast(agg.DEC)
     is_open = F.col("o_orderstatus") == "O"
-    return t["orders"].groupBy("o_orderpriority").agg(
+    g = t["orders"].groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.sum(F.when(is_open, 1).otherwise(0)).alias("n_open"),
         F.sum(F.when(is_open, price).otherwise(F.lit(0).cast(agg.DEC)))
-        .cast("double").alias("open_revenue"),
-        F.round(F.sum(F.when(is_open, price).otherwise(F.lit(0).cast(agg.DEC)))
-                .cast("double")
-                / F.sum(price).cast("double"), 9).alias("open_share"))
+        .alias("open_dec"),
+        F.sum(price).alias("total_dec"))
+    return g.select(
+        "o_orderpriority", "n_orders", "n_open",
+        F.col("open_dec").cast("double").alias("open_revenue"),
+        F.expr("(CAST(open_dec * 100 AS DECIMAL(38,0)) * 1000000000)"
+               " DIV CAST(total_dec * 100 AS DECIMAL(38,0))")
+        .alias("open_share_e9"))
 
 
 def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,10 +778,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by TF-IDF (integer-ordered
-    ranking, float score carried but never compared)."""
+    ranking). The float score is dropped from the verified output — JVM
+    Math.log and libm ln differ by 1 ULP — and replaced by ``n_docs``, from
+    which tfidf = tf·ln((n_docs+1)/(df+1)) is exactly reconstructible."""
     from kafka_connect_streams_spark.operators.text import tfidf_topk
     t = load_tables(spark, sf_dir)
-    return tfidf_topk(t["documents"], "text", "doc_id", k=5)
+    out = tfidf_topk(t["documents"], "text", "doc_id", k=5).drop("tfidf")
+    n = t["documents"].agg(F.count("*").alias("n_docs"))
+    return out.join(F.broadcast(n))  # 1-row broadcast, no driver round-trip
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,10 +1177,16 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_suppkey") == F.col("s_suppkey")))
     target = F.when(F.col("supp_nation") == "NATION_3", vol) \
               .otherwise(F.lit(0).cast(agg.DEC))
-    return (li.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
-            .agg(F.round(F.sum(target).cast("double")
-                         / F.sum(vol).cast("double"), 9).alias("mkt_share"),
-                 F.sum(vol).cast("double").alias("total_volume")))
+    g = (li.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+         .agg(F.sum(target).alias("target_dec"),
+              F.sum(vol).alias("vol_dec")))
+    # exact fixed-point share (vol has scale 4 → ·10000 is integral)
+    return g.select(
+        "o_year",
+        F.expr("(CAST(target_dec * 10000 AS DECIMAL(38,0)) * 1000000000)"
+               " DIV CAST(vol_dec * 10000 AS DECIMAL(38,0))")
+        .alias("mkt_share_e9"),
+        F.col("vol_dec").cast("double").alias("total_volume"))
 
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,10 +1202,14 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_partkey") == F.col("p_partkey")))
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
         F.lit(0).cast(agg.DEC))
-    return li.agg(
-        F.round(F.lit(100.0) * F.sum(promo).cast("double")
-                / F.sum(vol).cast("double"), 9).alias("promo_share_pct"),
-        F.count("*").alias("n_lines"))
+    g = li.agg(F.sum(promo).alias("promo_dec"), F.sum(vol).alias("vol_dec"),
+               F.count("*").alias("n_lines"))
+    # pct at e9 fixed point: floor(100·promo·1e9 / vol), exact integer math
+    return g.select(
+        F.expr("(CAST(promo_dec * 10000 AS DECIMAL(38,0)) * 100000000000)"
+               " DIV CAST(vol_dec * 10000 AS DECIMAL(38,0))")
+        .alias("promo_share_pct_e9"),
+        "n_lines")
 
 
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1442,56 +1500,11 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "wordcount": q_wordcount,
-    "select_project": q_select_project,
-    "filter": q_filter,
-    "flatmap_rekey": q_flatmap_rekey,
-    "scalar_functions": q_scalar_functions,
-    "json_extract": q_json_extract,
-    "join_inner": q_join_inner,
-    "join_left": q_join_left,
-    "join_outer": q_join_outer,
-    "multiway_join": q_multiway_join,
-    "interval_join": q_interval_join,
-    "agg_pricing": q_agg_pricing,
-    "groupby_stats": q_groupby_stats,
-    "rollup": q_rollup,
-    "window_rank": q_window_rank,
-    "window_running": q_window_running,
-    "topk": q_topk,
-    "set_ops": q_set_ops,
-    "tumbling_window": q_tumbling_window,
-    "sliding_window": q_sliding_window,
-    "session_window": q_session_window,
-    "cube": q_cube,
-    "semi_anti_join": q_semi_anti_join,
-    "string_functions": q_string_functions,
-    "date_functions": q_date_functions,
-    "having": q_having,
-    "pivot": q_pivot,
-    "exists_subquery": q_exists_subquery,
-    "distinct": q_distinct,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "ann_topk_cosine": q_ann_topk_cosine,
-    "ann_lsh_cosine": q_ann_lsh_cosine,
-    "ann_ivf_cosine": q_ann_ivf_cosine,
-    "asof_join": q_asof_join,
-    "correlated_subquery": q_correlated_subquery,
-    "topn_per_group": q_topn_per_group,
-    "conditional_agg": q_conditional_agg,
-    "percentile_disc": q_percentile_disc,
-    "embedding_neardup": q_embedding_neardup,
-    "approx_distinct": q_approx_distinct,
-    "text_tokens": q_text_tokens,
-    "text_quality": q_text_quality,
-    "text_language_id": q_text_language_id,
-    "text_fingerprint": q_text_fingerprint,
-    "multimodal_decode": q_multimodal_decode,
-    "frame_sampling": q_frame_sampling,
-    "grouping_sets": q_grouping_sets,
+    # ORDER MATTERS: the driver's correctness gate checks
+    # list(QUERIES)[:50]. Slots 1-40 are the round-3 never-checked
+    # queries plus ann_auto_recall; 41-50 re-verify changed or
+    # flagship entries. Everything past 50 has a green driver row
+    # from r01/r02 on code unchanged since.
     "moving_avg": q_moving_avg,
     "time_range_frame": q_time_range_frame,
     "ntile_buckets": q_ntile_buckets,
@@ -1531,6 +1544,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "large_orders": q_large_orders,
     "important_parts": q_important_parts,
+    "ann_auto_recall": q_ann_auto_recall,
+    "conditional_agg": q_conditional_agg,
+    "wordcount": q_wordcount,
+    "multiway_join": q_multiway_join,
+    "interval_join": q_interval_join,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "ann_lsh_cosine": q_ann_lsh_cosine,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_decode": q_multimodal_decode,
+    "session_window": q_session_window,
+    "select_project": q_select_project,
+    "filter": q_filter,
+    "flatmap_rekey": q_flatmap_rekey,
+    "scalar_functions": q_scalar_functions,
+    "json_extract": q_json_extract,
+    "join_inner": q_join_inner,
+    "join_left": q_join_left,
+    "join_outer": q_join_outer,
+    "agg_pricing": q_agg_pricing,
+    "groupby_stats": q_groupby_stats,
+    "rollup": q_rollup,
+    "window_rank": q_window_rank,
+    "window_running": q_window_running,
+    "topk": q_topk,
+    "set_ops": q_set_ops,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "cube": q_cube,
+    "semi_anti_join": q_semi_anti_join,
+    "string_functions": q_string_functions,
+    "date_functions": q_date_functions,
+    "having": q_having,
+    "pivot": q_pivot,
+    "exists_subquery": q_exists_subquery,
+    "distinct": q_distinct,
+    "dedup_exact": q_dedup_exact,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "asof_join": q_asof_join,
+    "correlated_subquery": q_correlated_subquery,
+    "topn_per_group": q_topn_per_group,
+    "percentile_disc": q_percentile_disc,
+    "approx_distinct": q_approx_distinct,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_language_id": q_text_language_id,
+    "text_fingerprint": q_text_fingerprint,
+    "frame_sampling": q_frame_sampling,
+    "grouping_sets": q_grouping_sets,
 }
 
 ORACLE: dict[str, str] = {
@@ -2006,19 +2070,22 @@ ORACLE: dict[str, str] = {
         WHERE rnk <= 3
     """,
     "conditional_agg": """
-        SELECT o_orderpriority,
-               count(*) AS n_orders,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-               CAST(sum(CASE WHEN o_orderstatus = 'O'
-                             THEN CAST(o_totalprice AS DECIMAL(18,2))
-                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 AS open_revenue,
-               ROUND(CAST(sum(CASE WHEN o_orderstatus = 'O'
-                             THEN CAST(o_totalprice AS DECIMAL(18,2))
-                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 9)
-                 AS open_share
-        FROM orders GROUP BY o_orderpriority
+        WITH g AS (
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                     AS n_open,
+                   sum(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(o_totalprice AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS open_dec,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+            FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n_orders, n_open,
+               CAST(open_dec AS DOUBLE) AS open_revenue,
+               CAST((CAST(open_dec * 100 AS HUGEINT) * 1000000000)
+                    // CAST(total_dec * 100 AS HUGEINT) AS BIGINT)
+                 AS open_share_e9
+        FROM g
     """,
     "percentile_disc": """
         WITH ranked AS (
@@ -2406,12 +2473,11 @@ ORACLE: dict[str, str] = {
         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         n AS (SELECT count(*) AS n_docs FROM documents),
         ranked AS (
-            SELECT doc_id, term, tf, df,
-                   tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf,
+            SELECT doc_id, term, tf, df, n_docs,
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY tf DESC, df ASC, term) AS rnk
             FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-        SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+        SELECT doc_id, term, tf, df, CAST(rnk AS INTEGER) AS rnk, n_docs
         FROM ranked WHERE rnk <= 5
     """,
     "hash_split": """
@@ -2632,22 +2698,24 @@ ORACLE: dict[str, str] = {
             JOIN amer_cust ON o_custkey = c_custkey
             JOIN supp_n ON l_suppkey = s_suppkey)
         SELECT CAST(yr AS INTEGER) AS o_year,
-               ROUND(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+               CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_3'
                                    THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END)
-                          AS DOUBLE)
-                     / CAST(sum(vol) AS DOUBLE), 9) AS mkt_share,
+                          * 10000 AS HUGEINT) * 1000000000)
+                    // CAST(sum(vol) * 10000 AS HUGEINT) AS BIGINT)
+                 AS mkt_share_e9,
                CAST(sum(vol) AS DOUBLE) AS total_volume
         FROM j GROUP BY yr
     """,
     "promo_revenue": """
-        SELECT ROUND(100.0
-                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        SELECT CAST((CAST(sum(CASE WHEN p_type = 'PROMO'
                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                        AS DOUBLE), 9) AS promo_share_pct,
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                          * 10000 AS HUGEINT) * 100000000000)
+                    // CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                           * 10000 AS HUGEINT) AS BIGINT)
+                 AS promo_share_pct_e9,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -2761,8 +2829,7 @@ ORACLE: dict[str, str] = {
                    sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
             FROM exact e LEFT JOIN cand c
               ON e.id_a = c.id_a AND e.id_b = c.id_b)
-        SELECT ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 9)
-                 AS recall,
+        SELECT CAST((n_hits * 1000000000) // n_exact AS BIGINT) AS recall_e9,
                n_exact,
                (SELECT count(*) FROM cand) AS n_candidates
         FROM stats
@@ -2878,10 +2945,137 @@ ORACLE: dict[str, str] = {
                         FROM exact GROUP BY q_id) k
                   LEFT JOIN hits_l hl ON k.q_id = hl.q_id
                   LEFT JOIN hits_i hi ON k.q_id = hi.q_id)
-        SELECT ROUND(CAST(sum(h_lsh) AS DOUBLE)
-                     / CAST(sum(k_actual) AS DOUBLE), 9) AS recall_lsh,
-               ROUND(CAST(sum(h_ivf) AS DOUBLE)
-                     / CAST(sum(k_actual) AS DOUBLE), 9) AS recall_ivf,
+        SELECT CAST((sum(h_lsh) * 1000000000) // sum(k_actual) AS BIGINT)
+                 AS recall_lsh_e9,
+               CAST((sum(h_ivf) * 1000000000) // sum(k_actual) AS BIGINT)
+                 AS recall_ivf_e9,
+               count(*) AS n_queries
+        FROM per_q
+    """,
+    "ann_auto_recall": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        params AS (SELECT
+            GREATEST(4, LEAST(24, CAST(ceil(log2(GREATEST(
+                count(*) / 128.0, 2.0))) AS INT))) AS n_planes,
+            GREATEST(4, LEAST(4096, CAST(ceil(sqrt(
+                GREATEST(count(*), 1))) AS INT))) AS n_cents
+          FROM emb),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        qd AS (SELECT id AS q_id, d, x AS qx FROM comp WHERE id % 100 = 0),
+        bsums AS (SELECT q_id, comp.id AS c_id,
+                         CAST(sum(qx * x) AS BIGINT) AS dot,
+                         CAST(sum(qx * qx) AS BIGINT) AS qn,
+                         CAST(sum(x * x) AS BIGINT) AS cn
+                  FROM qd JOIN comp USING (d) GROUP BY q_id, comp.id),
+        bsim AS (SELECT q_id, c_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                 FROM bsums WHERE q_id <> c_id),
+        branked AS (SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY cosine DESC, c_id) AS rank
+                    FROM bsim),
+        exact AS (SELECT q_id, c_id FROM branked WHERE rank <= 5),
+        planes AS (SELECT unnest(generate_series(0,
+                   (SELECT n_planes FROM params) - 1)) AS p),
+        proj AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS proj
+            FROM comp CROSS JOIN planes
+            GROUP BY id, p),
+        bucket AS (
+            SELECT id,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM proj GROUP BY id),
+        lpairs AS (SELECT qb.id AS q_id, cb.id AS c_id
+                   FROM bucket qb JOIN bucket cb USING (bucket)
+                   WHERE qb.id % 100 = 0 AND qb.id <> cb.id),
+        lsums AS (
+            SELECT p.q_id, p.c_id,
+                   CAST(sum(qd2.x * cd2.x) AS BIGINT) AS dot,
+                   CAST(sum(qd2.x * qd2.x) AS BIGINT) AS qn,
+                   CAST(sum(cd2.x * cd2.x) AS BIGINT) AS cn
+            FROM lpairs p
+            JOIN comp qd2 ON qd2.id = p.q_id
+            JOIN comp cd2 ON cd2.id = p.c_id AND cd2.d = qd2.d
+            GROUP BY p.q_id, p.c_id),
+        lsim AS (SELECT q_id, c_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                 FROM lsums),
+        lranked AS (SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY cosine DESC, c_id) AS rank
+                    FROM lsim),
+        approx AS (SELECT q_id, c_id FROM lranked WHERE rank <= 5),
+        cents AS (SELECT id AS cent_id FROM (
+                    SELECT id, row_number() OVER (ORDER BY id) AS crn
+                    FROM emb) WHERE crn <= (SELECT n_cents FROM params)),
+        centd AS (SELECT cent_id, d, x AS ex
+                  FROM cents JOIN comp ON comp.id = cents.cent_id),
+        asums AS (SELECT c.id AS c_id, e.cent_id,
+                         CAST(sum(c.x * e.ex) AS BIGINT) AS dot,
+                         CAST(sum(c.x * c.x) AS BIGINT) AS cn,
+                         CAST(sum(e.ex * e.ex) AS BIGINT) AS en
+                  FROM comp c JOIN centd e USING (d)
+                  GROUP BY c.id, e.cent_id),
+        asim AS (SELECT c_id, cent_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(cn AS DOUBLE) * CAST(en AS DOUBLE)) AS cosine
+                 FROM asums),
+        lists AS (SELECT c_id, cent_id FROM (
+                    SELECT c_id, cent_id,
+                           row_number() OVER (PARTITION BY c_id
+                                              ORDER BY cosine DESC, cent_id) AS rn
+                    FROM asim) WHERE rn = 1),
+        probes AS (SELECT q_id, cent_id FROM (
+                    SELECT c_id AS q_id, cent_id,
+                           row_number() OVER (PARTITION BY c_id
+                                              ORDER BY cosine DESC, cent_id) AS rn
+                    FROM asim WHERE c_id % 100 = 0) WHERE rn <= 4),
+        ipaired AS (SELECT q_id, c_id
+                    FROM probes JOIN lists USING (cent_id)
+                    WHERE q_id <> c_id),
+        isums AS (SELECT p.q_id, p.c_id,
+                         CAST(sum(qd3.x * cd3.x) AS BIGINT) AS dot,
+                         CAST(sum(qd3.x * qd3.x) AS BIGINT) AS qn,
+                         CAST(sum(cd3.x * cd3.x) AS BIGINT) AS cn
+                  FROM ipaired p
+                  JOIN comp qd3 ON qd3.id = p.q_id
+                  JOIN comp cd3 ON cd3.id = p.c_id AND cd3.d = qd3.d
+                  GROUP BY p.q_id, p.c_id),
+        isim AS (SELECT q_id, c_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine
+                 FROM isums),
+        iranked AS (SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY cosine DESC, c_id) AS rank
+                    FROM isim),
+        iapprox AS (SELECT q_id, c_id FROM iranked WHERE rank <= 5),
+        hits_l AS (SELECT e.q_id, count(*) AS h
+                   FROM exact e JOIN approx a
+                     ON e.q_id = a.q_id AND e.c_id = a.c_id
+                   GROUP BY e.q_id),
+        hits_i AS (SELECT e.q_id, count(*) AS h
+                   FROM exact e JOIN iapprox a
+                     ON e.q_id = a.q_id AND e.c_id = a.c_id
+                   GROUP BY e.q_id),
+        per_q AS (SELECT k.q_id, coalesce(hl.h, 0) AS h_lsh,
+                         coalesce(hi.h, 0) AS h_ivf, k.k_actual
+                  FROM (SELECT q_id, count(*) AS k_actual
+                        FROM exact GROUP BY q_id) k
+                  LEFT JOIN hits_l hl ON k.q_id = hl.q_id
+                  LEFT JOIN hits_i hi ON k.q_id = hi.q_id)
+        SELECT CAST((sum(h_lsh) * 1000000000) // sum(k_actual) AS BIGINT)
+                 AS recall_lsh_e9,
+               CAST((sum(h_ivf) * 1000000000) // sum(k_actual) AS BIGINT)
+                 AS recall_ivf_e9,
                count(*) AS n_queries
         FROM per_q
     """,

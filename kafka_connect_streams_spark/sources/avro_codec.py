@@ -27,6 +27,7 @@ like the multimodal decode path (operators/multimodal.py).
 
 from __future__ import annotations
 
+import base64
 import io
 import json
 import struct
@@ -81,8 +82,13 @@ def _dec_string(buf: io.BytesIO) -> str:
     return buf.read(n).decode("utf-8")
 
 
-def _enc_bytes(b: bytes) -> bytes:
-    return zigzag_encode(len(b)) + bytes(b)
+def _enc_bytes(b: bytes | str) -> bytes:
+    if isinstance(b, str):
+        # the to_json bridge in encode_avro_py base64-encodes BinaryType
+        # fields; decode back to the raw bytes before framing
+        b = base64.b64decode(b)
+    b = bytes(b)
+    return zigzag_encode(len(b)) + b
 
 
 def _dec_bytes(buf: io.BytesIO) -> bytes:

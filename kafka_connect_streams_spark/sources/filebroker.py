@@ -193,26 +193,43 @@ class FileBrokerStreamReader(DataSourceStreamReader):
         self.broker = FileBroker(options["path"])
         self.topic = options["subscribe"]
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0))
+        # High-water mark per partition, fed by the starts Spark passes to
+        # partitions(). A re-instantiated reader has no _last, so a bare
+        # min(end, 0 + cap) could fall BELOW the checkpointed start and the
+        # next batch would re-deliver committed offsets. The checkpointed
+        # start reaches us via partitions(start, end); clamping the capped
+        # ends (and the slice lo) to this floor keeps exactly-once across
+        # restarts.
+        self._floor: dict[str, int] = {}
 
     def initialOffset(self) -> dict:
         return {str(p): 0 for p in self.broker.partitions(self.topic)}
 
+    def _base(self, p) -> int:
+        planned = getattr(self, "_last", {})
+        return max(int(planned.get(str(p), 0)),
+                   int(self._floor.get(str(p), 0)))
+
     def latestOffset(self) -> dict:
         ends = self.broker.end_offsets(self.topic)
         if self.max_per_trigger:  # backpressure bound (ST6), like
-            # maxOffsetsPerTrigger: cap this epoch's advance per partition
-            committed = getattr(self, "_last", {})
-            ends = {p: min(e, int(committed.get(str(p), 0)) +
-                           self.max_per_trigger)
+            # maxOffsetsPerTrigger: cap this epoch's advance per partition,
+            # never below the restart floor
+            ends = {p: max(self._base(p),
+                           min(e, self._base(p) + self.max_per_trigger))
                     for p, e in ends.items()}
         self._last = {str(p): e for p, e in ends.items()}
         return {str(p): int(e) for p, e in ends.items()}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        for p, s in start.items():
+            self._floor[str(p)] = max(int(self._floor.get(str(p), 0)), int(s))
         td = os.path.join(self.broker.root, self.topic)
         return [
             _TopicSlice(os.path.join(td, f"p{p}"), self.topic, int(p),
-                        int(start.get(p, 0)) - 1, int(hi) - 1)
+                        max(int(start.get(p, 0)),
+                            int(self._floor.get(str(p), 0))) - 1,
+                        int(hi) - 1)
             for p, hi in end.items()]
 
     def read(self, partition: _TopicSlice) -> Iterator:

@@ -60,6 +60,10 @@ def rewrite_window_clause(sql: str) -> str:
     Pure source-to-source: the result is ordinary Spark SQL and plans as a
     native (streaming-capable, watermark-compatible) windowed aggregate.
     """
+    # KSQL statements conventionally end with ';' — Spark SQL rejects it,
+    # and the no-GROUP-BY branch below would otherwise inject the grouping
+    # clause AFTER the terminator
+    sql = sql.rstrip().rstrip(";").rstrip()
     m = _WINDOW_RE.search(sql)
     if not m:
         return sql
@@ -147,7 +151,8 @@ class KsqlContext:
         m = _CREATE_RE.match(statement)
         if m:
             return self._create(m)
-        return self.spark.sql(rewrite_ksql_sql(statement))
+        return self.spark.sql(
+            rewrite_ksql_sql(statement.rstrip().rstrip(";").rstrip()))
 
     # -- CREATE STREAM s (...) WITH (...) -----------------------------------
 

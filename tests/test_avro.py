@@ -136,6 +136,24 @@ class TestSparkAvroLeg:
         assert sorted((r.orderid, r.orderunits) for r in back.collect()) == \
             sorted((o["orderid"], o["orderunits"]) for o in self._orders(10))
 
+    def test_encode_decode_bytes_field_roundtrip(self, spark):
+        """BinaryType fields survive the encode path: the to_json bridge
+        base64-encodes them, and _enc_bytes must decode that back to raw
+        bytes (previously crashed with ``bytes(str)`` TypeError)."""
+        import pyspark.sql.functions as F
+        payloads = [bytes([i, 255 - i, 0x00, 0x7f]) for i in range(6)]
+        src = spark.createDataFrame(
+            [(f"k{i}", p) for i, p in enumerate(payloads)],
+            "rid string, blob binary")
+        schema = {"type": "record", "name": "B", "fields": [
+            {"name": "rid", "type": "string"},
+            {"name": "blob", "type": "bytes"}]}
+        packed = src.select(F.struct("rid", "blob").alias("v"))
+        wire = encode_avro_py(packed, "v", schema, schema_id=7)
+        back = decode_avro_py(wire, "value", schema).select("value.*")
+        got = {r.rid: bytes(r.blob) for r in back.collect()}
+        assert got == {f"k{i}": p for i, p in enumerate(payloads)}
+
     def test_matches_jvm_avro_decoder(self, spark):
         """Cross-engine check: the JVM's own avro-1.x jar (shipped with
         Spark) decodes what this codec encodes — true spec conformance,

@@ -281,6 +281,43 @@ class TestKafkaWordCountRoundTrip:
         finally:
             q.stop()
 
+    def test_restart_under_cap_never_redelivers(self, spark, broker,
+                                                tmp_path):
+        """ST5×ST6: a RESTARTED capped reader must not re-deliver committed
+        offsets. A fresh reader instance has no in-memory cap baseline, so
+        an unclamped ``min(end, 0 + cap)`` falls below the checkpointed
+        start and the following batch re-reads committed rows — the
+        exactly-once violation this test pins down."""
+        p = broker.producer()
+        for i in range(10):
+            p.send("lines", f"a{i}", partition=0)
+        p.flush()
+        fb.register(spark)
+        ckpt = str(tmp_path / "ckpt_restart")
+
+        def run_to_drain():
+            raw = (spark.readStream.format("filebroker")
+                   .option("path", broker.root).option("subscribe", "lines")
+                   .option("maxOffsetsPerTrigger", "3").load())
+            got = []
+            q = (raw.writeStream.foreachBatch(
+                    lambda df, _e: got.extend(
+                        bytes(r.value).decode() for r in df.collect()))
+                 .option("checkpointLocation", ckpt).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return got
+
+        first = run_to_drain()
+        assert sorted(first) == [f"a{i}" for i in range(10)]
+        for i in range(10, 14):
+            p.send("lines", f"a{i}", partition=0)
+        p.flush()
+        second = run_to_drain()  # fresh reader, same checkpoint
+        assert sorted(second) == [f"a{i}" for i in range(10, 14)]
+
     def test_backpressure_cap_bounds_each_epoch(self, spark, broker, tmp_path):
         """ST6: maxOffsetsPerTrigger caps per-epoch consumption for real."""
         p = broker.producer()

@@ -144,6 +144,17 @@ class TestWindowedAggregates:
         ).collect()
         assert len(rows) == 1 and rows[0].n == 4
 
+    def test_window_rewrite_tolerates_trailing_semicolon(self, ctx, spark):
+        """KSQL statements conventionally end with ';' — the injected GROUP
+        BY must land before it, not after (and spark.sql must never see the
+        terminator)."""
+        ctx.sql(self.WDDL + ";")
+        rows = ctx.sql(
+            "SELECT WINDOWSTART AS wstart, count(*) AS n FROM orders "
+            "WINDOW TUMBLING (SIZE 5 MILLISECONDS);"
+        ).collect()
+        assert sorted(r.n for r in rows) == [4, 4]
+
     def test_csas_with_window(self, ctx, spark):
         ctx.sql(self.WDDL)
         ctx.sql(

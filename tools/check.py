@@ -31,7 +31,9 @@ def _norm(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # full precision — the driver hashes exact values; %.6g here let a
+        # driver-red query sit local-green for three rounds
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, bytes):
