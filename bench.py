@@ -3,15 +3,23 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-clock of all headline queries (lower is better).
-Each query is forced with a cheap count()-style action so the timing covers
-the full plan execution without driver-side collect overhead dominating.
+``value`` is the sum of per-query MEDIANS (lower is better). Each query runs
+``SPARK_GRAFT_BENCH_REPEATS`` times (default 3) after one untimed warm-up of
+the whole plan; ``queries`` holds the median, ``spread`` the max-min across
+repeats, so a regression has to clear the measured noise floor to count.
+Single-run timings on a shared session swing ±30-50% (round-2/3 comparison
+of byte-identical code), which made the old one-shot bench unusable for
+regression detection.
+
+Each query is forced with a count() action so the timing covers the full
+plan execution without driver-side collect overhead dominating.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -69,22 +77,31 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    suite_t0 = time.perf_counter()
 
     # exclude first-query JVM/session warmup from per-query numbers
     Q.QUERIES["filter"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # force full execution; count() runs every stage of the plan
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # one untimed warm-up so codegen/compilation and page-cache effects
+        # don't land on an arbitrary repeat
+        fn(spark, sf_dir).count()
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            # fresh plan each run: no cross-run exchange/cache reuse
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -92,6 +109,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "repeats": repeats,
+        "suite_wallclock": round(time.perf_counter() - suite_t0, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
