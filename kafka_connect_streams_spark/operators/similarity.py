@@ -3,8 +3,9 @@
 Two paths:
 
 - **brute-force cosine top-k** — exact baseline: query-set × candidate join,
-  dot/norm via a dimension explode, window top-k. O(|Q|·|C|) pairs; correct at
-  any scale but only affordable when |Q| is a sample or |C| is pre-filtered.
+  dot/norm computed in-row over the quantized arrays, window top-k.
+  O(|Q|·|C|) pairs; correct at any scale but only affordable when |Q| is a
+  sample or |C| is pre-filtered.
 - **LSH-bucketed top-k** — the scale path: random-hyperplane signatures bucket
   vectors so the pair join only runs within buckets. Hyperplane weights are
   derived from md5 (deterministic, engine-independent — no stored model).
@@ -57,41 +58,59 @@ def auto_centroids(n: int) -> int:
     return max(4, min(4096, math.ceil(math.sqrt(max(n, 1)))))
 
 
+_ZERO = "CAST(0 AS BIGINT)"
+
+
 def _fixed(col: Column) -> Column:
     """Quantize a float component to int64 fixed-point (round-half-up)."""
     return F.floor(col.cast("double") * FIXED_SCALE + 0.5).cast("bigint")
 
 
-def _dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, d, x): one int64 fixed-point row per vector component (0-based)."""
-    return fan_out(df).select(
-        F.col(id_col),
-        F.posexplode(F.col(vec_col)).alias("d", "xf"),
-    ).select(F.col(id_col), "d", _fixed(F.col("xf")).alias("x"))
+def _quantized(vec_col: Column) -> Column:
+    """float array → int64 fixed-point array, in-row (no explode)."""
+    return F.transform(vec_col, lambda x: _fixed(x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized arrays, in-row.
+
+    ``aggregate(zip_with(a, b, *), +)`` stays inside whole-stage codegen —
+    the scoring stage carries ONE array cell per vector instead of D rows,
+    cutting shuffle volume ~D-fold versus a dimension-explode join
+    (round-3 verdict, operators/similarity.py:66)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.expr(_ZERO), lambda acc, v: acc + v)
+
+
+def _qvecs(df: DataFrame, id_col: str, vec_col: str,
+           id_out: str, v_out: str, n_out: str) -> DataFrame:
+    """(id, quantized vector, exact int64 self-norm) — one row per vector."""
+    return (df.select(F.col(id_col).alias(id_out),
+                      _quantized(F.col(vec_col)).alias(v_out))
+            .withColumn(n_out, _dot(F.col(v_out), F.col(v_out))))
+
+
+def _cosine(dot: Column, na: Column, nb: Column) -> Column:
+    # int64·int64 norm product can exceed int64 → promote to double first
+    return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
 
 
 def cosine_pairs(queries: DataFrame, candidates: DataFrame,
                  id_q: str = "q_id", id_c: str = "c_id") -> DataFrame:
-    """Quantized cosine for every (query, candidate) pair via dimension join.
+    """Quantized cosine for every (query, candidate) pair, scored in-row.
 
-    Inputs must have columns (id, embedding). The dim-explode join shuffles on
-    (d) — at scale, prefer bucketing the candidate dims once and reusing them
-    across query batches.
-    """
-    qd = (_dims(queries, "id", "embedding")
-          .select(F.col("id").alias(id_q), "d", F.col("x").alias("qx")))
-    cd = (_dims(candidates, "id", "embedding")
-          .select(F.col("id").alias(id_c), "d", F.col("x").alias("cx")))
-    sums = (qd.join(cd, "d")
-            .groupBy(id_q, id_c)
-            .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"),
-                 F.sum(F.col("qx") * F.col("qx")).alias("qn"),
-                 F.sum(F.col("cx") * F.col("cx")).alias("cn")))
-    # int64·int64 norm product can exceed int64 → promote to double first
-    return sums.withColumn(
-        "cosine",
-        F.col("dot").cast("double")
-        / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")))
+    Inputs must have columns (id, embedding). The pair join carries whole
+    quantized vectors and computes dot/norms with ``zip_with``+``aggregate``
+    — no per-dimension explode, no aggregation shuffle, and a broadcast
+    hint on either input survives into the join (the IVF codebook path
+    relies on that)."""
+    q = _qvecs(queries, "id", "embedding", id_q, "_qv", "qn")
+    c = _qvecs(candidates, "id", "embedding", id_c, "_cv", "cn")
+    return (q.crossJoin(c)
+            .withColumn("dot", _dot(F.col("_qv"), F.col("_cv")))
+            .withColumn("cosine", _cosine(F.col("dot"), F.col("qn"),
+                                          F.col("cn")))
+            .select(id_q, id_c, "dot", "qn", "cn", "cosine"))
 
 
 def topk_cosine(queries: DataFrame, candidates: DataFrame, k: int = 10,
@@ -142,20 +161,27 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
     """
     if planes is None:
         planes = auto_planes(df.count())
-    dims = _dims(df, id_col, vec_col)
-    plane = F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("p")
-    pd_ = dims.select(F.col(id_col), "d", "x", plane)
-    wbit = F.conv(F.substring(
-        F.md5(F.concat_ws(":", F.col("p").cast("string"),
-                          F.col("d").cast("string"))), 1, 1), 16, 10).cast("int")
-    signed = pd_.withColumn(
-        "wx", F.when(wbit % 2 == 1, F.col("x")).otherwise(-F.col("x")))
-    proj = (signed.groupBy(id_col, "p")
-            .agg(F.sum("wx").alias("proj")))
-    bit = F.when(F.col("proj") > 0,
-                 F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(F.lit(0))
-    return (proj.select(F.col(id_col), bit.alias("b"))
-            .groupBy(id_col).agg(F.sum("b").cast("bigint").alias("bucket")))
+    base = fan_out(df).select(F.col(id_col),
+                              _quantized(F.col(vec_col)).alias("_v"))
+
+    def proj(p: int) -> Column:
+        # Σ_d w(p,d)·x_d computed in-row: same md5-derived ±1 weights as
+        # before (one hex char of md5("p:d")), exact int64 sum, but no
+        # dim×plane explode and no per-(id,p) aggregation shuffle
+        def signed(x: Column, d: Column) -> Column:
+            wbit = F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(p)), d.cast("string"))),
+                1, 1), 16, 10).cast("int")
+            return F.when(wbit % 2 == 1, x).otherwise(-x)
+        return F.aggregate(F.transform(F.col("_v"), signed),
+                           F.expr(_ZERO), lambda acc, v: acc + v)
+
+    bucket = F.expr(_ZERO)
+    for p in range(planes):
+        bucket = bucket + F.when(proj(p) > 0,
+                                 F.lit(1 << p).cast("bigint")) \
+                           .otherwise(F.lit(0).cast("bigint"))
+    return base.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def neardup_pairs(vectors: DataFrame, *, planes: int | None = None,
@@ -175,18 +201,12 @@ def neardup_pairs(vectors: DataFrame, *, planes: int | None = None,
     pairs = (a.join(b, "bucket")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b"))
-    d = _dims(vectors, "id", "embedding")
-    da = d.select(F.col("id").alias("id_a"), "d", F.col("x").alias("xa"))
-    db = d.select(F.col("id").alias("id_b"), "d", F.col("x").alias("xb"))
-    sums = (pairs.join(da, "id_a").join(db, ["id_b", "d"])
-            .groupBy("id_a", "id_b")
-            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"),
-                 F.sum(F.col("xa") * F.col("xa")).alias("na"),
-                 F.sum(F.col("xb") * F.col("xb")).alias("nb")))
-    sim = sums.withColumn(
-        "cosine",
-        F.col("dot").cast("double")
-        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")))
+    va = _qvecs(vectors, "id", "embedding", "id_a", "_va", "na")
+    vb = _qvecs(vectors, "id", "embedding", "id_b", "_vb", "nb")
+    sim = (pairs.join(va, "id_a").join(vb, "id_b")
+           .withColumn("dot", _dot(F.col("_va"), F.col("_vb")))
+           .withColumn("cosine", _cosine(F.col("dot"), F.col("na"),
+                                         F.col("nb"))))
     return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
@@ -212,23 +232,7 @@ def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
     paired = qb.join(cb, "bucket").select("q_id", "c_id")
     if exclude_self:
         paired = paired.filter(F.col("q_id") != F.col("c_id"))
-    qd = (_dims(queries, "id", "embedding")
-          .select(F.col("id").alias("q_id"), "d", F.col("x").alias("qx")))
-    cd = (_dims(candidates, "id", "embedding")
-          .select(F.col("id").alias("c_id"), "d", F.col("x").alias("cx")))
-    sums = (paired.join(qd, "q_id").join(cd, ["c_id", "d"])
-            .groupBy("q_id", "c_id")
-            .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"),
-                 F.sum(F.col("qx") * F.col("qx")).alias("qn"),
-                 F.sum(F.col("cx") * F.col("cx")).alias("cn")))
-    sim = sums.withColumn(
-        "cosine",
-        F.col("dot").cast("double")
-        / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (sim.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "c_id", "cosine", "rank"))
+    return _exact_topk_over_pairs(paired, queries, candidates, k)
 
 
 # -- IVF (inverted-file index) ----------------------------------------------
@@ -236,20 +240,17 @@ def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
 
 def _exact_topk_over_pairs(paired: DataFrame, queries: DataFrame,
                            candidates: DataFrame, k: int) -> DataFrame:
-    """Exact quantized cosine restricted to a (q_id, c_id) candidate set."""
-    qd = (_dims(queries, "id", "embedding")
-          .select(F.col("id").alias("q_id"), "d", F.col("x").alias("qx")))
-    cd = (_dims(candidates, "id", "embedding")
-          .select(F.col("id").alias("c_id"), "d", F.col("x").alias("cx")))
-    sums = (paired.join(qd, "q_id").join(cd, ["c_id", "d"])
-            .groupBy("q_id", "c_id")
-            .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"),
-                 F.sum(F.col("qx") * F.col("qx")).alias("qn"),
-                 F.sum(F.col("cx") * F.col("cx")).alias("cn")))
-    sim = sums.withColumn(
-        "cosine",
-        F.col("dot").cast("double")
-        / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")))
+    """Exact quantized cosine restricted to a (q_id, c_id) candidate set.
+
+    The pair table joins each side's whole quantized vector and scores
+    in-row (``zip_with``+``aggregate``): the shuffle carries one array cell
+    per pair side instead of D rows, and there is no aggregation stage."""
+    q = _qvecs(queries, "id", "embedding", "q_id", "_qv", "qn")
+    c = _qvecs(candidates, "id", "embedding", "c_id", "_cv", "cn")
+    sim = (paired.join(q, "q_id").join(c, "c_id")
+           .withColumn("dot", _dot(F.col("_qv"), F.col("_cv")))
+           .withColumn("cosine", _cosine(F.col("dot"), F.col("qn"),
+                                         F.col("cn"))))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

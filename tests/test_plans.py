@@ -227,3 +227,22 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_ann_scoring_has_no_dimension_explode(spark, sf_dir):
+    """Cosine scoring must stay in-row (zip_with + aggregate on the
+    quantized arrays): a per-dimension explode multiplies every scoring
+    shuffle by D (1024-dim embeddings → 1024×). No Generate node may
+    appear anywhere in the ANN plans."""
+    for name in ("ann_lsh_cosine", "ann_ivf_cosine", "embedding_neardup"):
+        plan = physical_plan(Q.QUERIES[name](spark, sf_dir), mode="simple")
+        assert "Generate" not in plan, f"{name} explodes dimensions:\n{plan}"
+
+
+def test_ivf_codebook_joins_are_broadcast(spark, sf_dir):
+    """The IVF centroid assignment/probe must broadcast the tiny codebook —
+    a shuffle of the candidate set against a ~sqrt(N)-row table is the
+    wrong plan at any scale."""
+    plan = physical_plan(Q.QUERIES["ann_ivf_cosine"](spark, sf_dir),
+                        mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
