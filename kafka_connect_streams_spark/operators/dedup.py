@@ -243,21 +243,37 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     **O(log d)** in the component diameter (each round roughly halves path
     lengths), vs O(d) for plain min-label propagation — a 1000-long dup
     chain converges in ~10 rounds, not 1000. The fixed point is a star per
-    component (every node points at its component min), detected exactly:
-    both edge sets are distinct+canonical, so equality is one count plus an
-    empty one-way difference. ``localCheckpoint`` truncates lineage so plan
-    size stays O(1) across rounds; per-round driver traffic is two scalars.
+    component (every node points at its component min). Detection costs ONE
+    job per round: both edge sets are distinct+canonical, so set equality
+    reduces to (count, order-insensitive checksum) computed in the same
+    aggregation — no second exceptAll/isEmpty job (round-3 verdict: the two
+    extra convergence jobs per round were most of the query's runtime). The
+    checksum is two independent 64-bit xxhash sums accumulated in
+    decimal(38,0) (exact, order-independent, overflow-free); a false
+    "converged" needs a simultaneous 128-bit collision between consecutive
+    rounds — ~2⁻¹²⁸, far below any hardware error rate.
+    ``localCheckpoint`` truncates lineage so plan size stays O(1) across
+    rounds; per-round driver traffic is three scalars.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching the
     fixed point — a partially-propagated labeling is silently *wrong* (it
     splits one true cluster into several), so the cap is a safety valve, not
     an output mode.
     """
+    def _stats(df: DataFrame) -> tuple:
+        # one job: size + two order-insensitive set checksums
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")).alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
     E = _canon(pairs.select(F.col(pairs.columns[0]).cast("bigint").alias("a"),
                             F.col(pairs.columns[1]).cast("bigint").alias("b"))
                ).localCheckpoint(eager=False)
-    n_edges = E.count()
-    converged = n_edges == 0
+    stats = _stats(E)
+    converged = stats[0] == 0
     for _ in range(max_iter):
         if converged:
             break
@@ -276,11 +292,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
               .union(small.select(F.col("u").alias("a"),
                                   F.col("m").alias("b"))))
         E_new = _canon(ss).localCheckpoint(eager=False)
-        # fixed point ⇔ same distinct canonical set: equal count + empty diff
-        n_new = E_new.count()
-        if n_new == n_edges and E_new.exceptAll(E).isEmpty():
-            converged = True
-        E, n_edges = E_new, n_new
+        # fixed point ⇔ identical distinct canonical set ⇔ identical stats
+        new_stats = _stats(E_new)
+        converged = new_stats == stats
+        E, stats = E_new, new_stats
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
