@@ -53,11 +53,21 @@ def decode_records(raw: DataFrame, value_schema: StructType,
     (StreamsSelectAndProjectIntTest.java:151-166).
     """
     key = F.col("key").cast("string").alias("rowkey")
-    # .cast("timestamp") first: no-op on format("kafka")'s TIMESTAMP, and
-    # normalizes TIMESTAMP_NTZ (the filebroker stand-in) which Spark refuses
-    # to cast to double directly
-    rowtime = (F.col("timestamp").cast("timestamp").cast("double") * 1000) \
-        .cast("bigint").alias("rowtime")
+    # The wire timestamp is a UTC instant. format("kafka") delivers it as
+    # TIMESTAMP → unix_micros reads the instant directly. The filebroker
+    # stand-in delivers TIMESTAMP_NTZ whose wall time IS the UTC instant; a
+    # cast to TIMESTAMP would re-interpret that wall time in the session
+    # zone and shift rowtime in any non-UTC session, so compute the epoch
+    # with NTZ-to-NTZ arithmetic, which never consults the zone.
+    if dict(raw.dtypes).get("timestamp") == "timestamp_ntz":
+        rowtime = F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', timestamp) div 1000"
+        ).alias("rowtime")
+    else:
+        rowtime = F.expr(
+            "unix_micros(cast(timestamp as timestamp)) div 1000"
+        ).alias("rowtime")
     if value_format == "json":
         parsed = F.from_json(F.col("value").cast("string"), value_schema)
     elif value_format == "csv":

@@ -71,6 +71,26 @@ class TestKafkaWire:
         assert rows[0].orderid == "ORDER_1"
         assert rows[0].rowtime == 1_700_000_000_000
 
+    def test_ntz_rowtime_is_session_zone_independent(self, spark):
+        """The filebroker stand-in delivers TIMESTAMP_NTZ whose wall time IS
+        the UTC instant. decode_records must recover the exact epoch even in
+        a non-UTC session — a plain cast to TIMESTAMP re-interprets the wall
+        time in the session zone and shifts rowtime by the zone offset."""
+        good = json.dumps({"ordertime": 1, "orderid": "ORDER_1",
+                           "itemid": "ITEM_1", "orderunits": 10.0})
+        # zone-independent literal: 1_700_000_000_000 ms == 2023-11-14
+        # 22:13:20 UTC, stored as the NTZ wall time per the wire contract
+        ntz = self._wire(spark, [good]).withColumn(
+            "timestamp", F.expr("TIMESTAMP_NTZ '2023-11-14 22:13:20'"))
+        assert dict(ntz.dtypes)["timestamp"] == "timestamp_ntz"
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            rows = decode_records(ntz, ORDER_SCHEMA).collect()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        assert rows[0].rowtime == 1_700_000_000_000
+
     def test_encode_roundtrip(self, spark):
         df = spark.createDataFrame(
             [("8", "ORDER_8", 80.0)], "rowkey string, orderid string, orderunits double")
