@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(df: DataFrame, min_partitions: int | None = None, *,
+            enabled: bool = True) -> DataFrame:
     """Repartition ``df`` to at least cluster default parallelism — only if
     its scan has fewer input files than that.
 
@@ -32,7 +33,16 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     before the expensive stage — the safe direction. Non-file inputs (local
     relations, post-shuffle frames) report zero files and are fanned out:
     exactly the small/singleton inputs the guard exists for.
+
+    ``enabled=False`` is the caller's opt-out for frames KNOWN to already be
+    wide (e.g. directly downstream of a join/aggregate shuffle): those also
+    report zero input files, and the unconditional repartition would be a
+    pure waste there. The flag exists because no cheap logical-plan probe
+    distinguishes "post-shuffle wide" from "singleton local relation" — the
+    call site knows, the operator can't.
     """
+    if not enabled:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if len(df.inputFiles()) >= target:
