@@ -172,3 +172,47 @@ class TestSparkAvroLeg:
         assert str(rec.get("orderid")) == order["orderid"]
         assert rec.get("orderunits") == order["orderunits"]
         assert str(rec.get("tags").get(0)) == "t0"
+
+
+#: exact coordinate for this build: Spark 4.1.2 is published for Scala 2.13.
+SPARK_AVRO_COORD = "org.apache.spark:spark-avro_2.13:4.1.2"
+
+
+def _spark_avro_jar_present() -> bool:
+    # pyspark.sql.avro.functions always imports — only the JVM-side
+    # spark-avro jar is missing, so probe the classpath directories
+    import glob
+    import os
+    import pyspark
+    jar_dirs = [
+        os.path.join(os.path.dirname(pyspark.__file__), "jars"),
+        os.path.expanduser("~/.ivy2/jars"),
+        os.path.expanduser(
+            "~/.m2/repository/org/apache/spark/spark-avro_2.13"),
+    ]
+    return any(glob.glob(os.path.join(d, "**", "spark-avro*.jar"),
+                         recursive=True) for d in jar_dirs
+               if os.path.isdir(d))
+
+
+@pytest.mark.skipif(
+    not _spark_avro_jar_present(),
+    reason=f"needs {SPARK_AVRO_COORD} on the classpath (absent from this "
+           "sandbox); the pure-Python codec covers the semantics meanwhile")
+def test_jvm_from_avro_matches_python_codec(spark):
+    """F11 JVM fast path: sources.serde.decode_avro must decode the exact
+    bodies the pure-Python codec frames — runs the day the jar appears."""
+    import pyspark.sql.functions as F
+    from kafka_connect_streams_spark.sources.serde import decode_avro
+
+    flat = {"type": "record", "name": "O", "fields": [
+        {"name": "ordertime", "type": "long"},
+        {"name": "orderid", "type": "string"}]}
+    rows = [(i, encode_datum(flat, {"ordertime": 1000 + i,
+                                    "orderid": f"ORDER_{i}"}))
+            for i in range(10)]
+    wire = spark.createDataFrame(rows, "offset long, value binary")
+    typed = wire.select(
+        decode_avro(F.col("value"), json.dumps(flat)).alias("v")).select("v.*")
+    got = sorted((r.ordertime, r.orderid) for r in typed.collect())
+    assert got == [(1000 + i, f"ORDER_{i}") for i in range(10)]
