@@ -1553,7 +1553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "embedding_neardup": q_embedding_neardup,
-    "multimodal_decode": q_multimodal_decode,
+    "ann_topk_cosine": q_ann_topk_cosine,
     "session_window": q_session_window,
     "select_project": q_select_project,
     "filter": q_filter,
@@ -1583,7 +1583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "ann_topk_cosine": q_ann_topk_cosine,
+    "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
     "correlated_subquery": q_correlated_subquery,
     "topn_per_group": q_topn_per_group,
