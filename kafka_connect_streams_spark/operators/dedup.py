@@ -81,8 +81,9 @@ MINHASH_P = 2_147_483_647
 MINHASH_GOLD = 2_654_435_769
 
 
-def minhash_signatures(sh: DataFrame, id_col: str, k: int = 16) -> DataFrame:
-    """(id, seed, sig): k independent min-hashes per doc, one md5 per shingle.
+def minhash_signatures_wide(sh: DataFrame, id_col: str,
+                            k: int = 16) -> DataFrame:
+    """(id, sig: array<bigint> of length k): the whole signature in-row.
 
     The k seed hashes are derived arithmetically from a single base hash —
     ``h_s = (h0·(2s+1) + s·GOLD) mod P`` (2-universal over the Mersenne
@@ -90,39 +91,60 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = 16) -> DataFrame:
     exact in DuckDB) — instead of k separate md5 calls. The per-doc minima
     are k array-element ``min`` aggregates over ONE shuffle of the
     (id, shingle-hash-array) rows: at 100 TB this is 1/k of the shuffle bytes
-    and 1/k of the md5 work of the naive seed-explode plan.
+    and 1/k of the md5 work of the naive seed-explode plan. Downstream
+    banding/similarity read array slots in-row, so the signature never
+    becomes k rows anywhere in the pipeline.
     """
     h0 = _h64(F.col("shingle")) % MINHASH_P
     hs = F.array(*[
         (h0 * (2 * s + 1) + s * MINHASH_GOLD) % MINHASH_P for s in range(k)])
-    wide = (sh.select(F.col(id_col), hs.alias("hs"))
+    return (sh.select(F.col(id_col), hs.alias("hs"))
             .groupBy(id_col)
-            .agg(*[F.min(F.col("hs")[s]).alias(f"s{s}") for s in range(k)]))
-    # unpivot back to the long (id, seed, sig) shape the LSH/similarity
-    # stages consume — cheap: input is already one row per doc
+            .agg(*[F.min(F.col("hs")[s]).alias(f"s{s}") for s in range(k)])
+            .select(F.col(id_col),
+                    F.array(*[F.col(f"s{s}") for s in range(k)])
+                    .alias("sig")))
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, k: int = 16) -> DataFrame:
+    """(id, seed, sig): long-form view of :func:`minhash_signatures_wide`
+    for consumers that want one row per (doc, seed) — a narrow in-row
+    unpivot of the wide signature, no extra shuffle."""
+    wide = minhash_signatures_wide(sh, id_col, k)
     seed_sig = F.explode(F.array(*[
-        F.struct(F.lit(s).alias("seed"), F.col(f"s{s}").alias("sig"))
+        F.struct(F.lit(s).alias("seed"), F.col("sig")[s].alias("sig"))
         for s in range(k)])).alias("p")
     return (wide.select(F.col(id_col), seed_sig)
             .select(F.col(id_col), F.col("p.seed"), F.col("p.sig")))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
-                        bands: int = 4, rows: int = 4) -> DataFrame:
-    """Band the signature (bands × rows = k) and self-join on band buckets.
+def _banded_wide(wide: DataFrame, id_col: str,
+                 bands: int, rows: int) -> DataFrame:
+    """(id, band, band_key) from a wide signature — a narrow in-row unpivot
+    (band key = md5 of the band's slots joined in seed order, matching the
+    SQL oracle's string_agg(sig, ',' ORDER BY seed)); no groupBy shuffle."""
+    def key(b: int):
+        return F.md5(F.concat_ws(",", *[
+            F.col("sig")[b * rows + r].cast("string") for r in range(rows)]))
+    return (wide.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), key(b).alias("band_key"))
+            for b in range(bands)])).alias("p"))
+        .select(F.col(id_col), F.col("p.band"), F.col("p.band_key")))
+
+
+def lsh_candidate_pairs_wide(wide: DataFrame, id_col: str,
+                             bands: int = 4, rows: int = 4) -> DataFrame:
+    """Band a wide signature (bands × rows = k) and self-join band buckets.
 
     Emits distinct (id_a < id_b) candidate pairs. The join key is
     (band, md5-of-band-signature) so only exact band collisions pair up —
-    the standard LSH guarantee that pair probability ≈ jaccard^rows per band.
+    the standard LSH guarantee that pair probability ≈ jaccard^rows per
+    band. Banding is in-row, so the only shuffle is the bucket self-join
+    (``bands`` rows per doc, vs k rows + a groupBy in the long-form plan).
     """
-    # band key = md5 of the band's sigs joined in seed order (matches the SQL
-    # oracle's string_agg(sig, ',' ORDER BY seed))
-    ordered_sigs = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-        lambda x: x["sig"].cast("string"))
-    banded = (sigs.withColumn("band", (F.col("seed") / rows).cast("int"))
-              .groupBy(id_col, "band")
-              .agg(F.md5(F.array_join(ordered_sigs, ",")).alias("band_key")))
+    banded = _banded_wide(wide, id_col, bands, rows)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (a.join(b, ["band", "band_key"])
@@ -130,9 +152,40 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
              .select("id_a", "id_b").distinct())
 
 
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        bands: int = 4, rows: int = 4) -> DataFrame:
+    """Long-form ``(id, seed, sig)`` adapter for
+    :func:`lsh_candidate_pairs_wide` — re-assembles the per-doc signature
+    (one groupBy) then bands in-row."""
+    ordered_sigs = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+        lambda x: x["sig"])
+    wide = (sigs.groupBy(id_col)
+            .agg(ordered_sigs.alias("sig")))
+    return lsh_candidate_pairs_wide(wide, id_col, bands, rows)
+
+
+def minhash_similarity_wide(wide: DataFrame, pairs: DataFrame, id_col: str,
+                            k: int = 16) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature slots, computed
+    in-row over the paired wide signatures (zip_with + aggregate): the pair
+    join carries one array cell per side instead of k rows, and there is no
+    aggregation stage."""
+    wa = wide.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    wb = wide.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matched = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (pairs.join(wa, "id_a").join(wb, "id_b")
+            .select("id_a", "id_b",
+                    (matched / F.lit(k)).alias("est_jaccard")))
+
+
 def minhash_similarity(sigs: DataFrame, pairs: DataFrame, id_col: str,
                        k: int = 16) -> DataFrame:
-    """Estimated Jaccard for candidate pairs = fraction of matching sig slots."""
+    """Estimated Jaccard for candidate pairs = fraction of matching sig slots
+    (long-form ``(id, seed, sig)`` adapter)."""
     sa = sigs.select(F.col(id_col).alias("id_a"), "seed",
                      F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), "seed",
@@ -146,11 +199,14 @@ def minhash_similarity(sigs: DataFrame, pairs: DataFrame, id_col: str,
 def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, k: int = 16, bands: int = 4, rows: int = 4,
                       threshold: float = 0.5) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH bucket-join → estimate."""
+    """Full near-dup pipeline: shingle → minhash → LSH bucket-join →
+    estimate. All signature math runs on the wide in-row form: one shuffle
+    builds the signatures, one self-join buckets them — the signature is
+    never exploded to k rows anywhere."""
     sh = shingles(df, text_col, id_col, n)
-    sigs = minhash_signatures(sh, id_col, k)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows)
-    sim = minhash_similarity(sigs, pairs, id_col, k)
+    wide = minhash_signatures_wide(sh, id_col, k)
+    pairs = lsh_candidate_pairs_wide(wide, id_col, bands, rows)
+    sim = minhash_similarity_wide(wide, pairs, id_col, k)
     return sim.filter(F.col("est_jaccard") >= threshold)
 
 

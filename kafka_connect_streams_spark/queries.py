@@ -474,16 +474,16 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality/cost trade-off the banding parameters buy. Deterministic
     (md5-seeded hashes both sides), so the number itself is hash-verified."""
     from kafka_connect_streams_spark.operators.dedup import (
-        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
-        shingles)
+        lsh_candidate_pairs_wide, minhash_signatures_wide,
+        ngram_jaccard_pairs, shingles)
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     exact = (ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
                                  max_doc_freq=1 << 40, threshold=0.5)
              .select("id_a", "id_b"))
-    sigs = minhash_signatures(shingles(docs, "text", "doc_id", n=3),
-                              "doc_id", k=16)
-    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, rows=4)
+    sigs = minhash_signatures_wide(shingles(docs, "text", "doc_id", n=3),
+                                   "doc_id", k=16)
+    cand = lsh_candidate_pairs_wide(sigs, "doc_id", bands=4, rows=4)
     stats = (exact.join(cand.withColumn("_hit", F.lit(1)),
                         ["id_a", "id_b"], "left")
              .agg(F.count("*").alias("n_exact"),
