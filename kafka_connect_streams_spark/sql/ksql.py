@@ -157,6 +157,7 @@ class KsqlContext:
     # -- CREATE STREAM s (...) WITH (...) -----------------------------------
 
     def _create(self, m: re.Match) -> None:
+        kind = m.group(1).upper()
         name = m.group(2).lower()
         props = _parse_props(m.group("props"))
         cols: dict[str, str] = {}
@@ -173,9 +174,31 @@ class KsqlContext:
         )
         df = self.resolver(meta.topic)
         df = self._with_pseudo_columns(df, meta)
+        if kind == "TABLE":
+            df = self._latest_per_key(df, meta)
         df.createOrReplaceTempView(name)
         self.metastore[name] = meta
         return None
+
+    @staticmethod
+    def _latest_per_key(df: DataFrame, meta: StreamMeta) -> DataFrame:
+        """KSQL TABLE semantics: the topic is a changelog, the table holds
+        each key's LATEST row (KSQL 5.1 stream/table duality — a KTable is
+        the per-key compaction of its changelog stream). Latest = max
+        (rowtime, offset-if-present); ``max_by`` of the whole row keeps one
+        shuffle, works identically on batch frames and on streaming frames
+        in update mode (the KTable emission granularity)."""
+        if not meta.key_col:
+            raise ValueError(
+                f"CREATE TABLE {meta.name} requires a KEY column "
+                "(stream/table duality needs a primary key to compact on)")
+        lower = {c.lower(): c for c in df.columns}
+        order_cols = [F.col(lower["rowtime"])]
+        if "offset" in lower:
+            order_cols.append(F.col(lower["offset"]))
+        row = F.max_by(F.struct(*[F.col(c) for c in df.columns]),
+                       F.struct(*order_cols)).alias("_latest")
+        return df.groupBy(F.col("rowkey")).agg(row).select("_latest.*")
 
     @staticmethod
     def _split_cols(s: str) -> list[str]:

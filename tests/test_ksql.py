@@ -26,6 +26,45 @@ DDL = """CREATE STREAM orders (ORDERTIME bigint, ORDERID varchar,
          WITH (kafka_topic='orders_topic', value_format='JSON', key='ordertime')"""
 
 
+class TestCreateTable:
+    """KSQL stream/table duality: CREATE TABLE over a changelog topic keeps
+    each key's latest row; CREATE STREAM keeps every record."""
+
+    @pytest.fixture()
+    def changelog_ctx(self, spark):
+        # three versions of key "u1", two of "u2" — ordered by rowtime
+        rows = [("u1", 1_000, 10.0), ("u1", 3_000, 30.0), ("u2", 1_500, 15.0),
+                ("u1", 2_000, 20.0), ("u2", 2_500, 25.0)]
+        log = spark.createDataFrame(
+            rows, "userid string, ordertime bigint, balance double")
+        return KsqlContext(
+            spark, resolver=lambda topic: {"users_topic": log}[topic])
+
+    TDDL = """CREATE TABLE users (USERID varchar, ORDERTIME bigint,
+              BALANCE double)
+              WITH (kafka_topic='users_topic', value_format='JSON',
+                    key='userid', timestamp='ordertime')"""
+
+    def test_table_compacts_to_latest_per_key(self, changelog_ctx, spark):
+        changelog_ctx.sql(self.TDDL)
+        rows = {r.userid: r.balance
+                for r in spark.sql("SELECT userid, balance FROM users")
+                .collect()}
+        assert rows == {"u1": 30.0, "u2": 25.0}
+
+    def test_stream_over_same_topic_keeps_all_rows(self, changelog_ctx,
+                                                   spark):
+        changelog_ctx.sql(self.TDDL.replace("CREATE TABLE users",
+                                            "CREATE STREAM users_s"))
+        assert spark.sql("SELECT * FROM users_s").count() == 5
+
+    def test_table_without_key_is_rejected(self, changelog_ctx):
+        bad = """CREATE TABLE nokey (USERID varchar, ORDERTIME bigint)
+                 WITH (kafka_topic='users_topic', value_format='JSON')"""
+        with pytest.raises(ValueError, match="KEY"):
+            changelog_ctx.sql(bad)
+
+
 class TestCreateStream:
     def test_registers_view_with_pseudo_columns(self, ctx, spark):
         ctx.sql(DDL)
