@@ -58,6 +58,20 @@ class TestCreateTable:
                                             "CREATE STREAM users_s"))
         assert spark.sql("SELECT * FROM users_s").count() == 5
 
+    def test_stream_table_join_for_free(self, changelog_ctx, spark):
+        """SURVEY §2.3: stream-table joins need no dedicated operator —
+        registered views compose through spark.sql. Each stream record
+        picks up its key's LATEST table value."""
+        changelog_ctx.sql(self.TDDL)
+        changelog_ctx.sql(self.TDDL
+                          .replace("CREATE TABLE users", "CREATE STREAM evts"))
+        rows = changelog_ctx.sql(
+            "SELECT e.ordertime, e.balance AS seen, t.balance AS latest "
+            "FROM evts e JOIN users t ON e.rowkey = t.rowkey "
+            "WHERE e.rowkey = 'u1' ORDER BY e.ordertime").collect()
+        assert [(r.seen, r.latest) for r in rows] == [
+            (10.0, 30.0), (20.0, 30.0), (30.0, 30.0)]
+
     def test_table_without_key_is_rejected(self, changelog_ctx):
         bad = """CREATE TABLE nokey (USERID varchar, ORDERTIME bigint)
                  WITH (kafka_topic='users_topic', value_format='JSON')"""
