@@ -216,23 +216,24 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """b-bit SimHash: per distinct token, hash → bit votes → sign per bit.
 
-    The bit dimension is an explode over 0..bits-1 so the whole computation is
-    two shuffles (token distinct + per-doc vote sum) regardless of b.
+    The b vote sums are b conditional-sum aggregates in ONE groupBy(id) —
+    no bit-dimension explode, no per-(id, bit) shuffle: the token rows are
+    shuffled once at 1/b of the exploded plan's volume, and the b votes
+    fold into the fingerprint in-row afterwards.
     """
     toks = tokens(df, text_col, id_col).distinct()
     hashed = toks.select(F.col(id_col), _h64(F.col("token")).alias("h"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = hashed.select(F.col(id_col), F.col("h"), bit)
-    # shiftright/shiftleft need expr() form to accept a column shift amount
-    vote = (F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1)))
-    bitsum = (votes.select(F.col(id_col), F.col("bit"), vote.alias("v"))
-              .groupBy(id_col, "bit").agg(F.sum("v").alias("s")))
-    contrib = F.when(F.col("s") > 0,
-                     F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-                     ).otherwise(F.lit(0).cast("bigint"))
-    return (bitsum.select(F.col(id_col), contrib.alias("c"))
-            .groupBy(id_col).agg(F.sum("c").alias("simhash")))
+    vote = [F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"b{b}")
+            for b in range(bits)]
+    per_doc = hashed.groupBy(id_col).agg(*vote)
+    fingerprint = None
+    for b in range(bits):
+        c = F.when(F.col(f"b{b}") > 0,
+                   F.lit(1 << b).cast("bigint")).otherwise(
+                       F.lit(0).cast("bigint"))
+        fingerprint = c if fingerprint is None else fingerprint + c
+    return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 # -- n-gram Jaccard ---------------------------------------------------------

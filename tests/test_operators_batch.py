@@ -62,6 +62,30 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_minhash_long_form_adapters_match_wide(self, spark):
+        """The long (id, seed, sig) adapters must stay value-identical to
+        the wide in-row path — external consumers see one signature."""
+        from kafka_connect_streams_spark.operators.dedup import (
+            lsh_candidate_pairs, lsh_candidate_pairs_wide,
+            minhash_signatures, minhash_signatures_wide, shingles)
+        df = spark.createDataFrame(
+            [(i, f"shared prefix words here variant {i % 3}")
+             for i in range(1, 9)], "doc_id long, text string")
+        sh = shingles(df, "text", "doc_id", 3)
+        wide = {r.doc_id: list(r.sig) for r in
+                minhash_signatures_wide(sh, "doc_id", k=8).collect()}
+        long = {}
+        for r in minhash_signatures(sh, "doc_id", k=8).collect():
+            long.setdefault(r.doc_id, [0] * 8)[r.seed] = r.sig
+        assert wide == long
+        cand_w = {(r.id_a, r.id_b) for r in lsh_candidate_pairs_wide(
+            minhash_signatures_wide(sh, "doc_id", k=8), "doc_id",
+            bands=2, rows=4).collect()}
+        cand_l = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+            minhash_signatures(sh, "doc_id", k=8), "doc_id",
+            bands=2, rows=4).collect()}
+        assert cand_w == cand_l
+
     def test_simhash_similar_docs_close_hamming(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma delta epsilon zeta"),
