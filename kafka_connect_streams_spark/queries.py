@@ -1428,6 +1428,35 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("in_train") == 1).alias("contaminated")))
 
 
+def q_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram benchmark decontamination — the published-eval method (flag an
+    eval doc when ANY of its word shingles appears anywhere in training, not
+    just on whole-document identity; 5-gram here, 13-gram in production).
+
+    Single pass: shingle once, groupBy(shingle) with side flags (a
+    train⋈eval shingle join would scan the corpus twice), then count each
+    eval doc's contaminated shingles. At 100 TB the shuffle carries
+    (shingle-hash, id) pairs; the per-shingle eval-id lists are bounded by
+    the eval split's size, not the corpus."""
+    from kafka_connect_streams_spark.operators.dedup import shingles
+    t = load_tables(spark, sf_dir)
+    sh = shingles(t["documents"], "text", "doc_id", n=5)
+    is_eval = F.col("doc_id") % 50 == 0
+    per_sh = sh.groupBy("shingle").agg(
+        F.max(F.when(~is_eval, 1).otherwise(0)).alias("in_train"),
+        F.collect_list(F.when(is_eval, F.col("doc_id"))).alias("eval_ids"))
+    hits = (per_sh.filter(F.col("in_train") == 1)
+            .select(F.explode("eval_ids").alias("doc_id"))
+            .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
+    eval_sh = (sh.filter(is_eval).groupBy("doc_id")
+               .agg(F.count("*").alias("n_shingles")))
+    return (eval_sh.join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_contaminated", F.lit(0))
+                    .alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers behind the heaviest orders (total line
     quantity > 250). The grouped-HAVING subquery runs ONCE and semi-joins
@@ -1542,6 +1571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram": q_histogram,
     "incremental_dedup": q_incremental_dedup,
     "decontamination": q_decontamination,
+    "decontamination_ngram": q_decontamination_ngram,
     "large_orders": q_large_orders,
     "important_parts": q_important_parts,
     "ann_auto_recall": q_ann_auto_recall,
@@ -3170,6 +3200,40 @@ ORACLE: dict[str, str] = {
                        WHERE t.doc_id % 50 <> 0
                          AND t.fingerprint = e.fingerprint) AS contaminated
         FROM fp e WHERE doc_id % 50 = 0
+    """,
+    "decontamination_ngram": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 5, 0)),
+                           i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        per_sh AS (
+            SELECT shingle,
+                   max(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END)
+                     AS in_train,
+                   list_filter(list(doc_id),
+                               d -> d % 50 = 0) AS eval_ids
+            FROM sh GROUP BY shingle),
+        hits AS (
+            SELECT unnest(eval_ids) AS doc_id
+            FROM per_sh WHERE in_train = 1),
+        hitc AS (SELECT doc_id, count(*) AS n_contaminated
+                 FROM hits GROUP BY doc_id),
+        eval_sh AS (
+            SELECT doc_id, count(*) AS n_shingles
+            FROM sh WHERE doc_id % 50 = 0 GROUP BY doc_id)
+        SELECT e.doc_id, e.n_shingles,
+               coalesce(h.n_contaminated, 0) AS n_contaminated,
+               coalesce(h.n_contaminated, 0) > 0 AS contaminated
+        FROM eval_sh e LEFT JOIN hitc h ON e.doc_id = h.doc_id
     """,
     "large_orders": """
         WITH heavy AS (
