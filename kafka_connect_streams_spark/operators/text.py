@@ -252,3 +252,49 @@ def ngram_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
             .groupBy("bigram").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), "bigram")
             .limit(k))
+
+
+def repetition_signals(df: DataFrame, text_col: str,
+                       id_col: str) -> DataFrame:
+    """Within-document repetition signals — the quality-filter features that
+    catch boilerplate/spam (MassiveText-style filters): distinct-token
+    ratio, most-frequent-token share, duplicate-bigram fraction.
+
+    Bigram metrics are pure in-row array expressions; the top-token share
+    needs a per-(doc, token) count, which is one shuffle of (id, token)
+    pairs followed by a per-doc aggregate. Ratios are exact e9 fixed-point
+    integers (``floor(num·1e9/den)`` via integral division) so the numbers
+    hash identically on any engine — the cross-engine lesson from the
+    ROUND(double) failures.
+    """
+    toks = _tok_array(text_col)
+    # bigrams with the shingles() short-doc convention: a 1-token doc yields
+    # its single token as one "bigram" (sequence floor at 0)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
+    inrow = (df.select(
+        F.col(id_col),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams")))
+    tok_rows = df.select(
+        F.col(id_col), F.explode(toks).alias("token"))
+    per_tok = tok_rows.groupBy(id_col, "token").agg(
+        F.count("*").alias("c"))
+    per_doc = per_tok.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"))
+    e9 = "CAST(1000000000 AS BIGINT)"
+    return (per_doc.join(inrow, id_col)
+            .select(
+                F.col(id_col), "n_tokens", "n_distinct",
+                F.expr(f"(n_distinct * {e9}) DIV n_tokens")
+                .alias("distinct_ratio_e9"),
+                F.expr(f"(top_cnt * {e9}) DIV n_tokens")
+                .alias("top_token_share_e9"),
+                F.expr(
+                    f"CASE WHEN n_bigrams > 0 THEN "
+                    f"((n_bigrams - n_distinct_bigrams) * {e9}) DIV n_bigrams "
+                    f"ELSE CAST(0 AS BIGINT) END")
+                .alias("dup_bigram_frac_e9")))

@@ -737,6 +737,16 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(t["documents"], "text", "doc_id")
 
 
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (distinct-token ratio,
+    top-token share, duplicate-bigram fraction) as exact e9 fixed-point —
+    the boilerplate/spam filters of a training-data quality pipeline."""
+    from kafka_connect_streams_spark.operators.text import repetition_signals
+    t = load_tables(spark, sf_dir)
+    return repetition_signals(t["documents"], "text", "doc_id")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column → Arrow-batched mapInPandas feature extraction."""
     from kafka_connect_streams_spark.operators.multimodal import (
@@ -1623,6 +1633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
     "frame_sampling": q_frame_sampling,
     "grouping_sets": q_grouping_sets,
 }
@@ -2316,6 +2327,40 @@ ORACLE: dict[str, str] = {
                md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
                CAST(len(list_distinct(toks)) AS BIGINT) AS vocab_size
         FROM toks
+    """,
+    "text_repetition": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        inrow AS (
+            SELECT doc_id,
+                   len(generate_series(0, greatest(len(toks) - 2, 0)))
+                     AS n_bigrams,
+                   len(list_distinct(list_transform(
+                       generate_series(0, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(toks[i+1:i+2], ' '))))
+                     AS n_distinct_bigrams
+            FROM toks),
+        tok_rows AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+        per_tok AS (SELECT doc_id, token, count(*) AS c
+                    FROM tok_rows GROUP BY doc_id, token),
+        per_doc AS (SELECT doc_id, sum(c) AS n_tokens,
+                           count(*) AS n_distinct, max(c) AS top_cnt
+                    FROM per_tok GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               CAST(d.n_distinct AS BIGINT) AS n_distinct,
+               CAST((d.n_distinct * 1000000000) // d.n_tokens AS BIGINT)
+                 AS distinct_ratio_e9,
+               CAST((d.top_cnt * 1000000000) // d.n_tokens AS BIGINT)
+                 AS top_token_share_e9,
+               CAST(CASE WHEN i.n_bigrams > 0 THEN
+                        ((i.n_bigrams - i.n_distinct_bigrams) * 1000000000)
+                        // i.n_bigrams
+                    ELSE 0 END AS BIGINT) AS dup_bigram_frac_e9
+        FROM per_doc d JOIN inrow i ON d.doc_id = i.doc_id
     """,
     "multimodal_decode": """
         SELECT doc_id,

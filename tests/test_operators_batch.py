@@ -376,3 +376,20 @@ class TestFrameSampling:
                  for r in sample_frames(media, n_frames=4).collect()}
         for r in rows:
             assert again[(r.doc_id, r.frame_idx)] == r.frame_hash
+
+
+def test_repetition_signals_flag_degenerate_docs(spark):
+    """A doc that is one token repeated must score minimal distinct ratio,
+    full top-token share, and full duplicate-bigram fraction; a doc of all
+    unique tokens scores the opposite extremes."""
+    from kafka_connect_streams_spark.operators.text import repetition_signals
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            repetition_signals(df, "text", "doc_id").collect()}
+    assert rows[1].n_tokens == 4 and rows[1].n_distinct == 1
+    assert rows[1].top_token_share_e9 == 1_000_000_000
+    assert rows[1].dup_bigram_frac_e9 > 0
+    assert rows[2].distinct_ratio_e9 == 1_000_000_000
+    assert rows[2].dup_bigram_frac_e9 == 0
