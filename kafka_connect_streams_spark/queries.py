@@ -684,6 +684,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(emb, planes=8, threshold=0.35)
 
 
+
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-modality dedup clusters: LSH-bucketed cosine near-dup pairs
+    (operators/similarity.py) fed into large-star/small-star connected
+    components (operators/dedup.py) — the cross-modality composition a
+    multimodal dedup pipeline runs (near-dup detection by embedding, cluster
+    resolution by graph), with one canonical vector (min id) per cluster."""
+    from kafka_connect_streams_spark.operators.dedup import (
+        connected_components)
+    from kafka_connect_streams_spark.operators.similarity import neardup_pairs
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    pairs = neardup_pairs(emb, planes=8, threshold=0.35) \
+        .select("id_a", "id_b")
+    labels = connected_components(pairs).withColumnRenamed("node", "id")
+    return (emb.select(F.col("id").cast("bigint").alias("id"))
+            .join(labels, "id", "left")
+            .select("id",
+                    F.coalesce("label", F.col("id")).alias("cluster_id"))
+            .withColumn("is_canonical", F.col("id") == F.col("cluster_id")))
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch distinct-count (approx_count_distinct) per event type,
     verified against the exact count in the same plan.
@@ -1593,6 +1615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_dedup_clusters": q_embedding_dedup_clusters,
     "ann_topk_cosine": q_ann_topk_cosine,
     "session_window": q_session_window,
     "select_project": q_select_project,
@@ -2251,6 +2274,55 @@ ORACLE: dict[str, str] = {
                          / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
                 FROM sums)
         SELECT id_a, id_b, cosine FROM sim WHERE cosine >= 0.35
+    """,
+    "embedding_dedup_clusters": """
+        WITH RECURSIVE emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        proj AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS proj
+            FROM comp CROSS JOIN planes
+            GROUP BY id, p),
+        bucket AS (
+            SELECT id,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM proj GROUP BY id),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b
+                  FROM bucket a JOIN bucket b USING (bucket)
+                  WHERE a.id < b.id),
+        sums AS (
+            SELECT p.id_a, p.id_b,
+                   CAST(sum(da.x * db.x) AS BIGINT) AS dot,
+                   CAST(sum(da.x * da.x) AS BIGINT) AS na,
+                   CAST(sum(db.x * db.x) AS BIGINT) AS nb
+            FROM pairs p
+            JOIN comp da ON da.id = p.id_a
+            JOIN comp db ON db.id = p.id_b AND db.d = da.d
+            GROUP BY p.id_a, p.id_b),
+        sim AS (SELECT id_a, id_b,
+                       CAST(dot AS DOUBLE)
+                         / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+                FROM sums),
+        np AS (SELECT id_a, id_b FROM sim WHERE cosine >= 0.35),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM np
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM np),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        minreach AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        SELECT e.id,
+               least(e.id, coalesce(mn, e.id)) AS cluster_id,
+               e.id = least(e.id, coalesce(mn, e.id)) AS is_canonical
+        FROM emb e LEFT JOIN minreach ON minreach.src = e.id
     """,
     "text_tokens": """
         SELECT doc_id,
