@@ -339,10 +339,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             E.select(F.col("v").alias("u"), F.col("u").alias("v")))
         big = sym.groupBy("u").agg(F.min("v").alias("mn"))
         big = big.select("u", F.least("u", "mn").alias("m"))
-        ls = (sym.join(big, "u").filter(F.col("v") > F.col("u"))
-              .select(F.col("v").alias("a"), F.col("m").alias("b")))
-        E1 = _canon(ls).localCheckpoint(eager=False)
-        # small-star: edges already oriented u > v; min smaller-neighbor
+        # ls is already oriented (v > u ≥ m, so left > right) and the
+        # small-star min aggregates are duplicate-insensitive — no distinct
+        # pass between the stars (its shuffle + checkpoint cost a full
+        # stage per round; duplicate inflation is bounded at 2× for one
+        # round and vanishes in E_new's canon)
+        E1 = (sym.join(big, "u").filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        # small-star: edges oriented u > v; min smaller-neighbor
         small = E1.groupBy("u").agg(F.min("v").alias("m"))
         ss = (E1.join(small, "u")
               .select(F.col("v").alias("a"), F.col("m").alias("b"))
