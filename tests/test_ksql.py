@@ -255,6 +255,42 @@ class TestStreamingWindowedKsql:
         assert [r.n for r in rows] == [4, 4]
 
 
+class TestStreamingKsqlTable:
+    """Stream/table duality on a LIVE stream: CREATE TABLE over a
+    readStream-backed changelog plans as a streaming max_by aggregate and,
+    in update mode, converges to each key's latest row."""
+
+    def test_table_compaction_over_stream(self, spark, tmp_path):
+        import json as js
+        sdir = tmp_path / "users_stream"
+        sdir.mkdir()
+        rows = [("u1", 1_000, 10.0), ("u1", 3_000, 30.0), ("u2", 1_500, 15.0),
+                ("u1", 2_000, 20.0), ("u2", 2_500, 25.0)]
+        with open(sdir / "part-0.json", "w") as f:
+            for uid, ts, bal in rows:
+                f.write(js.dumps({"userid": uid, "ordertime": ts,
+                                  "balance": bal}) + "\n")
+        stream = (spark.readStream
+                  .schema("userid string, ordertime bigint, balance double")
+                  .json(str(sdir)))
+        ctx = KsqlContext(spark, resolver=lambda t: stream)
+        table = None
+        ctx.sql("""CREATE TABLE users_t (USERID varchar, ORDERTIME bigint,
+                   BALANCE double)
+                   WITH (kafka_topic='users_topic', value_format='JSON',
+                         key='userid', timestamp='ordertime')""")
+        table = spark.sql("SELECT userid, balance FROM users_t")
+        assert table.isStreaming
+        q = (table.writeStream.format("memory").queryName("ksql_table_live")
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r.userid: r.balance for r in
+               spark.sql("SELECT * FROM ksql_table_live").collect()}
+        assert got == {"u1": 30.0, "u2": 25.0}
+
+
 class TestArrayMapColumns:
     """FIXTURES.md §5 / OrderDataProvider.java:32-43: the orders_full fixture
     with PRICEARRAY array<double> and KEYVALUEMAP map<varchar,double>."""
