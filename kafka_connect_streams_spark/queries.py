@@ -1562,10 +1562,12 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
-    # list(QUERIES)[:50]. Slots 1-40 are the round-3 never-checked
-    # queries plus ann_auto_recall; 41-50 re-verify changed or
-    # flagship entries. Everything past 50 has a green driver row
-    # from r01/r02 on code unchanged since.
+    # list(QUERIES)[:50]. The window holds the 39 round-3 never-checked
+    # queries, the four round-4 additions (ann_auto_recall,
+    # decontamination_ngram, text_repetition, embedding_dedup_clusters),
+    # and every query whose code changed in round 4 (fixed-point ratios,
+    # in-row cosine/MinHash/SimHash). Everything past 50 is unchanged code
+    # with green driver rows from r01-r03.
     "moving_avg": q_moving_avg,
     "time_range_frame": q_time_range_frame,
     "ntile_buckets": q_ntile_buckets,
@@ -1608,15 +1610,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "important_parts": q_important_parts,
     "ann_auto_recall": q_ann_auto_recall,
     "conditional_agg": q_conditional_agg,
-    "wordcount": q_wordcount,
-    "multiway_join": q_multiway_join,
-    "interval_join": q_interval_join,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "dedup_simhash": q_dedup_simhash,
+    "text_repetition": q_text_repetition,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "embedding_neardup": q_embedding_neardup,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
-    "ann_topk_cosine": q_ann_topk_cosine,
+    "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
     "filter": q_filter,
@@ -1644,7 +1646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exists_subquery": q_exists_subquery,
     "distinct": q_distinct,
     "dedup_exact": q_dedup_exact,
-    "dedup_simhash": q_dedup_simhash,
+    "multiway_join": q_multiway_join,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
@@ -1656,7 +1658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
     "text_fingerprint": q_text_fingerprint,
-    "text_repetition": q_text_repetition,
+    "interval_join": q_interval_join,
     "frame_sampling": q_frame_sampling,
     "grouping_sets": q_grouping_sets,
 }
