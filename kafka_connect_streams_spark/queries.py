@@ -808,6 +808,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                             n=5, max_doc_freq=100, threshold=0.05)
 
 
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the power-law sanity check run
+    BEFORE deduping a corpus at scale (one giant boilerplate cluster means
+    the pair thresholds are wrong; deduping would delete real data). One
+    row per cluster size: how many clusters, how many docs they hold, and
+    the share of the corpus that dedup would drop at that size
+    (docs - clusters survivors), all exact integers."""
+    from kafka_connect_streams_spark.operators.dedup import neardup_clusters
+    t = load_tables(spark, sf_dir)
+    clusters = neardup_clusters(t["documents"], "text", "doc_id",
+                                n=5, max_doc_freq=100, threshold=0.05)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (per_cluster.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).alias("n_docs"),
+        (F.count("*") * (F.col("cluster_size") - 1)).alias("n_dropped")))
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by TF-IDF (integer-ordered
     ranking). The float score is dropped from the verified output — JVM
@@ -1577,6 +1597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "tfidf_topk": q_tfidf_topk,
     "hash_split": q_hash_split,
     "training_pipeline": q_training_pipeline,
@@ -1607,7 +1628,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "decontamination_ngram": q_decontamination_ngram,
     "large_orders": q_large_orders,
-    "important_parts": q_important_parts,
     "ann_auto_recall": q_ann_auto_recall,
     "conditional_agg": q_conditional_agg,
     "ann_topk_cosine": q_ann_topk_cosine,
@@ -1618,6 +1638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "embedding_neardup": q_embedding_neardup,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
+    "important_parts": q_important_parts,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
@@ -2609,6 +2630,60 @@ ORACLE: dict[str, str] = {
                least(d.doc_id, coalesce(mn, d.doc_id)) AS cluster_id,
                d.doc_id = least(d.doc_id, coalesce(mn, d.doc_id)) AS is_canonical
         FROM documents d LEFT JOIN minreach ON minreach.src = d.doc_id
+    """,
+        "dedup_cluster_sizes": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 5, 0)),
+                           i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        rare AS (
+            SELECT shingle FROM (
+                SELECT shingle, count(DISTINCT doc_id) AS df
+                FROM sh GROUP BY shingle) f
+            WHERE df <= 100),
+        shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT id_a, id_b FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_shared AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_shared) >= 0.05),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        minreach AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+        labels AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(mn, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN minreach ON minreach.src = d.doc_id),
+        per_cluster AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM labels GROUP BY cluster_id)
+        SELECT cluster_size,
+               count(*) AS n_clusters,
+               count(*) * cluster_size AS n_docs,
+               count(*) * (cluster_size - 1) AS n_dropped
+        FROM per_cluster GROUP BY cluster_size
     """,
     "tfidf_topk": """
         WITH toks AS (
