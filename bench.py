@@ -1,14 +1,20 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver records only the last 2000 chars of stdout, so the contract line
+MUST stay under that window (round 4's line grew past it when ``spread`` was
+added and the driver recorded ``parsed: null``). Diagnostics that are not
+part of the contract — per-query spread, repeat count, suite wall-clock — go
+to STDERR instead, and a guard refuses to print an oversized line.
 
 ``value`` is the sum of per-query MEDIANS (lower is better). Each query runs
 ``SPARK_GRAFT_BENCH_REPEATS`` times (default 3) after one untimed warm-up of
-the whole plan; ``queries`` holds the median, ``spread`` the max-min across
-repeats, so a regression has to clear the measured noise floor to count.
-Single-run timings on a shared session swing ±30-50% (round-2/3 comparison
-of byte-identical code), which made the old one-shot bench unusable for
+the whole plan; the stderr ``spread`` map holds max-min across repeats, so a
+regression has to clear the measured noise floor to count. Single-run
+timings on a shared session swing ±30-50% (round-2/3 comparison of
+byte-identical code), which made the old one-shot bench unusable for
 regression detection.
 
 Each query is forced with a count() action so the timing covers the full
@@ -54,9 +60,11 @@ HEADLINE = [
     "percentile_disc",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_clusters",
     "tfidf_topk",
     "ann_lsh_cosine",
+    "ann_ivf_cosine",
     "text_quality",
     "training_pipeline",
     "user_journeys",
@@ -104,16 +112,24 @@ def main() -> None:
         spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # diagnostics off the contract line (driver tails 2000 chars of stdout)
     print(json.dumps({
+        "spread": spread,
+        "repeats": repeats,
+        "suite_wallclock": round(time.perf_counter() - suite_t0, 3),
+    }), file=sys.stderr)
+    line = json.dumps({
         "metric": "headline_queries_total_wallclock",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
-        "repeats": repeats,
-        "suite_wallclock": round(time.perf_counter() - suite_t0, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    })
+    if len(line) > 1800:
+        raise SystemExit(
+            f"bench contract line is {len(line)} chars; the driver records "
+            "only the last 2000 chars of stdout — trim HEADLINE or keys")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1582,63 +1582,20 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
-    # list(QUERIES)[:50]. The window holds the 39 round-3 never-checked
-    # queries, the four round-4 additions (ann_auto_recall,
-    # decontamination_ngram, text_repetition, embedding_dedup_clusters),
-    # and every query whose code changed in round 4 (fixed-point ratios,
-    # in-row cosine/MinHash/SimHash). Everything past 50 is unchanged code
-    # with green driver rows from r01-r03.
-    "moving_avg": q_moving_avg,
-    "time_range_frame": q_time_range_frame,
-    "ntile_buckets": q_ntile_buckets,
-    "listagg": q_listagg,
-    "shipping_priority": q_shipping_priority,
-    "range_join": q_range_join,
-    "funnel": q_funnel,
-    "cohort_retention": q_cohort_retention,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "tfidf_topk": q_tfidf_topk,
-    "hash_split": q_hash_split,
-    "training_pipeline": q_training_pipeline,
-    "regex_functions": q_regex_functions,
-    "null_handling": q_null_handling,
-    "percent_rank_cume": q_percent_rank_cume,
-    "dedup_edit_distance": q_dedup_edit_distance,
-    "user_journeys": q_user_journeys,
-    "unpivot": q_unpivot,
-    "data_profile": q_data_profile,
-    "approx_quantile": q_approx_quantile,
-    "market_share": q_market_share,
-    "promo_revenue": q_promo_revenue,
-    "returned_items": q_returned_items,
-    "linestatus_priority": q_linestatus_priority,
-    "disjunctive_predicates": q_disjunctive_predicates,
-    "idle_customers": q_idle_customers,
-    "dedup_recall": q_dedup_recall,
-    "ann_recall": q_ann_recall,
-    "sequence_packing": q_sequence_packing,
-    "skew_salted_agg": q_skew_salted_agg,
-    "stratified_sample": q_stratified_sample,
-    "pii_redaction": q_pii_redaction,
-    "bigram_topk": q_bigram_topk,
-    "quality_funnel": q_quality_funnel,
-    "histogram": q_histogram,
-    "incremental_dedup": q_incremental_dedup,
-    "decontamination": q_decontamination,
-    "decontamination_ngram": q_decontamination_ngram,
-    "large_orders": q_large_orders,
-    "ann_auto_recall": q_ann_auto_recall,
-    "conditional_agg": q_conditional_agg,
-    "ann_topk_cosine": q_ann_topk_cosine,
-    "dedup_simhash": q_dedup_simhash,
-    "text_repetition": q_text_repetition,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "ann_lsh_cosine": q_ann_lsh_cosine,
-    "ann_ivf_cosine": q_ann_ivf_cosine,
-    "embedding_neardup": q_embedding_neardup,
-    "embedding_dedup_clusters": q_embedding_dedup_clusters,
+    # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
+    # every prior round — never driver-checked), then the six queries whose
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 43
+    # oldest-green queries (r01-r03 rows, unchanged code) for
+    # re-verification. The 44 r04-green entries rotate to the back.
+    # After ANY registry edit, recompute list(QUERIES)[:50] and confirm
+    # every query changed this round is inside it.
     "important_parts": q_important_parts,
+    "conditional_agg": q_conditional_agg,
+    "null_handling": q_null_handling,
+    "linestatus_priority": q_linestatus_priority,
+    "sequence_packing": q_sequence_packing,
+    "quality_funnel": q_quality_funnel,
+    "training_pipeline": q_training_pipeline,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
@@ -1682,6 +1639,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "frame_sampling": q_frame_sampling,
     "grouping_sets": q_grouping_sets,
+    # --- end of driver window (slot 50 is grouping_sets) ---
+    "moving_avg": q_moving_avg,
+    "time_range_frame": q_time_range_frame,
+    "ntile_buckets": q_ntile_buckets,
+    "listagg": q_listagg,
+    "shipping_priority": q_shipping_priority,
+    "range_join": q_range_join,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "tfidf_topk": q_tfidf_topk,
+    "hash_split": q_hash_split,
+    "regex_functions": q_regex_functions,
+    "percent_rank_cume": q_percent_rank_cume,
+    "dedup_edit_distance": q_dedup_edit_distance,
+    "user_journeys": q_user_journeys,
+    "unpivot": q_unpivot,
+    "data_profile": q_data_profile,
+    "approx_quantile": q_approx_quantile,
+    "market_share": q_market_share,
+    "promo_revenue": q_promo_revenue,
+    "returned_items": q_returned_items,
+    "disjunctive_predicates": q_disjunctive_predicates,
+    "idle_customers": q_idle_customers,
+    "dedup_recall": q_dedup_recall,
+    "ann_recall": q_ann_recall,
+    "skew_salted_agg": q_skew_salted_agg,
+    "stratified_sample": q_stratified_sample,
+    "pii_redaction": q_pii_redaction,
+    "bigram_topk": q_bigram_topk,
+    "histogram": q_histogram,
+    "incremental_dedup": q_incremental_dedup,
+    "decontamination": q_decontamination,
+    "decontamination_ngram": q_decontamination_ngram,
+    "large_orders": q_large_orders,
+    "ann_auto_recall": q_ann_auto_recall,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "dedup_simhash": q_dedup_simhash,
+    "text_repetition": q_text_repetition,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "ann_lsh_cosine": q_ann_lsh_cosine,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_dedup_clusters": q_embedding_dedup_clusters,
 }
 
 ORACLE: dict[str, str] = {
@@ -2167,7 +2169,8 @@ ORACLE: dict[str, str] = {
                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS open_dec,
                    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
             FROM orders GROUP BY o_orderpriority)
-        SELECT o_orderpriority, n_orders, n_open,
+        SELECT o_orderpriority, n_orders,
+               CAST(n_open AS BIGINT) AS n_open,
                CAST(open_dec AS DOUBLE) AS open_revenue,
                CAST((CAST(open_dec * 100 AS HUGEINT) * 1000000000)
                     // CAST(total_dec * 100 AS HUGEINT) AS BIGINT)
@@ -2756,8 +2759,8 @@ ORACLE: dict[str, str] = {
                     WHEN bucket < 90 THEN 'valid'
                     ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(word_tokens) AS total_word_tokens,
-               sum(bpe_tokens) AS total_bpe_tokens,
+               CAST(sum(word_tokens) AS BIGINT) AS total_word_tokens,
+               CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
                min(quality) AS min_quality,
                max(quality) AS max_quality
         FROM d2
@@ -2786,9 +2789,11 @@ ORACLE: dict[str, str] = {
             FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
         SELECT closed_status,
                count(*) AS n,
-               sum(items) AS total_items,
-               sum(CASE WHEN no_items THEN 1 ELSE 0 END) AS n_no_items,
-               sum(CASE WHEN exactly_one THEN 1 ELSE 0 END) AS n_single_item
+               CAST(sum(items) AS BIGINT) AS total_items,
+               CAST(sum(CASE WHEN no_items THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_no_items,
+               CAST(sum(CASE WHEN exactly_one THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_single_item
         FROM j
         GROUP BY closed_status
     """,
@@ -2963,10 +2968,10 @@ ORACLE: dict[str, str] = {
     """,
     "linestatus_priority": """
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3318,7 +3323,8 @@ ORACLE: dict[str, str] = {
                               / 2048) AS INTEGER) AS seq
             FROM toks)
         SELECT CAST(bucket AS INTEGER) AS bucket, seq,
-               count(*) AS n_docs, sum(n_tok) AS pack_tokens
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS pack_tokens
         FROM packed GROUP BY bucket, seq
     """,
     "skew_salted_agg": """
@@ -3482,11 +3488,13 @@ ORACLE: dict[str, str] = {
                                        ELSE 0.0 END) AS quality
             FROM f)
         SELECT count(*) AS n_total,
-               sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS n_len_ok,
-               sum(CASE WHEN n_chars >= 200 AND quality >= 0.5
-                        THEN 1 ELSE 0 END) AS n_quality_ok,
-               sum(CASE WHEN n_chars >= 200 AND quality >= 0.5
-                        AND lang = 'en' THEN 1 ELSE 0 END) AS n_en_ok
+               CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_len_ok,
+               CAST(sum(CASE WHEN n_chars >= 200 AND quality >= 0.5
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+               CAST(sum(CASE WHEN n_chars >= 200 AND quality >= 0.5
+                        AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_en_ok
         FROM r
     """,
 }

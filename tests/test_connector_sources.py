@@ -302,6 +302,74 @@ class TestPythonDataSink:
         assert len(files) == 1, files
         assert not list((out / "_staging").iterdir())  # replay file dropped
 
+    def test_restart_replays_epoch_exactly_once(self, spark, tmp_path):
+        """Kill-and-resume: a NEW query on the SAME checkpoint + manifest dir
+        must not publish a replayed epoch twice.
+
+        Deleting the checkpoint's ``commits/0`` marker after the first run
+        makes Structured Streaming re-execute batch 0 on restart — the
+        cross-process replay that within-run tests can't produce. The sink's
+        manifest check (python_datasink.py commit) must discard the replay's
+        staged files, and the resumed stream must still publish NEW epochs.
+        """
+        import glob
+        import json as js
+
+        from kafka_connect_streams_spark.sources.python_datasink import (
+            register)
+        register(spark)
+        src, out, ckpt = tmp_path / "src", tmp_path / "sink_out", \
+            tmp_path / "ckpt"
+        out.mkdir()
+
+        def run_query():
+            import time
+
+            q = (spark.readStream
+                 .schema("id bigint, w string").parquet(str(src))
+                 .writeStream.format("table_sink")
+                 .option("path", str(out))
+                 .option("checkpointLocation", str(ckpt))
+                 .trigger(availableNow=True).start())
+            # availableNow self-terminates; block until it has fully
+            # deregistered or the next start() sees a concurrent query
+            # on the same checkpoint dir
+            q.awaitTermination()
+            for _ in range(200):
+                if not q.isActive:
+                    break
+                time.sleep(0.1)
+
+        spark.createDataFrame(
+            [(i, f"w{i}") for i in range(50)], "id bigint, w string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+        run_query()
+        assert spark.read.parquet(str(out)).count() == 50
+
+        # simulate a crash between sink publish and checkpoint commit: the
+        # offsets log says batch 0 was planned, but its commit marker is gone
+        # (the hidden Hadoop .crc must go too or the replayed commit-log
+        # rename fails as a concurrent-modification)
+        (ckpt / "commits" / "0").unlink()
+        (ckpt / "commits" / ".0.crc").unlink(missing_ok=True)
+        run_query()
+        back = spark.read.parquet(str(out))
+        assert back.count() == 50, "replayed epoch 0 was published twice"
+        assert not list((out / "_staging").iterdir()), \
+            "replay's staged files were not discarded"
+        assert len(glob.glob(str(out / "_commits" / "*.json"))) == 1
+
+        # the resumed stream keeps going: new data -> new epoch, published once
+        spark.createDataFrame(
+            [(i, f"w{i}") for i in range(50, 100)], "id bigint, w string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+        run_query()
+        back = spark.read.parquet(str(out))
+        assert back.count() == 100
+        assert sorted(r.id for r in back.collect()) == list(range(100))
+        manifests = glob.glob(str(out / "_commits" / "*.json"))
+        assert sum(js.load(open(m))["rows"] for m in manifests) == 100
+
     def test_abort_cleans_staging(self, tmp_path):
         import pyarrow as pa
 

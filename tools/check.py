@@ -16,6 +16,8 @@ import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -29,10 +31,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        # full precision — the driver hashes exact values; %.6g here let a
-        # driver-red query sit local-green for three rounds
+        # full precision, NO integral-float collapse — the driver hashes
+        # repr(3.0) != repr(3); collapsing here hid the round-4 HUGEINT reds
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
@@ -43,6 +43,34 @@ def _norm(v):
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_norm(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)
+
+
+def _pandas_rows(df, cols: list[str], dtypes: dict[str, str]) -> list[tuple]:
+    """Rows as the driver sees them: DuckDB -> pandas -> Python scalars.
+
+    numpy scalars unwrap via .item() (repr(np.float64(3.0)) is not '3.0' on
+    numpy 2); pandas Timestamps go back to datetime, and DATE-typed columns
+    back to date so they compare equal to Spark's DateType collect.
+    """
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for col, v in zip(cols, row):
+            if v is None or v is pd.NaT:
+                vals.append(None)
+            elif isinstance(v, np.ndarray):
+                vals.append(v.tolist())
+            elif isinstance(v, bytearray):
+                vals.append(bytes(v))
+            elif hasattr(v, "to_pydatetime"):
+                dt = v.to_pydatetime()
+                vals.append(dt.date() if dtypes.get(col) == "DATE" else dt)
+            elif hasattr(v, "item"):
+                vals.append(v.item())
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return out
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -74,8 +102,13 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
+            # driver-faithful: the driver pulls BOTH sides through pandas, so
+            # a Spark NULL double and a DuckDB NULL double both become NaN;
+            # .collect() (None) vs pandas (NaN) was a false asymmetry here
+            sdtypes = {f.name: f.dataType.simpleString().upper()
+                       for f in sdf.schema.fields}
+            srows = _pandas_rows(sdf.toPandas(), scols, sdtypes)
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failed.append(name)
@@ -84,9 +117,22 @@ def main() -> int:
             print(f"weak  {name}: rows={len(srows)} (no oracle; rows-only check)")
             continue
         try:
+            # hard gate: DuckDB sum() over ints yields HUGEINT (int128); the
+            # driver's pandas fetch turns that into float64 ("3" -> "3.0") and
+            # the hash goes red even when values agree. Refuse such oracles.
+            desc = con.execute("DESCRIBE " + oracles[name]).fetchall()
+            huge = [d[0] for d in desc if "HUGEINT" in str(d[1]).upper()]
+            if huge:
+                print(f"FAIL  {name}: oracle has HUGEINT output column(s) "
+                      f"{huge} — CAST to BIGINT (driver pandas-fetch trap)")
+                failed.append(name)
+                continue
+            dtypes = {d[0]: str(d[1]).upper() for d in desc}
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # driver-faithful fetch: through pandas, not fetchall() — the two
+            # disagree on int128/date/decimal representation
+            orows = _pandas_rows(res.df(), ocols, dtypes)
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failed.append(name)
