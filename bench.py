@@ -80,6 +80,10 @@ HEADLINE = [
     "ann_recall",
     "incremental_dedup",
     "large_orders",
+    "mix_weights",
+    "training_order",
+    "packing_efficiency",
+    "decontamination_minhash",
 ]
 
 

@@ -134,6 +134,18 @@ def _banded_wide(wide: DataFrame, id_col: str,
         .select(F.col(id_col), F.col("p.band"), F.col("p.band_key")))
 
 
+def banded_signatures(wide: DataFrame, id_col: str,
+                      bands: int = 4, rows: int = 4) -> DataFrame:
+    """Public banding step: (id, band, band_key) rows from a wide signature.
+
+    The LSH bucket-assignment half of :func:`lsh_candidate_pairs_wide`,
+    exposed for consumers that aggregate over buckets directly instead of
+    self-joining them — e.g. near-duplicate decontamination's side-flag
+    groupBy, which never materializes candidate pairs at all.
+    """
+    return _banded_wide(wide, id_col, bands, rows)
+
+
 def lsh_candidate_pairs_wide(wide: DataFrame, id_col: str,
                              bands: int = 4, rows: int = 4) -> DataFrame:
     """Band a wide signature (bands × rows = k) and self-join band buckets.

@@ -1576,6 +1576,102 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(g3.cast("long")).alias("n_en_ok"))
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights per source (language here):
+    weight ∝ count^0.5, the standard down-weighting of dominant sources when
+    composing a training mix (alpha-sampling with alpha=1/2).
+
+    Exact across engines: the raw weight is floor(sqrt(count)) — sqrt of an
+    integer-valued double is correctly rounded IEEE on both engines, floor
+    makes it an int64 — and the normalized share is e9 integer fixed-point
+    (never a float sum, whose order would differ). One groupBy over the
+    corpus + a 1-row broadcast join for the total: agg state is
+    O(n_sources), scan-speed at 100 TB.
+    """
+    t = load_tables(spark, sf_dir)
+    per = (t["documents"].groupBy("lang")
+           .agg(F.count("*").alias("n_docs"))
+           .withColumn("w_raw",
+                       F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")))
+    tot = per.agg(F.sum("w_raw").alias("w_tot"))
+    return (per.join(F.broadcast(tot))
+            .select("lang", "n_docs",
+                    F.expr("(w_raw * 1000000000) div w_tot")
+                    .alias("weight_e9")))
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order assignment:
+    (shuffle_bucket, pos) per document, a pure function of doc_id.
+
+    The corpus-wide random permutation a trainer wants, without RNG and
+    without a total sort: bucket = md5 prefix % 64 (range-partitions the
+    permutation), pos = rank of the full md5 hash WITHIN the bucket. Each
+    bucket sorts independently (~1/64 of the corpus), so at 100 TB this is
+    64 parallel sorts instead of one global one, and the ordering is stable
+    under repartitioning, retries, and engine choice.
+    """
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = t["documents"].select(
+        "doc_id", h.alias("h"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 64)
+        .alias("shuffle_bucket"))
+    w = Window.partitionBy("shuffle_bucket").orderBy("h", "doc_id")
+    return (keyed.withColumn("pos", F.row_number().over(w))
+            .select("doc_id", "shuffle_bucket", "pos"))
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over sequence_packing's output: per md5
+    bucket, how many packs, how many tokens, and the mean fill rate of the
+    2048-token budget (e9 fixed-point — packs CAN exceed 100% because
+    documents are never split across a pack boundary).
+
+    The observability leg of the packing pipeline: a fill rate drifting low
+    means the bucket count or budget is mis-sized for the document length
+    distribution. Pure composition — same single-shuffle plan as
+    sequence_packing plus one O(buckets) aggregation.
+    """
+    budget = 2048
+    packs = q_sequence_packing(spark, sf_dir)
+    return (packs.groupBy("bucket")
+            .agg(F.count("*").alias("n_packs"),
+                 F.sum("pack_tokens").alias("bucket_tokens"),
+                 F.max("pack_tokens").alias("max_pack_tokens"))
+            .select("bucket", "n_packs", "bucket_tokens", "max_pack_tokens",
+                    F.expr(f"(bucket_tokens * 1000000000) div "
+                           f"(n_packs * {budget})").alias("mean_fill_e9")))
+
+
+def q_decontamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate benchmark decontamination: flag an eval document
+    (doc_id % 50 == 0) when any of its MinHash LSH band buckets also holds a
+    TRAINING document — the fuzzy-overlap check that catches paraphrased or
+    lightly-edited eval leakage exact n-gram decontamination misses.
+
+    Same side-flag aggregation shape as decontamination_ngram (one groupBy
+    on the band bucket, never a train⋈eval join), on top of the in-row
+    MinHash/banding machinery dedup_minhash_lsh already proved: the shuffle
+    carries (band, band_key) pairs — bands × corpus rows regardless of
+    document size or embedding of the 16-slot signature.
+    """
+    from kafka_connect_streams_spark.operators.dedup import (
+        banded_signatures, minhash_signatures_wide, shingles)
+    t = load_tables(spark, sf_dir)
+    sh = shingles(t["documents"], "text", "doc_id", n=3)
+    wide = minhash_signatures_wide(sh, "doc_id", k=16)
+    banded = banded_signatures(wide, "doc_id", bands=4, rows=4)
+    is_eval = F.col("doc_id") % 50 == 0
+    per_bucket = banded.groupBy("band", "band_key").agg(
+        F.max(F.when(~is_eval, 1).otherwise(0)).alias("in_train"),
+        F.collect_list(F.when(is_eval, F.col("doc_id"))).alias("eval_ids"))
+    return (per_bucket.filter(F.size("eval_ids") > 0)
+            .select(F.explode("eval_ids").alias("doc_id"), "in_train")
+            .groupBy("doc_id")
+            .agg((F.max("in_train") == 1).alias("near_contaminated")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1584,11 +1680,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 43
-    # oldest-green queries (r01-r03 rows, unchanged code) for
-    # re-verification. The 44 r04-green entries rotate to the back.
-    # After ANY registry edit, recompute list(QUERIES)[:50] and confirm
-    # every query changed this round is inside it.
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the four
+    # round-5 additions (mix_weights, training_order, packing_efficiency,
+    # decontamination_minhash), then 39 oldest-green queries (r01-r03 rows,
+    # unchanged code) for re-verification. Everything else rotates to the
+    # back. After ANY registry edit, recompute list(QUERIES)[:50] and
+    # confirm every query changed this round is inside it.
     "important_parts": q_important_parts,
     "conditional_agg": q_conditional_agg,
     "null_handling": q_null_handling,
@@ -1596,6 +1693,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "quality_funnel": q_quality_funnel,
     "training_pipeline": q_training_pipeline,
+    "mix_weights": q_mix_weights,
+    "training_order": q_training_order,
+    "packing_efficiency": q_packing_efficiency,
+    "decontamination_minhash": q_decontamination_minhash,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
@@ -1635,11 +1736,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
+    # --- end of driver window (slot 50 is text_language_id) ---
     "text_fingerprint": q_text_fingerprint,
     "interval_join": q_interval_join,
     "frame_sampling": q_frame_sampling,
     "grouping_sets": q_grouping_sets,
-    # --- end of driver window (slot 50 is grouping_sets) ---
     "moving_avg": q_moving_avg,
     "time_range_frame": q_time_range_frame,
     "ntile_buckets": q_ntile_buckets,
@@ -3496,5 +3597,89 @@ ORACLE: dict[str, str] = {
                         AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_en_ok
         FROM r
+    """,
+    "mix_weights": """
+        WITH per AS (
+            SELECT lang, count(*) AS n_docs,
+                   CAST(floor(sqrt(count(*))) AS BIGINT) AS w_raw
+            FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot FROM per)
+        SELECT lang, n_docs,
+               CAST((w_raw * 1000000000) // w_tot AS BIGINT) AS weight_e9
+        FROM per CROSS JOIN tot
+    """,
+    "training_order": """
+        WITH keyed AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        ::INT % 64 AS INTEGER) AS shuffle_bucket
+            FROM documents)
+        SELECT doc_id, shuffle_bucket,
+               CAST(row_number() OVER (PARTITION BY shuffle_bucket
+                                       ORDER BY h, doc_id) AS INTEGER) AS pos
+        FROM keyed
+    """,
+    "packing_efficiency": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> length(x) > 0)) AS BIGINT) AS n_tok,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                     % 32 AS bucket
+            FROM documents),
+        packed AS (
+            SELECT doc_id, n_tok, bucket,
+                   CAST(floor((sum(n_tok) OVER (PARTITION BY bucket
+                                                ORDER BY doc_id) - n_tok)
+                              / 2048) AS INTEGER) AS seq
+            FROM toks),
+        packs AS (
+            SELECT bucket, seq, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY bucket, seq)
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               count(*) AS n_packs,
+               CAST(sum(pack_tokens) AS BIGINT) AS bucket_tokens,
+               CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+               CAST((CAST(sum(pack_tokens) AS HUGEINT) * 1000000000)
+                    // (count(*) * 2048) AS BIGINT) AS mean_fill_e9
+        FROM packs GROUP BY bucket
+    """,
+    "decontamination_minhash": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        sh2 AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 12))::BIGINT % 2147483647 AS h0
+            FROM sh),
+        sigs AS (
+            SELECT doc_id, seed,
+                   min((h0 * (2*seed + 1) + seed * 2654435769) % 2147483647) AS sig
+            FROM sh2 CROSS JOIN seeds
+            GROUP BY doc_id, seed),
+        banded AS (
+            SELECT doc_id, seed // 4 AS band,
+                   md5(string_agg(sig::VARCHAR, ',' ORDER BY seed)) AS band_key
+            FROM sigs GROUP BY doc_id, seed // 4),
+        flags AS (
+            SELECT band, band_key,
+                   max(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS in_train
+            FROM banded GROUP BY band, band_key)
+        SELECT b.doc_id, max(f.in_train) = 1 AS near_contaminated
+        FROM banded b JOIN flags f USING (band, band_key)
+        WHERE b.doc_id % 50 = 0
+        GROUP BY b.doc_id
     """,
 }
