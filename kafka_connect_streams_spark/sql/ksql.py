@@ -126,6 +126,7 @@ class StreamMeta:
     key_col: str | None
     timestamp_col: str | None = None
     columns: dict[str, str] = field(default_factory=dict)
+    kind: str = "stream"  # "stream" | "table" (KSQL stream/table duality)
 
 
 class KsqlContext:
@@ -171,6 +172,7 @@ class KsqlContext:
             key_col=props.get("key", "").lower() or None,
             timestamp_col=props.get("timestamp", "").lower() or None,
             columns=cols,
+            kind=kind.lower(),
         )
         df = self.resolver(meta.topic)
         df = self._with_pseudo_columns(df, meta)
@@ -248,10 +250,30 @@ class KsqlContext:
 
     def _csas(self, m: re.Match) -> DataFrame:
         from kafka_connect_streams_spark.functions import rewrite_ksql_sql
+        kind = m.group(1).lower()
         name = m.group(2).lower()
         props = _parse_props(m.group("props"))
         select = m.group("select")
+        # KSQL's re-key clause: SELECT ... FROM s [WHERE ...] PARTITION BY c
+        # — the CSAS spelling of selectKey (P4): the result stream's ROWKEY
+        # becomes the named column (stringified, §1.4), which is what decides
+        # the shuffle/partitioning of every downstream stateful op.
+        pb = re.search(r"\bPARTITION\s+BY\s+(\w+)\s*$", select,
+                       re.IGNORECASE)
+        key_override = None
+        if pb:
+            key_override = pb.group(1).lower()
+            select = select[:pb.start()]
+        if kind == "table" and not self._is_table_result(select):
+            # KSQL 5.1: CREATE TABLE AS requires an aggregation or a TABLE
+            # source — a plain stream SELECT has no per-key latest semantics
+            raise ValueError(
+                f"CREATE TABLE {name} AS requires a GROUP BY aggregation "
+                "or a TABLE source (stream/table duality)")
         df = self.spark.sql(rewrite_ksql_sql(select))
+        if key_override:
+            df = df.withColumn("rowkey",
+                               F.col(key_override).cast("string"))
         # WITH (timestamp='col'): rebind the stream's event time (F10)
         ts_col = props.get("timestamp", "").lower()
         if ts_col:
@@ -261,7 +283,19 @@ class KsqlContext:
         self.metastore[name] = StreamMeta(
             name=name, topic=name,
             value_format=props.get("value_format", "json").lower(),
-            key_col=props.get("key", "").lower() or None,
+            key_col=key_override or props.get("key", "").lower() or None,
             timestamp_col=ts_col or None,
-            columns=dict(df.dtypes))
+            columns=dict(df.dtypes),
+            kind=kind)
         return df
+
+    def _is_table_result(self, select: str) -> bool:
+        """A CTAS result is a table iff the SELECT aggregates (GROUP BY) or
+        every FROM source is itself a registered TABLE."""
+        if re.search(r"\bGROUP\s+BY\b", select, re.IGNORECASE):
+            return True
+        sources = re.findall(r"\b(?:FROM|JOIN)\s+(\w+)", select,
+                             re.IGNORECASE)
+        return bool(sources) and all(
+            self.metastore.get(s.lower()) is not None
+            and self.metastore[s.lower()].kind == "table" for s in sources)

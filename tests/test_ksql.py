@@ -291,6 +291,119 @@ class TestStreamingKsqlTable:
         assert got == {"u1": 30.0, "u2": 25.0}
 
 
+class TestCtasAndPartitionBy:
+    """KSQL 5.1 CTAS + PARTITION BY surface: CREATE TABLE AS must carry
+    table semantics (aggregation or TABLE source), and PARTITION BY re-keys
+    the CSAS result's ROWKEY — the declarative spelling of selectKey (P4)."""
+
+    def test_ctas_from_aggregate(self, ctx, spark):
+        ctx.sql(DDL)
+        ctx.sql("CREATE TABLE order_counts AS "
+                "SELECT itemid, count(*) AS n, sum(orderunits) AS units "
+                "FROM orders GROUP BY itemid")
+        assert ctx.metastore["order_counts"].kind == "table"
+        rows = {r.itemid: r.n
+                for r in spark.sql("SELECT * FROM order_counts").collect()}
+        assert len(rows) == 8 and all(n == 1 for n in rows.values())
+
+    def test_ctas_from_plain_stream_select_rejected(self, ctx):
+        ctx.sql(DDL)
+        with pytest.raises(ValueError, match="GROUP BY aggregation"):
+            ctx.sql("CREATE TABLE bad AS SELECT * FROM orders")
+
+    def test_ctas_from_table_source_is_allowed(self, spark):
+        rows = [("u1", 1_000, 10.0), ("u1", 3_000, 30.0), ("u2", 1_500, 15.0)]
+        log = spark.createDataFrame(
+            rows, "userid string, ordertime bigint, balance double")
+        ctx = KsqlContext(spark, resolver=lambda t: log)
+        ctx.sql("""CREATE TABLE users (USERID varchar, ORDERTIME bigint,
+                   BALANCE double)
+                   WITH (kafka_topic='users_topic', value_format='JSON',
+                         key='userid', timestamp='ordertime')""")
+        # projecting a TABLE keeps table-ness without a GROUP BY
+        ctx.sql("CREATE TABLE rich_users AS "
+                "SELECT userid, balance FROM users WHERE balance > 12")
+        assert ctx.metastore["rich_users"].kind == "table"
+        got = {r.userid: r.balance
+               for r in spark.sql("SELECT * FROM rich_users").collect()}
+        assert got == {"u1": 30.0, "u2": 15.0}
+
+    def test_partition_by_rekeys_rowkey(self, ctx, spark):
+        ctx.sql(DDL)
+        ctx.sql("CREATE STREAM by_item AS SELECT rowkey, itemid, orderunits "
+                "FROM orders PARTITION BY itemid")
+        meta = ctx.metastore["by_item"]
+        assert meta.kind == "stream" and meta.key_col == "itemid"
+        rows = spark.sql("SELECT rowkey, itemid FROM by_item").collect()
+        assert len(rows) == 8
+        # ROWKEY is rebound to the PARTITION BY column, stringified
+        assert all(r.rowkey == r.itemid for r in rows)
+
+
+class TestBadDataSkip:
+    """Reference StreamsSelectAndProjectIntTest.java:151-166: records whose
+    value is not parseable JSON must be SKIPPED by the converter chain, not
+    fail the query. The engine-side contract is decode_records (kafka.py):
+    PERMISSIVE from_json maps malformed bytes to an all-null struct, and the
+    all-null filter drops them before the KSQL relation ever sees a row."""
+
+    SCHEMA = ("ordertime bigint, orderid string, itemid string, "
+              "orderunits double")
+
+    def test_corrupt_records_skipped_on_live_leg(self, spark, tmp_path):
+        import json as js
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from kafka_connect_streams_spark.sources import filebroker as fb
+        from kafka_connect_streams_spark.sources.kafka import decode_records
+
+        broker = fb.FileBroker(str(tmp_path / "broker"))
+        broker.create_topic("orders_topic", partitions=2)
+        p = broker.producer()
+        for i in range(1, 9):
+            p.send("orders_topic",
+                   js.dumps({"ordertime": i, "orderid": f"ORDER_{i}",
+                             "itemid": f"ITEM_{i}", "orderunits": i * 10.0}),
+                   key=str(i), timestamp_ms=1_700_000_000_000 + i)
+            # interleave corruption after every good record: plain text, a
+            # truncated object, and raw non-UTF8 bytes
+            p.send("orders_topic", "this is not json",
+                   key=f"bad-{i}", timestamp_ms=1_700_000_000_000 + i)
+        p.send("orders_topic", '{"ordertime": 99, "orderid":',
+               timestamp_ms=1_700_000_000_100)
+        p.send("orders_topic", b"\x00\x01\xfe garbage",
+               timestamp_ms=1_700_000_000_101)
+        p.flush()
+
+        fb.register(spark)
+        raw = (spark.readStream.format("filebroker")
+               .option("path", broker.root)
+               .option("subscribe", "orders_topic").load())
+        decoded = decode_records(
+            raw, _parse_datatype_string(self.SCHEMA))
+        ctx = KsqlContext(spark, resolver=lambda t: decoded)
+        ctx.sql("""CREATE STREAM orders_b (ORDERTIME bigint, ORDERID varchar,
+                   ITEMID varchar, ORDERUNITS double)
+                   WITH (kafka_topic='orders_topic', value_format='JSON',
+                         key='ordertime')""")
+        out = ctx.sql("SELECT orderid, orderunits FROM orders_b "
+                      "WHERE orderunits > 40")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("bad_data_skip")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None, "corrupt records must not fail the query"
+        rows = spark.sql("SELECT * FROM bad_data_skip ORDER BY orderunits") \
+            .collect()
+        # the reference filter golden: ORDERUNITS > 40 -> exactly 4 rows,
+        # every corrupt record silently dropped
+        assert [(r.orderid, r.orderunits) for r in rows] == [
+            (f"ORDER_{i}", i * 10.0) for i in (5, 6, 7, 8)]
+
+
 class TestArrayMapColumns:
     """FIXTURES.md §5 / OrderDataProvider.java:32-43: the orders_full fixture
     with PRICEARRAY array<double> and KEYVALUEMAP map<varchar,double>."""
