@@ -1,0 +1,76 @@
+"""Guards for the driver contract that don't need a SparkSession.
+
+Two failure classes shipped driver-red in past rounds while every local
+test was green:
+
+- round 4: DuckDB ``sum()`` over integers returns HUGEINT, which the
+  driver's pandas fetch renders as float64 — the value hash sees ``3.0``
+  vs Spark's ``3``. Six queries went red from this single cause.
+- round 4: bench.py's stdout JSON line outgrew the driver's 2000-char
+  stdout tail and the round recorded ``parsed: null`` — no bench value.
+
+Both are mechanically checkable without running a single query, so pin
+them here where any registry or headline edit trips them immediately.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_no_oracle_emits_hugeint_columns():
+    """Every oracle's output schema must be HUGEINT-free: DESCRIBE each of
+    the registered twins and fail with the exact offending columns."""
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+        huge = [d[0] for d in desc if "HUGEINT" in str(d[1]).upper()]
+        if huge:
+            offenders[name] = huge
+    assert not offenders, (
+        f"CAST these oracle columns to BIGINT (driver pandas-fetch trap): "
+        f"{offenders}")
+
+
+def test_every_query_in_driver_window_has_an_oracle():
+    """The first-50 window is what the driver hashes; a window entry
+    without an oracle twin silently downgrades to a rows-only check."""
+    import __spark_entry__ as e
+
+    queries, oracles = e.queries(), e.oracle_sql()
+    window = list(queries)[:50]
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"window queries without oracle SQL: {missing}"
+
+
+def test_bench_contract_line_fits_driver_stdout_tail():
+    """Worst-case render of the bench JSON line must stay under the
+    driver's 2000-char stdout tail (with margin) — adding headline
+    queries without checking this is how round 4 lost its bench value."""
+    import bench
+
+    line = json.dumps({
+        "metric": "headline_queries_total_wallclock",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {name: 9999.999 for name in bench.HEADLINE},
+        "sf": 0.1,
+    })
+    assert len(line) <= 1800, (
+        f"bench line would be {len(line)} chars at worst-case widths; "
+        "trim HEADLINE or move keys to stderr")
