@@ -84,6 +84,12 @@ HEADLINE = [
     "training_order",
     "packing_efficiency",
     "decontamination_minhash",
+    "doc_chunking",
+    "chunk_dedup",
+    "token_budget_sample",
+    "ccnet_buckets",
+    "cross_source_duplicates",
+    "embedding_decontamination",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: tiny per-language stopword lists for the n-gram/stopword-hit heuristic —
 #: enough to discriminate on real text; deterministic on any text.
@@ -106,16 +107,20 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         best["lang"].alias("pred_lang"))
 
 
-def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def fingerprint(df: DataFrame, text_col: str, id_col: str,
+                keep: list[str] | None = None) -> DataFrame:
     """Canonical document fingerprint: md5 over the sorted distinct token set.
 
     Robust to token order and repetition (catches shuffled/near-identical
-    docs that exact md5 misses); one projection, no shuffle.
+    docs that exact md5 misses); one projection, no shuffle. ``keep``
+    passes extra columns through so consumers (e.g. the cross-source
+    duplicate matrix) stay single-scan instead of re-joining the corpus.
     """
     toks = _tok_array(text_col)
     canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
         F.md5(canon).alias("fingerprint"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("vocab_size"),
     )
@@ -298,3 +303,108 @@ def repetition_signals(df: DataFrame, text_col: str,
                     f"((n_bigrams - n_distinct_bigrams) * {e9}) DIV n_bigrams "
                     f"ELSE CAST(0 AS BIGINT) END")
                 .alias("dup_bigram_frac_e9")))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    size: int = 64, stride: int = 48) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    whitespace-token chunks of ``size`` tokens every ``stride`` tokens —
+    the pretokenization step that turns variable-length documents into
+    model-context-sized training examples with boundary overlap.
+
+    Chunk k covers tokens [k·stride, k·stride + size); the last chunk may
+    be short, and a document with ≤ size tokens yields exactly one chunk.
+    Pure per-row expansion (split → sequence → explode → slice): no
+    shuffle, no Python, scan-speed at 100 TB. Emits the chunk's md5
+    fingerprint rather than its text so downstream dedup/compare carries
+    16 bytes per chunk instead of the text itself.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: F.length(x) > 0)
+    d = (df.select(F.col(id_col), toks.alias("_toks"))
+         .withColumn("_n", F.size("_toks"))
+         .filter(F.col("_n") > 0))
+    # number of extra chunks past the first: ceil((n - size) / stride),
+    # floored at 0 — double division is exact for any realistic token count
+    last = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.ceil((F.col("_n") - F.lit(size)) / F.lit(float(stride))))
+    chunk = F.slice(F.col("_toks"),
+                    (F.col("chunk_id") * stride + 1).cast("int"), size)
+    return (d.select(F.col(id_col), "_toks", "_n",
+                     F.explode(F.sequence(F.lit(0).cast("bigint"), last))
+                     .alias("chunk_id"))
+            .select(F.col(id_col), F.col("chunk_id").cast("int").alias("chunk_id"),
+                    F.size(chunk).cast("bigint").alias("chunk_tokens"),
+                    F.md5(F.array_join(chunk, " ")).alias("chunk_fp")))
+
+
+def token_budget_sample(df: DataFrame, text_col: str, id_col: str,
+                        stratum_col: str, budget: int,
+                        bins: int = 256) -> DataFrame:
+    """Deterministic per-stratum token-budget sampling: walk each stratum's
+    documents in md5(id) order and keep rows while the running token sum
+    stays ≤ ``budget`` — "take ~N tokens per source", the mixing primitive
+    that caps dominant sources by token mass rather than document count.
+
+    Semantically this is one running-sum window per stratum, but a direct
+    window needs a total sort of each stratum — a single-reducer bottleneck
+    for a dominant source at 100 TB. Instead the hash order is split into
+    ``bins`` segments (first md5 byte): per-(stratum, bin) token sums are
+    tiny (n_strata × bins rows), their running sum gives each bin's prior
+    offset, and the per-document window runs WITHIN (stratum, bin) — bins×
+    more parallelism, bit-identical result to the naive window (which is
+    exactly what the oracle runs).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                            lambda x: F.length(x) > 0)).cast("bigint")
+    base = df.select(F.col(id_col), F.col(stratum_col), h.alias("_h"),
+                     n_tok.alias("n_tok")) \
+             .withColumn("_bin", F.conv(F.substring("_h", 1, 2), 16, 10)
+                         .cast("int") % bins)
+    per_bin = base.groupBy(stratum_col, "_bin") \
+                  .agg(F.sum("n_tok").alias("_bin_tok"))
+    wb = Window.partitionBy(stratum_col).orderBy("_bin")
+    prior = per_bin.withColumn(
+        "_prior", F.sum("_bin_tok").over(wb) - F.col("_bin_tok")) \
+        .select(stratum_col, "_bin", "_prior")
+    wd = Window.partitionBy(stratum_col, "_bin").orderBy("_h", id_col)
+    return (base.join(F.broadcast(prior), [stratum_col, "_bin"])
+            .withColumn("cum_tok", F.col("_prior") + F.sum("n_tok").over(wd))
+            .filter(F.col("cum_tok") <= budget)
+            .select(id_col, stratum_col, "n_tok", "cum_tok"))
+
+
+def quality_buckets(df: DataFrame, text_col: str, id_col: str,
+                    lang_col: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: per language, rank documents
+    by quality score and cut the population into thirds — the standard
+    perplexity-tercile selection (head = best third) with the heuristic
+    quality score standing in for a LM perplexity this sandbox can't run.
+
+    Scale shape: documents never sort. Scores are binned to integer
+    millipoints (floor(quality·1000)); per-(lang, bin) counts are a tiny
+    aggregate (langs × ≤1001 rows), a window over THAT finds each bin's
+    cumulative rank from the top, and every document joins its bin's
+    bucket back by broadcast. Cuts land on bin boundaries (documents in
+    one bin share a bucket), which is the documented, deterministic
+    tie-rule — identical in the SQL oracle.
+    """
+    scored = quality_score(df, text_col, id_col, keep=[lang_col])
+    binned = scored.select(
+        F.col(id_col), F.col(lang_col),
+        F.floor(F.col("quality") * 1000).cast("int").alias("qbin"))
+    per_bin = binned.groupBy(lang_col, "qbin").agg(F.count("*").alias("_n"))
+    wl = Window.partitionBy(lang_col).orderBy(F.col("qbin").desc())
+    cuts = (per_bin
+            .withColumn("_cum", F.sum("_n").over(wl))
+            .withColumn("_tot", F.sum("_n").over(
+                Window.partitionBy(lang_col)))
+            .withColumn("_before", F.col("_cum") - F.col("_n"))
+            .select(lang_col, "qbin",
+                    F.when(F.col("_before") * 3 < F.col("_tot"), "head")
+                    .when(F.col("_before") * 3 < 2 * F.col("_tot"), "middle")
+                    .otherwise("tail").alias("bucket")))
+    return binned.join(F.broadcast(cuts), [lang_col, "qbin"]) \
+                 .select(id_col, lang_col, "qbin", "bucket")

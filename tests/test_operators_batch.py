@@ -393,3 +393,88 @@ def test_repetition_signals_flag_degenerate_docs(spark):
     assert rows[1].dup_bigram_frac_e9 > 0
     assert rows[2].distinct_ratio_e9 == 1_000_000_000
     assert rows[2].dup_bigram_frac_e9 == 0
+
+
+class TestChunkDocuments:
+    def test_chunk_coverage_and_overlap(self, spark):
+        """Chunk k covers tokens [k·stride, k·stride+size); every token is
+        covered, consecutive chunks overlap by size−stride, short docs get
+        exactly one chunk, empty docs none."""
+        import hashlib
+        from kafka_connect_streams_spark.operators.text import chunk_documents
+        docs = [(0, " ".join(f"t{i}" for i in range(10))),   # 10 toks → 1 chunk
+                (1, " ".join(f"t{i}" for i in range(16))),   # exactly size
+                (2, " ".join(f"t{i}" for i in range(17))),   # size+1 → 2 chunks
+                (3, " ".join(f"t{i}" for i in range(100))),  # long
+                (4, "   ")]                                   # empty → 0 chunks
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {}
+        for r in chunk_documents(df, "text", "doc_id",
+                                 size=16, stride=12).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_id] = (r.chunk_tokens,
+                                                        r.chunk_fp)
+        assert set(got[0]) == {0} and got[0][0][0] == 10
+        assert set(got[1]) == {0} and got[1][0][0] == 16
+        assert set(got[2]) == {0, 1} and got[2][1][0] == 5
+        assert 4 not in got
+        for doc_id, text in docs[:4]:
+            toks = text.split()
+            n_extra = max(0, -(-(len(toks) - 16) // 12))
+            assert set(got[doc_id]) == set(range(n_extra + 1))
+            for k, (n_tok, fp) in got[doc_id].items():
+                chunk = toks[k * 12:k * 12 + 16]
+                assert n_tok == len(chunk)
+                assert fp == hashlib.md5(" ".join(chunk).encode()).hexdigest()
+
+
+class TestTokenBudgetSample:
+    def test_bin_accelerated_equals_naive_window(self, spark, sf_dir):
+        """The 256-bin two-level plan must keep EXACTLY the rows the naive
+        per-stratum running-sum window keeps."""
+        import hashlib
+        from kafka_connect_streams_spark.operators.text import (
+            token_budget_sample)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = {r.doc_id: (r.source, r.n_tok, r.cum_tok) for r in
+               token_budget_sample(docs, "text", "doc_id", "source",
+                                   budget=700).collect()}
+        by_src: dict = {}
+        for r in docs.select("doc_id", "source", "text").collect():
+            h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+            n = len([t for t in r.text.split() if t])
+            by_src.setdefault(r.source, []).append((h, r.doc_id, n))
+        want = {}
+        for src, rows in by_src.items():
+            cum = 0
+            for h, doc_id, n in sorted(rows):
+                cum += n
+                if cum <= 700:
+                    want[doc_id] = (src, n, cum)
+        assert got == want
+        # budget is actually binding: some but not all rows kept
+        assert 0 < len(got) < docs.count()
+
+
+class TestQualityBuckets:
+    def test_terciles_are_balanced_and_ordered(self, spark, sf_dir):
+        """Per language: bucket sizes within one bin of n/3 of each other,
+        and every head doc scores ≥ every middle doc ≥ every tail doc."""
+        from kafka_connect_streams_spark.operators.text import quality_buckets
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = quality_buckets(docs, "text", "doc_id", "lang").collect()
+        assert len(rows) == docs.count()
+        per_lang: dict = {}
+        for r in rows:
+            per_lang.setdefault(r.lang, []).append((r.qbin, r.bucket))
+        order = {"head": 0, "middle": 1, "tail": 2}
+        for lang, items in per_lang.items():
+            n = len(items)
+            # monotone: sorting by qbin desc must group buckets contiguously
+            by_bin = sorted(items, key=lambda t: -t[0])
+            ranks = [order[b] for _, b in by_bin]
+            assert ranks == sorted(ranks), (lang, by_bin[:10])
+            counts = {b: sum(1 for _, x in items if x == b) for b in order}
+            # cuts land on bin boundaries, so thirds are approximate; with
+            # ~1000 bins over this corpus each bucket stays within 25% of n/3
+            for b, c in counts.items():
+                assert abs(c - n / 3) <= max(2, n * 0.25), (lang, counts)
