@@ -67,3 +67,70 @@ def streaming_dedup(df: DataFrame, key_cols: list[str], *, ts_col: str = "ts",
     """
     return (df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols))
+
+
+def incremental_dedup_processor(text_col: str, id_col: str,
+                                index_dir: str, out_dir: str):
+    """Batch processor for streaming ingestion dedup against ALL history.
+
+    ``streaming_dedup`` bounds state by evicting fingerprints past the
+    watermark; a training-corpus ingest needs the opposite contract — a
+    document is a duplicate if its content EVER appeared. State that never
+    expires doesn't belong in the streaming state store: the fingerprint
+    history lives as an epoch-partitioned parquet index that grows by one
+    tiny partition per micro-batch, and each batch anti-joins it.
+
+    Exactly-once across replays, by construction:
+
+    - reads of the index filter ``epoch < current`` — a replayed epoch
+      never sees its own earlier partial write;
+    - both writes use dynamic partition overwrite of ``epoch=N`` — a
+      replay REPLACES its previous attempt instead of appending a second
+      copy (same idempotent-epoch contract as python_datasink.py).
+
+    At scale the anti-join is a shuffle on 16-byte digests; the index
+    carries (fingerprint, epoch) only, never text. Compact old epochs
+    offline when the partition count grows (the read is partition-pruned
+    to ``< epoch``, so compaction is a pure file-count optimization).
+    """
+    from kafka_connect_streams_spark.operators.text import fingerprint
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        fp = fingerprint(batch, text_col, id_col).select(id_col, "fingerprint")
+        # canonical survivor within the batch: min id per fingerprint
+        firsts = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        try:
+            hist = (spark.read.parquet(index_dir)
+                    .filter(F.col("epoch") < epoch_id)
+                    .select("fingerprint"))
+            fresh = firsts.join(hist, "fingerprint", "left_anti")
+        except Exception:  # first epoch: no index yet
+            fresh = firsts
+        fresh = fresh.localCheckpoint()  # pin the survivor set BEFORE the
+        # index gains this epoch's partition (lazy re-read would self-veto)
+        (fresh.select("fingerprint")
+         .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(index_dir))
+        (batch.join(fresh.select(id_col), id_col)
+         .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(out_dir))
+
+    return process
+
+
+def start_incremental_dedup(stream: DataFrame, text_col: str, id_col: str,
+                            index_dir: str, out_dir: str,
+                            checkpoint_dir: str):
+    """Wire :func:`incremental_dedup_processor` into a foreachBatch stream
+    (availableNow trigger: drain what exists, then stop)."""
+    return (stream.writeStream
+            .foreachBatch(incremental_dedup_processor(
+                text_col, id_col, index_dir, out_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

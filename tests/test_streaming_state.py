@@ -113,3 +113,61 @@ def test_database_wordcount_end_to_end(spark, tmp_path):
     got = {r.word: r.cnt for r in spark.read.parquet(str(outdir)).collect()}
     for w, n in GOLDEN.items():
         assert got.get(w) == n, f"{w}: {got.get(w)} != {n}"
+
+
+class TestIncrementalDedupStream:
+    """Streaming ingestion dedup against all history (epoch-partitioned
+    fingerprint index), including the cross-run and replay-once legs."""
+
+    def _write_docs(self, path, rows):
+        import json as _json
+        with open(path, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def test_history_dedup_across_two_runs_and_replay(self, spark, tmp_path):
+        from kafka_connect_streams_spark.streaming.state import (
+            incremental_dedup_processor, start_incremental_dedup)
+        src = tmp_path / "in"; src.mkdir()
+        index = str(tmp_path / "index"); out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            stream = spark.readStream.schema("doc_id long, text string") \
+                .json(str(src))
+            q = start_incremental_dedup(stream, "text", "doc_id",
+                                        index, out, ckpt)
+            q.awaitTermination(120)
+
+        # run 1: two docs + an in-batch near-copy (same token set)
+        self._write_docs(src / "a.json", [
+            (1, "alpha beta gamma"), (2, "delta epsilon"),
+            (3, "gamma beta alpha")])          # dup of 1 (canonical tokens)
+        run()
+        kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert kept == {1, 2}
+
+        # run 2 (new query, same checkpoint): history dup + a new doc
+        self._write_docs(src / "b.json", [
+            (4, "beta gamma alpha"),           # dup of doc 1 across runs
+            (5, "zeta eta")])
+        run()
+        kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert kept == {1, 2, 5}
+        idx = spark.read.parquet(index)
+        assert idx.count() == idx.select("fingerprint").distinct().count() == 3
+
+        # replay: re-execute the LAST epoch with the same epoch id — the
+        # driver's foreachBatch contract after a crash-before-commit. The
+        # index/output must not gain duplicates, and the epoch's survivors
+        # must be re-published (not self-vetoed by its own index write).
+        last_epoch = max(r.epoch for r in idx.collect())
+        batch2 = spark.createDataFrame(
+            [(4, "beta gamma alpha"), (5, "zeta eta")],
+            "doc_id long, text string")
+        proc = incremental_dedup_processor("text", "doc_id", index, out)
+        proc(batch2, last_epoch)
+        kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert kept == [1, 2, 5]
+        idx = spark.read.parquet(index)
+        assert idx.count() == 3
