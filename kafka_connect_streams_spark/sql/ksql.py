@@ -42,6 +42,9 @@ _CSAS_RE = re.compile(
 _WINDOW_RE = re.compile(
     r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING|SESSION)\s*\((?P<spec>[^)]*)\)",
     re.IGNORECASE)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(?P<select>SELECT\b.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL)
 
 
 def rewrite_window_clause(sql: str) -> str:
@@ -142,6 +145,10 @@ class KsqlContext:
         self.spark = spark
         self.resolver = resolver  # Callable[[str], DataFrame]
         self.metastore: dict[str, StreamMeta] = {}
+        #: name → the relation's DataFrame. INSERT INTO must union with the
+        #: target's CURRENT plan, captured here — re-reading the temp view by
+        #: name after replacing it would make the view reference itself.
+        self.frames: dict[str, DataFrame] = {}
 
     def sql(self, statement: str) -> DataFrame | None:
         from kafka_connect_streams_spark.functions import rewrite_ksql_sql
@@ -152,8 +159,42 @@ class KsqlContext:
         m = _CREATE_RE.match(statement)
         if m:
             return self._create(m)
+        m = _INSERT_RE.match(statement)
+        if m:
+            return self._insert(m)
         return self.spark.sql(
             rewrite_ksql_sql(statement.rstrip().rstrip(";").rstrip()))
+
+    # -- INSERT INTO s SELECT ... -------------------------------------------
+
+    def _insert(self, m: re.Match) -> DataFrame:
+        """KSQL ``INSERT INTO``: run a second query into an EXISTING stream —
+        the target becomes the union of all its legs (KSQL 5.1 semantics:
+        multiple persistent queries feeding one output topic). Only streams
+        accept inserts (a TABLE is a compacted changelog — appending rows
+        behind its back would break per-key latest), and the leg's columns
+        must match the target's exactly."""
+        from kafka_connect_streams_spark.functions import rewrite_ksql_sql
+        name = m.group(1).lower()
+        meta = self.metastore.get(name)
+        if meta is None:
+            raise ValueError(f"INSERT INTO {name}: unknown stream")
+        if meta.kind != "stream":
+            raise ValueError(
+                f"INSERT INTO {name}: target is a TABLE; KSQL only allows "
+                "INSERT INTO a STREAM")
+        leg = self.spark.sql(rewrite_ksql_sql(m.group("select")))
+        target = self.frames[name]
+        t_cols = [c.lower() for c in target.columns]
+        l_cols = [c.lower() for c in leg.columns]
+        if sorted(t_cols) != sorted(l_cols):
+            raise ValueError(
+                f"INSERT INTO {name}: leg columns {sorted(l_cols)} do not "
+                f"match the stream's schema {sorted(t_cols)}")
+        out = target.unionByName(leg)
+        out.createOrReplaceTempView(name)
+        self.frames[name] = out
+        return out
 
     # -- CREATE STREAM s (...) WITH (...) -----------------------------------
 
@@ -180,6 +221,7 @@ class KsqlContext:
             df = self._latest_per_key(df, meta)
         df.createOrReplaceTempView(name)
         self.metastore[name] = meta
+        self.frames[name] = df
         return None
 
     @staticmethod
@@ -280,6 +322,7 @@ class KsqlContext:
             df = df.withColumn(
                 "rowtime", F.col(ts_col).cast("bigint"))
         df.createOrReplaceTempView(name)
+        self.frames[name] = df
         self.metastore[name] = StreamMeta(
             name=name, topic=name,
             value_format=props.get("value_format", "json").lower(),

@@ -452,3 +452,43 @@ class TestArrayMapColumns:
                         WHERE orderunits > 20 AND itemid = 'ITEM_8'""")
         assert full_ctx.metastore["json_out"].value_format == "json"
         assert spark.sql("SELECT * FROM json_out").count() == 1
+
+
+class TestInsertInto:
+    """KSQL ``INSERT INTO``: a second persistent query feeding an existing
+    stream — the target becomes the union of its legs. Tables refuse
+    inserts (they are compacted changelogs), and leg schemas must match."""
+
+    def test_insert_unions_legs(self, ctx, spark):
+        ctx.sql(DDL)
+        ctx.sql("""CREATE STREAM big AS
+                   SELECT itemid, orderunits FROM orders
+                   WHERE orderunits > 60""")
+        assert spark.sql("SELECT * FROM big").count() == 2  # 70, 80
+        ctx.sql("""INSERT INTO big
+                   SELECT itemid, orderunits FROM orders
+                   WHERE orderunits < 30;""")
+        rows = {(r.itemid, r.orderunits)
+                for r in spark.sql("SELECT * FROM big").collect()}
+        assert rows == {("ITEM_7", 70.0), ("ITEM_8", 80.0),
+                        ("ITEM_1", 10.0), ("ITEM_2", 20.0)}
+        # a third leg composes with the union-of-two
+        ctx.sql("INSERT INTO big SELECT itemid, orderunits FROM orders "
+                "WHERE orderunits = 40")
+        assert spark.sql("SELECT * FROM big").count() == 5
+
+    def test_insert_into_unknown_or_table_rejected(self, ctx, spark):
+        ctx.sql(DDL)
+        with pytest.raises(ValueError, match="unknown stream"):
+            ctx.sql("INSERT INTO nope SELECT * FROM orders")
+        ctx.sql("""CREATE TABLE counts AS
+                   SELECT itemid, count(*) AS n FROM orders GROUP BY itemid""")
+        with pytest.raises(ValueError, match="TABLE"):
+            ctx.sql("INSERT INTO counts SELECT itemid, count(*) AS n "
+                    "FROM orders GROUP BY itemid")
+
+    def test_insert_schema_mismatch_rejected(self, ctx, spark):
+        ctx.sql(DDL)
+        ctx.sql("CREATE STREAM two AS SELECT itemid, orderunits FROM orders")
+        with pytest.raises(ValueError, match="do not match"):
+            ctx.sql("INSERT INTO two SELECT itemid FROM orders")
