@@ -86,6 +86,7 @@ HEADLINE = [
     "decontamination_minhash",
     "doc_chunking",
     "chunk_dedup",
+    "tokenizer_fertility",
     "token_budget_sample",
     "ccnet_buckets",
     "cross_source_duplicates",

@@ -1686,6 +1686,52 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                            size=16, stride=12)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per language: characters per BPE-ish
+    token (e9 fixed point) plus corpus mass — the diagnostic that shows
+    which languages a tokenizer serves poorly (high fertility = more
+    tokens per char = shorter effective context and higher train cost).
+    One projection + one O(langs) groupBy: scan-speed at 100 TB.
+    """
+    from kafka_connect_streams_spark.operators.text import token_stats
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    stats = token_stats(docs, "text", "doc_id") \
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    return (stats.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("bpe_tokens").alias("total_bpe"))
+            .select("lang", "n_docs", "total_chars", "total_bpe",
+                    F.expr("(total_chars * 1000000000) div total_bpe")
+                    .alias("chars_per_token_e9")))
+
+
+def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, KEEP the
+    highest-quality document (ties → lowest doc_id) instead of the
+    arbitrary min-id — what a production dedup actually ships, since near
+    duplicates differ in boilerplate/truncation and the keeper choice
+    decides training-data quality.
+
+    Composition: connected components over the 5-gram Jaccard pair graph
+    (the dedup_clusters machinery) + the single-scan quality score +
+    ONE ``max_by`` aggregation — no per-cluster sort, no window over the
+    corpus."""
+    from kafka_connect_streams_spark.operators.text import quality_score
+    t = load_tables(spark, sf_dir)
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = quality_score(t["documents"], "text", "doc_id") \
+        .select("doc_id", "quality")
+    j = clusters.join(quality, "doc_id")
+    return (j.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.max_by("doc_id",
+                          F.struct(F.col("quality"),
+                                   (-F.col("doc_id")).alias("_tb")))
+                 .alias("best_doc")))
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-chunk detection: chunks (16-token windows, stride 12)
     whose fingerprint appears in MORE THAN ONE document — the
@@ -1813,11 +1859,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the ten
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the twelve
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
-    # token_budget_sample, ccnet_buckets, cross_source_duplicates,
-    # embedding_decontamination), then 33 oldest-green queries for
+    # tokenizer_fertility, cluster_best_doc, token_budget_sample,
+    # ccnet_buckets, cross_source_duplicates,
+    # embedding_decontamination), then 31 oldest-green queries for
     # re-verification. Everything else rotates to the back. After ANY
     # registry edit, recompute list(QUERIES)[:50] and confirm every query
     # changed this round is inside it.
@@ -1834,6 +1881,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_minhash": q_decontamination_minhash,
     "doc_chunking": q_doc_chunking,
     "chunk_dedup": q_chunk_dedup,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "cluster_best_doc": q_cluster_best_doc,
     "token_budget_sample": q_token_budget_sample,
     "ccnet_buckets": q_ccnet_buckets,
     "cross_source_duplicates": q_cross_source_duplicates,
@@ -1869,9 +1918,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiway_join": q_multiway_join,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "multimodal_decode": q_multimodal_decode,
+    # --- end of driver window (slot 50 is multimodal_decode) ---
     "asof_join": q_asof_join,
     "correlated_subquery": q_correlated_subquery,
-    # --- end of driver window (slot 50 is correlated_subquery) ---
     "topn_per_group": q_topn_per_group,
     "percentile_disc": q_percentile_disc,
     "approx_distinct": q_approx_distinct,
@@ -3843,6 +3892,99 @@ ORACLE: dict[str, str] = {
                md5(array_to_string(toks[chunk_id*12 + 1 : chunk_id*12 + 16],
                                    ' ')) AS chunk_fp
         FROM c
+    """,
+    "tokenizer_fertility": """
+        WITH s AS (
+            SELECT d.lang,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                     AS bpe
+            FROM documents d)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(bpe) AS BIGINT) AS total_bpe,
+               CAST(CAST(sum(n_chars) AS BIGINT) * 1000000000
+                    // CAST(sum(bpe) AS BIGINT) AS BIGINT)
+                 AS chars_per_token_e9
+        FROM s GROUP BY lang
+    """,
+    "cluster_best_doc": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 5, 0)),
+                           i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        rare AS (
+            SELECT shingle FROM (
+                SELECT shingle, count(DISTINCT doc_id) AS df
+                FROM sh GROUP BY shingle) f
+            WHERE df <= 100),
+        shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT id_a, id_b FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_shared AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_shared) >= 0.05),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        minreach AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+        clusters AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(mn, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN minreach ON minreach.src = d.doc_id),
+        f AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> length(t) > 0)) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> length(t) > 0 AND t IN
+                            ('the','a','of','and','to','in','is','that','it','for')))
+                        AS DOUBLE) AS n_stop,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct
+            FROM documents),
+        q AS (
+            SELECT doc_id,
+                   0.4 * least(n_chars / 500.0, 1.0)
+                   + 0.3 * (CASE WHEN n_tok > 0
+                                 THEN least(n_stop / n_tok * 5.0, 1.0)
+                                 ELSE 0.0 END)
+                   + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                       ELSE 0.0 END) AS quality
+            FROM f),
+        ranked AS (
+            SELECT c.cluster_id, c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY q.quality DESC, c.doc_id ASC)
+                     AS rn
+            FROM clusters c JOIN q USING (doc_id))
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(CASE WHEN rn = 1 THEN doc_id END) AS best_doc
+        FROM ranked GROUP BY cluster_id
     """,
     "chunk_dedup": """
         WITH toks AS (

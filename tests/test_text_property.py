@@ -51,3 +51,42 @@ def test_repetition_signals_match_python_reference(spark, docs):
         want = _reference(text)
         have = {k: got[i][k] for k in want}
         assert have == want, (text, have, want)
+
+
+CHUNK_WORD = st.sampled_from(["aa", "b", "cc9", "dd", "e"])
+CHUNK_DOC = st.lists(CHUNK_WORD, min_size=0, max_size=40).map(" ".join)
+
+
+def _chunk_reference(text: str, size: int, stride: int) -> list[tuple]:
+    import hashlib
+    toks = [t for t in text.split() if t]
+    if not toks:
+        return []
+    n = len(toks)
+    n_extra = max(0, -(-(n - size) // stride))  # ceil((n-size)/stride), ≥0
+    out = []
+    for k in range(n_extra + 1):
+        chunk = toks[k * stride:k * stride + size]
+        out.append((k, len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest()))
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(CHUNK_DOC, min_size=1, max_size=5),
+       st.sampled_from([(4, 3), (8, 8), (5, 2), (16, 12)]))
+def test_chunk_documents_match_python_reference(spark, docs, size_stride):
+    from kafka_connect_streams_spark.operators.text import chunk_documents
+    size, stride = size_stride
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got: dict = {}
+    for r in chunk_documents(df, "text", "doc_id",
+                             size=size, stride=stride).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.chunk_tokens, r.chunk_fp))
+    for i, text in enumerate(docs):
+        want = _chunk_reference(text, size, stride)
+        assert sorted(got.get(i, [])) == want, (text, size, stride)
