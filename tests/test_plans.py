@@ -246,3 +246,47 @@ def test_ivf_codebook_joins_are_broadcast(spark, sf_dir):
     plan = physical_plan(Q.QUERIES["ann_ivf_cosine"](spark, sf_dir),
                         mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_doc_chunking_is_pure_expansion(spark, sf_dir):
+    """Chunking must stay a per-row expansion: zero shuffles, and the scan
+    reads only (doc_id, text)."""
+    df = Q.q_doc_chunking(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    cols = scan_read_schema(df)
+    assert "source" not in cols and "lang" not in cols
+
+
+def test_token_budget_sample_never_sorts_a_stratum(spark, sf_dir):
+    """The two-level budget sample must not contain a single-partition
+    exchange (the naive per-stratum window collapses a dominant source
+    onto one reducer; the bin decomposition exists to prevent that) and
+    must broadcast the tiny per-bin offset table."""
+    df = Q.q_token_budget_sample(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_ccnet_buckets_corpus_never_sorts(spark, sf_dir):
+    """Tercile cuts come from the tiny (lang, bin) aggregate; the corpus
+    side must join the bucket labels by broadcast, not sort/range-shuffle."""
+    df = Q.q_ccnet_buckets(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_chunk_dedup_has_partial_aggregation(spark, sf_dir):
+    """The chunk-fingerprint count must combine map-side before the
+    exchange (shuffle carries digests, pre-collapsed per partition)."""
+    df = Q.q_chunk_dedup(spark, sf_dir)
+    assert has_partial_aggregate(df), physical_plan(df)
+
+
+def test_embedding_decontamination_builds_on_eval_side(spark, sf_dir):
+    """The bucket join must broadcast the EVAL leg (always small), never
+    hash-shuffle it; the train legs stay size-driven."""
+    df = Q.q_embedding_decontamination(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
