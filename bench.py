@@ -87,6 +87,7 @@ HEADLINE = [
     "doc_chunking",
     "chunk_dedup",
     "tokenizer_fertility",
+    "curation_pipeline",
     "token_budget_sample",
     "ccnet_buckets",
     "cross_source_duplicates",

@@ -1686,6 +1686,77 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                            size=16, stride=12)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE Spark plan — the round-5 capstone
+    composing the new operators the way a production pretraining pipeline
+    chains them:
+
+    1. CCNet-style selection: per-language quality terciles, DROP the tail
+       (bin-boundary cuts from a tiny broadcast table — no corpus sort);
+    2. exact dedup over the survivors: canonical token-set fingerprint,
+       keep the min-id doc per fingerprint (one ``min_by`` groupBy);
+    3. per-source token-budget sampling of the canonical docs (500-token
+       budget, md5 walk order, 256-bin two-level running sum — no
+       per-source total sort);
+    4. report per (lang, bucket): documents and tokens that survived all
+       three gates.
+
+    Catalyst fuses the whole chain: the corpus is scanned twice (once for
+    the tercile histogram, once through the gate chain), every join against
+    derived statistics is broadcast, and shuffles touch only (fingerprint,
+    scalars) — never text.
+    """
+    from kafka_connect_streams_spark.operators.text import quality_score
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    scored = quality_score(docs, "text", "doc_id",
+                           keep=["lang", "source", "text"])
+    binned = scored.select(
+        "doc_id", "lang", "source", "text",
+        F.floor(F.col("quality") * 1000).cast("int").alias("qbin"))
+    per_bin = binned.groupBy("lang", "qbin").agg(F.count("*").alias("_n"))
+    wl = Window.partitionBy("lang").orderBy(F.col("qbin").desc())
+    cuts = (per_bin
+            .withColumn("_cum", F.sum("_n").over(wl))
+            .withColumn("_tot", F.sum("_n").over(Window.partitionBy("lang")))
+            .withColumn("_before", F.col("_cum") - F.col("_n"))
+            .select("lang", "qbin",
+                    F.when(F.col("_before") * 3 < F.col("_tot"), "head")
+                    .when(F.col("_before") * 3 < 2 * F.col("_tot"), "middle")
+                    .otherwise("tail").alias("bucket")))
+    kept = (binned.join(F.broadcast(cuts), ["lang", "qbin"])
+            .filter(F.col("bucket") != "tail"))
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                    lambda x: F.length(x) > 0)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    kept2 = kept.select(
+        "doc_id", "lang", "source", "bucket",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+        .alias("fingerprint"),
+        F.size(ws).cast("bigint").alias("n_tok"))
+    canon = (kept2.groupBy("fingerprint")
+             .agg(F.min_by(F.struct("doc_id", "lang", "source", "bucket",
+                                    "n_tok"),
+                           F.col("doc_id")).alias("_r"))
+             .select("_r.*"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = canon.withColumn("_h", h).withColumn(
+        "_bin", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int") % 256)
+    per_src_bin = base.groupBy("source", "_bin") \
+                      .agg(F.sum("n_tok").alias("_bin_tok"))
+    wb = Window.partitionBy("source").orderBy("_bin")
+    prior = per_src_bin.withColumn(
+        "_prior", F.sum("_bin_tok").over(wb) - F.col("_bin_tok")) \
+        .select("source", "_bin", "_prior")
+    wd = Window.partitionBy("source", "_bin").orderBy("_h", "doc_id")
+    sampled = (base.join(F.broadcast(prior), ["source", "_bin"])
+               .withColumn("_cum", F.col("_prior") + F.sum("n_tok").over(wd))
+               .filter(F.col("_cum") <= 500))
+    return (sampled.groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens")))
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-fertility report per language: characters per BPE-ish
     token (e9 fixed point) plus corpus mass — the diagnostic that shows
@@ -1859,12 +1930,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the twelve
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the thirteen
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
-    # tokenizer_fertility, cluster_best_doc, token_budget_sample,
-    # ccnet_buckets, cross_source_duplicates,
-    # embedding_decontamination), then 31 oldest-green queries for
+    # tokenizer_fertility, cluster_best_doc, curation_pipeline,
+    # token_budget_sample, ccnet_buckets, cross_source_duplicates,
+    # embedding_decontamination), then 30 oldest-green queries for
     # re-verification. Everything else rotates to the back. After ANY
     # registry edit, recompute list(QUERIES)[:50] and confirm every query
     # changed this round is inside it.
@@ -1883,6 +1954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "tokenizer_fertility": q_tokenizer_fertility,
     "cluster_best_doc": q_cluster_best_doc,
+    "curation_pipeline": q_curation_pipeline,
     "token_budget_sample": q_token_budget_sample,
     "ccnet_buckets": q_ccnet_buckets,
     "cross_source_duplicates": q_cross_source_duplicates,
@@ -1917,8 +1989,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "multiway_join": q_multiway_join,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    # --- end of driver window (slot 50 is dedup_ngram_jaccard) ---
     "multimodal_decode": q_multimodal_decode,
-    # --- end of driver window (slot 50 is multimodal_decode) ---
     "asof_join": q_asof_join,
     "correlated_subquery": q_correlated_subquery,
     "topn_per_group": q_topn_per_group,
@@ -3892,6 +3964,78 @@ ORACLE: dict[str, str] = {
                md5(array_to_string(toks[chunk_id*12 + 1 : chunk_id*12 + 16],
                                    ' ')) AS chunk_fp
         FROM c
+    """,
+    "curation_pipeline": """
+        WITH f AS (
+            SELECT doc_id, lang, source,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> length(t) > 0)) AS DOUBLE) AS n_tok_d,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> length(t) > 0 AND t IN
+                            ('the','a','of','and','to','in','is','that','it','for')))
+                        AS DOUBLE) AS n_stop,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct
+            FROM documents),
+        b AS (
+            SELECT doc_id, lang, source,
+                   CAST(floor((0.4 * least(n_chars / 500.0, 1.0)
+                   + 0.3 * (CASE WHEN n_tok_d > 0
+                                 THEN least(n_stop / n_tok_d * 5.0, 1.0)
+                                 ELSE 0.0 END)
+                   + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                       ELSE 0.0 END)) * 1000) AS INTEGER)
+                     AS qbin
+            FROM f),
+        pb AS (SELECT lang, qbin, count(*) AS n FROM b GROUP BY lang, qbin),
+        cut AS (
+            SELECT lang, qbin,
+                   sum(n) OVER (PARTITION BY lang ORDER BY qbin DESC
+                                ROWS UNBOUNDED PRECEDING) - n AS bef,
+                   sum(n) OVER (PARTITION BY lang) AS tot
+            FROM pb),
+        lab AS (
+            SELECT lang, qbin,
+                   CASE WHEN bef * 3 < tot THEN 'head'
+                        WHEN bef * 3 < 2 * tot THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM cut),
+        kept AS (
+            SELECT b.doc_id, b.lang, b.source, lab.bucket
+            FROM b JOIN lab USING (lang, qbin)
+            WHERE lab.bucket <> 'tail'),
+        tokset AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       list_filter(string_split_regex(lower(text), '\\W+'),
+                                   t -> length(t) > 0))), ' ')) AS fingerprint,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> length(x) > 0)) AS BIGINT)
+                     AS n_tok
+            FROM documents),
+        kept2 AS (
+            SELECT k.doc_id, k.lang, k.source, k.bucket,
+                   t.fingerprint, t.n_tok
+            FROM kept k JOIN tokset t USING (doc_id)),
+        canon AS (
+            SELECT doc_id, lang, source, bucket, n_tok FROM (
+                SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                             ORDER BY doc_id) AS rn
+                FROM kept2) r
+            WHERE rn = 1),
+        sampled AS (
+            SELECT lang, bucket, n_tok FROM (
+                SELECT lang, bucket, n_tok,
+                       CAST(sum(n_tok) OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM canon) c
+            WHERE cum <= 500)
+        SELECT lang, bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM sampled GROUP BY lang, bucket
     """,
     "tokenizer_fertility": """
         WITH s AS (
