@@ -126,3 +126,43 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 
     return df.select("doc_id", "payload").mapInPandas(expand, FRAME_SCHEMA)
+
+
+#: schema of audio segments: one row per (doc, segment index).
+SEGMENT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("seg_idx", LongType()),
+    StructField("seg_offset_bytes", LongType()),
+    StructField("seg_bytes", LongType()),
+    StructField("seg_hash", StringType()),
+])
+
+
+def segment_audio(df: DataFrame, window_bytes: int = 96,
+                  hop_bytes: int = 64) -> DataFrame:
+    """Audio segmentation for ASR/audio-training payloads: overlapping
+    fixed-size windows every ``hop_bytes`` (segment k covers bytes
+    [k·hop, k·hop+window)), the byte-domain analogue of
+    :func:`sample_frames`'s frame grid and of ``chunk_documents``'s token
+    windows. A payload shorter than one window yields exactly one (short)
+    segment, so no document vanishes.
+
+    Same batch-streaming ``mapInPandas`` shape as frame sampling: the 1→N
+    expansion happens inside the Arrow batch iterator, and a real pipeline
+    swaps the slice+md5 for an actual resample/VAD window at this seam.
+    """
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                size = len(payload)
+                n_extra = max(0, -(-(size - window_bytes) // hop_bytes))
+                for k in range(n_extra + 1):
+                    off = k * hop_bytes
+                    seg = payload[off:off + window_bytes]
+                    rows.append((doc_id, k, off, len(seg),
+                                 hashlib.md5(seg).hexdigest()))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in SEGMENT_SCHEMA])
+
+    return df.select("doc_id", "payload").mapInPandas(expand, SEGMENT_SCHEMA)

@@ -1686,6 +1686,18 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                            size=16, stride=12)
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality segmentation: overlapping 96-byte windows every 64
+    bytes over each binary payload (Arrow-batched mapInPandas 1→N
+    expansion, the real decoder's seam) — the byte-domain counterpart of
+    frame_sampling and doc_chunking."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        attach_payload, segment_audio)
+    t = load_tables(spark, sf_dir)
+    media = attach_payload(t["documents"], "text", "doc_id")
+    return segment_audio(media, window_bytes=96, hop_bytes=64)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation in ONE Spark plan — the round-5 capstone
     composing the new operators the way a production pretraining pipeline
@@ -1930,12 +1942,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the thirteen
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the fourteen
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
     # tokenizer_fertility, cluster_best_doc, curation_pipeline,
-    # token_budget_sample, ccnet_buckets, cross_source_duplicates,
-    # embedding_decontamination), then 30 oldest-green queries for
+    # audio_segments, token_budget_sample, ccnet_buckets,
+    # cross_source_duplicates, embedding_decontamination), then 29
+    # oldest-green queries for
     # re-verification. Everything else rotates to the back. After ANY
     # registry edit, recompute list(QUERIES)[:50] and confirm every query
     # changed this round is inside it.
@@ -1955,6 +1968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "cluster_best_doc": q_cluster_best_doc,
     "curation_pipeline": q_curation_pipeline,
+    "audio_segments": q_audio_segments,
     "token_budget_sample": q_token_budget_sample,
     "ccnet_buckets": q_ccnet_buckets,
     "cross_source_duplicates": q_cross_source_duplicates,
@@ -1988,8 +2002,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct": q_distinct,
     "dedup_exact": q_dedup_exact,
     "multiway_join": q_multiway_join,
+    # --- end of driver window (slot 50 is multiway_join) ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    # --- end of driver window (slot 50 is dedup_ngram_jaccard) ---
     "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
     "correlated_subquery": q_correlated_subquery,
@@ -3964,6 +3978,27 @@ ORACLE: dict[str, str] = {
                md5(array_to_string(toks[chunk_id*12 + 1 : chunk_id*12 + 16],
                                    ' ')) AS chunk_fp
         FROM c
+    """,
+    "audio_segments": """
+        -- documents.text is ASCII in every sf (octet_length = length), so
+        -- VARCHAR substring is byte-identical to the Python payload slice
+        WITH docs AS (SELECT doc_id, text,
+                             octet_length(encode(text)) AS size
+                      FROM documents),
+        n AS (SELECT doc_id, text, size,
+                     CAST(greatest(0, ceil((size - 96) / 64.0)) AS BIGINT)
+                       AS n_extra
+              FROM docs),
+        seg AS (SELECT doc_id, text, size,
+                       unnest(generate_series(0, n_extra)) AS seg_idx
+                FROM n)
+        SELECT doc_id,
+               CAST(seg_idx AS BIGINT) AS seg_idx,
+               CAST(seg_idx * 64 AS BIGINT) AS seg_offset_bytes,
+               CAST(least(96, size - seg_idx * 64) AS BIGINT) AS seg_bytes,
+               md5(substring(text, CAST(seg_idx * 64 AS BIGINT) + 1, 96))
+                 AS seg_hash
+        FROM seg
     """,
     "curation_pipeline": """
         WITH f AS (
