@@ -492,3 +492,42 @@ class TestInsertInto:
         ctx.sql("CREATE STREAM two AS SELECT itemid, orderunits FROM orders")
         with pytest.raises(ValueError, match="do not match"):
             ctx.sql("INSERT INTO two SELECT itemid FROM orders")
+
+
+class TestInsertIntoStreaming:
+    """INSERT INTO over a LIVE leg: both legs are streaming relations; the
+    union target stays streaming and drains both legs' rows."""
+
+    def test_streaming_union_of_two_legs(self, spark, tmp_path):
+        import json as js
+        sdir = tmp_path / "orders_stream"
+        sdir.mkdir()
+        with open(sdir / "part-0.json", "w") as f:
+            for i in range(1, 9):
+                f.write(js.dumps({"ordertime": i, "orderid": f"ORDER_{i}",
+                                  "itemid": f"ITEM_{i}",
+                                  "orderunits": i * 10.0}) + "\n")
+        stream = (spark.readStream
+                  .schema("ordertime bigint, orderid string, itemid string, "
+                          "orderunits double")
+                  .json(str(sdir)))
+        ctx = KsqlContext(spark, resolver=lambda t: stream)
+        ctx.sql("""CREATE STREAM orders_s (ORDERTIME bigint, ORDERID varchar,
+                   ITEMID varchar, ORDERUNITS double)
+                   WITH (kafka_topic='orders_topic', value_format='JSON',
+                         key='ordertime', timestamp='ordertime')""")
+        ctx.sql("CREATE STREAM extremes AS "
+                "SELECT itemid, orderunits FROM orders_s "
+                "WHERE orderunits > 70")
+        out = ctx.sql("INSERT INTO extremes "
+                      "SELECT itemid, orderunits FROM orders_s "
+                      "WHERE orderunits < 20")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("ksql_insert_live")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {(r.itemid, r.orderunits) for r in
+                spark.sql("SELECT * FROM ksql_insert_live").collect()}
+        assert rows == {("ITEM_8", 80.0), ("ITEM_1", 10.0)}

@@ -90,3 +90,40 @@ def test_chunk_documents_match_python_reference(spark, docs, size_stride):
     for i, text in enumerate(docs):
         want = _chunk_reference(text, size, stride)
         assert sorted(got.get(i, [])) == want, (text, size, stride)
+
+
+BUDGET_WORD = st.sampled_from(["w", "xx", "yyy"])
+BUDGET_DOC = st.lists(BUDGET_WORD, min_size=0, max_size=30).map(" ".join)
+STRATUM = st.sampled_from(["s0", "s1", "hot"])
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(STRATUM, BUDGET_DOC), min_size=1, max_size=12),
+       st.sampled_from([0, 5, 25, 10_000]))
+def test_token_budget_sample_matches_naive_reference(spark, rows, budget):
+    """Bin-accelerated budget sample ≡ the naive per-stratum running-sum
+    walk, on adversarial shapes: empty docs, one-doc strata, a dominant
+    'hot' stratum, budget 0 (nothing kept) and a budget larger than any
+    stratum (everything kept)."""
+    import hashlib
+    from kafka_connect_streams_spark.operators.text import token_budget_sample
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, stratum string, text string")
+    got = {r.doc_id: (r.n_tok, r.cum_tok) for r in
+           token_budget_sample(df, "text", "doc_id", "stratum",
+                               budget=budget).collect()}
+    by_s: dict = {}
+    for i, (s, t) in enumerate(rows):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        by_s.setdefault(s, []).append((h, i, len(t.split())))
+    want = {}
+    for s, items in by_s.items():
+        cum = 0
+        for h, i, n in sorted(items):
+            cum += n
+            if cum <= budget:
+                want[i] = (n, cum)
+    assert got == want, (rows, budget, got, want)
