@@ -39,16 +39,13 @@ from kafka_connect_streams_spark import queries as Q  # noqa: E402
 HEADLINE = [
     "wordcount",
     "filter",
-    "scalar_functions",
     "join_inner",
-    "join_left",
     "multiway_join",
     "interval_join",
     "agg_pricing",
     "groupby_stats",
     "window_rank",
     "topk",
-    "set_ops",
     "tumbling_window",
     "session_window",
     "asof_join",
@@ -68,13 +65,11 @@ HEADLINE = [
     "text_quality",
     "training_pipeline",
     "user_journeys",
-    "unpivot",
     "data_profile",
     "market_share",
     "returned_items",
     "disjunctive_predicates",
     "bigram_topk",
-    "stratified_sample",
     "frame_sampling",
     "sequence_packing",
     "ann_recall",
@@ -92,6 +87,14 @@ HEADLINE = [
     "ccnet_buckets",
     "cross_source_duplicates",
     "embedding_decontamination",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "nation_volume_shipping",
+    "product_profit",
+    "customer_distribution",
+    "top_supplier",
+    "supplier_part_counts",
+    "waiting_suppliers",
 ]
 
 
