@@ -45,6 +45,13 @@ _WINDOW_RE = re.compile(
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+(?P<select>SELECT\b.*?);?\s*$",
     re.IGNORECASE | re.DOTALL)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+(STREAM|TABLE)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+    re.IGNORECASE)
+_SHOW_RE = re.compile(
+    r"^\s*(?:SHOW|LIST)\s+(STREAMS|TABLES)\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 
 
 def rewrite_window_clause(sql: str) -> str:
@@ -162,8 +169,57 @@ class KsqlContext:
         m = _INSERT_RE.match(statement)
         if m:
             return self._insert(m)
+        m = _DROP_RE.match(statement)
+        if m:
+            return self._drop(m, statement)
+        m = _SHOW_RE.match(statement)
+        if m:
+            return self._show(m)
+        m = _DESCRIBE_RE.match(statement)
+        if m:
+            return self._describe(m)
         return self.spark.sql(
             rewrite_ksql_sql(statement.rstrip().rstrip(";").rstrip()))
+
+    # -- DROP / SHOW / DESCRIBE ---------------------------------------------
+
+    def _drop(self, m: re.Match, statement: str) -> None:
+        """``DROP STREAM|TABLE [IF EXISTS] name``: unregister the relation
+        (temp view + metastore). Dropping a STREAM with DROP TABLE (or vice
+        versa) is an error, as in KSQL."""
+        kind, name = m.group(1).lower(), m.group(2).lower()
+        meta = self.metastore.get(name)
+        if meta is None:
+            if re.search(r"\bIF\s+EXISTS\b", statement, re.IGNORECASE):
+                return None
+            raise ValueError(f"DROP {kind.upper()} {name}: unknown relation")
+        if meta.kind != kind:
+            raise ValueError(
+                f"DROP {kind.upper()} {name}: relation is a "
+                f"{meta.kind.upper()} — use DROP {meta.kind.upper()}")
+        self.spark.catalog.dropTempView(name)
+        del self.metastore[name]
+        del self.frames[name]
+        return None
+
+    def _show(self, m: re.Match) -> DataFrame:
+        """``SHOW STREAMS|TABLES``: one row per registered relation of that
+        kind — (name, topic, format), KSQL's listing columns."""
+        kind = m.group(1).lower().rstrip("s")
+        rows = [(meta.name, meta.topic, meta.value_format.upper())
+                for meta in self.metastore.values() if meta.kind == kind]
+        return self.spark.createDataFrame(
+            rows, "name string, kafka_topic string, format string")
+
+    def _describe(self, m: re.Match) -> DataFrame:
+        """``DESCRIBE name``: the relation's columns and Spark SQL types,
+        pseudo-columns (ROWKEY/ROWTIME) included — what KSQL prints."""
+        name = m.group(1).lower()
+        if name not in self.metastore:
+            raise ValueError(f"DESCRIBE {name}: unknown relation")
+        df = self.frames[name]
+        return self.spark.createDataFrame(
+            list(df.dtypes), "field string, type string")
 
     # -- INSERT INTO s SELECT ... -------------------------------------------
 

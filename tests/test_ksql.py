@@ -531,3 +531,36 @@ class TestInsertIntoStreaming:
         rows = {(r.itemid, r.orderunits) for r in
                 spark.sql("SELECT * FROM ksql_insert_live").collect()}
         assert rows == {("ITEM_8", 80.0), ("ITEM_1", 10.0)}
+
+
+class TestDropShowDescribe:
+    """KSQL catalog statements: DROP STREAM/TABLE (kind-checked, IF EXISTS),
+    SHOW STREAMS/TABLES listings, DESCRIBE with pseudo-columns."""
+
+    def test_show_and_describe(self, ctx, spark):
+        ctx.sql(DDL)
+        ctx.sql("CREATE STREAM big AS SELECT itemid, orderunits FROM orders "
+                "WHERE orderunits > 60")
+        ctx.sql("""CREATE TABLE counts AS
+                   SELECT itemid, count(*) AS n FROM orders GROUP BY itemid""")
+        streams = {r.name for r in ctx.sql("SHOW STREAMS").collect()}
+        assert streams == {"orders", "big"}
+        tables = {r.name for r in ctx.sql("SHOW TABLES;").collect()}
+        assert tables == {"counts"}
+        fields = {r.field: r.type for r in ctx.sql("DESCRIBE orders").collect()}
+        assert fields["orderunits"] == "double"
+        assert "rowkey" in fields and "rowtime" in fields
+
+    def test_drop_kind_checked_and_if_exists(self, ctx, spark):
+        ctx.sql(DDL)
+        ctx.sql("CREATE STREAM doomed AS SELECT itemid FROM orders")
+        with pytest.raises(ValueError, match="use DROP STREAM"):
+            ctx.sql("DROP TABLE doomed")
+        ctx.sql("DROP STREAM doomed")
+        assert "doomed" not in {r.name for r in
+                                ctx.sql("SHOW STREAMS").collect()}
+        with pytest.raises(ValueError, match="unknown relation"):
+            ctx.sql("DROP STREAM doomed")
+        ctx.sql("DROP STREAM IF EXISTS doomed")  # no raise
+        with pytest.raises(Exception):
+            spark.sql("SELECT * FROM doomed")  # view gone from the catalog
