@@ -156,7 +156,7 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     Python eval (BatchEvalPython); Arrow-batched Python (MapInPandas) is
     allowed only for the multimodal queries whose decode step is
     intrinsically Python. Everything else must stay JVM-side."""
-    arrow_ok = {"multimodal_decode", "frame_sampling"}
+    arrow_ok = {"multimodal_decode", "frame_sampling", "audio_segments"}
     offenders = []
     for name, fn in Q.QUERIES.items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
