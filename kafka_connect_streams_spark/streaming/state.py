@@ -134,3 +134,39 @@ def start_incremental_dedup(stream: DataFrame, text_col: str, id_col: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def compact_dedup_index(spark, index_dir: str, upto_epoch: int) -> int:
+    """Compact the incremental-dedup fingerprint index: fold every epoch
+    partition BELOW ``upto_epoch`` into a single ``epoch=-1`` base
+    partition. Bounds file count as epochs accumulate (one tiny parquet
+    partition per micro-batch otherwise) without changing any read:
+    consumers filter ``epoch < current`` and -1 sorts below every real
+    epoch.
+
+    Safe to run between (not during) stream triggers — the write is the
+    same dynamic-partition overwrite the processor uses, so a crash mid-
+    compaction leaves either the old layout or the new one, never a
+    partial mix within a partition; re-running converges. Returns the
+    number of distinct fingerprints in the compacted base.
+    """
+    from pyspark.sql.utils import AnalysisException
+    try:
+        idx = spark.read.parquet(index_dir)
+    except AnalysisException:
+        return 0
+    old = idx.filter((F.col("epoch") < upto_epoch))
+    base = (old.select("fingerprint").distinct()
+            .withColumn("epoch", F.lit(-1).cast("bigint"))
+            .localCheckpoint())  # pin BEFORE overwriting what it reads
+    n = base.count()
+    doomed = [r.epoch for r in
+              old.select("epoch").distinct().collect() if r.epoch != -1]
+    (base.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch").parquet(index_dir))
+    # dynamic overwrite replaced epoch=-1 only; drop the folded partitions
+    import shutil
+    for e in doomed:
+        shutil.rmtree(f"{index_dir}/epoch={e}", ignore_errors=True)
+    return n

@@ -171,3 +171,30 @@ class TestIncrementalDedupStream:
         assert kept == [1, 2, 5]
         idx = spark.read.parquet(index)
         assert idx.count() == 3
+
+    def test_index_compaction_preserves_dedup_decisions(self, spark,
+                                                        tmp_path):
+        """compact_dedup_index folds old epoch partitions into epoch=-1:
+        same fingerprint set, fewer partitions, and a subsequent batch
+        still dedupes against the compacted history identically."""
+        from kafka_connect_streams_spark.streaming.state import (
+            compact_dedup_index, incremental_dedup_processor)
+        index = str(tmp_path / "index"); out = str(tmp_path / "out")
+        proc = incremental_dedup_processor("text", "doc_id", index, out)
+        mk = lambda rows: spark.createDataFrame(rows,
+                                                "doc_id long, text string")
+        proc(mk([(1, "alpha beta")]), 0)
+        proc(mk([(2, "gamma delta")]), 1)
+        proc(mk([(3, "epsilon")]), 2)
+        before = {r.fingerprint for r in
+                  spark.read.parquet(index).collect()}
+        n = compact_dedup_index(spark, index, upto_epoch=3)
+        assert n == 3
+        idx = spark.read.parquet(index)
+        assert {r.fingerprint for r in idx.collect()} == before
+        assert {r.epoch for r in idx.collect()} == {-1}
+        # history dedup still works against the compacted base
+        proc(mk([(4, "beta alpha"),      # dup of doc 1
+                 (5, "zeta")]), 3)
+        kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert kept == {1, 2, 3, 5}
