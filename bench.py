@@ -62,6 +62,7 @@ HEADLINE = [
     "tfidf_topk",
     "ann_lsh_cosine",
     "ann_ivf_cosine",
+    "ann_pq_adc",
     "text_quality",
     "training_pipeline",
     "user_journeys",

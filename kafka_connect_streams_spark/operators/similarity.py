@@ -303,3 +303,95 @@ def topk_cosine_ivf(queries: DataFrame, candidates: DataFrame, k: int = 10,
     if exclude_self:
         paired = paired.filter(F.col("q_id") != F.col("c_id"))
     return _exact_topk_over_pairs(paired, queries, candidates, k)
+
+
+# -- PQ (product quantization, asymmetric distance) -------------------------
+
+
+def pq_codebooks(vectors: DataFrame, m_sub: int = 8,
+                 k_cent: int = 16) -> list[list[list[int]]]:
+    """Deterministic PQ codebooks: split the D dims into ``m_sub``
+    subspaces; subspace m's ``k_cent`` centroids are the corresponding
+    subvectors of the k_cent corpus vectors with the SMALLEST
+    (md5(id), id) — a hash-ordered sample, so the codebook is a pure
+    function of the data (k-means would train better centroids but brings
+    nondeterministic iteration; the plan/shuffle shape is identical).
+
+    Returns ``books[m][k] = centroid subvector`` (quantized int64). The
+    O(k_cent) driver collect is the IVF-codebook pattern: centroids are
+    broadcast INTO expressions, never joined.
+    """
+    sample = (vectors
+              .withColumn("_h", F.md5(F.col("id").cast("string")))
+              .orderBy("_h", "id").limit(k_cent)
+              .select("_h", "id", _quantized(F.col("embedding")).alias("qv"))
+              .collect())
+    sample = sorted(sample, key=lambda r: (r._h, r.id))
+    dim = len(sample[0].qv)
+    sub = dim // m_sub
+    return [[list(r.qv[m * sub:(m + 1) * sub]) for r in sample]
+            for m in range(m_sub)]
+
+
+def _pq_sub_dists(qv: Column, m: int, book_m: list[list[int]],
+                  sub: int) -> list[Column]:
+    """Exact int64 squared L2 from subvector m of ``qv`` to each centroid —
+    slice + zip_with against literal centroid arrays, all in-row."""
+    sl = F.slice(qv, m * sub + 1, sub)
+    out = []
+    for cent in book_m:
+        lit = F.array(*[F.lit(int(c)).cast("bigint") for c in cent])
+        diff = F.zip_with(sl, lit, lambda a, b: (a - b) * (a - b))
+        out.append(F.aggregate(diff, F.expr(_ZERO), lambda acc, v: acc + v))
+    return out
+
+
+def topk_pq_l2(queries: DataFrame, candidates: DataFrame, k: int = 5,
+               m_sub: int = 8, k_cent: int = 16,
+               books: list | None = None) -> DataFrame:
+    """PQ top-k by asymmetric distance (ADC): candidates are stored as
+    ``m_sub`` 4-bit-ish codes (argmin centroid per subspace, ties → lowest
+    code), queries carry per-subspace distance TABLES, and the approximate
+    distance is ``Σ_m table[m][code_m]`` — ``m_sub`` array lookups per
+    pair instead of a D-dim scan.
+
+    This is the memory-scale path: at 100 TB of vectors the corpus shrinks
+    ~(4·D)/m_sub-fold (codes instead of floats), the codebook broadcasts
+    into the encode/score expressions, and the scan stays whole-stage
+    codegen (slice/zip_with/aggregate/element_at — no Python, no explode).
+    Encoding is exact int64 arithmetic, so codes, ADC sums, and the
+    (distance, id)-ordered top-k are bit-reproducible anywhere.
+    """
+    if books is None:
+        books = pq_codebooks(candidates, m_sub, k_cent)
+    dim = len(books[0][0]) * m_sub
+    sub = dim // m_sub
+
+    cq = candidates.select(F.col("id").alias("c_id"),
+                           _quantized(F.col("embedding")).alias("_cv"))
+    code_cols = []
+    for m in range(m_sub):
+        dists = _pq_sub_dists(F.col("_cv"), m, books[m], sub)
+        best = F.array_min(F.array(*[
+            F.struct(d.alias("d"), F.lit(kk).cast("int").alias("k"))
+            for kk, d in enumerate(dists)]))
+        code_cols.append(best["k"].alias(f"code_{m}"))
+    coded = cq.select("c_id", *code_cols)
+
+    qq = queries.select(F.col("id").alias("q_id"),
+                        _quantized(F.col("embedding")).alias("_qv"))
+    tab_cols = [F.array(*_pq_sub_dists(F.col("_qv"), m, books[m], sub))
+                .alias(f"tab_{m}") for m in range(m_sub)]
+    tabs = qq.select("q_id", *tab_cols)
+
+    adc = F.expr(_ZERO)
+    for m in range(m_sub):
+        adc = adc + F.element_at(F.col(f"tab_{m}"),
+                                 F.col(f"code_{m}") + 1)
+    paired = (coded.join(F.broadcast(tabs))
+              .filter(F.col("c_id") != F.col("q_id"))
+              .withColumn("adc_dist", adc))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (paired.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "adc_dist", "rank"))

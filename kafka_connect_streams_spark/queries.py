@@ -1867,6 +1867,23 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: top-5 neighbors per query (vec_id % 100
+    == 0) by asymmetric distance over 8×16 deterministic codebooks — the
+    memory-scale ANN path (codes instead of floats, ~32× smaller corpus,
+    codebook broadcast into the encode/score expressions). Exact int64
+    arithmetic end-to-end, so codes, ADC sums, and the top-k are
+    reproducible bit-for-bit in the SQL oracle."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        pq_codebooks, topk_pq_l2)
+    t = load_tables(spark, sf_dir)
+    vecs = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    is_q = F.col("id") % 100 == 0
+    books = pq_codebooks(vecs, m_sub=8, k_cent=16)
+    return topk_pq_l2(vecs.filter(is_q), vecs.filter(~is_q), k=5,
+                      m_sub=8, k_cent=16, books=books)
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality segmentation: overlapping 96-byte windows every 64
     bytes over each binary payload (Arrow-batched mapInPandas 1→N
@@ -2123,11 +2140,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 22
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 23
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
     # tokenizer_fertility, cluster_best_doc, curation_pipeline,
-    # audio_segments, token_budget_sample, ccnet_buckets,
+    # audio_segments, ann_pq_adc, token_budget_sample, ccnet_buckets,
     # cross_source_duplicates, embedding_decontamination, and the eight
     # decision-support additions local_supplier_volume forecast_revenue
     # nation_volume_shipping product_profit customer_distribution
@@ -2153,6 +2170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_best_doc": q_cluster_best_doc,
     "curation_pipeline": q_curation_pipeline,
     "audio_segments": q_audio_segments,
+    "ann_pq_adc": q_ann_pq_adc,
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue": q_forecast_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
@@ -2185,8 +2203,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "cube": q_cube,
+    # --- end of driver window (slot 50 is cube) ---
     "semi_anti_join": q_semi_anti_join,
-    # --- end of driver window (slot 50 is semi_anti_join) ---
     "string_functions": q_string_functions,
     "date_functions": q_date_functions,
     "having": q_having,
@@ -4287,6 +4305,46 @@ ORACLE: dict[str, str] = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """,
+    "ann_pq_adc": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        sample AS (
+            SELECT id, rn - 1 AS k FROM (
+                SELECT id, row_number() OVER (
+                    ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+                FROM emb) s
+            WHERE rn <= 16),
+        cent AS (
+            SELECT s.k, c.d, c.x
+            FROM sample s JOIN comp c USING (id)),
+        dist AS (
+            SELECT v.id, c.d // 8 AS m, c.k,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent c ON v.d = c.d
+            GROUP BY v.id, c.d // 8, c.k),
+        codes AS (
+            SELECT id AS c_id, m, k FROM (
+                SELECT id, m, k,
+                       row_number() OVER (PARTITION BY id, m
+                                          ORDER BY dd, k) AS rn
+                FROM dist WHERE id % 100 <> 0) x
+            WHERE rn = 1),
+        qtab AS (SELECT id AS q_id, m, k, dd FROM dist WHERE id % 100 = 0),
+        adc AS (
+            SELECT q.q_id, c.c_id, CAST(sum(q.dd) AS BIGINT) AS adc_dist
+            FROM codes c JOIN qtab q USING (m, k)
+            GROUP BY q.q_id, c.c_id),
+        ranked AS (
+            SELECT q_id, c_id, adc_dist,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_dist, c_id) AS rank
+            FROM adc)
+        SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
     """,
     "audio_segments": """
         -- documents.text is ASCII in every sf (octet_length = length), so
