@@ -63,6 +63,7 @@ HEADLINE = [
     "ann_lsh_cosine",
     "ann_ivf_cosine",
     "ann_pq_adc",
+    "ann_ivfpq",
     "text_quality",
     "training_pipeline",
     "user_journeys",

@@ -395,3 +395,88 @@ def topk_pq_l2(queries: DataFrame, candidates: DataFrame, k: int = 5,
     return (paired.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "c_id", "adc_dist", "rank"))
+
+
+def coarse_centroids(vectors: DataFrame, n_lists: int = 8) -> list[list[int]]:
+    """Deterministic coarse quantizer for IVF: the ``n_lists`` corpus
+    vectors with smallest (md5('c:'||id), id), quantized — a different
+    hash salt than the PQ sample so the two codebooks draw independent
+    vectors. O(n_lists) driver rows, broadcast into expressions."""
+    sample = (vectors
+              .withColumn("_h", F.md5(F.concat(F.lit("c:"),
+                                               F.col("id").cast("string"))))
+              .orderBy("_h", "id").limit(n_lists)
+              .select("_h", "id", _quantized(F.col("embedding")).alias("qv"))
+              .collect())
+    sample = sorted(sample, key=lambda r: (r._h, r.id))
+    return [list(r.qv) for r in sample]
+
+
+def _coarse_assign(qv: Column, coarse: list[list[int]]) -> Column:
+    """argmin_j exact-L2(x, coarse_j), ties → lowest j — in-row."""
+    dists = []
+    for j, cent in enumerate(coarse):
+        lit = F.array(*[F.lit(int(c)).cast("bigint") for c in cent])
+        diff = F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b))
+        d = F.aggregate(diff, F.expr(_ZERO), lambda acc, v: acc + v)
+        dists.append(F.struct(d.alias("d"), F.lit(j).cast("int").alias("j")))
+    return F.array_sort(F.array(*dists))
+
+
+def topk_ivfpq(queries: DataFrame, candidates: DataFrame, k: int = 5,
+               n_lists: int = 8, nprobe: int = 2,
+               m_sub: int = 8, k_cent: int = 16,
+               books: list | None = None,
+               coarse: list | None = None) -> DataFrame:
+    """IVF-PQ: the production ANN composition — IVF lists prune the
+    candidate set (each candidate lives in its nearest coarse list; each
+    query probes its ``nprobe`` nearest), PQ codes compress what remains,
+    and ADC scores only the probed intersection.
+
+    The scale shape is the point: the probe step is a HASH JOIN on the
+    list id (queries explode to (q_id, list) pairs), so at 100 TB the
+    ADC scan touches ~nprobe/n_lists of the corpus instead of all of it,
+    the corpus itself is codes (~32× smaller), and both codebooks are
+    driver-built O(n_lists + k_cent) constants folded into expressions.
+    All arithmetic is exact int64 → bit-reproducible in the SQL twin.
+    """
+    if books is None:
+        books = pq_codebooks(candidates, m_sub, k_cent)
+    if coarse is None:
+        coarse = coarse_centroids(candidates, n_lists)
+    dim = len(coarse[0])
+    sub = dim // m_sub
+
+    cq = candidates.select(F.col("id").alias("c_id"),
+                           _quantized(F.col("embedding")).alias("_cv"))
+    code_cols = []
+    for m in range(m_sub):
+        dists = _pq_sub_dists(F.col("_cv"), m, books[m], sub)
+        best = F.array_min(F.array(*[
+            F.struct(d.alias("d"), F.lit(kk).cast("int").alias("k"))
+            for kk, d in enumerate(dists)]))
+        code_cols.append(best["k"].alias(f"code_{m}"))
+    coded = cq.select(
+        "c_id", _coarse_assign(F.col("_cv"), coarse)[0]["j"].alias("list"),
+        *code_cols)
+
+    qq = queries.select(F.col("id").alias("q_id"),
+                        _quantized(F.col("embedding")).alias("_qv"))
+    tab_cols = [F.array(*_pq_sub_dists(F.col("_qv"), m, books[m], sub))
+                .alias(f"tab_{m}") for m in range(m_sub)]
+    probes = F.slice(_coarse_assign(F.col("_qv"), coarse), 1, nprobe)
+    tabs = (qq.select("q_id", F.explode(probes).alias("_p"), *tab_cols)
+            .select("q_id", F.col("_p")["j"].alias("list"),
+                    *[f"tab_{m}" for m in range(m_sub)]))
+
+    adc = F.expr(_ZERO)
+    for m in range(m_sub):
+        adc = adc + F.element_at(F.col(f"tab_{m}"),
+                                 F.col(f"code_{m}") + 1)
+    paired = (coded.join(F.broadcast(tabs), "list")
+              .filter(F.col("c_id") != F.col("q_id"))
+              .withColumn("adc_dist", adc))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (paired.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "adc_dist", "rank"))

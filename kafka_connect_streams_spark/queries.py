@@ -1927,6 +1927,24 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_e9")))
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: candidates pruned by inverted lists (nearest of 8
+    coarse centroids; queries probe their 2 nearest), survivors scored by
+    PQ asymmetric distance — the production composition where the probe
+    is a hash join on the list id, so the ADC scan touches ~nprobe/n_lists
+    of the corpus. Exact int64 end-to-end, bit-reproducible in SQL."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        coarse_centroids, pq_codebooks, topk_ivfpq)
+    t = load_tables(spark, sf_dir)
+    vecs = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    is_q = F.col("id") % 100 == 0
+    books = pq_codebooks(vecs, m_sub=8, k_cent=16)
+    coarse = coarse_centroids(vecs, n_lists=8)
+    return topk_ivfpq(vecs.filter(is_q), vecs.filter(~is_q), k=5,
+                      n_lists=8, nprobe=2, m_sub=8, k_cent=16,
+                      books=books, coarse=coarse)
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality segmentation: overlapping 96-byte windows every 64
     bytes over each binary payload (Arrow-batched mapInPandas 1→N
@@ -2183,11 +2201,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 24
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 25
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
     # tokenizer_fertility, cluster_best_doc, curation_pipeline,
-    # audio_segments, ann_pq_adc, ann_pq_recall, token_budget_sample,
+    # audio_segments, ann_pq_adc, ann_pq_recall, ann_ivfpq,
+    # token_budget_sample,
     # ccnet_buckets,
     # cross_source_duplicates, embedding_decontamination, and the eight
     # decision-support additions local_supplier_volume forecast_revenue
@@ -2216,6 +2235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_segments": q_audio_segments,
     "ann_pq_adc": q_ann_pq_adc,
     "ann_pq_recall": q_ann_pq_recall,
+    "ann_ivfpq": q_ann_ivfpq,
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue": q_forecast_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
@@ -2246,8 +2266,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk": q_topk,
     "set_ops": q_set_ops,
     "tumbling_window": q_tumbling_window,
+    # --- end of driver window (slot 50 is tumbling_window) ---
     "sliding_window": q_sliding_window,
-    # --- end of driver window (slot 50 is sliding_window) ---
     "cube": q_cube,
     "semi_anti_join": q_semi_anti_join,
     "string_functions": q_string_functions,
@@ -4453,6 +4473,71 @@ ORACLE: dict[str, str] = {
                  AS recall_e9
         FROM (SELECT id AS q_id FROM emb WHERE id % 100 = 0) q
         LEFT JOIN hits h USING (q_id)
+    """,
+    "ann_ivfpq": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        sample AS (
+            SELECT id, rn - 1 AS k FROM (
+                SELECT id, row_number() OVER (
+                    ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+                FROM emb) s
+            WHERE rn <= 16),
+        cent AS (SELECT s.k, c.d, c.x FROM sample s JOIN comp c USING (id)),
+        dist AS (
+            SELECT v.id, c.d // 8 AS m, c.k,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent c ON v.d = c.d
+            GROUP BY v.id, c.d // 8, c.k),
+        codes AS (
+            SELECT id AS c_id, m, k FROM (
+                SELECT id, m, k,
+                       row_number() OVER (PARTITION BY id, m
+                                          ORDER BY dd, k) AS rn
+                FROM dist WHERE id % 100 <> 0) x
+            WHERE rn = 1),
+        qtab AS (SELECT id AS q_id, m, k, dd FROM dist WHERE id % 100 = 0),
+        csample AS (
+            SELECT id, rn - 1 AS j FROM (
+                SELECT id, row_number() OVER (
+                    ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) AS rn
+                FROM emb) s
+            WHERE rn <= 8),
+        ccent AS (SELECT s.j, c.d, c.x FROM csample s JOIN comp c USING (id)),
+        cdist AS (
+            SELECT v.id, c.j,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS cd
+            FROM comp v JOIN ccent c ON v.d = c.d
+            GROUP BY v.id, c.j),
+        clist AS (
+            SELECT id AS c_id, j AS list FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY cd, j) AS rn
+                FROM cdist WHERE id % 100 <> 0) x
+            WHERE rn = 1),
+        qprobe AS (
+            SELECT id AS q_id, j AS list FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY cd, j) AS rn
+                FROM cdist WHERE id % 100 = 0) x
+            WHERE rn <= 2),
+        adc AS (
+            SELECT q.q_id, c.c_id, CAST(sum(q.dd) AS BIGINT) AS adc_dist
+            FROM codes c
+            JOIN clist cl ON cl.c_id = c.c_id
+            JOIN qprobe p ON p.list = cl.list
+            JOIN qtab q ON q.q_id = p.q_id AND q.m = c.m AND q.k = c.k
+            GROUP BY q.q_id, c.c_id),
+        ranked AS (
+            SELECT q_id, c_id, adc_dist,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_dist, c_id) AS rank
+            FROM adc)
+        SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
     """,
     "audio_segments": """
         -- documents.text is ASCII in every sf (octet_length = length), so
