@@ -1945,6 +1945,66 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       books=books, coarse=coarse)
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event streams: for each
+    (event_type → next event_type within a user's time-ordered sequence),
+    the transition count and e9 fixed-point row-normalized probability.
+    The sequence-analytics shape: one lead() window per user (users are
+    many and small — no skew), one pair groupBy, and the row totals join
+    back by broadcast. Ties in timestamps break on event_id so the
+    sequence — and therefore the matrix — is total-ordered and
+    engine-reproducible."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (t["events"]
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count("*").alias("n")))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (pairs.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.expr("(n * 1000000000) div row_n").alias("p_e9")))
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: per source, the L1 distance between the
+    source's term distribution and the corpus-wide distribution over the
+    20 globally most frequent terms — the per-feed health check that
+    catches a source going off-distribution (spam bursts, language flips)
+    before it poisons a training mix.
+
+    Exact integer throughout: both distributions quantize to e9
+    fixed-point rates (n_st·10⁹ div N_s vs n_t·10⁹ div N) and the drift
+    is Σ_t |rate_source − rate_corpus| — bounded by 2·10⁹·|top|, int64-
+    safe. Shuffles carry (term, count) pairs; the top-20 vocabulary and
+    the scalar totals are broadcast. (Past ~10⁹ tokens per source the
+    n·10⁹ products need a decimal(38,0) intermediate — same pattern as
+    packing_efficiency.)"""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "source", F.explode(F.filter(
+            F.split(F.lower(F.col("text")), r"\W+"),
+            lambda x: F.length(x) > 0)).alias("term"))
+    per_st = toks.groupBy("source", "term").agg(F.count("*").alias("n_st"))
+    glob = per_st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    top = (glob.orderBy(F.desc("n_t"), "term").limit(20))
+    n_corpus = glob.agg(F.sum("n_t").alias("n_corpus"))
+    n_source = per_st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    # every (source × top-term) cell, zero-filled via the cross join
+    cells = (n_source.crossJoin(F.broadcast(top))
+             .join(per_st, ["source", "term"], "left")
+             .withColumn("n_st", F.coalesce("n_st", F.lit(0))))
+    return (cells.join(F.broadcast(n_corpus))
+            .groupBy("source", "n_s")
+            .agg(F.sum(F.abs(
+                F.expr("(n_st * 1000000000) div n_s")
+                - F.expr("(n_t * 1000000000) div n_corpus")))
+                .alias("drift_e9"))
+            .select("source", "n_s", "drift_e9"))
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality segmentation: overlapping 96-byte windows every 64
     bytes over each binary payload (Arrow-batched mapInPandas 1→N
@@ -2201,12 +2261,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 25
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 27
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
     # tokenizer_fertility, cluster_best_doc, curation_pipeline,
     # audio_segments, ann_pq_adc, ann_pq_recall, ann_ivfpq,
-    # token_budget_sample,
+    # transition_matrix, source_drift, token_budget_sample,
     # ccnet_buckets,
     # cross_source_duplicates, embedding_decontamination, and the eight
     # decision-support additions local_supplier_volume forecast_revenue
@@ -2236,6 +2296,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc": q_ann_pq_adc,
     "ann_pq_recall": q_ann_pq_recall,
     "ann_ivfpq": q_ann_ivfpq,
+    "transition_matrix": q_transition_matrix,
+    "source_drift": q_source_drift,
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue": q_forecast_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
@@ -2264,9 +2326,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank": q_window_rank,
     "window_running": q_window_running,
     "topk": q_topk,
+    # --- end of driver window (slot 50 is topk) ---
     "set_ops": q_set_ops,
     "tumbling_window": q_tumbling_window,
-    # --- end of driver window (slot 50 is tumbling_window) ---
     "sliding_window": q_sliding_window,
     "cube": q_cube,
     "semi_anti_join": q_semi_anti_join,
@@ -4538,6 +4600,48 @@ ORACLE: dict[str, str] = {
             FROM adc)
         SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
+    """,
+    "transition_matrix": """
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+        pairs AS (
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type),
+        tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+                FROM pairs GROUP BY from_type)
+        SELECT p.from_type, p.to_type, p.n,
+               CAST((p.n * 1000000000) // t.row_n AS BIGINT) AS p_e9
+        FROM pairs p JOIN tot t USING (from_type)
+    """,
+    "source_drift": """
+        WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                      x -> length(x) > 0)) AS term
+            FROM documents),
+        per_st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+                   FROM toks GROUP BY source, term),
+        gtot AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t
+                 FROM per_st GROUP BY term),
+        top AS (SELECT term, n_t FROM gtot ORDER BY n_t DESC, term LIMIT 20),
+        nc AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_corpus FROM gtot),
+        ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+               FROM per_st GROUP BY source),
+        cells AS (
+            SELECT ns.source, ns.n_s, top.term, top.n_t,
+                   coalesce(p.n_st, 0) AS n_st
+            FROM ns CROSS JOIN top
+            LEFT JOIN per_st p ON p.source = ns.source AND p.term = top.term)
+        SELECT source, n_s,
+               CAST(sum(abs((n_st * 1000000000) // n_s
+                            - (n_t * 1000000000) // n_corpus)) AS BIGINT)
+                 AS drift_e9
+        FROM cells CROSS JOIN nc
+        GROUP BY source, n_s
     """,
     "audio_segments": """
         -- documents.text is ASCII in every sf (octet_length = length), so
