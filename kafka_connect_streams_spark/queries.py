@@ -1945,6 +1945,59 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       books=books, coarse=coarse)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index phrase search: build positional postings (term →
+    (doc, position)) in one explode+shuffle, then answer the phrase query
+    "the data" by joining the two terms' postings on (doc, adjacent
+    positions) — the search-engine primitive LIKE '%the data%' can't
+    express efficiently at scale (the postings join touches only the two
+    terms' lists, not the corpus). Emits per-doc match counts with the
+    first match position as evidence."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.posexplode(F.filter(
+            F.split(F.lower(F.col("text")), r"\W+"),
+            lambda x: F.length(x) > 0)).alias("pos", "term"))
+    a = toks.filter(F.col("term") == "the") \
+        .select("doc_id", F.col("pos").alias("pos_a"))
+    b = toks.filter(F.col("term") == "data") \
+        .select("doc_id", F.col("pos").alias("pos_b"))
+    return (a.join(b, (a.doc_id == b.doc_id) &
+                   (b.pos_b == a.pos_a + 1))
+            .drop(b.doc_id)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.min("pos_a").cast("bigint").alias("first_pos")))
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day: daily active users plus the 7-day
+    rolling DISTINCT user count — the product-analytics staple where the
+    rolling distinct canNOT be a sum of dailies. Exact and scale-shaped:
+    events dedupe to (user, day) first (the only corpus-sized shuffle),
+    each user-day then expands to the ≤7 report days it supports (in-row
+    sequence, no self-join), and one groupBy counts distinct users per
+    report day. Stickiness = dau/wau in e9 fixed point."""
+    t = load_tables(spark, sf_dir)
+    ud = (t["events"]
+          .select("user_id", F.to_date(F.col("ts")).alias("day"))
+          .distinct())
+    days = ud.select(F.col("day").alias("report_day")).distinct()
+    expanded = ud.select(
+        "user_id", "day",
+        F.explode(F.sequence(F.col("day"),
+                             F.date_add(F.col("day"), 6))).alias("report_day"))
+    wau = (expanded.join(days, "report_day", "left_semi")
+           .groupBy("report_day")
+           .agg(F.countDistinct("user_id").alias("wau")))
+    dau = ud.groupBy(F.col("day").alias("report_day")) \
+        .agg(F.countDistinct("user_id").alias("dau"))
+    return (dau.join(wau, "report_day")
+            .select("report_day", "dau", "wau",
+                    F.expr("(dau * 1000000000) div wau")
+                    .alias("stickiness_e9")))
+
+
 def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over event streams: for each
     (event_type → next event_type within a user's time-ordered sequence),
@@ -2261,12 +2314,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 27
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 29
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
     # tokenizer_fertility, cluster_best_doc, curation_pipeline,
     # audio_segments, ann_pq_adc, ann_pq_recall, ann_ivfpq,
-    # transition_matrix, source_drift, token_budget_sample,
+    # transition_matrix, source_drift, phrase_search,
+    # rolling_active_users, token_budget_sample,
     # ccnet_buckets,
     # cross_source_duplicates, embedding_decontamination, and the eight
     # decision-support additions local_supplier_volume forecast_revenue
@@ -2298,6 +2352,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "transition_matrix": q_transition_matrix,
     "source_drift": q_source_drift,
+    "phrase_search": q_phrase_search,
+    "rolling_active_users": q_rolling_active_users,
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue": q_forecast_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
@@ -2324,9 +2380,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_stats": q_groupby_stats,
     "rollup": q_rollup,
     "window_rank": q_window_rank,
+    # --- end of driver window (slot 50 is window_rank) ---
     "window_running": q_window_running,
     "topk": q_topk,
-    # --- end of driver window (slot 50 is topk) ---
     "set_ops": q_set_ops,
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
@@ -4600,6 +4656,46 @@ ORACLE: dict[str, str] = {
             FROM adc)
         SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
+    """,
+    "phrase_search": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               x -> length(x) > 0) AS l
+            FROM documents),
+        idx AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS p, l
+                FROM base),
+        terms AS (SELECT doc_id, p - 1 AS pos, l[p] AS term FROM idx)
+        SELECT a.doc_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(a.pos) AS BIGINT) AS first_pos
+        FROM terms a
+        JOIN terms b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'the' AND b.term = 'data'
+        GROUP BY a.doc_id
+    """,
+    "rolling_active_users": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day AS report_day FROM ud),
+        expanded AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(
+                       CAST(day AS TIMESTAMP),
+                       CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                       INTERVAL 1 DAY)) AS DATE) AS report_day
+            FROM ud),
+        wau AS (
+            SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM expanded JOIN days USING (report_day)
+            GROUP BY report_day),
+        dau AS (
+            SELECT day AS report_day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY day)
+        SELECT d.report_day, d.dau, w.wau,
+               CAST((d.dau * 1000000000) // w.wau AS BIGINT) AS stickiness_e9
+        FROM dau d JOIN wau w USING (report_day)
     """,
     "transition_matrix": """
         WITH seq AS (
