@@ -1945,6 +1945,24 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       books=books, coarse=coarse)
 
 
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the 5 heaviest keys of a prospective
+    join/groupBy column with their e9 row share — the number you read
+    BEFORE choosing between a plain shuffle, AQE skew splitting, or
+    salting (skew.py). One groupBy on the key + a 1-row broadcast total;
+    the report is O(distinct keys) shuffled, 5 rows out."""
+    t = load_tables(spark, sf_dir)
+    per_key = t["events"].groupBy("event_type").agg(F.count("*").alias("n"))
+    tot = per_key.agg(F.sum("n").alias("n_total"))
+    w = Window.orderBy(F.desc("n"), "event_type")
+    return (per_key.join(F.broadcast(tot))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(F.col("event_type").alias("key"), "n",
+                    F.expr("(n * 1000000000) div n_total").alias("share_e9"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index phrase search: build positional postings (term →
     (doc, position)) in one explode+shuffle, then answer the phrase query
@@ -2314,13 +2332,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 29
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 30
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
     # tokenizer_fertility, cluster_best_doc, curation_pipeline,
     # audio_segments, ann_pq_adc, ann_pq_recall, ann_ivfpq,
     # transition_matrix, source_drift, phrase_search,
-    # rolling_active_users, token_budget_sample,
+    # rolling_active_users, join_skew_report, token_budget_sample,
     # ccnet_buckets,
     # cross_source_duplicates, embedding_decontamination, and the eight
     # decision-support additions local_supplier_volume forecast_revenue
@@ -2354,6 +2372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_drift": q_source_drift,
     "phrase_search": q_phrase_search,
     "rolling_active_users": q_rolling_active_users,
+    "join_skew_report": q_join_skew_report,
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue": q_forecast_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
@@ -2379,8 +2398,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing": q_agg_pricing,
     "groupby_stats": q_groupby_stats,
     "rollup": q_rollup,
+    # --- end of driver window (slot 50 is rollup) ---
     "window_rank": q_window_rank,
-    # --- end of driver window (slot 50 is window_rank) ---
     "window_running": q_window_running,
     "topk": q_topk,
     "set_ops": q_set_ops,
@@ -4656,6 +4675,21 @@ ORACLE: dict[str, str] = {
             FROM adc)
         SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
+    """,
+    "join_skew_report": """
+        WITH per_key AS (
+            SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM per_key),
+        ranked AS (
+            SELECT key, n,
+                   row_number() OVER (ORDER BY n DESC, key) AS rank
+            FROM per_key)
+        SELECT key, n,
+               CAST((n * 1000000000) // n_total AS BIGINT) AS share_e9,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked CROSS JOIN tot
+        WHERE rank <= 5
     """,
     "phrase_search": """
         WITH base AS (
