@@ -478,3 +478,48 @@ class TestQualityBuckets:
             # ~1000 bins over this corpus each bucket stays within 25% of n/3
             for b, c in counts.items():
                 assert abs(c - n / 3) <= max(2, n * 0.25), (lang, counts)
+
+
+class TestProductQuantization:
+    def test_pq_codes_and_adc_match_numpy_reference(self, spark, sf_dir):
+        """PQ encode (codebook sample, per-subspace argmin codes) and ADC
+        scoring must equal an independent numpy int64 reference."""
+        import hashlib
+        import numpy as np
+        from pyspark.sql import functions as F
+        from kafka_connect_streams_spark.operators.similarity import (
+            pq_codebooks, topk_pq_l2)
+        vecs = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .select(F.col("vec_id").alias("id"), "embedding").limit(200))
+        rows = vecs.collect()
+        q = {r.id: np.floor(np.asarray(r.embedding, dtype=np.float64)
+                            * 10000.0 + 0.5).astype(np.int64) for r in rows}
+        # reference codebooks: 16 ids by (md5(id), id), 8 subspaces of 8
+        order = sorted(q, key=lambda i: (hashlib.md5(str(i).encode())
+                                         .hexdigest(), i))[:16]
+        books = [[q[i][m * 8:(m + 1) * 8] for i in order] for m in range(8)]
+        got_books = pq_codebooks(vecs, 8, 16)
+        assert [[list(c) for c in bm] for bm in got_books] == \
+               [[list(c) for c in bm] for bm in books]
+
+        ids = sorted(q)
+        queries = [i for i in ids if i % 100 == 0]
+        cands = [i for i in ids if i % 100 != 0]
+        codes = {c: [min(range(16), key=lambda k: (
+            int(((q[c][m*8:(m+1)*8] - books[m][k]) ** 2).sum()), k))
+            for m in range(8)] for c in cands}
+        want = {}
+        for qi in queries:
+            tabs = [[int(((q[qi][m*8:(m+1)*8] - books[m][k]) ** 2).sum())
+                     for k in range(16)] for m in range(8)]
+            scored = sorted(
+                ((sum(tabs[m][codes[c][m]] for m in range(8)), c)
+                 for c in cands))
+            want[qi] = [(c, d) for d, c in scored[:5]]
+        got = {}
+        res = topk_pq_l2(vecs.filter(F.col("id") % 100 == 0),
+                         vecs.filter(F.col("id") % 100 != 0),
+                         k=5, books=got_books).collect()
+        for r in sorted(res, key=lambda r: (r.q_id, r.rank)):
+            got.setdefault(r.q_id, []).append((r.c_id, r.adc_dist))
+        assert got == want
