@@ -1945,6 +1945,36 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       books=books, coarse=coarse)
 
 
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM count tables (the KenLM/CCNet data-prep step): per token,
+    its unigram count plus the Kneser-Ney continuation statistics — the
+    number of DISTINCT right neighbors N1+(w·) and distinct left contexts
+    N1+(·w) (the lower-order KN numerator). Bigrams assemble IN-ROW
+    (transform over the token array, no position explode); the only
+    shuffles carry (token, count) and distinct (w1, w2) pairs."""
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                    lambda x: F.length(x) > 0)
+    base = t["documents"].select(toks.alias("toks"))
+    uni = (base.select(F.explode("toks").alias("token"))
+           .groupBy("token").agg(F.count("*").alias("n_unigram")))
+    bigrams = (base.filter(F.size("toks") >= 2)  # sequence(1,0) runs backwards
+               .select(F.explode(F.expr(
+                   "transform(sequence(1, size(toks) - 1), "
+                   "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).alias("b"))
+               .select("b.w1", "b.w2").distinct())
+    right = bigrams.groupBy(F.col("w1").alias("token")) \
+        .agg(F.count("*").alias("n_right_types"))
+    left = bigrams.groupBy(F.col("w2").alias("token")) \
+        .agg(F.count("*").alias("n_left_types"))
+    return (uni.join(right, "token", "left").join(left, "token", "left")
+            .select("token", "n_unigram",
+                    F.coalesce("n_right_types", F.lit(0)).cast("bigint")
+                    .alias("n_right_types"),
+                    F.coalesce("n_left_types", F.lit(0)).cast("bigint")
+                    .alias("n_left_types")))
+
+
 def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis: the 5 heaviest keys of a prospective
     join/groupBy column with their e9 row share — the number you read
@@ -2332,13 +2362,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
     # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
     # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 30
+    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 31
     # round-5 additions (mix_weights, training_order, packing_efficiency,
     # decontamination_minhash, doc_chunking, chunk_dedup,
     # tokenizer_fertility, cluster_best_doc, curation_pipeline,
     # audio_segments, ann_pq_adc, ann_pq_recall, ann_ivfpq,
     # transition_matrix, source_drift, phrase_search,
-    # rolling_active_users, join_skew_report, token_budget_sample,
+    # rolling_active_users, join_skew_report, ngram_lm_counts,
+    # token_budget_sample,
     # ccnet_buckets,
     # cross_source_duplicates, embedding_decontamination, and the eight
     # decision-support additions local_supplier_volume forecast_revenue
@@ -2373,6 +2404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "rolling_active_users": q_rolling_active_users,
     "join_skew_report": q_join_skew_report,
+    "ngram_lm_counts": q_ngram_lm_counts,
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue": q_forecast_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
@@ -2397,8 +2429,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_outer": q_join_outer,
     "agg_pricing": q_agg_pricing,
     "groupby_stats": q_groupby_stats,
+    # --- end of driver window (slot 50 is groupby_stats) ---
     "rollup": q_rollup,
-    # --- end of driver window (slot 50 is rollup) ---
     "window_rank": q_window_rank,
     "window_running": q_window_running,
     "topk": q_topk,
@@ -4675,6 +4707,32 @@ ORACLE: dict[str, str] = {
             FROM adc)
         SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
+    """,
+    "ngram_lm_counts": """
+        WITH base AS (
+            SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+                               x -> length(x) > 0) AS toks
+            FROM documents),
+        uni AS (
+            SELECT unnest(toks) AS token FROM base),
+        ucnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_unigram
+                 FROM uni GROUP BY token),
+        big AS (
+            SELECT DISTINCT b.w1, b.w2 FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, greatest(len(toks) - 1, 0)),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+                FROM base) t),
+        r AS (SELECT w1 AS token, CAST(count(*) AS BIGINT) AS n_right_types
+              FROM big GROUP BY w1),
+        l AS (SELECT w2 AS token, CAST(count(*) AS BIGINT) AS n_left_types
+              FROM big GROUP BY w2)
+        SELECT u.token, u.n_unigram,
+               coalesce(r.n_right_types, 0) AS n_right_types,
+               coalesce(l.n_left_types, 0) AS n_left_types
+        FROM ucnt u
+        LEFT JOIN r USING (token)
+        LEFT JOIN l USING (token)
     """,
     "join_skew_report": """
         WITH per_key AS (
