@@ -523,3 +523,28 @@ class TestProductQuantization:
         for r in sorted(res, key=lambda r: (r.q_id, r.rank)):
             got.setdefault(r.q_id, []).append((r.c_id, r.adc_dist))
         assert got == want
+
+
+class TestPartitioningInvariance:
+    def test_results_identical_across_shuffle_widths(self, spark, sf_dir):
+        """The determinism claims (md5 ordering, fixed-point arithmetic,
+        total-order tie-breaks) mean results must be IDENTICAL when the
+        shuffle width changes — the property that makes retries, cluster
+        resizes, and AQE re-plans safe. Run the repartition-sensitive
+        queries at 5 and 32 shuffle partitions and compare row sets."""
+        from kafka_connect_streams_spark import queries as Q
+        tricky = ["training_order", "token_budget_sample",
+                  "sequence_packing", "ccnet_buckets", "mix_weights",
+                  "dedup_minhash_lsh"]
+        results = {}
+        for width in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", width)
+            try:
+                for name in tricky:
+                    rows = sorted(map(tuple,
+                                      Q.QUERIES[name](spark, sf_dir).collect()))
+                    results.setdefault(name, []).append(rows)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} differs across shuffle widths"
