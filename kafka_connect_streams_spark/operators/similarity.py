@@ -492,3 +492,47 @@ def topk_ivfpq(queries: DataFrame, candidates: DataFrame, k: int = 5,
     return (paired.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "c_id", "adc_dist", "rank"))
+
+
+def kmeans_subspace_codebooks(vectors: DataFrame, m_sub: int = 8,
+                              k_cent: int = 16, iters: int = 3,
+                              books: list | None = None) -> list:
+    """TRAINED PQ codebooks: per-subspace Lloyd iterations on the quantized
+    int64 subvectors, fully deterministic — init is the hash-ordered sample
+    (:func:`pq_codebooks`), every round re-assigns by exact squared-L2
+    (ties → lowest code) and recenters to the FLOOR-average (int64 sums,
+    Python floor division), and an empty cluster keeps its previous
+    centroid. No RNG, no float accumulation: the same data yields the same
+    codebooks on any engine, any partitioning, any retry.
+
+    Scale shape per round: ONE job — every vector emits its m_sub
+    (subspace, code, subvector) assignments in-row, a groupBy over the
+    m_sub×k_cent keys computes int64 dimension sums, and O(m_sub·k_cent)
+    rows come back to the driver (the CC-convergence traffic pattern).
+    Training cost is iters jobs regardless of corpus size.
+    """
+    if books is None:
+        books = pq_codebooks(vectors, m_sub, k_cent)
+    dim = len(books[0][0]) * m_sub
+    sub = dim // m_sub
+    vq = vectors.select(_quantized(F.col("embedding")).alias("_v"))
+    for _ in range(iters):
+        structs = F.array(*[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                _argmin_code(_pq_sub_dists(F.col("_v"), m, books[m], sub))
+                .alias("code"),
+                F.slice(F.col("_v"), m * sub + 1, sub).alias("sv"))
+            for m in range(m_sub)])
+        sums = (vq.select(F.explode(structs).alias("x"))
+                .select("x.m", "x.code", "x.sv")
+                .groupBy("m", "code")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.col("sv").getItem(d)).alias(f"s{d}")
+                       for d in range(sub)])
+                .collect())
+        upd = {(r["m"], r["code"]): [int(r[f"s{d}"]) // int(r["n"])
+                                     for d in range(sub)] for r in sums}
+        books = [[upd.get((m, k), books[m][k]) for k in range(k_cent)]
+                 for m in range(m_sub)]
+    return books

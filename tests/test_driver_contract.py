@@ -47,6 +47,13 @@ def test_no_oracle_emits_hugeint_columns():
         f"{offenders}")
 
 
+#: queries DELIBERATELY registered without an oracle — the iterative-
+#: algorithm exemption (driver runs a rows-only check; exactness is pinned
+#: by a bit-exact reference test instead). Anything else missing an oracle
+#: is an accident this guard must catch.
+ORACLE_EXEMPT = {"ann_pq_trained_recall"}  # k-means Lloyd loop
+
+
 def test_every_query_in_driver_window_has_an_oracle():
     """The first-50 window is what the driver hashes; a window entry
     without an oracle twin silently downgrades to a rows-only check."""
@@ -54,7 +61,8 @@ def test_every_query_in_driver_window_has_an_oracle():
 
     queries, oracles = e.queries(), e.oracle_sql()
     window = list(queries)[:50]
-    missing = [n for n in window if n not in oracles]
+    missing = [n for n in window
+               if n not in oracles and n not in ORACLE_EXEMPT]
     assert not missing, f"window queries without oracle SQL: {missing}"
 
 

@@ -548,3 +548,39 @@ class TestPartitioningInvariance:
                 spark.conf.set("spark.sql.shuffle.partitions", "32")
         for name, (a, b) in results.items():
             assert a == b, f"{name} differs across shuffle widths"
+
+    def test_kmeans_codebooks_match_numpy_lloyd(self, spark, sf_dir):
+        """The distributed trainer must replicate a bit-exact numpy Lloyd
+        loop: hash-sample init, squared-L2 argmin with ties→lowest code,
+        int64 floor-average recentering, empty clusters keep their
+        centroid."""
+        import hashlib
+        import numpy as np
+        from pyspark.sql import functions as F
+        from kafka_connect_streams_spark.operators.similarity import (
+            kmeans_subspace_codebooks, pq_codebooks)
+        vecs = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .select(F.col("vec_id").alias("id"), "embedding").limit(150))
+        rows = vecs.collect()
+        q = {r.id: np.floor(np.asarray(r.embedding, dtype=np.float64)
+                            * 10000.0 + 0.5).astype(np.int64) for r in rows}
+        order = sorted(q, key=lambda i: (hashlib.md5(str(i).encode())
+                                         .hexdigest(), i))[:16]
+        books = [[[int(v) for v in q[i][m*8:(m+1)*8]] for i in order]
+                 for m in range(8)]
+        for _ in range(3):
+            sums = {}
+            for x in q.values():
+                for m in range(8):
+                    sv = x[m*8:(m+1)*8]
+                    code = min(range(16), key=lambda k: (
+                        int(((sv - np.asarray(books[m][k])) ** 2).sum()), k))
+                    n, s = sums.get((m, code), (0, np.zeros(8, np.int64)))
+                    sums[(m, code)] = (n + 1, s + sv)
+            books = [[[int(v) // n for v in s] if (m, k) in sums else books[m][k]
+                      for k in range(16)
+                      for n, s in [sums.get((m, k), (1, books[m][k]))]]
+                     for m in range(8)]
+        got = kmeans_subspace_codebooks(vecs, 8, 16, iters=3)
+        got = [[[int(v) for v in c] for c in bm] for bm in got]
+        assert got == books
