@@ -408,3 +408,126 @@ def quality_buckets(df: DataFrame, text_col: str, id_col: str,
                     .otherwise("tail").alias("bucket")))
     return binned.join(F.broadcast(cuts), [lang_col, "qbin"]) \
                  .select(id_col, lang_col, "qbin", "bucket")
+
+
+def lm_doc_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Bigram-LM document scoring: the KenLM/CCNet quality-filter step with
+    the language model ESTIMATED FROM THE CORPUS ITSELF (the standard
+    data-prep bootstrap) and probabilities kept in e9 fixed point so the
+    score is bit-deterministic across engines — a float ``ln()`` differs in
+    the last ulp between libm and the JVM, so log-space perplexity is
+    deliberately traded for linear-space conditional probabilities.
+
+    Per document (with ≥2 tokens): ``n_bigrams``; ``n_singleton`` (bigrams
+    whose only corpus occurrence is this one — the novelty signal);
+    ``avg_p_e9`` / ``min_p_e9`` — mean and worst conditional probability
+    P(w2|w1) = c(w1,w2)/c(w1,·) in e9 fixed point. Low avg ⇒ unusual word
+    transitions ⇒ low-quality / out-of-domain text.
+
+    Scale shape: bigram instances assemble IN-ROW (transform over the token
+    array, no position explode); the LM tables are two groupBys over
+    (w1,w2) and w1; scoring is ONE shuffle join of instances against the
+    probability table (hot bigrams are AQE-skew-split). Nothing is
+    collected to the driver and no table is O(corpus²).
+    """
+    toks = _tok_array(text_col)
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    inst = (base.filter(F.size("toks") >= 2)
+            .select(id_col, F.explode(F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).alias("b"))
+            .select(id_col, "b.w1", "b.w2"))
+    bcnt = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_bigram"))
+    wstart = bcnt.groupBy("w1").agg(F.sum("c_bigram").alias("c_w1"))
+    probs = bcnt.join(wstart, "w1").select(
+        "w1", "w2", "c_bigram",
+        F.expr("c_bigram * 1000000000 div c_w1").alias("p_e9"))
+    return (inst.join(probs, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum((F.col("c_bigram") == 1).cast("bigint"))
+                  .alias("n_singleton"),
+                 F.expr("sum(p_e9) div count(*)").alias("avg_p_e9"),
+                 F.min("p_e9").alias("min_p_e9")))
+
+
+def boilerplate_removal(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, min_docs: int = 3) -> DataFrame:
+    """Duplicated-span removal (the Lee-et-al. exact-substring dedup step at
+    word n-gram granularity): any word n-gram occurring in ≥ ``min_docs``
+    DISTINCT documents is boilerplate; every word position covered by a
+    boilerplate n-gram occurrence is dropped from its document, and the
+    cleaned text is reassembled in-row.
+
+    Emits one row per document: ``n_words``, ``n_removed`` (covered
+    positions), and ``clean_text`` (surviving words joined by a space, in
+    original order). Documents shorter than ``n`` words pass through
+    unchanged.
+
+    Scale shape: the n-gram instance table is O(total words); the
+    boilerplate set is the output of one distinct+groupBy over it (a
+    shrinking filter — web boilerplate is a tiny fraction of distinct
+    n-grams); covered positions semi-join instances against that set, and
+    reconstruction is a per-document in-row filter over the token array.
+    No step is quadratic and the corpus text shuffles exactly once
+    (the final join of covered positions back to documents).
+    """
+    toks = _tok_array(text_col)
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    inst = (base.filter(F.size("toks") >= n)
+            .select(id_col, F.explode(F.expr(
+                f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> struct(i AS p, concat_ws(' ', slice(toks, i + 1, {n}))"
+                " AS gram))")).alias("g"))
+            .select(id_col, "g.p", "g.gram"))
+    bp = (inst.select("gram", id_col).distinct()
+          .groupBy("gram").agg(F.count("*").alias("n_docs"))
+          .filter(F.col("n_docs") >= min_docs).select("gram"))
+    covered = (inst.join(bp, "gram", "left_semi")
+               .select(id_col, F.explode(
+                   F.sequence(F.col("p"), F.col("p") + n - 1)).alias("pos"))
+               .distinct()
+               .groupBy(id_col).agg(F.collect_set("pos").alias("cov")))
+    return (base.join(covered, id_col, "left")
+            .select(F.col(id_col),
+                    F.size("toks").cast("bigint").alias("n_words"),
+                    F.when(F.col("cov").isNull(), F.lit(0))
+                     .otherwise(F.size("cov")).cast("bigint")
+                     .alias("n_removed"),
+                    F.expr(
+                        "CASE WHEN cov IS NULL THEN array_join(toks, ' ') "
+                        "ELSE array_join(filter(transform(toks, (x, i) -> "
+                        "CASE WHEN array_contains(cov, i) THEN NULL ELSE x "
+                        "END), x -> x IS NOT NULL), ' ') END")
+                    .alias("clean_text")))
+
+
+def linear_classifier_score(df: DataFrame, text_col: str, id_col: str,
+                            n_buckets: int = 64) -> DataFrame:
+    """Hashed-feature linear classifier inference (the fastText-style
+    model-based quality filter of CCNet/LLaMA data pipelines), expressed as
+    a PURE PROJECTION: the model is a function bucket→weight, so scoring
+    is an in-row fold over the token array — zero shuffles, scan speed,
+    trivially correct under repartitioning.
+
+    Feature hashing: bucket(tok) = first-16-bits-of-md5 mod ``n_buckets``.
+    Weights are a deterministic integer surrogate for trained coefficients
+    (Knuth-hash of the bucket mapped to [-1000, 1000]) so both engines and
+    the oracle compute bit-identical scores; swapping in real trained
+    weights means broadcasting a (bucket, weight) table and turning the
+    fold into one broadcast join + groupBy — same plan class.
+
+    Emits doc id, ``n_tokens``, integer ``score`` (sum of token weights),
+    and the ``keep``/``drop`` decision at threshold 0.
+    """
+    w = (f"(CAST(conv(substr(md5(tk), 1, 4), 16, 10) AS BIGINT) "
+         f"% {n_buckets} + 71) * 2654435761 % 2001 - 1000")
+    return (df.select(F.col(id_col), _tok_array(text_col).alias("toks"))
+            .select(
+                F.col(id_col),
+                F.size("toks").cast("bigint").alias("n_tokens"),
+                F.expr(f"aggregate(toks, CAST(0 AS BIGINT), "
+                       f"(acc, tk) -> acc + ({w}))").alias("score"))
+            .withColumn("label",
+                        F.when(F.col("score") >= 0, "keep")
+                         .otherwise("drop")))

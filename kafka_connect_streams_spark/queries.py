@@ -2394,6 +2394,37 @@ def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("contaminated")))
 
 
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (operators/text.py: lm_doc_score): the
+    KenLM/CCNet quality-filter step with the LM estimated from the corpus
+    and conditional probabilities in e9 fixed point (bit-deterministic —
+    no cross-engine ``ln()`` ulps)."""
+    from kafka_connect_streams_spark.operators.text import lm_doc_score
+    t = load_tables(spark, sf_dir)
+    return lm_doc_score(t["documents"], "text", "doc_id")
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal (operators/text.py: boilerplate_removal):
+    word 3-grams occurring in ≥3 distinct documents are boilerplate; the
+    covered positions are dropped and the text reassembled in-row — the
+    Lee-et-al. exact-substring dedup step at n-gram granularity."""
+    from kafka_connect_streams_spark.operators.text import boilerplate_removal
+    t = load_tables(spark, sf_dir)
+    return boilerplate_removal(t["documents"], "text", "doc_id",
+                               n=3, min_docs=3)
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference (operators/text.py:
+    linear_classifier_score): the fastText-style model-based quality
+    filter as a pure in-row fold — zero shuffles."""
+    from kafka_connect_streams_spark.operators.text import (
+        linear_classifier_score)
+    t = load_tables(spark, sf_dir)
+    return linear_classifier_score(t["documents"], "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2415,11 +2446,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cross_source_duplicates, embedding_decontamination, and the eight
     # decision-support additions local_supplier_volume forecast_revenue
     # nation_volume_shipping product_profit customer_distribution
-    # top_supplier supplier_part_counts waiting_suppliers), then 21
-    # oldest-green queries for
-    # re-verification. Everything else rotates to the back. After ANY
-    # registry edit, recompute list(QUERIES)[:50] and confirm every query
-    # changed this round is inside it.
+    # top_supplier supplier_part_counts waiting_suppliers), then the three
+    # late-round-5 additions (lm_doc_score, boilerplate_removal,
+    # linear_quality), then oldest-green queries for re-verification up to
+    # slot 50. Everything else rotates to the back. After ANY registry
+    # edit, recompute list(QUERIES)[:50] and confirm every query changed
+    # this round is inside it.
     "important_parts": q_important_parts,
     "conditional_agg": q_conditional_agg,
     "null_handling": q_null_handling,
@@ -2459,6 +2491,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "cross_source_duplicates": q_cross_source_duplicates,
     "embedding_decontamination": q_embedding_decontamination,
+    "lm_doc_score": q_lm_doc_score,
+    "boilerplate_removal": q_boilerplate_removal,
+    "linear_quality": q_linear_quality,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
@@ -2467,10 +2502,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions": q_scalar_functions,
     "json_extract": q_json_extract,
     "join_inner": q_join_inner,
+    # --- end of driver window (slot 50 is join_inner) ---
     "join_left": q_join_left,
     "join_outer": q_join_outer,
     "agg_pricing": q_agg_pricing,
-    # --- end of driver window (slot 50 is agg_pricing) ---
     "groupby_stats": q_groupby_stats,
     "rollup": q_rollup,
     "window_rank": q_window_rank,
@@ -5205,5 +5240,85 @@ ORACLE: dict[str, str] = {
                coalesce(per.contaminated, FALSE) AS contaminated
         FROM (SELECT id FROM emb WHERE id % 50 = 0) e
         LEFT JOIN per ON per.id_e = e.id
+    """,
+    "lm_doc_score": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               x -> length(x) > 0) AS toks
+            FROM documents),
+        flat AS (
+            SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+                FROM base WHERE len(toks) >= 2) t),
+        bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                 FROM flat GROUP BY w1, w2),
+        wstart AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_w1
+                   FROM bcnt GROUP BY w1),
+        probs AS (SELECT b.w1, b.w2, b.c_bigram,
+                         (b.c_bigram * 1000000000) // w.c_w1 AS p_e9
+                  FROM bcnt b JOIN wstart w USING (w1))
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN p.c_bigram = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_singleton,
+               CAST(sum(p.p_e9) // count(*) AS BIGINT) AS avg_p_e9,
+               CAST(min(p.p_e9) AS BIGINT) AS min_p_e9
+        FROM flat f JOIN probs p USING (w1, w2)
+        GROUP BY f.doc_id
+    """,
+    "boilerplate_removal": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               x -> length(x) > 0) AS toks
+            FROM documents),
+        pos AS (
+            SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS p,
+                   toks
+            FROM base WHERE len(toks) >= 3),
+        inst AS (
+            SELECT doc_id, p, array_to_string(toks[p:p+2], ' ') AS gram
+            FROM pos),
+        bp AS (
+            SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd
+                FROM inst GROUP BY gram) t
+            WHERE nd >= 3),
+        covpos AS (
+            SELECT doc_id, unnest(generate_series(p, p + 2)) AS posn
+            FROM inst WHERE gram IN (SELECT gram FROM bp)),
+        covset AS (
+            SELECT doc_id, list(DISTINCT posn) AS cov
+            FROM covpos GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed,
+               CASE WHEN cov IS NULL THEN coalesce(array_to_string(toks, ' '), '')
+                    ELSE coalesce(array_to_string(list_filter(list_transform(
+                        generate_series(1, len(toks)),
+                        i -> CASE WHEN list_contains(cov, i) THEN NULL
+                             ELSE toks[i] END),
+                        x -> x IS NOT NULL), ' '), '') END AS clean_text
+        FROM base b LEFT JOIN covset USING (doc_id)
+    """,
+    "linear_quality": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               x -> length(x) > 0) AS toks
+            FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(toks, tk ->
+                       (('0x' || substr(md5(tk), 1, 4))::BIGINT % 64 + 71)
+                       * 2654435761 % 2001 - 1000)), 0) AS BIGINT) AS score
+            FROM base)
+        SELECT doc_id, n_tokens, score,
+               CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+        FROM scored
     """,
 }

@@ -127,3 +127,120 @@ def test_token_budget_sample_matches_naive_reference(spark, rows, budget):
             if cum <= budget:
                 want[i] = (n, cum)
     assert got == want, (rows, budget, got, want)
+
+
+# ---------------------------------------------------------------------------
+# linear_classifier_score ≡ Python md5 reference
+# ---------------------------------------------------------------------------
+
+def _linear_reference(text: str) -> tuple[int, int, str]:
+    import hashlib
+    toks = [t for t in re.split(r"\W+", text.lower()) if t]
+    score = 0
+    for t in toks:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 64
+        score += ((b + 71) * 2654435761) % 2001 - 1000
+    return len(toks), score, ("keep" if score >= 0 else "drop")
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(DOC, min_size=1, max_size=5))
+def test_linear_classifier_matches_python_reference(spark, docs):
+    from kafka_connect_streams_spark.operators.text import (
+        linear_classifier_score)
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           linear_classifier_score(df, "text", "doc_id").collect()}
+    for i, text in enumerate(docs):
+        n, score, label = _linear_reference(text)
+        r = got[i]
+        assert (r.n_tokens, r.score, r.label) == (n, score, label), text
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_removal ≡ Python span-removal reference
+# ---------------------------------------------------------------------------
+
+def _boilerplate_reference(docs: list[str], n: int, min_docs: int):
+    tokd = {i: [t for t in re.split(r"\W+", d.lower()) if t]
+            for i, d in enumerate(docs)}
+    gram_docs: dict[str, set[int]] = {}
+    for i, toks in tokd.items():
+        for p in range(len(toks) - n + 1):
+            gram_docs.setdefault(" ".join(toks[p:p + n]), set()).add(i)
+    bp = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = {}
+    for i, toks in tokd.items():
+        cov: set[int] = set()
+        for p in range(len(toks) - n + 1):
+            if " ".join(toks[p:p + n]) in bp:
+                cov.update(range(p, p + n))
+        clean = " ".join(t for q, t in enumerate(toks) if q not in cov)
+        out[i] = (len(toks), len(cov), clean)
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(WORD, min_size=0, max_size=9).map(" ".join),
+                min_size=1, max_size=6))
+def test_boilerplate_removal_matches_python_reference(spark, docs):
+    from kafka_connect_streams_spark.operators.text import boilerplate_removal
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           boilerplate_removal(df, "text", "doc_id",
+                               n=3, min_docs=2).collect()}
+    want = _boilerplate_reference(docs, 3, 2)
+    assert set(got) == set(want)
+    for i, (nw, nr, clean) in want.items():
+        r = got[i]
+        assert (r.n_words, r.n_removed, r.clean_text) == (nw, nr, clean), (
+            i, docs[i], (r.n_words, r.n_removed, r.clean_text), want[i])
+
+
+# ---------------------------------------------------------------------------
+# lm_doc_score ≡ Python bigram-LM reference
+# ---------------------------------------------------------------------------
+
+def _lm_reference(docs: list[str]):
+    tokd = {i: [t for t in re.split(r"\W+", d.lower()) if t]
+            for i, d in enumerate(docs)}
+    bcnt: dict[tuple[str, str], int] = {}
+    for toks in tokd.values():
+        for a, b in zip(toks, toks[1:]):
+            bcnt[(a, b)] = bcnt.get((a, b), 0) + 1
+    wstart: dict[str, int] = {}
+    for (a, _), c in bcnt.items():
+        wstart[a] = wstart.get(a, 0) + c
+    out = {}
+    for i, toks in tokd.items():
+        grams = list(zip(toks, toks[1:]))
+        if not grams:
+            continue
+        ps = [bcnt[g] * 10**9 // wstart[g[0]] for g in grams]
+        out[i] = (len(grams),
+                  sum(1 for g in grams if bcnt[g] == 1),
+                  sum(ps) // len(grams), min(ps))
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(DOC, min_size=1, max_size=6))
+def test_lm_doc_score_matches_python_reference(spark, docs):
+    from kafka_connect_streams_spark.operators.text import lm_doc_score
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_doc_score(df, "text", "doc_id").collect()}
+    want = _lm_reference(docs)
+    assert set(got) == set(want)
+    for i, (nb, ns, avg, mn) in want.items():
+        r = got[i]
+        assert (r.n_bigrams, r.n_singleton, r.avg_p_e9, r.min_p_e9) == (
+            nb, ns, avg, mn), (i, docs[i])
