@@ -38,14 +38,12 @@ from kafka_connect_streams_spark import queries as Q  # noqa: E402
 #: plans where scale behavior actually shows.
 HEADLINE = [
     "wordcount",
-    "filter",
     "join_inner",
     "multiway_join",
     "interval_join",
     "agg_pricing",
     "groupby_stats",
     "window_rank",
-    "topk",
     "tumbling_window",
     "session_window",
     "asof_join",
@@ -64,7 +62,6 @@ HEADLINE = [
     "ann_ivf_cosine",
     "ann_pq_adc",
     "ann_ivfpq",
-    "text_quality",
     "training_pipeline",
     "user_journeys",
     "data_profile",
@@ -89,6 +86,8 @@ HEADLINE = [
     "ccnet_buckets",
     "cross_source_duplicates",
     "embedding_decontamination",
+    "lm_doc_score",
+    "boilerplate_removal",
     "local_supplier_volume",
     "forecast_revenue",
     "nation_volume_shipping",

@@ -2394,6 +2394,72 @@ def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("contaminated")))
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted: for every LARGE part of size ≤ 5, the
+    EUROPE supplier(s) offering it at the minimum observed price. The
+    schema has no partsupp, so min(l_extendedprice) per DISTINCT
+    (l_partkey, l_suppkey) stands in for ps_supplycost; the correlated
+    min-cost subquery becomes a window min over the part — the
+    Spark-idiomatic equivalent (one shuffle, no self-join). Cost equality
+    compares DECIMAL, not double; nation⋈region rides in as a broadcast.
+    Deterministic top-20 by (s_acctbal DESC, n_name, s_name, p_partkey)."""
+    t = load_tables(spark, sf_dir)
+    ps = (t["lineitem"].groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(agg.dec("l_extendedprice")).alias("_cost")))
+    eur_nations = (t["nation"]
+                   .join(t["region"].filter(F.col("r_name") == "EUROPE"),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("n_nationkey", "n_name"))
+    sup = (t["supplier"].join(F.broadcast(eur_nations),
+                              F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cand = (ps.join(t["part"].filter((F.col("p_size") <= 5)
+                                     & (F.col("p_type") == "LARGE")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(sup, F.col("l_suppkey") == F.col("s_suppkey")))
+    wp = Window.partitionBy("p_partkey")
+    wr = Window.orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                        "p_partkey")
+    return (cand.withColumn("_min", F.min("_cost").over(wp))
+            .filter(F.col("_cost") == F.col("_min"))
+            .withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= 20)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    F.col("_cost").cast("double").alias("supply_cost"),
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted: EUROPE suppliers who shipped MORE THAN
+    HALF of some part's total 1995 quantity (the schema has no
+    partsupp.availqty, so share-of-part-volume stands in for the excess-
+    inventory predicate). Quantities aggregate as DECIMAL and the half
+    test is ``2·supp_qty > part_qty`` — integer-exact, no division.
+    Scale shape: per-(part, supplier) agg, per-part totals derived FROM
+    that aggregate (never a second corpus scan), one join back, then a
+    per-supplier count; nation⋈region is a broadcast."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-01-01").cast("timestamp_ntz")
+    sp = (t["lineitem"]
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(agg.dec("l_quantity")).alias("_sq")))
+    pt = sp.groupBy("l_partkey").agg(F.sum("_sq").alias("_pq"))
+    dom = (sp.join(pt, "l_partkey")
+           .filter(F.lit(2) * F.col("_sq") > F.col("_pq"))
+           .groupBy("l_suppkey").agg(F.count("*").alias("n_dominated")))
+    eur_nations = (t["nation"]
+                   .join(t["region"].filter(F.col("r_name") == "EUROPE"),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("n_nationkey", "n_name"))
+    return (dom.join(t["supplier"],
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(eur_nations),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name", "n_dominated"))
+
+
 def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM document scoring (operators/text.py: lm_doc_score): the
     KenLM/CCNet quality-filter step with the LM estimated from the corpus
@@ -2494,15 +2560,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_doc_score": q_lm_doc_score,
     "boilerplate_removal": q_boilerplate_removal,
     "linear_quality": q_linear_quality,
+    "min_cost_supplier": q_min_cost_supplier,
+    "dominant_suppliers": q_dominant_suppliers,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
     "filter": q_filter,
     "flatmap_rekey": q_flatmap_rekey,
     "scalar_functions": q_scalar_functions,
+    # --- end of driver window (slot 50 is scalar_functions) ---
     "json_extract": q_json_extract,
     "join_inner": q_join_inner,
-    # --- end of driver window (slot 50 is join_inner) ---
     "join_left": q_join_left,
     "join_outer": q_join_outer,
     "agg_pricing": q_agg_pricing,
@@ -5240,6 +5308,56 @@ ORACLE: dict[str, str] = {
                coalesce(per.contaminated, FALSE) AS contaminated
         FROM (SELECT id FROM emb WHERE id % 50 = 0) e
         LEFT JOIN per ON per.id_e = e.id
+    """,
+    "min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        eur AS (
+            SELECT n_nationkey, n_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        cand AS (
+            SELECT s.s_acctbal, s.s_name, e.n_name, p.p_partkey, ps.cost,
+                   min(ps.cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+            FROM ps
+            JOIN part p ON ps.l_partkey = p.p_partkey
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN eur e ON s.s_nationkey = e.n_nationkey
+            WHERE p.p_size <= 5 AND p.p_type = 'LARGE'),
+        ranked AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey,
+                   CAST(cost AS DOUBLE) AS supply_cost,
+                   row_number() OVER (ORDER BY s_acctbal DESC, n_name,
+                                      s_name, p_partkey) AS rnk
+            FROM cand WHERE cost = min_cost)
+        SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 20
+    """,
+    "dominant_suppliers": """
+        WITH sp AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+            GROUP BY l_partkey, l_suppkey),
+        pt AS (SELECT l_partkey, sum(sq) AS pq FROM sp GROUP BY l_partkey),
+        dom AS (
+            SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dominated
+            FROM sp JOIN pt USING (l_partkey)
+            WHERE 2 * sq > pq
+            GROUP BY l_suppkey),
+        eur AS (
+            SELECT n_nationkey, n_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+        SELECT s.s_suppkey, s.s_name, e.n_name, d.n_dominated
+        FROM dom d
+        JOIN supplier s ON d.l_suppkey = s.s_suppkey
+        JOIN eur e ON s.s_nationkey = e.n_nationkey
     """,
     "lm_doc_score": """
         WITH base AS (
