@@ -2445,8 +2445,11 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
           .groupBy("l_partkey", "l_suppkey")
           .agg(F.sum(agg.dec("l_quantity")).alias("_sq")))
-    pt = sp.groupBy("l_partkey").agg(F.sum("_sq").alias("_pq"))
-    dom = (sp.join(pt, "l_partkey")
+    # part totals as a window over the aggregate, NOT a groupBy+self-join:
+    # the latter re-expands sp's subtree and scans lineitem twice; the
+    # window re-shuffles only the small (part, supp) aggregate
+    wp = Window.partitionBy("l_partkey")
+    dom = (sp.withColumn("_pq", F.sum("_sq").over(wp))
            .filter(F.lit(2) * F.col("_sq") > F.col("_pq"))
            .groupBy("l_suppkey").agg(F.count("*").alias("n_dominated")))
     eur_nations = (t["nation"]

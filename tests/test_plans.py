@@ -290,3 +290,55 @@ def test_embedding_decontamination_builds_on_eval_side(spark, sf_dir):
     df = Q.q_embedding_decontamination(spark, sf_dir)
     plan = physical_plan(df)
     assert has_broadcast_join(df), plan
+
+
+def test_linear_quality_is_pure_projection(spark, sf_dir):
+    """Model inference as a fold over the token array: the hashed-feature
+    linear classifier must compile to a zero-shuffle scan-speed plan that
+    reads only (doc_id, text)."""
+    df = Q.q_linear_quality(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    cols = scan_read_schema(df)
+    assert "source" not in cols and "lang" not in cols
+
+
+def test_lm_doc_score_assembles_bigrams_in_row(spark, sf_dir):
+    """Bigram instances must come from an in-row transform (no position
+    explode — one Generate for the instance explode only) and the whole
+    score must run in a bounded number of exchanges: instance count,
+    start count, prob join, instance join, per-doc agg."""
+    df = Q.q_lm_doc_score(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Generate explode") <= 2, plan
+    assert shuffle_count(df) <= 7, plan
+
+
+def test_boilerplate_removal_corpus_shuffles_once(spark, sf_dir):
+    """The corpus text (toks array) must cross the wire only for the
+    final covered-positions join; the boilerplate set and position legs
+    carry (gram|doc_id, pos) pairs, never document text. Guard: no
+    single-partition exchange, bounded exchange count."""
+    df = Q.q_boilerplate_removal(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert shuffle_count(df) <= 6, plan
+
+
+def test_min_cost_supplier_broadcasts_dims(spark, sf_dir):
+    """Q2 shape: nation x region rides in as a broadcast; the window min
+    per part must not introduce a single-partition sort."""
+    df = Q.q_min_cost_supplier(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert has_pushed_filter(df, "p_size"), plan
+
+
+def test_dominant_suppliers_derives_totals_from_aggregate(spark, sf_dir):
+    """Q20 shape: part totals must come from the per-(part,supp) aggregate
+    (ONE lineitem scan), not a second corpus scan."""
+    df = Q.q_dominant_suppliers(spark, sf_dir)
+    plan = physical_plan(df)
+    # one scan node per table: the fact is read once (the part-total is a
+    # window over the aggregate, not a second scan joined back)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert has_pushed_filter(df, "l_shipdate"), plan
