@@ -535,7 +535,9 @@ class TestPartitioningInvariance:
         from kafka_connect_streams_spark import queries as Q
         tricky = ["training_order", "token_budget_sample",
                   "sequence_packing", "ccnet_buckets", "mix_weights",
-                  "dedup_minhash_lsh"]
+                  "dedup_minhash_lsh", "lm_doc_score",
+                  "boilerplate_removal", "min_cost_supplier",
+                  "dominant_suppliers"]
         results = {}
         for width in ("5", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", width)
