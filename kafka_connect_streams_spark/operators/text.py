@@ -531,3 +531,61 @@ def linear_classifier_score(df: DataFrame, text_col: str, id_col: str,
             .withColumn("label",
                         F.when(F.col("score") >= 0, "keep")
                          .otherwise("drop")))
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher/Dolma-style rule filter: the classic document-quality gate
+    (length bounds, mean token length, distinct-token ratio, top-token
+    share, duplicate-bigram fraction) evaluated as ONE pure projection —
+    every signal, including the most-frequent-token count, computes
+    in-row over the token array, so the filter runs at scan speed with
+    ZERO shuffles (repetition_signals pays one (id, token) shuffle for
+    the same top-count; here the O(distinct²)-per-row fold is the right
+    trade for a gate that drops most of a crawl).
+
+    All ratios are e9/e3 fixed-point integers; ``keep`` is the AND of the
+    five rules and ``fail_reasons`` lists the violated rules in a fixed
+    order — bit-identical on any engine and any partitioning.
+    """
+    toks = _tok_array(text_col)
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    sig = base.select(
+        F.col(id_col),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr("aggregate(toks, CAST(0 AS BIGINT), "
+               "(acc, tk) -> acc + length(tk))").alias("_chars"),
+        F.size(F.array_distinct(F.col("toks"))).cast("bigint")
+         .alias("n_distinct"),
+        F.expr("CASE WHEN size(toks) > 0 THEN array_max(transform("
+               "array_distinct(toks), d -> size(filter(toks, t -> t = d)))) "
+               "ELSE 0 END").cast("bigint").alias("_top"),
+        F.expr("transform(sequence(0, greatest(size(toks) - 2, 0)), "
+               "i -> array_join(slice(toks, i + 1, 2), ' '))").alias("_bg"))
+    e9 = "CAST(1000000000 AS BIGINT)"
+    scored = sig.select(
+        F.col(id_col), "n_tokens",
+        F.expr("CASE WHEN n_tokens > 0 THEN (_chars * 1000) DIV n_tokens "
+               "ELSE CAST(0 AS BIGINT) END").alias("avg_tok_len_e3"),
+        F.expr(f"CASE WHEN n_tokens > 0 THEN (n_distinct * {e9}) "
+               f"DIV n_tokens ELSE CAST(0 AS BIGINT) END")
+         .alias("distinct_ratio_e9"),
+        F.expr(f"CASE WHEN n_tokens > 0 THEN (_top * {e9}) DIV n_tokens "
+               f"ELSE CAST(0 AS BIGINT) END").alias("top_token_share_e9"),
+        F.expr(f"CASE WHEN n_tokens > 0 THEN "
+               f"((size(_bg) - size(array_distinct(_bg))) * {e9}) "
+               f"DIV size(_bg) ELSE CAST(0 AS BIGINT) END")
+         .alias("dup_bigram_frac_e9"))
+    reasons = F.expr(
+        "concat_ws(',', "
+        "CASE WHEN n_tokens < 20 THEN 'too_short' END, "
+        "CASE WHEN n_tokens > 100000 THEN 'too_long' END, "
+        "CASE WHEN n_tokens > 0 AND (avg_tok_len_e3 < 1500 "
+        "     OR avg_tok_len_e3 > 12000) THEN 'weird_token_length' END, "
+        "CASE WHEN distinct_ratio_e9 < 200000000 THEN 'low_diversity' END, "
+        "CASE WHEN top_token_share_e9 > 300000000 THEN 'top_heavy' END, "
+        "CASE WHEN dup_bigram_frac_e9 > 500000000 THEN 'repetitive' END)")
+    return scored.select(
+        F.col(id_col), "n_tokens", "avg_tok_len_e3", "distinct_ratio_e9",
+        "top_token_share_e9", "dup_bigram_frac_e9",
+        reasons.alias("fail_reasons")
+    ).withColumn("keep", F.col("fail_reasons") == "")

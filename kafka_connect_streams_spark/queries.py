@@ -2463,6 +2463,16 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s_suppkey", "s_name", "n_name", "n_dominated"))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style document-quality rule gate (operators/text.py:
+    gopher_rules): five classic rules evaluated as ONE zero-shuffle
+    projection — every signal, including the top-token count, computes
+    in-row over the token array."""
+    from kafka_connect_streams_spark.operators.text import gopher_rules
+    t = load_tables(spark, sf_dir)
+    return gopher_rules(t["documents"], "text", "doc_id")
+
+
 def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM document scoring (operators/text.py: lm_doc_score): the
     KenLM/CCNet quality-filter step with the LM estimated from the corpus
@@ -2565,13 +2575,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_quality": q_linear_quality,
     "min_cost_supplier": q_min_cost_supplier,
     "dominant_suppliers": q_dominant_suppliers,
+    "gopher_rules": q_gopher_rules,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
     "filter": q_filter,
     "flatmap_rekey": q_flatmap_rekey,
+    # --- end of driver window (slot 50 is flatmap_rekey) ---
     "scalar_functions": q_scalar_functions,
-    # --- end of driver window (slot 50 is scalar_functions) ---
     "json_extract": q_json_extract,
     "join_inner": q_join_inner,
     "join_left": q_join_left,
@@ -5311,6 +5322,61 @@ ORACLE: dict[str, str] = {
                coalesce(per.contaminated, FALSE) AS contaminated
         FROM (SELECT id FROM emb WHERE id % 50 = 0) e
         LEFT JOIN per ON per.id_e = e.id
+    """,
+    "gopher_rules": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               x -> length(x) > 0) AS toks
+            FROM documents),
+        sig AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(toks,
+                       tk -> length(tk))), 0) AS BIGINT) AS chars,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN len(toks) > 0 THEN
+                       list_max(list_transform(list_distinct(toks),
+                           d -> len(list_filter(toks, t -> t = d))))
+                       ELSE 0 END AS BIGINT) AS topc,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       p -> array_to_string(toks[p:p+1], ' ')) AS bg
+            FROM base),
+        scored AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens > 0 THEN (chars * 1000) // n_tokens
+                        ELSE 0 END AS avg_tok_len_e3,
+                   CASE WHEN n_tokens > 0
+                        THEN (n_distinct * 1000000000) // n_tokens
+                        ELSE 0 END AS distinct_ratio_e9,
+                   CASE WHEN n_tokens > 0
+                        THEN (topc * 1000000000) // n_tokens
+                        ELSE 0 END AS top_token_share_e9,
+                   CASE WHEN n_tokens > 0
+                        THEN ((len(bg) - len(list_distinct(bg)))
+                              * 1000000000) // len(bg)
+                        ELSE 0 END AS dup_bigram_frac_e9
+            FROM sig),
+        flagged AS (
+            SELECT *,
+                   concat_ws(',',
+                       CASE WHEN n_tokens < 20 THEN 'too_short' END,
+                       CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+                       CASE WHEN n_tokens > 0 AND (avg_tok_len_e3 < 1500
+                            OR avg_tok_len_e3 > 12000)
+                            THEN 'weird_token_length' END,
+                       CASE WHEN distinct_ratio_e9 < 200000000
+                            THEN 'low_diversity' END,
+                       CASE WHEN top_token_share_e9 > 300000000
+                            THEN 'top_heavy' END,
+                       CASE WHEN dup_bigram_frac_e9 > 500000000
+                            THEN 'repetitive' END) AS fail_reasons
+            FROM scored)
+        SELECT doc_id, n_tokens, avg_tok_len_e3, distinct_ratio_e9,
+               top_token_share_e9, dup_bigram_frac_e9, fail_reasons,
+               fail_reasons = '' AS keep
+        FROM flagged
     """,
     "min_cost_supplier": """
         WITH ps AS (

@@ -342,3 +342,13 @@ def test_dominant_suppliers_derives_totals_from_aggregate(spark, sf_dir):
     # window over the aggregate, not a second scan joined back)
     assert plan.count("lineitem.parquet") == 1, plan
     assert has_pushed_filter(df, "l_shipdate"), plan
+
+
+def test_gopher_rules_is_pure_projection(spark, sf_dir):
+    """The whole five-rule quality gate — including the top-token count —
+    must compile to a zero-shuffle scan-speed projection reading only
+    (doc_id, text)."""
+    df = Q.q_gopher_rules(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    cols = scan_read_schema(df)
+    assert "source" not in cols and "lang" not in cols

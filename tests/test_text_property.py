@@ -244,3 +244,45 @@ def test_lm_doc_score_matches_python_reference(spark, docs):
         r = got[i]
         assert (r.n_bigrams, r.n_singleton, r.avg_p_e9, r.min_p_e9) == (
             nb, ns, avg, mn), (i, docs[i])
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules ≡ Python rule-gate reference
+# ---------------------------------------------------------------------------
+
+def _gopher_reference(text: str):
+    toks = [t for t in re.split(r"\W+", text.lower()) if t]
+    n = len(toks)
+    chars = sum(len(t) for t in toks)
+    nd = len(set(toks))
+    top = max((toks.count(t) for t in set(toks)), default=0)
+    bg = [" ".join(toks[i:i + 2]) for i in range(0, max(n - 2, 0) + 1)]
+    avg_e3 = (chars * 1000) // n if n else 0
+    dr = nd * 10**9 // n if n else 0
+    ts = top * 10**9 // n if n else 0
+    db = ((len(bg) - len(set(bg))) * 10**9 // len(bg)) if n else 0
+    reasons = [r for r, bad in [
+        ("too_short", n < 20), ("too_long", n > 100000),
+        ("weird_token_length", n > 0 and (avg_e3 < 1500 or avg_e3 > 12000)),
+        ("low_diversity", dr < 2 * 10**8), ("top_heavy", ts > 3 * 10**8),
+        ("repetitive", db > 5 * 10**8)] if bad]
+    fr = ",".join(reasons)
+    return (n, avg_e3, dr, ts, db, fr, fr == "")
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(WORD, min_size=0, max_size=30).map(" ".join),
+                min_size=1, max_size=5))
+def test_gopher_rules_match_python_reference(spark, docs):
+    from kafka_connect_streams_spark.operators.text import gopher_rules
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df, "text", "doc_id").collect()}
+    for i, text in enumerate(docs):
+        n, avg, dr, ts, db, fr, keep = _gopher_reference(text)
+        r = got[i]
+        assert (r.n_tokens, r.avg_tok_len_e3, r.distinct_ratio_e9,
+                r.top_token_share_e9, r.dup_bigram_frac_e9, r.fail_reasons,
+                r.keep) == (n, avg, dr, ts, db, fr, keep), (text,)
