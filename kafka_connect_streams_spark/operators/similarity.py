@@ -536,3 +536,58 @@ def kmeans_subspace_codebooks(vectors: DataFrame, m_sub: int = 8,
         books = [[upd.get((m, k), books[m][k]) for k in range(k_cent)]
                  for m in range(m_sub)]
     return books
+
+
+def semantic_dedup(vectors: DataFrame, n_centroids: int | None = None,
+                   threshold: float = 0.4) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the embedding
+    space, then prune near-duplicates WITHIN each cluster — the
+    "cluster then compare locally" recipe that makes embedding dedup
+    affordable when LSH recall is not enough (clusters capture semantic
+    neighborhoods that random hyperplanes split).
+
+    1. **Clusters** = IVF inverted lists: the ``n_centroids`` lowest-id
+       vectors are the codebook (broadcast), every vector joins its
+       nearest centroid by quantized cosine (ties → lowest centroid id).
+    2. **Prune rule** (deterministic, order-free): drop x iff some SAME-
+       CLUSTER y with ``y.id < x.id`` has ``cosine(x, y) ≥ threshold`` —
+       the min-id canonical convention the exact-dedup family uses.
+
+    Emits one row per vector: ``vec_id``, ``cluster_id``,
+    ``cluster_size``, ``keep``. The within-cluster pair join is
+    list-local and quadratic in list size — the SemDeDup trade; sizing
+    the codebook ~sqrt(N) (:func:`auto_centroids`) keeps total pair
+    volume ~N·sqrt(N), and a hot cluster can be subdivided by LSH bands
+    (dedup.py) without changing the contract. Inputs: (id, embedding).
+    """
+    if n_centroids is None:
+        n_centroids = auto_centroids(vectors.count())
+    cents = F.broadcast(vectors.orderBy("id").limit(n_centroids)
+                        .select("id", "embedding"))
+    ap = cosine_pairs(vectors, cents, id_q="c_id", id_c="cent_id")
+    wa = Window.partitionBy("c_id").orderBy(F.col("cosine").desc(),
+                                            F.col("cent_id"))
+    lists = (ap.withColumn("rn", F.row_number().over(wa))
+             .filter(F.col("rn") == 1).select("c_id", "cent_id"))
+
+    qa = _qvecs(vectors, "id", "embedding", "id_a", "_va", "na")
+    qb = _qvecs(vectors, "id", "embedding", "id_b", "_vb", "nb")
+    la = lists.select(F.col("c_id").alias("id_a"), "cent_id")
+    lb = lists.select(F.col("c_id").alias("id_b"),
+                      F.col("cent_id").alias("_cb"))
+    pairs = la.join(lb, (F.col("cent_id") == F.col("_cb"))
+                    & (F.col("id_a") < F.col("id_b")))
+    dups = (pairs.join(qa, "id_a").join(qb, "id_b")
+            .withColumn("cosine", _cosine(
+                _dot(F.col("_va"), F.col("_vb")),
+                F.col("na"), F.col("nb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_b").distinct())
+    sizes = lists.groupBy("cent_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (lists.join(sizes, "cent_id")
+            .join(dups, F.col("c_id") == F.col("id_b"), "left")
+            .select(F.col("c_id").alias("vec_id"),
+                    F.col("cent_id").alias("cluster_id"),
+                    "cluster_size",
+                    F.col("id_b").isNull().alias("keep")))

@@ -2463,6 +2463,18 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s_suppkey", "s_name", "n_name", "n_dominated"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py:
+    semantic_dedup): IVF coarse clusters + within-cluster min-id pruning
+    at quantized cosine ≥ 0.4. n_centroids pinned to 16 for the oracle
+    twin; production sizing is auto_centroids (≈ sqrt N)."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        semantic_dedup)
+    t = load_tables(spark, sf_dir)
+    vecs = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    return semantic_dedup(vecs, n_centroids=16, threshold=0.4)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/Dolma-style document-quality rule gate (operators/text.py:
     gopher_rules): five classic rules evaluated as ONE zero-shuffle
@@ -2576,12 +2588,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
     "dominant_suppliers": q_dominant_suppliers,
     "gopher_rules": q_gopher_rules,
+    "semantic_dedup": q_semantic_dedup,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
     "filter": q_filter,
+    # --- end of driver window (slot 50 is filter) ---
     "flatmap_rekey": q_flatmap_rekey,
-    # --- end of driver window (slot 50 is flatmap_rekey) ---
     "scalar_functions": q_scalar_functions,
     "json_extract": q_json_extract,
     "join_inner": q_join_inner,
@@ -5322,6 +5335,52 @@ ORACLE: dict[str, str] = {
                coalesce(per.contaminated, FALSE) AS contaminated
         FROM (SELECT id FROM emb WHERE id % 50 = 0) e
         LEFT JOIN per ON per.id_e = e.id
+    """,
+    "semantic_dedup": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        cents AS (SELECT id AS cent_id FROM emb ORDER BY id LIMIT 16),
+        centd AS (SELECT cent_id, d, x AS ex
+                  FROM cents JOIN comp ON comp.id = cents.cent_id),
+        asums AS (SELECT c.id AS c_id, e.cent_id,
+                         CAST(sum(c.x * e.ex) AS BIGINT) AS dot,
+                         CAST(sum(c.x * c.x) AS BIGINT) AS cn,
+                         CAST(sum(e.ex * e.ex) AS BIGINT) AS en
+                  FROM comp c JOIN centd e USING (d)
+                  GROUP BY c.id, e.cent_id),
+        asim AS (SELECT c_id, cent_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(cn AS DOUBLE) * CAST(en AS DOUBLE)) AS cosine
+                 FROM asums),
+        lists AS (SELECT c_id, cent_id FROM (
+                    SELECT c_id, cent_id,
+                           row_number() OVER (PARTITION BY c_id
+                                              ORDER BY cosine DESC, cent_id) AS rn
+                    FROM asim) t WHERE rn = 1),
+        pairs AS (SELECT a.c_id AS id_a, b.c_id AS id_b
+                  FROM lists a JOIN lists b
+                    ON a.cent_id = b.cent_id AND a.c_id < b.c_id),
+        psums AS (SELECT p.id_a, p.id_b,
+                         CAST(sum(ca.x * cb.x) AS BIGINT) AS dot,
+                         CAST(sum(ca.x * ca.x) AS BIGINT) AS an,
+                         CAST(sum(cb.x * cb.x) AS BIGINT) AS bn
+                  FROM pairs p
+                  JOIN comp ca ON ca.id = p.id_a
+                  JOIN comp cb ON cb.id = p.id_b AND cb.d = ca.d
+                  GROUP BY p.id_a, p.id_b),
+        dups AS (SELECT DISTINCT id_b FROM psums
+                 WHERE CAST(dot AS DOUBLE)
+                       / sqrt(CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)) >= 0.4),
+        sizes AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM lists GROUP BY cent_id)
+        SELECT l.c_id AS vec_id, l.cent_id AS cluster_id, s.cluster_size,
+               d.id_b IS NULL AS keep
+        FROM lists l
+        JOIN sizes s USING (cent_id)
+        LEFT JOIN dups d ON l.c_id = d.id_b
     """,
     "gopher_rules": """
         WITH base AS (

@@ -586,3 +586,55 @@ class TestPartitioningInvariance:
         got = kmeans_subspace_codebooks(vecs, 8, 16, iters=3)
         got = [[[int(v) for v in c] for c in bm] for bm in got]
         assert got == books
+
+
+class TestSemanticDedup:
+    def test_matches_numpy_reference(self, spark):
+        """semantic_dedup ≡ an independent numpy implementation of the same
+        contract: int64-quantized cosine, nearest-of-16-lowest-id centroids
+        (ties → lowest centroid), drop x iff a same-cluster y with id < x
+        has cosine ≥ τ."""
+        import numpy as np
+        from pyspark.sql import functions as F
+        from kafka_connect_streams_spark.operators.similarity import (
+            semantic_dedup)
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(6, 8)
+        vecs = []
+        for i in range(48):
+            v = base[i % 6] + rng.randn(8) * (0.01 if i % 3 == 0 else 0.6)
+            vecs.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(vecs, "id long, embedding array<float>")
+
+        q = {i: np.floor(np.array(v, dtype=np.float64) * 10000.0 + 0.5
+                         ).astype(np.int64) for i, v in vecs}
+
+        def cos(a, b):
+            d = int((q[a] * q[b]).sum())
+            return d / np.sqrt(float((q[a] * q[a]).sum())
+                               * float((q[b] * q[b]).sum()))
+
+        cents = sorted(q)[:16]
+        assign = {}
+        for i in q:
+            best = max(cents, key=lambda c: (cos(i, c), -c))
+            assign[i] = best
+        want_keep = {}
+        for i in q:
+            want_keep[i] = not any(
+                j < i and assign[j] == assign[i] and cos(i, j) >= 0.4
+                for j in q)
+        sizes = {}
+        for i, c in assign.items():
+            sizes[c] = sizes.get(c, 0) + 1
+
+        got = semantic_dedup(df, n_centroids=16, threshold=0.4).collect()
+        assert len(got) == 48
+        for r in got:
+            assert r.cluster_id == assign[r.vec_id], r
+            assert r.keep == want_keep[r.vec_id], r
+            assert r.cluster_size == sizes[assign[r.vec_id]], r
+        # the dataset has true near-dups: the rule must actually drop some
+        assert any(not r.keep for r in got)
+        assert any(r.keep for r in got)
