@@ -72,3 +72,59 @@ def test_database_wordcount_via_native_datasource(spark, tmp_path):
         q.stop()
     for word, n in GOLDEN.items():
         assert counts.get(word) == n, f"{word}: {counts.get(word)} != {n}"
+
+
+class TestStreamingCurationGate:
+    """Batch/stream unification of the curation surface: gopher_rules is a
+    pure projection, so the SAME operator body must run unchanged on a
+    live streaming leg (filebroker topic → readStream → memory sink) and
+    emit exactly the rows the batch path computes on the same documents."""
+
+    def test_gopher_rules_stream_equals_batch(self, spark, tmp_path):
+        import json as js
+
+        from kafka_connect_streams_spark.operators.text import gopher_rules
+        from kafka_connect_streams_spark.sources import filebroker as fb
+
+        docs = [
+            (0, "short doc"),
+            (1, " ".join(f"w{i}" for i in range(40))),          # diverse, ok
+            (2, " ".join(["spam"] * 40)),                        # repetitive
+            (3, " ".join("abcdefghijklmnop" for _ in range(25))),  # long toks
+            (4, " ".join(f"t{i % 25}" for i in range(60))),      # cyclic
+        ]
+        broker = fb.FileBroker(str(tmp_path / "broker"))
+        broker.create_topic("docs_topic", partitions=2)
+        p = broker.producer()
+        for i, text in docs:
+            p.send("docs_topic", js.dumps({"doc_id": i, "text": text}),
+                   key=str(i), timestamp_ms=1_700_000_000_000 + i)
+        p.flush()
+
+        fb.register(spark)
+        raw = (spark.readStream.format("filebroker")
+               .option("path", broker.root)
+               .option("subscribe", "docs_topic").load())
+        parsed = raw.selectExpr(
+            "from_json(CAST(value AS STRING), "
+            "'doc_id long, text string') AS v").select("v.*")
+        gated = gopher_rules(parsed, "text", "doc_id")
+        assert gated.isStreaming
+        q = (gated.writeStream.format("memory").queryName("curation_gate")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+        batch = {r.doc_id: tuple(r)
+                 for r in gopher_rules(
+                     spark.createDataFrame(docs, "doc_id long, text string"),
+                     "text", "doc_id").collect()}
+        streamed = {r.doc_id: tuple(r)
+                    for r in spark.sql(
+                        "SELECT * FROM curation_gate").collect()}
+        assert streamed == batch
+        assert streamed[1][-1] is True          # the diverse doc survives
+        assert streamed[0][-1] is False         # too_short dropped
+        assert streamed[4][-1] is False         # cyclic text is repetitive
