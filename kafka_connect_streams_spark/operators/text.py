@@ -428,7 +428,11 @@ def lm_doc_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     array, no position explode); the LM tables are two groupBys over
     (w1,w2) and w1; scoring is ONE shuffle join of instances against the
     probability table (hot bigrams are AQE-skew-split). Nothing is
-    collected to the driver and no table is O(corpus²).
+    collected to the driver and no table is O(corpus²). The fused
+    single-plan form re-expands the instance subtree (3 corpus scans —
+    Catalyst does not materialize shared subplans); at 100 TB, split at
+    the ``probs`` seam: build+persist the LM table once, then scoring is
+    one scan — same operators, no code change.
     """
     toks = _tok_array(text_col)
     base = df.select(F.col(id_col), toks.alias("toks"))
@@ -470,7 +474,10 @@ def boilerplate_removal(df: DataFrame, text_col: str, id_col: str,
     n-grams); covered positions semi-join instances against that set, and
     reconstruction is a per-document in-row filter over the token array.
     No step is quadratic and the corpus text shuffles exactly once
-    (the final join of covered positions back to documents).
+    (the final join of covered positions back to documents). The fused
+    form re-scans the corpus for each use of the instance table; at
+    100 TB, persist the boilerplate gram set (tiny) first, then the
+    removal pass is a single scan — same operators, split at ``bp``.
     """
     toks = _tok_array(text_col)
     base = df.select(F.col(id_col), toks.alias("toks"))

@@ -75,3 +75,42 @@ class TestStreamingWindows:
         got = {(r.k): r.n for r in rows}
         # closed first window emitted once with on-time counts only
         assert got.get("x") == 2 and got.get("y") == 1
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """The OTHER half of the skew story: salting (above) is the manual
+        rewrite; AQE skew-join is the runtime one. Force a 98%-hot join key
+        with scaled-down skew thresholds and assert the FINAL adaptive plan
+        actually split the hot partition (``skew=true``) while producing
+        exactly the plain-join result. At production thresholds the same
+        re-plan handles hot keys with no query change — the reason q-side
+        code never hand-partitions."""
+        conf = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            left = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 100 < 98, F.lit(0))
+                 .otherwise(F.col("id") % 50).alias("k"),
+                F.concat(F.lit("payload-payload-payload-"),
+                         F.col("id").cast("string")).alias("pl"))
+            right = spark.range(0, 50).select(
+                F.col("id").alias("k"), F.lit("dim").alias("d"))
+            j = left.join(right, "k")
+            rows = j.collect()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan[:3000]
+            assert len(rows) == 200_000
+        finally:
+            for k, v in old.items():
+                if v is not None:
+                    spark.conf.set(k, v)
