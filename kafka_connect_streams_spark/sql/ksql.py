@@ -52,6 +52,46 @@ _SHOW_RE = re.compile(
     r"^\s*(?:SHOW|LIST)\s+(STREAMS|TABLES)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_WITHIN_RE = re.compile(
+    r"FROM\s+(?P<lname>\w+)"
+    r"(?:\s+(?P<lalias>(?!LEFT\b|RIGHT\b|FULL\b|INNER\b|OUTER\b|JOIN\b)\w+))?"
+    r"\s+(?P<jtype>(?:LEFT|FULL|INNER)\s+(?:OUTER\s+)?)?JOIN\s+"
+    r"(?P<rname>\w+)(?:\s+(?P<ralias>(?!WITHIN\b|ON\b)\w+))?"
+    r"\s+WITHIN\s+(?P<n>\d+)\s+"
+    r"(?P<unit>MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s+ON\s+",
+    re.IGNORECASE)
+
+_MS = {"millisecond": 1, "second": 1_000, "minute": 60_000,
+       "hour": 3_600_000, "day": 86_400_000}
+
+
+def rewrite_within_clause(sql: str) -> str:
+    """KSQL ``s1 JOIN s2 WITHIN n UNIT ON ...`` → a time-bounded join.
+
+    KSQL 5.1's stream-stream join window: rows pair iff
+    ``|t_left − t_right| ≤ window``. Every registered relation carries the
+    epoch-ms ``rowtime`` pseudo-column (§1.4), so the clause rewrites to
+    ``ON (abs(L.rowtime - R.rowtime) <= ms) AND <original condition>`` and
+    the WITHIN token disappears before Spark parses. The symmetric form
+    only (KSQL's ``WITHIN (before, after)`` asymmetric variant is not
+    exercised by the reference); KSQL join conditions are single
+    equalities, so appending with AND never rebinds an OR. On streaming
+    legs, Catalyst turns the bound into the state-eviction watermark
+    constraint — the same plan streaming/joins.windowed_join builds
+    programmatically.
+    """
+    def _sub(m: re.Match) -> str:
+        left = m.group("lalias") or m.group("lname")
+        right = m.group("ralias") or m.group("rname")
+        unit = m.group("unit").lower().rstrip("s")
+        ms = int(m.group("n")) * _MS[unit]
+        jtype = (m.group("jtype") or "")
+        alias_l = f" {m.group('lalias')}" if m.group("lalias") else ""
+        alias_r = f" {m.group('ralias')}" if m.group("ralias") else ""
+        return (f"FROM {m.group('lname')}{alias_l} {jtype}JOIN "
+                f"{m.group('rname')}{alias_r} ON "
+                f"(abs({left}.rowtime - {right}.rowtime) <= {ms}) AND ")
+    return _WITHIN_RE.sub(_sub, sql)
 
 
 def rewrite_window_clause(sql: str) -> str:
@@ -160,6 +200,7 @@ class KsqlContext:
     def sql(self, statement: str) -> DataFrame | None:
         from kafka_connect_streams_spark.functions import rewrite_ksql_sql
         statement = rewrite_window_clause(statement)
+        statement = rewrite_within_clause(statement)
         m = _CSAS_RE.match(statement)
         if m:
             return self._csas(m)

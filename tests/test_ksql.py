@@ -564,3 +564,61 @@ class TestDropShowDescribe:
         ctx.sql("DROP STREAM IF EXISTS doomed")  # no raise
         with pytest.raises(Exception):
             spark.sql("SELECT * FROM doomed")  # view gone from the catalog
+
+
+class TestJoinWithin:
+    """KSQL 5.1 stream-stream join window: ``s1 JOIN s2 WITHIN n UNIT ON``
+    pairs rows iff |rowtime_l − rowtime_r| ≤ window. The rewriter turns the
+    clause into a time-bounded ON over the epoch-ms rowtime pseudo-columns;
+    goldens mirror the ±10s pairs of AbstractJoinIntegrationTest (reference
+    src/test: explicit ``++ts`` production driving window membership)."""
+
+    @pytest.fixture()
+    def join_ctx(self, spark):
+        left = spark.createDataFrame(
+            [("k1", 1_000, "L1"), ("k1", 15_000, "L2"), ("k2", 2_000, "L3")],
+            "k string, ordertime bigint, lv string")
+        right = spark.createDataFrame(
+            [("k1", 5_000, "R1"), ("k1", 30_000, "R2"), ("k2", 11_000, "R3"),
+             ("k3", 2_000, "R4")],
+            "k string, ordertime bigint, rv string")
+        return KsqlContext(spark, resolver=lambda topic: {
+            "left_topic": left, "right_topic": right}[topic])
+
+    LDDL = """CREATE STREAM l (K varchar, ORDERTIME bigint, LV varchar)
+              WITH (kafka_topic='left_topic', value_format='JSON',
+                    key='k', timestamp='ordertime')"""
+    RDDL = """CREATE STREAM r (K varchar, ORDERTIME bigint, RV varchar)
+              WITH (kafka_topic='right_topic', value_format='JSON',
+                    key='k', timestamp='ordertime')"""
+
+    def test_within_bounds_the_pairs(self, join_ctx):
+        join_ctx.sql(self.LDDL)
+        join_ctx.sql(self.RDDL)
+        out = join_ctx.sql(
+            "SELECT a.lv, b.rv FROM l a JOIN r b "
+            "WITHIN 10 SECONDS ON a.k = b.k")
+        got = sorted((r.lv, r.rv) for r in out.collect())
+        # |Δt|≤10s: L1(1s)↔R1(5s); L2(15s)↔R1(5s) at exactly 10s — inclusive;
+        # L3(2s,k2)↔R3(11s) at 9s; L2↔R2(30s) is 15s out; k3 never matches
+        assert got == [("L1", "R1"), ("L2", "R1"), ("L3", "R3")]
+
+    def test_within_left_join_pads_unmatched(self, join_ctx):
+        join_ctx.sql(self.LDDL)
+        join_ctx.sql(self.RDDL)
+        out = join_ctx.sql(
+            "SELECT a.lv, b.rv FROM l a LEFT OUTER JOIN r b "
+            "WITHIN 2 SECONDS ON a.k = b.k")
+        got = sorted(((r.lv, r.rv) for r in out.collect()),
+                     key=lambda t: (t[0], t[1] or ""))
+        # only L3↔R3 is 9s apart > 2s → everything unmatched except none;
+        # at ±2s: L1↔R1 is 4s out, so ALL left rows pad with NULL
+        assert got == [("L1", None), ("L2", None), ("L3", None)]
+
+    def test_csas_with_within(self, join_ctx, spark):
+        join_ctx.sql(self.LDDL)
+        join_ctx.sql(self.RDDL)
+        join_ctx.sql(
+            "CREATE STREAM joined AS SELECT a.k, a.lv, b.rv FROM l a "
+            "JOIN r b WITHIN 10 SECONDS ON a.k = b.k")
+        assert spark.sql("SELECT count(*) AS n FROM joined").first().n == 3
