@@ -50,15 +50,23 @@ _DROP_RE = re.compile(
     re.IGNORECASE)
 _SHOW_RE = re.compile(
     r"^\s*(?:SHOW|LIST)\s+(STREAMS|TABLES)\s*;?\s*$", re.IGNORECASE)
+_SHOW_QUERIES_RE = re.compile(
+    r"^\s*(?:SHOW|LIST)\s+QUERIES\s*;?\s*$", re.IGNORECASE)
+_TERMINATE_RE = re.compile(
+    r"^\s*TERMINATE\s+(\S+?)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_UNIT = r"(?:MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)"
 _WITHIN_RE = re.compile(
     r"FROM\s+(?P<lname>\w+)"
     r"(?:\s+(?P<lalias>(?!LEFT\b|RIGHT\b|FULL\b|INNER\b|OUTER\b|JOIN\b)\w+))?"
     r"\s+(?P<jtype>(?:LEFT|FULL|INNER)\s+(?:OUTER\s+)?)?JOIN\s+"
     r"(?P<rname>\w+)(?:\s+(?P<ralias>(?!WITHIN\b|ON\b)\w+))?"
-    r"\s+WITHIN\s+(?P<n>\d+)\s+"
-    r"(?P<unit>MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s+ON\s+",
+    r"\s+WITHIN\s+(?:"
+    r"(?P<n>\d+)\s+(?P<unit>" + _UNIT + r")"
+    r"|\(\s*(?P<nb>\d+)\s+(?P<ub>" + _UNIT + r")\s*,"
+    r"\s*(?P<na>\d+)\s+(?P<ua>" + _UNIT + r")\s*\))"
+    r"\s+ON\s+",
     re.IGNORECASE)
 
 _MS = {"millisecond": 1, "second": 1_000, "minute": 60_000,
@@ -72,25 +80,34 @@ def rewrite_within_clause(sql: str) -> str:
     ``|t_left − t_right| ≤ window``. Every registered relation carries the
     epoch-ms ``rowtime`` pseudo-column (§1.4), so the clause rewrites to
     ``ON (abs(L.rowtime - R.rowtime) <= ms) AND <original condition>`` and
-    the WITHIN token disappears before Spark parses. The symmetric form
-    only (KSQL's ``WITHIN (before, after)`` asymmetric variant is not
-    exercised by the reference); KSQL join conditions are single
+    the WITHIN token disappears before Spark parses. The asymmetric
+    ``WITHIN (before, after)`` form bounds how far the RIGHT side may lag
+    or lead the left (KSQL semantics: ``t_r ∈ [t_l − before, t_l +
+    after]``) and rewrites to a BETWEEN. KSQL join conditions are single
     equalities, so appending with AND never rebinds an OR. On streaming
     legs, Catalyst turns the bound into the state-eviction watermark
     constraint — the same plan streaming/joins.windowed_join builds
     programmatically.
     """
+    def _ms(n: str, unit: str) -> int:
+        return int(n) * _MS[unit.lower().rstrip("s")]
+
     def _sub(m: re.Match) -> str:
         left = m.group("lalias") or m.group("lname")
         right = m.group("ralias") or m.group("rname")
-        unit = m.group("unit").lower().rstrip("s")
-        ms = int(m.group("n")) * _MS[unit]
+        if m.group("n"):
+            ms = _ms(m.group("n"), m.group("unit"))
+            cond = f"abs({left}.rowtime - {right}.rowtime) <= {ms}"
+        else:
+            before = _ms(m.group("nb"), m.group("ub"))
+            after = _ms(m.group("na"), m.group("ua"))
+            cond = (f"{right}.rowtime BETWEEN {left}.rowtime - {before} "
+                    f"AND {left}.rowtime + {after}")
         jtype = (m.group("jtype") or "")
         alias_l = f" {m.group('lalias')}" if m.group("lalias") else ""
         alias_r = f" {m.group('ralias')}" if m.group("ralias") else ""
         return (f"FROM {m.group('lname')}{alias_l} {jtype}JOIN "
-                f"{m.group('rname')}{alias_r} ON "
-                f"(abs({left}.rowtime - {right}.rowtime) <= {ms}) AND ")
+                f"{m.group('rname')}{alias_r} ON ({cond}) AND ")
     return _WITHIN_RE.sub(_sub, sql)
 
 
@@ -216,6 +233,12 @@ class KsqlContext:
         m = _SHOW_RE.match(statement)
         if m:
             return self._show(m)
+        m = _SHOW_QUERIES_RE.match(statement)
+        if m:
+            return self._show_queries()
+        m = _TERMINATE_RE.match(statement)
+        if m:
+            return self._terminate(m.group(1))
         m = _DESCRIBE_RE.match(statement)
         if m:
             return self._describe(m)
@@ -251,6 +274,28 @@ class KsqlContext:
                 for meta in self.metastore.values() if meta.kind == kind]
         return self.spark.createDataFrame(
             rows, "name string, kafka_topic string, format string")
+
+    def _show_queries(self) -> DataFrame:
+        """``SHOW QUERIES``: one row per RUNNING persistent query — KSQL's
+        listing of continuous queries maps to the session's active
+        ``StreamingQuery`` handles (id, name, sink description)."""
+        rows = [(str(q.id), q.name or "", "RUNNING")
+                for q in self.spark.streams.active]
+        return self.spark.createDataFrame(
+            rows, "query_id string, name string, state string")
+
+    def _terminate(self, ident: str) -> None:
+        """``TERMINATE <name-or-id>``: stop the matching persistent query
+        (KSQL's terminate of a continuous query = StreamingQuery.stop —
+        the checkpoint keeps its offsets, so a restarted query resumes
+        exactly where this one stopped)."""
+        ident_l = ident.lower()
+        for q in self.spark.streams.active:
+            if (q.name or "").lower() == ident_l or str(q.id) == ident:
+                q.stop()
+                return None
+        raise ValueError(f"TERMINATE {ident}: no running query by that "
+                         "name or id")
 
     def _describe(self, m: re.Match) -> DataFrame:
         """``DESCRIBE name``: the relation's columns and Spark SQL types,

@@ -622,3 +622,48 @@ class TestJoinWithin:
             "CREATE STREAM joined AS SELECT a.k, a.lv, b.rv FROM l a "
             "JOIN r b WITHIN 10 SECONDS ON a.k = b.k")
         assert spark.sql("SELECT count(*) AS n FROM joined").first().n == 3
+
+    def test_within_asymmetric_before_after(self, join_ctx):
+        """``WITHIN (before, after)``: the right row may lag the left by up
+        to `before` or lead it by up to `after` — t_r ∈ [t_l−b, t_l+a]."""
+        join_ctx.sql(self.LDDL)
+        join_ctx.sql(self.RDDL)
+        out = join_ctx.sql(
+            "SELECT a.lv, b.rv FROM l a JOIN r b "
+            "WITHIN (10 SECONDS, 0 SECONDS) ON a.k = b.k")
+        got = sorted((r.lv, r.rv) for r in out.collect())
+        # only rights at-or-before each left within 10s:
+        # L2(15s)↔R1(5s) lagging 10s — inclusive; L1(1s)↔R1(5s) LEADS → out;
+        # L3(2s,k2)↔R3(11s) leads by 9s → out
+        assert got == [("L2", "R1")]
+
+
+class TestShowQueriesTerminate:
+    """KSQL persistent-query management: SHOW QUERIES lists the session's
+    running continuous queries; TERMINATE stops one by name or id (its
+    checkpoint keeps offsets, so a restart resumes where it stopped)."""
+
+    def test_show_lists_and_terminate_stops(self, spark, tmp_path):
+        ctx = KsqlContext(spark, resolver=lambda t: None)
+        src = spark.readStream.format("rate").option(
+            "rowsPerSecond", "5").load()
+        q = (src.writeStream.format("memory").queryName("ksql_pq_1")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        try:
+            rows = {r.name: r.state
+                    for r in ctx.sql("SHOW QUERIES").collect()}
+            assert rows.get("ksql_pq_1") == "RUNNING"
+            ctx.sql("TERMINATE ksql_pq_1")
+            q.awaitTermination(30)
+            assert not q.isActive
+            names = {r.name for r in ctx.sql("SHOW QUERIES").collect()}
+            assert "ksql_pq_1" not in names
+        finally:
+            if q.isActive:
+                q.stop()
+
+    def test_terminate_unknown_raises(self, spark):
+        ctx = KsqlContext(spark, resolver=lambda t: None)
+        with pytest.raises(ValueError, match="TERMINATE"):
+            ctx.sql("TERMINATE no_such_query")
