@@ -407,3 +407,69 @@ def neardup_clusters(df: DataFrame, text_col: str, id_col: str,
                     .alias("cluster_id"))
             .withColumn("is_canonical",
                         F.col(id_col) == F.col("cluster_id")))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local fingerprinting algorithm): hash every word ``k``-gram, then keep
+    the MINIMUM hash of each ``w``-wide sliding window over the hash
+    sequence. Guarantees every shared substring of ≥ w+k-1 words
+    contributes at least one shared fingerprint, at ~1/w the density of
+    keeping every gram — the property n-gram sampling lacks.
+
+    Pure per-row expressions end-to-end: gram hashes and window minima
+    compute IN-ROW over the token array (md5-derived 32-bit ints, engine-
+    portable); output is one row per distinct (doc, fingerprint). Docs
+    shorter than k+w-1 words emit the minimum over whatever windows exist
+    (<k words: none).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                    lambda t: F.length(t) > 0)
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    grams = (f"transform(sequence(0, greatest(size(toks) - {k}, 0)), "
+             f"i -> CAST(conv(substr(md5(concat_ws(' ', "
+             f"slice(toks, i + 1, {k}))), 1, 8), 16, 10) AS BIGINT))")
+    mins = (f"transform(sequence(0, greatest(size(_g) - {w}, 0)), "
+            f"j -> array_min(slice(_g, j + 1, {w})))")
+    return (base.filter(F.size("toks") >= k)
+            .select(F.col(id_col), F.expr(grams).alias("_g"))
+            .select(F.col(id_col), F.explode(
+                F.array_distinct(F.expr(mins))).alias("fingerprint")))
+
+
+def winnow_pairs(df: DataFrame, text_col: str, id_col: str,
+                 k: int = 3, w: int = 4, min_shared: int = 2,
+                 max_doc_freq: int = 50) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints — the
+    MOSS similarity join: docs sharing ≥ ``min_shared`` selected
+    fingerprints, with the shared count and an e9 containment ratio
+    (shared / smaller doc's fingerprint count).
+
+    Scale shape: the fingerprint table is ~|words|/w rows; pairs come from
+    a fingerprint-bucket self-join (never all-pairs), and fingerprints in
+    more than ``max_doc_freq`` docs are dropped first — the stop-shingle
+    cap that keeps boilerplate buckets from going quadratic (same rule as
+    ngram_jaccard_pairs).
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    per_doc = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    rare = (fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq).select("fingerprint"))
+    kept = fps.join(rare, "fingerprint")
+    a = kept.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
+    shared = (a.join(b, "fingerprint")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    na = per_doc.select(F.col(id_col).alias("id_a"),
+                        F.col("n_fp").alias("n_a"))
+    nb = per_doc.select(F.col(id_col).alias("id_b"),
+                        F.col("n_fp").alias("n_b"))
+    return (shared.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b", "n_shared",
+                    F.expr("n_shared * 1000000000 div "
+                           "least(n_a, n_b)").alias("containment_e9")))

@@ -2475,6 +2475,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(vecs, n_centroids=16, threshold=0.4)
 
 
+def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (operators/dedup.py: winnow_pairs): MOSS
+    local fingerprints — min-hash of each 4-window over word-3-gram
+    hashes — bucket-joined with the stop-fingerprint cap; emits shared
+    counts + e9 containment."""
+    from kafka_connect_streams_spark.operators.dedup import winnow_pairs
+    t = load_tables(spark, sf_dir)
+    return winnow_pairs(t["documents"], "text", "doc_id",
+                        k=3, w=4, min_shared=2, max_doc_freq=50)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/Dolma-style document-quality rule gate (operators/text.py:
     gopher_rules): five classic rules evaluated as ONE zero-shuffle
@@ -2589,11 +2600,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dominant_suppliers": q_dominant_suppliers,
     "gopher_rules": q_gopher_rules,
     "semantic_dedup": q_semantic_dedup,
+    "winnowing_dedup": q_winnowing_dedup,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
+    # --- end of driver window (slot 50 is select_project) ---
     "filter": q_filter,
-    # --- end of driver window (slot 50 is filter) ---
     "flatmap_rekey": q_flatmap_rekey,
     "scalar_functions": q_scalar_functions,
     "json_extract": q_json_extract,
@@ -5381,6 +5393,48 @@ ORACLE: dict[str, str] = {
         FROM lists l
         JOIN sizes s USING (cent_id)
         LEFT JOIN dups d ON l.c_id = d.id_b
+    """,
+    "winnowing_dedup": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               x -> length(x) > 0) AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> ('0x' || substr(md5(array_to_string(
+                            toks[i:i+2], ' ')), 1, 8))::BIGINT) AS hs
+            FROM base WHERE len(toks) >= 3),
+        fps AS (
+            SELECT DISTINCT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 1)),
+                       j -> list_min(hs[j:j+3]))) AS fingerprint
+            FROM g),
+        per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+            FROM fps GROUP BY doc_id),
+        rare AS (
+            SELECT fingerprint FROM (
+                SELECT fingerprint, count(*) AS df FROM fps
+                GROUP BY fingerprint) t
+            WHERE df <= 50),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a
+            JOIN fps b ON a.fingerprint = b.fingerprint
+                      AND a.doc_id < b.doc_id
+            WHERE a.fingerprint IN (SELECT fingerprint FROM rare)
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2)
+        SELECT s.id_a, s.id_b, s.n_shared,
+               CAST((s.n_shared * 1000000000)
+                    // least(na.n_fp, nb.n_fp) AS BIGINT) AS containment_e9
+        FROM shared s
+        JOIN per_doc na ON na.doc_id = s.id_a
+        JOIN per_doc nb ON nb.doc_id = s.id_b
     """,
     "gopher_rules": """
         WITH base AS (

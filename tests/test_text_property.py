@@ -286,3 +286,68 @@ def test_gopher_rules_match_python_reference(spark, docs):
         assert (r.n_tokens, r.avg_tok_len_e3, r.distinct_ratio_e9,
                 r.top_token_share_e9, r.dup_bigram_frac_e9, r.fail_reasons,
                 r.keep) == (n, avg, dr, ts, db, fr, keep), (text,)
+
+
+# ---------------------------------------------------------------------------
+# winnow_pairs ≡ Python winnowing reference (Schleimer et al.)
+# ---------------------------------------------------------------------------
+
+def _winnow_reference(docs, k=3, w=4, min_shared=2, max_doc_freq=50):
+    import hashlib
+
+    def fps(text):
+        toks = [t for t in re.split(r"\W+", text.lower()) if t]
+        if len(toks) < k:
+            return set()
+        hs = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+                  .hexdigest()[:8], 16)
+              for i in range(len(toks) - k + 1)]
+        return {min(hs[j:j + w])
+                for j in range(0, max(len(hs) - w, 0) + 1)}
+
+    fp = {i: fps(d) for i, d in enumerate(docs)}
+    docfreq = {}
+    for s in fp.values():
+        for f in s:
+            docfreq[f] = docfreq.get(f, 0) + 1
+    out = {}
+    ids = sorted(fp)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            shared = {f for f in fp[x] & fp[y] if docfreq[f] <= max_doc_freq}
+            if len(shared) >= min_shared:
+                out[(x, y)] = (len(shared),
+                               len(shared) * 10**9
+                               // min(len(fp[x]), len(fp[y])))
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(WORD, min_size=0, max_size=14).map(" ".join),
+                min_size=2, max_size=6))
+def test_winnow_pairs_match_python_reference(spark, docs):
+    from kafka_connect_streams_spark.operators.dedup import winnow_pairs
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.n_shared, r.containment_e9)
+           for r in winnow_pairs(df, "text", "doc_id").collect()}
+    assert got == _winnow_reference(docs), docs
+
+
+def test_winnowing_guarantee_shared_span_yields_shared_fingerprint(spark):
+    """The winnowing property: any shared word span of length ≥ w+k-1
+    (= 6 here) MUST contribute at least one shared fingerprint."""
+    from kafka_connect_streams_spark.operators.dedup import (
+        winnow_fingerprints)
+    span = "alpha beta gamma delta epsilon zeta"          # 6 shared words
+    docs = [(0, "xx yy " + span + " zz"), (1, span + " qq rr ss tt")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = winnow_fingerprints(df, "text", "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] & by_doc[1], "shared 6-word span must share a print"
