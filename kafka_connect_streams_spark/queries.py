@@ -2475,6 +2475,53 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(vecs, n_centroids=16, threshold=0.4)
 
 
+def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic sample: the 100 documents with the
+    smallest (md5(id), id) — hash order is uniform-pseudorandom yet
+    reproducible, and the plan is TakeOrderedAndProject: each partition
+    keeps its local top-100 and the driver merges k·partitions rows, so
+    an EXACT-k sample never global-sorts the corpus (the companion to
+    hash_split/stratified_sample, whose rates are only approximate)."""
+    t = load_tables(spark, sf_dir)
+    return (t["documents"]
+            .select("doc_id",
+                    F.md5(F.col("doc_id").cast("string")).alias("h"))
+            .orderBy("h", "doc_id").limit(100))
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (outlier capping) of events.value per
+    event type: exact p05/p95 under the rank/count-window convention of
+    q_percentile_disc (no collect, no sketch), then values clip to the
+    bounds and re-aggregate — sums pass through DECIMAL so the hash is
+    order-independent. The feature-engineering step before any
+    scale-sensitive model consumes a long-tailed metric."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = (t["events"].select("event_type", "event_id", "value")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count("*").over(cw)))
+    at = lambda q: F.max(F.when(  # noqa: E731
+        F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+        F.col("value")))
+    bounds = ranked.groupBy("event_type").agg(
+        at(0.05).alias("lo"), at(0.95).alias("hi"))
+    clipped = (t["events"].join(F.broadcast(bounds), "event_type")
+               .withColumn("cv", F.least(F.greatest(F.col("value"),
+                                                    F.col("lo")),
+                                         F.col("hi"))))
+    return (clipped.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("value") < F.col("lo")).cast("bigint"))
+                  .alias("n_clipped_low"),
+                 F.sum((F.col("value") > F.col("hi")).cast("bigint"))
+                  .alias("n_clipped_high"),
+                 F.min("lo").alias("lo"), F.min("hi").alias("hi"),
+                 F.sum(F.col("cv").cast("decimal(18,6)"))
+                  .cast("double").alias("sum_winsorized")))
+
+
 def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup pairs (operators/dedup.py: winnow_pairs): MOSS
     local fingerprints — min-hash of each 4-window over word-3-gram
@@ -2601,10 +2648,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": q_gopher_rules,
     "semantic_dedup": q_semantic_dedup,
     "winnowing_dedup": q_winnowing_dedup,
+    "exact_k_sample": q_exact_k_sample,
+    "winsorize": q_winsorize,
     "wordcount": q_wordcount,
+    # --- end of driver window (slot 50 is session_window) ---
     "session_window": q_session_window,
     "select_project": q_select_project,
-    # --- end of driver window (slot 50 is select_project) ---
     "filter": q_filter,
     "flatmap_rekey": q_flatmap_rekey,
     "scalar_functions": q_scalar_functions,
@@ -5393,6 +5442,42 @@ ORACLE: dict[str, str] = {
         FROM lists l
         JOIN sizes s USING (cent_id)
         LEFT JOIN dups d ON l.c_id = d.id_b
+    """,
+    "exact_k_sample": """
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+        ORDER BY h, doc_id
+        LIMIT 100
+    """,
+    "winsorize": """
+        WITH ranked AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM events),
+        bounds AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = CAST(ceil(0.05 * cnt) AS BIGINT)
+                       THEN value END) AS lo,
+                   max(CASE WHEN rn = CAST(ceil(0.95 * cnt) AS BIGINT)
+                       THEN value END) AS hi
+            FROM ranked GROUP BY event_type),
+        clipped AS (
+            SELECT e.event_type, e.value, b.lo, b.hi,
+                   least(greatest(e.value, b.lo), b.hi) AS cv
+            FROM events e JOIN bounds b USING (event_type))
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_low,
+               CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_high,
+               min(lo) AS lo, min(hi) AS hi,
+               CAST(sum(CAST(cv AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_winsorized
+        FROM clipped
+        GROUP BY event_type
     """,
     "winnowing_dedup": """
         WITH base AS (

@@ -352,3 +352,19 @@ def test_gopher_rules_is_pure_projection(spark, sf_dir):
     assert shuffle_count(df) == 0, physical_plan(df)
     cols = scan_read_schema(df)
     assert "source" not in cols and "lang" not in cols
+
+
+def test_exact_k_sample_is_take_ordered(spark, sf_dir):
+    """EXACT-k hash sampling must plan as TakeOrderedAndProject (per-
+    partition local top-k + driver merge), never a global sort exchange."""
+    df = Q.q_exact_k_sample(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    """The per-type p05/p95 bound table is O(types) rows — it must ride
+    into the clip join as a broadcast, never shuffle the fact side."""
+    df = Q.q_winsorize(spark, sf_dir)
+    assert has_broadcast_join(df), physical_plan(df)
