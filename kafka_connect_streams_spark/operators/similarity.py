@@ -559,6 +559,12 @@ def semantic_dedup(vectors: DataFrame, n_centroids: int | None = None,
     the codebook ~sqrt(N) (:func:`auto_centroids`) keeps total pair
     volume ~N·sqrt(N), and a hot cluster can be subdivided by LSH bands
     (dedup.py) without changing the contract. Inputs: (id, embedding).
+
+    The fused single-plan form re-expands the ``lists`` and quantized-
+    vector subtrees (Catalyst does not materialize shared subplans), so
+    the embedding table is scanned several times; at 100 TB, persist
+    ``lists`` (two small int columns) after step 1 and the prune pass is
+    then two scans — same operators, split at the ``lists`` seam.
     """
     if n_centroids is None:
         n_centroids = auto_centroids(vectors.count())
