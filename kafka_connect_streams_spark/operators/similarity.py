@@ -326,6 +326,8 @@ def pq_codebooks(vectors: DataFrame, m_sub: int = 8,
               .orderBy("_h", "id").limit(k_cent)
               .select("_h", "id", _quantized(F.col("embedding")).alias("qv"))
               .collect())
+    if not sample:
+        return []          # empty corpus → empty codebook (callers no-op)
     sample = sorted(sample, key=lambda r: (r._h, r.id))
     dim = len(sample[0].qv)
     sub = dim // m_sub
@@ -366,6 +368,16 @@ def _argmin_code(darr: Column) -> Column:
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+_PQ_EMPTY_SCHEMA = "q_id bigint, c_id bigint, adc_dist bigint, rank int"
+
+
+def _pq_empty(df: DataFrame) -> DataFrame:
+    """Typed empty PQ result — what every PQ entry point returns when the
+    candidate corpus is empty (a filter that matches nothing must flow an
+    empty relation through the pipeline, not crash codebook sampling)."""
+    return df.sparkSession.createDataFrame([], _PQ_EMPTY_SCHEMA)
+
+
 def topk_pq_l2(queries: DataFrame, candidates: DataFrame, k: int = 5,
                m_sub: int = 8, k_cent: int = 16,
                books: list | None = None) -> DataFrame:
@@ -384,6 +396,8 @@ def topk_pq_l2(queries: DataFrame, candidates: DataFrame, k: int = 5,
     """
     if books is None:
         books = pq_codebooks(candidates, m_sub, k_cent)
+    if not books:
+        return _pq_empty(candidates)
     dim = len(books[0][0]) * m_sub
     sub = dim // m_sub
 
@@ -424,6 +438,8 @@ def coarse_centroids(vectors: DataFrame, n_lists: int = 8) -> list[list[int]]:
               .orderBy("_h", "id").limit(n_lists)
               .select("_h", "id", _quantized(F.col("embedding")).alias("qv"))
               .collect())
+    if not sample:
+        return []          # empty corpus → empty coarse quantizer
     sample = sorted(sample, key=lambda r: (r._h, r.id))
     return [list(r.qv) for r in sample]
 
@@ -460,6 +476,8 @@ def topk_ivfpq(queries: DataFrame, candidates: DataFrame, k: int = 5,
         books = pq_codebooks(candidates, m_sub, k_cent)
     if coarse is None:
         coarse = coarse_centroids(candidates, n_lists)
+    if not books or not coarse:
+        return _pq_empty(candidates)
     dim = len(coarse[0])
     sub = dim // m_sub
 
@@ -513,6 +531,8 @@ def kmeans_subspace_codebooks(vectors: DataFrame, m_sub: int = 8,
     """
     if books is None:
         books = pq_codebooks(vectors, m_sub, k_cent)
+    if not books:
+        return books       # empty corpus: nothing to train
     dim = len(books[0][0]) * m_sub
     sub = dim // m_sub
     vq = vectors.select(_quantized(F.col("embedding")).alias("_v"))

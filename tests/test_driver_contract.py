@@ -82,3 +82,31 @@ def test_bench_contract_line_fits_driver_stdout_tail():
     assert len(line) <= 1800, (
         f"bench line would be {len(line)} chars at worst-case widths; "
         "trim HEADLINE or move keys to stderr")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_every_query_tolerates_empty_tables(spark, tmp_path):
+    """Registry-wide robustness: every registered query must run (and
+    return an empty-or-valid result, not crash) when every input table is
+    EMPTY — the filter-matched-nothing / fresh-partition case a 100 TB
+    pipeline hits constantly. Round-5 catch: the PQ family indexed an
+    empty codebook sample; samplers now return [] and the entry points
+    return a typed empty relation."""
+    from kafka_connect_streams_spark import queries as Q
+
+    src = "/root/testdata/sf0.001"
+    tables = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
+    for t in tables:
+        (spark.read.parquet(f"{src}/{t}.parquet").limit(0)
+         .write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet")))
+    failures = []
+    for name, fn in Q.QUERIES.items():
+        try:
+            fn(spark, str(tmp_path)).collect()
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            failures.append((name, str(exc).splitlines()[0][:120]))
+    assert not failures, failures
