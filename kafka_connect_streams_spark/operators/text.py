@@ -28,7 +28,11 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _tok_array(text_col: str) -> Column:
-    toks = F.split(F.lower(F.col(text_col)), r"\W+")
+    # NULL text tokenizes as EMPTY, not NULL: a NULL document must fail
+    # quality gates as "no tokens", not slip through every rule because
+    # NULL comparisons are all unknown (the round-5 gopher_rules finding:
+    # a NULL doc got keep=true before this coalesce)
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+")
     return F.filter(toks, lambda t: F.length(t) > 0)
 
 

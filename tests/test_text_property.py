@@ -351,3 +351,23 @@ def test_winnowing_guarantee_shared_span_yields_shared_fingerprint(spark):
     for r in rows:
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert by_doc[0] & by_doc[1], "shared 6-word span must share a print"
+
+
+def test_null_text_fails_quality_gates_as_empty(spark):
+    """NULL text must behave as an EMPTY document: zero tokens, dropped by
+    the rule gate with too_short — never keep=true via all-NULL rule
+    comparisons (the trap: CASE WHEN NULL < 20 is unknown, so every rule
+    silently passes a NULL doc)."""
+    from kafka_connect_streams_spark.operators.text import (
+        gopher_rules, linear_classifier_score, token_stats)
+    df = spark.createDataFrame([(0, "a good doc right here"), (1, None),
+                                (2, "")], "doc_id long, text string")
+    g = {r.doc_id: r for r in gopher_rules(df, "text", "doc_id").collect()}
+    assert g[1].n_tokens == 0
+    assert g[1].keep is False and "too_short" in g[1].fail_reasons
+    assert g[2].keep is False
+    lc = {r.doc_id: r
+          for r in linear_classifier_score(df, "text", "doc_id").collect()}
+    assert lc[1].n_tokens == 0 and lc[1].score == 0
+    ts = {r.doc_id: r for r in token_stats(df, "text", "doc_id").collect()}
+    assert ts[1].word_tokens == 0
