@@ -64,12 +64,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group identical content by md5 fingerprint; keep the smallest id.
 
     One shuffle on the fingerprint. At 100 TB, dedup over a 128-bit digest
-    shuffles ~48 bytes/doc instead of the document bodies.
+    shuffles ~48 bytes/doc instead of the document bodies. NULL text
+    fingerprints as the empty string (the text-operator NULL policy:
+    NULL ≡ empty document), so NULL and '' docs land in ONE copy group
+    instead of a separate all-NULL group.
     """
-    return (df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
-              .groupBy("fp")
-              .agg(F.min(id_col).alias("keep_id"),
-                   F.count("*").alias("copies")))
+    return (df.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+        F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count("*").alias("copies")))
 
 
 # -- MinHash + LSH ----------------------------------------------------------
