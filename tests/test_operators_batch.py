@@ -638,3 +638,28 @@ class TestSemanticDedup:
         # the dataset has true near-dups: the rule must actually drop some
         assert any(not r.keep for r in got)
         assert any(r.keep for r in got)
+
+
+class TestAqeInvariance:
+    def test_results_identical_with_and_without_aqe(self, spark, sf_dir):
+        """Runtime re-planning (AQE coalescing/skew splits/join demotion)
+        must never change RESULTS — only plans. Run the partition-
+        sensitive queries with adaptive execution off and on, compare row
+        sets; any divergence means an operator leaked partitioning into
+        its semantics."""
+        from kafka_connect_streams_spark import queries as Q
+        tricky = ["token_budget_sample", "sequence_packing",
+                  "dedup_minhash_lsh", "winnowing_dedup",
+                  "semantic_dedup", "exact_k_sample", "winsorize"]
+        results = {}
+        for aqe in ("false", "true"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            try:
+                for name in tricky:
+                    rows = sorted(map(tuple,
+                                      Q.QUERIES[name](spark, sf_dir).collect()))
+                    results.setdefault(name, []).append(rows)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for name, (off, on) in results.items():
+            assert off == on, f"{name} differs with AQE off vs on"
