@@ -170,3 +170,78 @@ def compact_dedup_index(spark, index_dir: str, upto_epoch: int) -> int:
     for e in doomed:
         shutil.rmtree(f"{index_dir}/epoch={e}", ignore_errors=True)
     return n
+
+
+SESSION_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("session_start_ms", LongType()),
+    StructField("session_end_ms", LongType()),
+    StructField("n_events", LongType()),
+])
+_SESSION_STATE = StructType([
+    StructField("start_ms", LongType()),
+    StructField("last_ms", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
+               gap_s: int = 30, watermark: str = "10 seconds") -> DataFrame:
+    """Gap-based sessionization as an EXPLICIT stateful operator: per-key
+    sessions close ``gap_s`` after their last event, emitted ONCE as
+    completed (append mode) — the ``session_window`` aggregate rebuilt on
+    ``applyInPandasWithState`` to document the custom-operator path for
+    session logic the built-in can't express (e.g. per-session payloads,
+    mid-session side effects).
+
+    Mechanics: state holds (start, last, count); new events either extend
+    the session (watermark bounds out-of-order merge) or — after a gap —
+    flush the finished session and restart; the event-time timeout
+    (``last + gap``) flushes sessions that simply stop receiving events.
+    State is per-key in the state store, evicted on flush: memory is
+    O(open sessions), not O(stream).
+    """
+    gap_ms = gap_s * 1000
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        def row(start: int, last: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame({"key": [key[0]], "session_start_ms": [start],
+                                 "session_end_ms": [last], "n_events": [n]})
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield row(start, last, n)
+            return
+        mn = mx = None
+        cnt = 0
+        for pdf in batches:
+            ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            if ms:
+                lo, hi = min(ms), max(ms)
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+                cnt += len(ms)
+        if cnt == 0:
+            return
+        if state.exists:
+            start, last, n = state.get
+            if mn - last > gap_ms:
+                yield row(start, last, n)          # finished by a gap
+                start, last, n = mn, mx, cnt
+            else:
+                start, last, n = min(start, mn), max(last, mx), n + cnt
+        else:
+            start, last, n = mn, mx, cnt
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last + gap_ms)
+
+    return (keyed.withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col).cast("string").alias("key"))
+            .applyInPandasWithState(
+                update,
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_SESSION_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -198,3 +198,50 @@ class TestIncrementalDedupStream:
                  (5, "zeta")]), 3)
         kept = {r.doc_id for r in spark.read.parquet(out).collect()}
         assert kept == {1, 2, 3, 5}
+
+
+def test_sessionize_emits_completed_sessions(spark, tmp_path):
+    """Custom stateful sessionization: sessions close gap_s after their
+    last event (event-time timeout driven by the watermark) or when a
+    later event arrives past the gap; each completed session is emitted
+    exactly once with its span and count."""
+    from kafka_connect_streams_spark.streaming.state import sessionize
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000_000
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for k, off_s in rows:
+                f.write(json.dumps({"key": k,
+                                    "ts_ms": base + off_s * 1000}) + "\n")
+
+    write("a.json", [("a", 0), ("a", 5), ("b", 3)])
+    stream = (spark.readStream.schema("key string, ts_ms long")
+              .json(str(src))
+              .selectExpr("key", "timestamp_micros(ts_ms*1000) AS ts"))
+    out = sessionize(stream, gap_s=30, watermark="5 seconds")
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        # a second burst for "a" far past the gap closes session 1 by gap;
+        # the big timestamp also drags the watermark forward
+        write("b.json", [("a", 200)])
+        q.processAllAvailable()
+        # one more batch so the event-time timeout (watermark > last+gap)
+        # can flush b's session and a's second session
+        write("c.json", [("c", 400)])
+        q.processAllAvailable()
+        write("d.json", [("c", 600)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess").collect()
+    finally:
+        q.stop()
+    got = {(r.key, r.session_start_ms - base, r.session_end_ms - base,
+            r.n_events) for r in rows}
+    assert ("a", 0, 5_000, 2) in got          # closed by the gap arrival
+    assert ("b", 3_000, 3_000, 1) in got      # closed by event-time timeout
+    assert ("a", 200_000, 200_000, 1) in got  # closed by timeout later
