@@ -2111,10 +2111,12 @@ def q_ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds per subspace (kmeans_subspace_codebooks — int64 floor-average
     recentering, one job per round, O(m·k) driver rows) upgrade the
     hash-sampled codebooks, and the same ADC-vs-exact-L2 eval measures
-    the gain. Registered WITHOUT a SQL oracle: the training loop is the
-    iterative-algorithm case the oracle contract exempts (the driver runs
-    the weaker rows-only check); exactness is instead pinned by a numpy
-    reference test that replicates every Lloyd round bit-for-bit."""
+    the gain. The THREE FIXED Lloyd rounds unroll into the SQL twin as
+    chained CTE stages (assign → floor-average recenter, per round — the
+    recenter floors via floor(sx/n) in double, exact below 2^53, because
+    DuckDB's // truncates while the trainer floors), so even the trained
+    path is full hash-gated; a numpy reference test additionally
+    replicates every Lloyd round bit-for-bit."""
     from kafka_connect_streams_spark.operators.similarity import (
         _dot, _quantized, kmeans_subspace_codebooks, topk_pq_l2)
     t = load_tables(spark, sf_dir)
@@ -4875,6 +4877,143 @@ ORACLE: dict[str, str] = {
                  AS recall_e9
         FROM (SELECT id AS q_id FROM emb WHERE id % 100 = 0) q
         LEFT JOIN hits h USING (q_id)
+    """,
+    "ann_pq_trained_recall": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        sample AS (
+            SELECT id, rn - 1 AS k FROM (
+                SELECT id, row_number() OVER (
+                    ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+                FROM emb) s
+            WHERE rn <= 16),
+        cent0 AS (
+            SELECT s.k, c.d, c.x
+            FROM sample s JOIN comp c USING (id)),
+        dist1 AS (
+            SELECT v.id, c.d // 8 AS m, c.k,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent0 c ON v.d = c.d
+            GROUP BY v.id, c.d // 8, c.k),
+        asg1 AS (
+            SELECT id, m, k FROM (
+                SELECT id, m, k,
+                       row_number() OVER (PARTITION BY id, m
+                                          ORDER BY dd, k) AS rn
+                FROM dist1) x
+            WHERE rn = 1),
+        sums1 AS (
+            SELECT a.m, a.k, v.d,
+                   CAST(sum(v.x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM asg1 a JOIN comp v ON v.id = a.id AND v.d // 8 = a.m
+            GROUP BY a.m, a.k, v.d),
+        cent1 AS (
+            SELECT p.k, p.d,
+                   coalesce(CAST(floor(s.sx / CAST(s.n AS DOUBLE)) AS BIGINT),
+                            p.x) AS x
+            FROM cent0 p
+            LEFT JOIN sums1 s ON s.k = p.k AND s.d = p.d
+                                AND s.m = p.d // 8),
+        dist2 AS (
+            SELECT v.id, c.d // 8 AS m, c.k,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent1 c ON v.d = c.d
+            GROUP BY v.id, c.d // 8, c.k),
+        asg2 AS (
+            SELECT id, m, k FROM (
+                SELECT id, m, k,
+                       row_number() OVER (PARTITION BY id, m
+                                          ORDER BY dd, k) AS rn
+                FROM dist2) x
+            WHERE rn = 1),
+        sums2 AS (
+            SELECT a.m, a.k, v.d,
+                   CAST(sum(v.x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM asg2 a JOIN comp v ON v.id = a.id AND v.d // 8 = a.m
+            GROUP BY a.m, a.k, v.d),
+        cent2 AS (
+            SELECT p.k, p.d,
+                   coalesce(CAST(floor(s.sx / CAST(s.n AS DOUBLE)) AS BIGINT),
+                            p.x) AS x
+            FROM cent1 p
+            LEFT JOIN sums2 s ON s.k = p.k AND s.d = p.d
+                                AND s.m = p.d // 8),
+        dist3 AS (
+            SELECT v.id, c.d // 8 AS m, c.k,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent2 c ON v.d = c.d
+            GROUP BY v.id, c.d // 8, c.k),
+        asg3 AS (
+            SELECT id, m, k FROM (
+                SELECT id, m, k,
+                       row_number() OVER (PARTITION BY id, m
+                                          ORDER BY dd, k) AS rn
+                FROM dist3) x
+            WHERE rn = 1),
+        sums3 AS (
+            SELECT a.m, a.k, v.d,
+                   CAST(sum(v.x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM asg3 a JOIN comp v ON v.id = a.id AND v.d // 8 = a.m
+            GROUP BY a.m, a.k, v.d),
+        cent3 AS (
+            SELECT p.k, p.d,
+                   coalesce(CAST(floor(s.sx / CAST(s.n AS DOUBLE)) AS BIGINT),
+                            p.x) AS x
+            FROM cent2 p
+            LEFT JOIN sums3 s ON s.k = p.k AND s.d = p.d
+                                AND s.m = p.d // 8),
+        dist AS (
+            SELECT v.id, c.d // 8 AS m, c.k,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent3 c ON v.d = c.d
+            GROUP BY v.id, c.d // 8, c.k),
+        codes AS (
+            SELECT id AS c_id, m, k FROM (
+                SELECT id, m, k,
+                       row_number() OVER (PARTITION BY id, m
+                                          ORDER BY dd, k) AS rn
+                FROM dist WHERE id % 100 <> 0) x
+            WHERE rn = 1),
+        qtab AS (SELECT id AS q_id, m, k, dd FROM dist WHERE id % 100 = 0),
+        adc AS (
+            SELECT q.q_id, c.c_id, CAST(sum(q.dd) AS BIGINT) AS adc_dist
+            FROM codes c JOIN qtab q USING (m, k)
+            GROUP BY q.q_id, c.c_id),
+        pq AS (
+            SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY adc_dist, c_id) AS rank
+                FROM adc) r
+            WHERE rank <= 5),
+        l2 AS (
+            SELECT q.id AS q_id, c.id AS c_id,
+                   CAST(sum((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS l2
+            FROM comp q JOIN comp c ON q.d = c.d
+            WHERE q.id % 100 = 0 AND c.id % 100 <> 0
+            GROUP BY q.id, c.id),
+        exact AS (
+            SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY l2, c_id) AS rn
+                FROM l2) e
+            WHERE rn <= 5),
+        hits AS (
+            SELECT e.q_id, CAST(count(*) AS BIGINT) AS hits
+            FROM exact e JOIN pq USING (q_id, c_id)
+            GROUP BY e.q_id)
+        SELECT q.id AS q_id,
+               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+               CAST(coalesce(h.hits, 0) * 1000000000 // 5 AS BIGINT) AS recall_e9
+        FROM (SELECT id FROM emb WHERE id % 100 = 0) q
+        LEFT JOIN hits h ON h.q_id = q.id
     """,
     "ann_ivfpq": """
         WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),

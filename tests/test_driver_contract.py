@@ -51,7 +51,7 @@ def test_no_oracle_emits_hugeint_columns():
 #: algorithm exemption (driver runs a rows-only check; exactness is pinned
 #: by a bit-exact reference test instead). Anything else missing an oracle
 #: is an accident this guard must catch.
-ORACLE_EXEMPT = {"ann_pq_trained_recall"}  # k-means Lloyd loop
+ORACLE_EXEMPT: set[str] = set()  # round 5: the Lloyd loop unrolled into SQL
 
 
 def test_every_query_in_driver_window_has_an_oracle():
