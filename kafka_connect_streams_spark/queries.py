@@ -2599,10 +2599,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # nation_volume_shipping product_profit customer_distribution
     # top_supplier supplier_part_counts waiting_suppliers), then the three
     # late-round-5 additions (lm_doc_score, boilerplate_removal,
-    # linear_quality), then oldest-green queries for re-verification up to
-    # slot 50. Everything else rotates to the back. After ANY registry
-    # edit, recompute list(QUERIES)[:50] and confirm every query changed
-    # this round is inside it.
+    # linear_quality, min_cost_supplier, dominant_suppliers, gopher_rules,
+    # semantic_dedup, winnowing_dedup, exact_k_sample, winsorize), then
+    # oldest-green queries for re-verification up to slot 50. Everything
+    # else rotates to the back. After ANY registry edit, recompute
+    # list(QUERIES)[:50] and confirm every query changed this round is
+    # inside it. ROUND-6 NOTE: after r05 every registered query has had a
+    # driver row; next window = anything round 6 adds/changes FIRST, then
+    # the longest-unverified greens (the r01/r02 battery tail).
     "important_parts": q_important_parts,
     "conditional_agg": q_conditional_agg,
     "null_handling": q_null_handling,
