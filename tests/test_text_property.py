@@ -371,3 +371,80 @@ def test_null_text_fails_quality_gates_as_empty(spark):
     assert lc[1].n_tokens == 0 and lc[1].score == 0
     ts = {r.doc_id: r for r in token_stats(df, "text", "doc_id").collect()}
     assert ts[1].word_tokens == 0
+
+
+# ---------------------------------------------------------------------------
+# minhash / simhash ≡ Python md5 references
+# ---------------------------------------------------------------------------
+
+_MINHASH_P = 2_147_483_647
+_MINHASH_GOLD = 2_654_435_769
+
+
+def _h48(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _shingle_reference(text: str, n: int = 3) -> set:
+    toks = [t for t in re.split(r"\W+", text.lower()) if t]
+    grams = {" ".join(toks[i:i + n])
+             for i in range(0, max(len(toks) - n, 0) + 1)}
+    return {g for g in grams if g}
+
+
+def _minhash_reference(text: str, k: int = 16) -> list:
+    sig = [None] * k
+    for g in _shingle_reference(text):
+        h0 = _h48(g) % _MINHASH_P
+        for s in range(k):
+            hs = (h0 * (2 * s + 1) + s * _MINHASH_GOLD) % _MINHASH_P
+            if sig[s] is None or hs < sig[s]:
+                sig[s] = hs
+    return sig
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(WORD, min_size=1, max_size=10).map(" ".join),
+                min_size=1, max_size=4))
+def test_minhash_signatures_match_python_reference(spark, docs):
+    from kafka_connect_streams_spark.operators.dedup import (
+        minhash_signatures_wide, shingles)
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    sh = shingles(df, "text", "doc_id", n=3)
+    got = {r.doc_id: list(r.sig)
+           for r in minhash_signatures_wide(sh, "doc_id", k=16).collect()}
+    for i, text in enumerate(docs):
+        want = _minhash_reference(text)
+        if want[0] is None:
+            assert i not in got          # empty shingle set → no signature
+        else:
+            assert got[i] == want, (text, got[i], want)
+
+
+def _simhash_reference(text: str, bits: int = 16) -> int:
+    toks = {t for t in re.split(r"\W+", text.lower()) if t}
+    votes = [0] * bits
+    for t in toks:
+        h = _h48(t)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum((1 << b) for b in range(bits) if votes[b] > 0)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(WORD, min_size=1, max_size=10).map(" ".join),
+                min_size=1, max_size=4))
+def test_simhash_matches_python_reference(spark, docs):
+    from kafka_connect_streams_spark.operators.dedup import simhash
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: r.simhash
+           for r in simhash(df, "text", "doc_id", bits=16).collect()}
+    for i, text in enumerate(docs):
+        assert got[i] == _simhash_reference(text), text
