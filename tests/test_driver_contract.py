@@ -110,3 +110,23 @@ def test_every_query_tolerates_empty_tables(spark, tmp_path):
         except Exception as exc:  # noqa: BLE001 — collecting all failures
             failures.append((name, str(exc).splitlines()[0][:120]))
     assert not failures, failures
+
+
+def test_doc_counts_match_registry():
+    """README/SURVEY query counts must track the registry — count drift
+    is a recurring review finding (round-4 verdict); this pins the two
+    load-bearing sentences to ``len(QUERIES)``."""
+    import re
+
+    from kafka_connect_streams_spark import queries as Q
+
+    n = len(Q.QUERIES)
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"queries\.py\s+(\d+) registered queries", readme)
+    assert m and int(m.group(1)) == n, (
+        f"README says {m and m.group(1)} registered queries; registry has {n}")
+    survey = open("/root/repo/SURVEY.md").read()
+    for pat in (r"widens the surface to (\d+) registered queries",
+                r"close-out numbers: (\d+) registered queries"):
+        m = re.search(pat, survey)
+        assert m and int(m.group(1)) == n, (pat, m and m.group(1), n)
