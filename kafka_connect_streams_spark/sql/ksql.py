@@ -84,10 +84,14 @@ def rewrite_within_clause(sql: str) -> str:
     ``WITHIN (before, after)`` form bounds how far the RIGHT side may lag
     or lead the left (KSQL semantics: ``t_r ∈ [t_l − before, t_l +
     after]``) and rewrites to a BETWEEN. KSQL join conditions are single
-    equalities, so appending with AND never rebinds an OR. On streaming
-    legs, Catalyst turns the bound into the state-eviction watermark
-    constraint — the same plan streaming/joins.windowed_join builds
-    programmatically.
+    equalities, so appending with AND never rebinds an OR. The rewrite
+    works on live streaming legs too (pinned by test) and produces the
+    correct window-bounded pairs, but the bigint bound is NOT an
+    event-time constraint, so Spark cannot evict join state by watermark
+    — fine for availableNow/bounded replays; an unbounded 24×7 topology
+    should use streaming/joins.windowed_join, which builds the same
+    window as a timestamp-typed, watermarked condition with bounded
+    state.
     """
     def _ms(n: str, unit: str) -> int:
         return int(n) * _MS[unit.lower().rstrip("s")]

@@ -638,6 +638,62 @@ class TestJoinWithin:
         assert got == [("L2", "R1")]
 
 
+    def test_within_on_live_streaming_legs(self, spark, tmp_path):
+        """The WITHIN rewrite must compose with live streaming relations:
+        two filebroker topics, window-bounded pairs out (inclusive 10s
+        edge, outside-window row excluded). Note: the bigint rowtime
+        bound is not an event-time constraint — state is not watermark-
+        evicted — so this path suits bounded replays; unbounded topologies
+        use streaming/joins.windowed_join (see rewrite_within_clause)."""
+        import json as js
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from kafka_connect_streams_spark.sources import filebroker as fb
+        from kafka_connect_streams_spark.sources.kafka import decode_records
+
+        broker = fb.FileBroker(str(tmp_path / "b"))
+        for t in ("l_top", "r_top"):
+            broker.create_topic(t, partitions=1)
+        p = broker.producer()
+        base = 1_700_000_000_000
+        for t, k, off, v in [("l_top", "k1", 1_000, "L1"),
+                             ("l_top", "k1", 15_000, "L2"),
+                             ("r_top", "k1", 5_000, "R1"),
+                             ("r_top", "k1", 30_000, "R2")]:
+            p.send(t, js.dumps({"k": k, "ordertime": base + off, "v": v}),
+                   key=k, timestamp_ms=base + off)
+        p.flush()
+        fb.register(spark)
+
+        def leg(topic):
+            raw = (spark.readStream.format("filebroker")
+                   .option("path", broker.root)
+                   .option("subscribe", topic).load())
+            return decode_records(raw, _parse_datatype_string(
+                "k string, ordertime bigint, v string"))
+
+        frames = {"l_top": leg("l_top"), "r_top": leg("r_top")}
+        ctx = KsqlContext(spark, resolver=lambda t: frames[t])
+        ddl = ("CREATE STREAM {n} (K varchar, ORDERTIME bigint, V varchar) "
+               "WITH (kafka_topic='{t}', value_format='JSON', key='k', "
+               "timestamp='ordertime')")
+        ctx.sql(ddl.format(n="l", t="l_top"))
+        ctx.sql(ddl.format(n="r", t="r_top"))
+        out = ctx.sql("SELECT a.v AS lv, b.v AS rv FROM l a JOIN r b "
+                      "WITHIN 10 SECONDS ON a.k = b.k")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("within_live")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None
+        rows = sorted((r.lv, r.rv) for r in
+                      spark.sql("SELECT * FROM within_live").collect())
+        assert rows == [("L1", "R1"), ("L2", "R1")]
+
+
 class TestShowQueriesTerminate:
     """KSQL persistent-query management: SHOW QUERIES lists the session's
     running continuous queries; TERMINATE stops one by name or id (its
