@@ -347,6 +347,11 @@ class KsqlContext:
     def _create(self, m: re.Match) -> None:
         kind = m.group(1).upper()
         name = m.group(2).lower()
+        if name in self.metastore:
+            # KSQL parity: CREATE on a registered name is an error, not a
+            # silent replace (DROP it first)
+            raise ValueError(
+                f"CREATE {kind} {name}: relation already exists")
         props = _parse_props(m.group("props"))
         cols: dict[str, str] = {}
         for part in self._split_cols(m.group("cols")):
@@ -440,6 +445,9 @@ class KsqlContext:
         from kafka_connect_streams_spark.functions import rewrite_ksql_sql
         kind = m.group(1).lower()
         name = m.group(2).lower()
+        if name in self.metastore:
+            raise ValueError(
+                f"CREATE {kind.upper()} {name}: relation already exists")
         props = _parse_props(m.group("props"))
         select = m.group("select")
         # KSQL's re-key clause: SELECT ... FROM s [WHERE ...] PARTITION BY c

@@ -723,3 +723,20 @@ class TestShowQueriesTerminate:
         ctx = KsqlContext(spark, resolver=lambda t: None)
         with pytest.raises(ValueError, match="TERMINATE"):
             ctx.sql("TERMINATE no_such_query")
+
+
+class TestDuplicateCreate:
+    def test_create_on_existing_name_is_an_error(self, ctx):
+        """KSQL parity: CREATE STREAM/CSAS on a registered name raises
+        (DROP first) — never a silent replace of the running relation."""
+        ctx.sql(DDL)
+        with pytest.raises(ValueError, match="already exists"):
+            ctx.sql(DDL)
+        ctx.sql("CREATE STREAM big AS SELECT * FROM orders "
+                "WHERE orderunits > 40")
+        with pytest.raises(ValueError, match="already exists"):
+            ctx.sql("CREATE STREAM big AS SELECT * FROM orders")
+        # DROP then re-CREATE succeeds
+        ctx.sql("DROP STREAM big")
+        ctx.sql("CREATE STREAM big AS SELECT * FROM orders "
+                "WHERE orderunits > 20")
