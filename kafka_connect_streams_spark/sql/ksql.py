@@ -56,6 +56,10 @@ _TERMINATE_RE = re.compile(
     r"^\s*TERMINATE\s+(\S+?)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_PRINT_RE = re.compile(
+    r"^\s*PRINT\s+'(?P<topic>[^']+)'"
+    r"(?:\s+FROM\s+BEGINNING)?(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
 _UNIT = r"(?:MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)"
 _WITHIN_RE = re.compile(
     r"FROM\s+(?P<lname>\w+)"
@@ -243,6 +247,9 @@ class KsqlContext:
         m = _TERMINATE_RE.match(statement)
         if m:
             return self._terminate(m.group(1))
+        m = _PRINT_RE.match(statement)
+        if m:
+            return self._print(m)
         m = _DESCRIBE_RE.match(statement)
         if m:
             return self._describe(m)
@@ -300,6 +307,20 @@ class KsqlContext:
                 return None
         raise ValueError(f"TERMINATE {ident}: no running query by that "
                          "name or id")
+
+    def _print(self, m: re.Match) -> DataFrame:
+        """``PRINT 'topic' [FROM BEGINNING] [LIMIT n]``: tail the topic's
+        records through the resolver — the KSQL CLI inspection statement.
+        Batch relations honor LIMIT; a streaming relation is returned
+        as-is (attach your own sink — a streaming DataFrame cannot be
+        limited)."""
+        df = self.resolver(m.group("topic"))
+        if df is None:
+            raise ValueError(f"PRINT {m.group('topic')}: unknown topic")
+        lim = m.group("limit")
+        if lim and not df.isStreaming:
+            df = df.limit(int(lim))
+        return df
 
     def _describe(self, m: re.Match) -> DataFrame:
         """``DESCRIBE name``: the relation's columns and Spark SQL types,

@@ -740,3 +740,14 @@ class TestDuplicateCreate:
         ctx.sql("DROP STREAM big")
         ctx.sql("CREATE STREAM big AS SELECT * FROM orders "
                 "WHERE orderunits > 20")
+
+
+class TestPrint:
+    def test_print_tails_the_topic(self, ctx):
+        """PRINT 'topic' returns the topic's records through the resolver
+        (KSQL CLI inspection); LIMIT caps batch relations."""
+        assert ctx.sql("PRINT 'orders_topic'").count() == 8
+        assert ctx.sql("PRINT 'orders_topic' FROM BEGINNING LIMIT 3"
+                       ).count() == 3
+        with pytest.raises(KeyError):
+            ctx.sql("PRINT 'nope'")

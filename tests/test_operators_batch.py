@@ -663,3 +663,43 @@ class TestAqeInvariance:
                 spark.conf.set("spark.sql.adaptive.enabled", "true")
         for name, (off, on) in results.items():
             assert off == on, f"{name} differs with AQE off vs on"
+
+
+class TestWinsorize:
+    def test_matches_python_rank_reference(self, spark, sf_dir):
+        """q_winsorize ≡ a pure-Python reimplementation of the exact
+        rank-based p05/p95 convention (value at 1-based rank ceil(q·n)
+        under the (value, event_id) total order) and the clipped decimal
+        sums — the third implementation alongside Spark and DuckDB."""
+        import math
+        from decimal import Decimal
+
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+
+        rows = load_tables(spark, sf_dir)["events"] \
+            .select("event_type", "event_id", "value").collect()
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+        want = {}
+        for et, vs in by_type.items():
+            vs.sort()
+            n = len(vs)
+            lo = vs[math.ceil(0.05 * n) - 1][0]
+            hi = vs[math.ceil(0.95 * n) - 1][0]
+            clipped = [min(max(v, lo), hi) for v, _ in vs]
+            want[et] = (n,
+                        sum(1 for v, _ in vs if v < lo),
+                        sum(1 for v, _ in vs if v > hi),
+                        lo, hi,
+                        float(sum(Decimal(str(round(c, 6))).quantize(
+                            Decimal("0.000001")) for c in clipped)))
+        got = {r.event_type: (r.n, r.n_clipped_low, r.n_clipped_high,
+                              r.lo, r.hi, r.sum_winsorized)
+               for r in Q.QUERIES["winsorize"](spark, sf_dir).collect()}
+        assert set(got) == set(want)
+        for et in want:
+            g, w = got[et], want[et]
+            assert g[:5] == w[:5], (et, g, w)
+            assert abs(g[5] - w[5]) < 1e-3, (et, g[5], w[5])
