@@ -703,3 +703,65 @@ class TestWinsorize:
             g, w = got[et], want[et]
             assert g[:5] == w[:5], (et, g, w)
             assert abs(g[5] - w[5]) < 1e-3, (et, g[5], w[5])
+
+
+class TestIntervalJoinProperty:
+    """Hypothesis leg for J1: interval_join ≡ a pure-Python O(n·m)
+    reference over random keyed event sets (inclusive ±window edges,
+    null keys never join)."""
+
+    def test_matches_python_reference(self, spark):
+        from hypothesis import given, settings, HealthCheck
+        from hypothesis import strategies as st
+
+        from kafka_connect_streams_spark.operators.joins import interval_join
+
+        KEY = st.sampled_from(["a", "b", None])
+        EV = st.tuples(KEY, st.integers(min_value=0, max_value=30_000))
+
+        @settings(max_examples=10, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(st.lists(EV, min_size=0, max_size=8),
+               st.lists(EV, min_size=0, max_size=8))
+        def run(levs, revs):
+            base = 1_700_000_000_000
+            ldf = spark.createDataFrame(
+                [(k, i, base + off) for i, (k, off) in enumerate(levs)],
+                "key string, lid long, ts_ms long"
+            ).selectExpr("key", "lid", "timestamp_micros(ts_ms*1000) AS ts")
+            rdf = spark.createDataFrame(
+                [(k, i, base + off) for i, (k, off) in enumerate(revs)],
+                "key string, rid long, ts_ms long"
+            ).selectExpr("key", "rid", "timestamp_micros(ts_ms*1000) AS ts")
+            got = {(r.l_lid, r.r_rid) for r in interval_join(
+                ldf, rdf, key="key", ts="ts", window_ms=10_000).collect()}
+            want = {(i, j)
+                    for i, (lk, lt) in enumerate(levs)
+                    for j, (rk, rt) in enumerate(revs)
+                    if lk is not None and lk == rk and abs(lt - rt) <= 10_000}
+            assert got == want, (levs, revs, got, want)
+
+        run()
+
+
+class TestStratifiedSampleProperty:
+    def test_matches_python_md5_reference(self, spark):
+        """stratified_sample membership ≡ Python md5 bucket arithmetic —
+        a function of the row id alone (the repartition-stability claim)."""
+        import hashlib
+
+        from kafka_connect_streams_spark.operators.text import (
+            stratified_sample)
+
+        rows = [(i, "en" if i % 3 else "de", f"s{i % 4}")
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+        rates = {"en": 10, "de": 100}
+        got = {r.doc_id for r in stratified_sample(
+            df, "doc_id", "lang", rates).collect()}
+        want = set()
+        for i, lang, _ in rows:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+            if b < rates[lang]:
+                want.add(i)
+        assert got == want
