@@ -765,3 +765,60 @@ class TestStratifiedSampleProperty:
             if b < rates[lang]:
                 want.add(i)
         assert got == want
+
+
+class TestAnalyticsReferences:
+    def test_funnel_matches_python_reference(self, spark, sf_dir):
+        """q_funnel ≡ a Python per-user scan: first view, first later
+        click, first later purchase — stage counts must agree."""
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+
+        evs = load_tables(spark, sf_dir)["events"] \
+            .select("user_id", "event_type", "ts").collect()
+        per_user: dict = {}
+        for r in evs:
+            per_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+        n1 = n2 = n3 = 0
+        for seq in per_user.values():
+            seq.sort()
+            t1 = min((t for t, e in seq if e == "view"), default=None)
+            if t1 is None:
+                continue
+            n1 += 1
+            t2 = min((t for t, e in seq if e == "click" and t > t1),
+                     default=None)
+            if t2 is None:
+                continue
+            n2 += 1
+            if any(e == "purchase" and t > t2 for t, e in seq):
+                n3 += 1
+        got = {r.stage: r.users
+               for r in Q.QUERIES["funnel"](spark, sf_dir).collect()}
+        assert got == {"1_view": n1, "2_click": n2, "3_purchase": n3}
+
+    def test_rolling_active_users_matches_python_reference(self, spark,
+                                                           sf_dir):
+        """q_rolling_active_users ≡ a Python set-per-window scan: DAU,
+        exact 7-day rolling distinct, e9 stickiness."""
+        import datetime
+
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+
+        rows = load_tables(spark, sf_dir)["events"] \
+            .selectExpr("user_id", "to_date(ts) AS day").distinct().collect()
+        by_day: dict = {}
+        for r in rows:
+            by_day.setdefault(r.day, set()).add(r.user_id)
+        want = {}
+        for d, users in by_day.items():
+            window = set()
+            for k in range(7):
+                window |= by_day.get(d - datetime.timedelta(days=k), set())
+            dau, wau = len(users), len(window)
+            want[d] = (dau, wau, dau * 10**9 // wau)
+        got = {r.report_day: (r.dau, r.wau, r.stickiness_e9)
+               for r in Q.QUERIES["rolling_active_users"](
+                   spark, sf_dir).collect()}
+        assert got == want
