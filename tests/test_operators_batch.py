@@ -822,3 +822,52 @@ class TestAnalyticsReferences:
                for r in Q.QUERIES["rolling_active_users"](
                    spark, sf_dir).collect()}
         assert got == want
+
+    def test_transition_matrix_matches_python_reference(self, spark, sf_dir):
+        """q_transition_matrix ≡ a Python per-user sorted scan with the
+        (ts, event_id) tie-break and e9 row normalization."""
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+
+        evs = load_tables(spark, sf_dir)["events"] \
+            .select("user_id", "event_id", "event_type", "ts").collect()
+        seqs: dict = {}
+        for r in evs:
+            seqs.setdefault(r.user_id, []).append(
+                (r.ts, r.event_id, r.event_type))
+        counts: dict = {}
+        for seq in seqs.values():
+            seq.sort()
+            for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        totals: dict = {}
+        for (a, _), n in counts.items():
+            totals[a] = totals.get(a, 0) + n
+        want = {(a, b): (n, n * 10**9 // totals[a])
+                for (a, b), n in counts.items()}
+        got = {(r.from_type, r.to_type): (r.n, r.p_e9)
+               for r in Q.QUERIES["transition_matrix"](
+                   spark, sf_dir).collect()}
+        assert got == want
+
+    def test_cohort_retention_matches_python_reference(self, spark, sf_dir):
+        """q_cohort_retention ≡ a Python first-seen-day bucketing with
+        per-(cohort, offset) distinct-user counts."""
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+
+        evs = load_tables(spark, sf_dir)["events"] \
+            .select("user_id", "ts").collect()
+        per_user: dict = {}
+        for r in evs:
+            per_user.setdefault(r.user_id, []).append(r.ts)
+        want: dict = {}
+        for u, ts_list in per_user.items():
+            first = min(ts_list).date()
+            for d in {t.date() for t in ts_list}:
+                k = (first, (d - first).days)
+                want[k] = want.get(k, 0) + 1
+        got = {(r.cohort_day.date(), r.day_offset): r.users
+               for r in Q.QUERIES["cohort_retention"](
+                   spark, sf_dir).collect()}
+        assert got == want
