@@ -245,3 +245,58 @@ def test_sessionize_emits_completed_sessions(spark, tmp_path):
     assert ("a", 0, 5_000, 2) in got          # closed by the gap arrival
     assert ("b", 3_000, 3_000, 1) in got      # closed by event-time timeout
     assert ("a", 200_000, 200_000, 1) in got  # closed by timeout later
+
+
+def test_sessionize_state_survives_restart(spark, tmp_path):
+    """The sessionizer's per-key state must survive a query restart from
+    the same checkpoint: an open session extended AFTER the restart flushes
+    as ONE session spanning both runs — the KTable-store recovery contract
+    (reference state stores restore from the changelog; here the state
+    store restores from the checkpoint). Output goes to a parquet sink —
+    the memory sink does not support checkpoint recovery."""
+    from kafka_connect_streams_spark.streaming.state import sessionize
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    base = 1_700_000_000_000
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for k, off_s in rows:
+                f.write(json.dumps({"key": k,
+                                    "ts_ms": base + off_s * 1000}) + "\n")
+
+    def start():
+        stream = (spark.readStream.schema("key string, ts_ms long")
+                  .json(str(src))
+                  .selectExpr("key", "timestamp_micros(ts_ms*1000) AS ts"))
+        return (sessionize(stream, gap_s=30, watermark="5 seconds")
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ck")).start())
+
+    write("a.json", [("a", 0)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart from the same checkpoint; extend the still-open session,
+    # then push the watermark past its gap so it flushes
+    write("b.json", [("a", 10)])
+    write("c.json", [("z", 500)])
+    q = start()
+    try:
+        q.processAllAvailable()
+        write("d.json", [("z", 900)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(out)).collect()
+    got = {(r.key, r.session_start_ms - base, r.session_end_ms - base,
+            r.n_events) for r in rows}
+    # ONE session for "a" spanning both runs: state restored, then merged
+    assert ("a", 0, 10_000, 2) in got, got
