@@ -871,3 +871,36 @@ class TestAnalyticsReferences:
                for r in Q.QUERIES["cohort_retention"](
                    spark, sf_dir).collect()}
         assert got == want
+
+    def test_user_journeys_matches_python_reference(self, spark, sf_dir):
+        """q_user_journeys ≡ a Python gap-sessionizer (>600s starts a new
+        session under the (ts, event_id) total order) with top-20 path
+        counting and the (n DESC, path) tie-break."""
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+
+        evs = load_tables(spark, sf_dir)["events"] \
+            .select("user_id", "event_id", "event_type", "ts").collect()
+        seqs: dict = {}
+        for r in evs:
+            seqs.setdefault(r.user_id, []).append(
+                (r.ts, r.event_id, r.event_type))
+        counts: dict = {}
+        for seq in seqs.values():
+            seq.sort()
+            path: list = []
+            prev = None
+            for ts, _, et in seq:
+                us = int(ts.timestamp() * 1_000_000)
+                if prev is not None and us - prev > 600_000_000:
+                    p = ">".join(path)
+                    counts[p] = counts.get(p, 0) + 1
+                    path = []
+                path.append(et)
+                prev = us
+            p = ">".join(path)
+            counts[p] = counts.get(p, 0) + 1
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [(r.path, r.n_sessions)
+               for r in Q.QUERIES["user_journeys"](spark, sf_dir).collect()]
+        assert got == want
