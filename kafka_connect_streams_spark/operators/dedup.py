@@ -478,3 +478,76 @@ def winnow_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("id_a", "id_b", "n_shared",
                     F.expr("n_shared * 1000000000 div "
                            "least(n_a, n_b)").alias("containment_e9")))
+
+
+# -- set-similarity join with prefix filtering (PPJoin-style) ---------------
+
+
+def prefix_filter_jaccard(df: DataFrame, text_col: str, id_col: str,
+                          threshold_e2: int = 50, shingle_n: int = 3,
+                          max_doc_freq: int = 1000) -> DataFrame:
+    """Exact shingle-set Jaccard join with PPJoin-style prefix filtering
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW'08 — public algorithm; the reference has no
+    similarity operators, SURVEY §0).
+
+    Set elements are distinct word ``shingle_n``-grams (unigrams collide
+    massively on small vocabularies — n-grams make the sets
+    discriminative). Candidate generation does NOT join on every shared
+    element: each document's set is ordered rarest-first by global
+    document frequency, and only the first ``s − ⌈τ·s⌉ + 1`` elements
+    (the *prefix*) participate in the self-join — two sets with
+    Jaccard ≥ τ must share at least one prefix element, so the pruning
+    is lossless, and the prefix pivots on the RAREST elements, which is
+    what keeps bucket sizes small at scale (a frequency cap backstops
+    adversarial corpora). Candidates then verify IN-ROW against the full
+    sorted element arrays (``array_intersect``); arrays shuffle only for
+    candidate pairs.
+
+    ``threshold_e2`` is τ in integer hundredths; all arithmetic is
+    integer (``(τ_e2·s + 99) div 100`` is ⌈τ·s⌉ for positive s) so the
+    result is bit-identical across engines. Output: (id_a, id_b,
+    n_shared, jaccard_e9) for pairs with Jaccard ≥ τ.
+    """
+    from pyspark.sql.window import Window
+
+    tok = (shingles(df, text_col, id_col, shingle_n)
+           .withColumnRenamed("shingle", "token"))
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("_df"))
+    ranked = (tok.join(dfreq, "token")
+              .filter(F.col("_df") <= max_doc_freq)
+              .withColumn("_pos", F.row_number().over(
+                  Window.partitionBy(id_col).orderBy("_df", "token")))
+              .join(sizes, id_col))
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("set_size")
+        - F.expr(f"({threshold_e2} * set_size + 99) div 100") + 1)
+    a = prefix.select(F.col(id_col).alias("id_a"), "token",
+                      F.col("set_size").alias("size_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "token",
+                      F.col("set_size").alias("size_b"))
+    cand = (a.join(b, "token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            # length filter: Jaccard ≥ τ ⇒ min(s)·100 ≥ τ_e2·max(s)
+            .filter(F.least("size_a", "size_b") * 100
+                    >= F.lit(threshold_e2) * F.greatest("size_a", "size_b"))
+            .select("id_a", "id_b").distinct())
+    arrs = (tok.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("token")).alias("toks")))
+    aa = arrs.select(F.col(id_col).alias("id_a"),
+                     F.col("toks").alias("toks_a"))
+    ab = arrs.select(F.col(id_col).alias("id_b"),
+                     F.col("toks").alias("toks_b"))
+    out = (cand.join(aa, "id_a").join(ab, "id_b")
+           .withColumn("n_shared",
+                       F.size(F.array_intersect("toks_a", "toks_b"))
+                        .cast("bigint"))
+           .withColumn("_union",
+                       F.size("toks_a") + F.size("toks_b")
+                       - F.col("n_shared")))
+    return (out.filter(F.col("n_shared") * 100
+                       >= F.lit(threshold_e2) * F.col("_union"))
+            .select("id_a", "id_b", "n_shared",
+                    F.expr("n_shared * 1000000000 div _union")
+                     .alias("jaccard_e9")))

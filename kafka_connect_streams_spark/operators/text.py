@@ -600,3 +600,49 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "top_token_share_e9", "dup_bigram_frac_e9",
         reasons.alias("fail_reasons")
     ).withColumn("keep", F.col("fail_reasons") == "")
+
+
+def dsir_weights(df: DataFrame, text_col: str, id_col: str,
+                 target_pred: Column, n_buckets: int = 1024) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23 — public
+    method; the reference has no corpus operators, SURVEY §0).
+
+    Each token hashes into one of ``n_buckets`` feature buckets; the
+    target distribution is estimated from the rows matching
+    ``target_pred`` and the raw distribution from the whole corpus. A
+    document's importance score is the sum over its tokens (with
+    multiplicity) of the bucket's target/raw rate ratio — documents
+    whose token profile looks like the target domain score high and
+    survive importance resampling.
+
+    All arithmetic is integer fixed-point (rates in e9, ratios in e6,
+    truncating ``div`` on non-negative values) so the score is
+    bit-identical across engines. e-scale bound: rates stay non-zero
+    while total token counts are < 1e9 per side; beyond that (true
+    100 TB corpora) the same plan runs with DECIMAL(38) rates — the
+    shape (explode → broadcast bucket join → per-doc sum) is unchanged.
+
+    Scale shape: bucket stats are ``n_buckets`` rows (a broadcast), the
+    corpus is scanned once for stats and once for scoring, and the only
+    corpus-sized shuffle is the per-document sum.
+    """
+    toks = (df.select(F.col(id_col), target_pred.alias("_is_target"),
+                      F.explode(_tok_array(text_col)).alias("_tok"))
+            .withColumn("_bucket",
+                        F.conv(F.substring(F.md5("_tok"), 1, 12), 16, 10)
+                         .cast("bigint") % n_buckets))
+    stats = (toks.groupBy("_bucket")
+             .agg(F.count("*").alias("cr"),
+                  F.sum(F.col("_is_target").cast("bigint")).alias("ct")))
+    totals = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    ratios = (stats.crossJoin(F.broadcast(totals))
+              .withColumn("pt_e9", F.expr("ct * 1000000000 div nt"))
+              .withColumn("pr_e9", F.expr("cr * 1000000000 div nr"))
+              .select("_bucket",
+                      F.expr("pt_e9 * 1000000 div greatest(pr_e9, 1)")
+                       .alias("ratio_e6")))
+    return (toks.join(F.broadcast(ratios), "_bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("ratio_e6").alias("dsir_score_e6")))

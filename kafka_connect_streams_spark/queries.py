@@ -2576,6 +2576,154 @@ def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_classifier_score(t["documents"], "text", "doc_id")
 
 
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style set-similarity join (operators/dedup.py:
+    prefix_filter_jaccard): exact 3-gram-shingle-set Jaccard ≥ 0.5 with
+    rarest-first prefix filtering — candidates join only on each set's
+    prefix shingles, then verify in-row against sorted shingle arrays.
+    The third member of the Jaccard family (alongside the rare-shingle
+    cap and MinHash banding) and the one with a lossless-pruning
+    guarantee."""
+    from kafka_connect_streams_spark.operators.dedup import (
+        prefix_filter_jaccard)
+    t = load_tables(spark, sf_dir)
+    return prefix_filter_jaccard(t["documents"], "text", "doc_id",
+                                 threshold_e2=50, shingle_n=3)
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text.py: dsir_weights): hashed
+    unigram buckets, target = lang='en' documents, raw = whole corpus;
+    per-doc score is the token-summed target/raw rate ratio in integer
+    e6 fixed point. The importance-resampling scorer that upweights
+    target-domain-looking documents in a pretraining mix."""
+    from kafka_connect_streams_spark.operators.text import dsir_weights
+    t = load_tables(spark, sf_dir)
+    return dsir_weights(t["documents"], "text", "doc_id",
+                        F.col("lang") == "en")
+
+
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: daily event counts/totals per
+    type over a generated date spine, missing days zero-filled — the
+    step every downstream rolling/anomaly computation assumes (a gap
+    read as "no row" instead of "zero" silently corrupts averages).
+    Scale shape: the spine is |types|·|days| rows built from a broadcast
+    1-row bounds aggregate — never a corpus-sized generator; the corpus
+    contributes one groupBy. Totals pass through exact DECIMAL so the
+    double is bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", F.to_date("ts").alias("day"),
+                            "value")
+    daily = (ev.groupBy("event_type", "day")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,6)"))
+                   .cast("double").alias("total")))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (ev.select("event_type").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence("d0", "d1")).alias("day")))
+    return (spine.join(daily, ["event_type", "day"], "left")
+            .select("event_type", "day",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.coalesce("total", F.lit(0.0)).alias("total")))
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: flag days whose event count sits more
+    than 2 population standard deviations from the type's daily mean.
+    The test is integer-exact — (x·n − S)² > 4·(n·Q − S²) is
+    (x − μ)² > (2σ)² cleared of division, with S=Σx, Q=Σx² — so no
+    cross-engine float ulp can flip a flag. Intermediates square through
+    DECIMAL(38,0) (counts up to ~1e9/day stay exact). Per-type stats are
+    a tiny broadcast; the corpus contributes one groupBy."""
+    t = load_tables(spark, sf_dir)
+    daily = (t["events"]
+             .select("event_type", F.to_date("ts").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").alias("x")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.count("*").alias("nd"), F.sum("x").alias("s"),
+                  F.sum(F.col("x") * F.col("x")).alias("q")))
+    # explicit multiplies, never **: Column.__pow__ lowers to pow() which
+    # is DOUBLE and would reintroduce the float ulps this query avoids
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    diff = d18("x") * d18("nd") - d18("s")
+    lhs = diff * diff
+    rhs = F.lit(4).cast("decimal(18,0)") \
+        * (d18("nd") * d18("q") - d18("s") * d18("s"))
+    return (daily.join(F.broadcast(stats), "event_type")
+            .select("event_type", "day", "x",
+                    F.when(lhs > rhs, F.lit(1)).otherwise(F.lit(0))
+                     .cast("int").alias("is_spike")))
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) Poisson sample:
+    document i with weight w_i = n_chars is kept iff
+    h30_i · W < k · w_i · 2³⁰ — inclusion probability k·w_i/W with
+    expected size k=100, from a 30-bit md5 hash. Deterministic,
+    coordinated (supersets under growing k), and integer-exact: the
+    comparison runs in DECIMAL(38,0) so corpus weight totals up to
+    1e28 never overflow. The companion to exact_k_sample (unweighted
+    exact-k) and token_budget_sample (sequential budget): this one is a
+    single scan + broadcast scalar — no sort, no window, no state."""
+    t = load_tables(spark, sf_dir)
+    docs = (t["documents"]
+            .select("doc_id", F.col("n_chars").alias("w"))
+            .withColumn("_h30", F.expr(
+                "cast(conv(substring(md5(cast(doc_id as string)), 1, 12),"
+                " 16, 10) as bigint) div 262144")))
+    tot = docs.agg(F.sum("w").alias("tw"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (docs.crossJoin(F.broadcast(tot))
+            .filter(d38("_h30") * d38("tw")
+                    < F.lit(100).cast("decimal(38,0)") * d38("w")
+                    * F.lit(1073741824).cast("decimal(38,0)"))
+            .select("doc_id", "w"))
+
+
+def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the event-type transition graph (edges =
+    q_transition_matrix's lead() pairs, weighted by count), 5 unrolled
+    Jacobi iterations at damping 0.85 in e9 fixed point — truncating
+    integer div makes every iteration bit-identical cross-engine (the
+    q_ann_pq_trained_recall precedent: iterative algorithms hash-gate by
+    unrolling into SQL). Scale shape: the corpus is touched ONCE to
+    aggregate the edge list; all 5 iterations run on the |types|²-bounded
+    graph, so iteration cost is independent of corpus size. Dangling
+    mass is not redistributed (documented choice; no dangling nodes in
+    this graph — every type transitions somewhere)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (t["events"]
+             .withColumn("_next", F.lead("event_type").over(w))
+             .filter(F.col("_next").isNotNull())
+             .groupBy(F.col("event_type").alias("src"),
+                      F.col("_next").alias("dst"))
+             .agg(F.count("*").alias("n")))
+    edges = edges.join(
+        edges.groupBy("src").agg(F.sum("n").alias("out_n")), "src")
+    nodes = (t["events"].select(F.col("event_type").alias("node"))
+             .distinct())
+    n_nodes = nodes.agg(F.count("*").alias("nn"))
+    pr = (nodes.crossJoin(F.broadcast(n_nodes))
+          .select("node", F.expr("1000000000 div nn").alias("pr_e9")))
+    base = F.expr("150000000 div nn")
+    for _ in range(5):
+        contrib = (edges.join(pr.withColumnRenamed("node", "src"), "src")
+                   .withColumn("c", F.expr("pr_e9 * n div out_n"))
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum("c").alias("inc")))
+        pr = (nodes.join(contrib, "node", "left")
+              .crossJoin(F.broadcast(n_nodes))
+              .select("node",
+                      (base + F.expr("85 * coalesce(inc, 0) div 100"))
+                      .alias("pr_e9")))
+    return pr.select(F.col("node").alias("event_type"), "pr_e9")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2604,9 +2752,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oldest-green queries for re-verification up to slot 50. Everything
     # else rotates to the back. After ANY registry edit, recompute
     # list(QUERIES)[:50] and confirm every query changed this round is
-    # inside it. ROUND-6 NOTE: after r05 every registered query has had a
-    # driver row; next window = anything round 6 adds/changes FIRST, then
-    # the longest-unverified greens (the r01/r02 battery tail).
+    # inside it. ROUND-6 NOTE: five late-round-5 additions sit just past
+    # the window (dsir_importance, resample_gapfill, anomaly_zscore,
+    # pps_sample, pagerank_types — slots 51-55, never driver-checked);
+    # next window = those five FIRST, then anything round 6 adds/changes,
+    # then the longest-unverified greens (the r01/r02 battery tail).
     "important_parts": q_important_parts,
     "conditional_agg": q_conditional_agg,
     "null_handling": q_null_handling,
@@ -2656,8 +2806,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_dedup": q_winnowing_dedup,
     "exact_k_sample": q_exact_k_sample,
     "winsorize": q_winsorize,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
+    # --- end of driver window (slot 50 is jaccard_prefix_join; wordcount
+    # rotated out — it has green rows since r01 and was this window's only
+    # re-verification pick) ---
+    # Late round-5 additions below were registered AFTER the window froze;
+    # per the ROUND-6 NOTE above they lead the next window: dsir_importance,
+    # resample_gapfill, anomaly_zscore, pps_sample, pagerank_types.
+    "dsir_importance": q_dsir_importance,
+    "resample_gapfill": q_resample_gapfill,
+    "anomaly_zscore": q_anomaly_zscore,
+    "pps_sample": q_pps_sample,
+    "pagerank_types": q_pagerank_types,
     "wordcount": q_wordcount,
-    # --- end of driver window (slot 50 is session_window) ---
     "session_window": q_session_window,
     "select_project": q_select_project,
     "filter": q_filter,
@@ -5848,5 +6009,176 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, n_tokens, score,
                CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
         FROM scored
+    """,
+    "jaccard_prefix_join": """
+        WITH t0 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        tok AS (
+            SELECT DISTINCT doc_id AS id, shingle AS token FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+                FROM t0) u
+            WHERE length(shingle) > 0),
+        sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS s
+                  FROM tok GROUP BY id),
+        dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                  FROM tok GROUP BY token),
+        ranked AS (
+            SELECT t.id, t.token,
+                   row_number() OVER (PARTITION BY t.id
+                                      ORDER BY d.df, t.token) AS pos,
+                   s.s
+            FROM tok t JOIN dfreq d USING (token) JOIN sizes s USING (id)
+            WHERE d.df <= 1000),
+        prefix AS (SELECT id, token FROM ranked
+                   WHERE pos <= s - ((50 * s + 99) // 100) + 1),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM prefix a JOIN prefix b
+                   ON a.token = b.token AND a.id < b.id),
+        shared AS (
+            SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM cand c
+            JOIN tok ta ON ta.id = c.id_a
+            JOIN tok tb ON tb.id = c.id_b AND tb.token = ta.token
+            GROUP BY c.id_a, c.id_b)
+        SELECT sh.id_a, sh.id_b, sh.n_shared,
+               CAST(sh.n_shared * 1000000000
+                    // (sa.s + sb.s - sh.n_shared) AS BIGINT) AS jaccard_e9
+        FROM shared sh
+        JOIN sizes sa ON sa.id = sh.id_a
+        JOIN sizes sb ON sb.id = sh.id_b
+        WHERE 100 * sh.n_shared >= 50 * (sa.s + sb.s - sh.n_shared)
+    """,
+    "dsir_importance": """
+        WITH tok AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                   ('0x' || substr(md5(word), 1, 12))::BIGINT % 1024 AS bucket
+            FROM (SELECT doc_id, lang,
+                         unnest(string_split_regex(lower(coalesce(text, '')),
+                                                   '\\W+')) AS word
+                  FROM documents) u
+            WHERE length(word) > 0),
+        stats AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+                         CAST(sum(is_t) AS BIGINT) AS ct
+                  FROM tok GROUP BY bucket),
+        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                       CAST(sum(ct) AS BIGINT) AS nt FROM stats),
+        ratios AS (SELECT bucket,
+                          CAST((ct * 1000000000 // nt) * 1000000
+                               // greatest(cr * 1000000000 // nr, 1)
+                               AS BIGINT) AS ratio_e6
+                   FROM stats, tot)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(r.ratio_e6) AS BIGINT) AS dsir_score_e6
+        FROM tok t JOIN ratios r USING (bucket)
+        GROUP BY t.doc_id
+    """,
+    "resample_gapfill": """
+        WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+                    FROM events),
+        daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(value AS DECIMAL(18,6)))
+                              AS DOUBLE) AS total
+                  FROM ev GROUP BY event_type, day),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        spine AS (SELECT et.event_type, CAST(gs.d AS DATE) AS day
+                  FROM (SELECT DISTINCT event_type FROM ev) et,
+                       bounds b,
+                       unnest(generate_series(b.d0, b.d1,
+                                              INTERVAL 1 DAY)) AS gs(d))
+        SELECT s.event_type, s.day,
+               coalesce(d.n, CAST(0 AS BIGINT)) AS n,
+               coalesce(d.total, 0.0) AS total
+        FROM spine s LEFT JOIN daily d USING (event_type, day)
+    """,
+    "anomaly_zscore": """
+        WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS BIGINT) AS x
+                       FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                         CAST(sum(x) AS BIGINT) AS s,
+                         CAST(sum(x * x) AS BIGINT) AS q
+                  FROM daily GROUP BY event_type)
+        SELECT d.event_type, d.day, d.x,
+               CASE WHEN (CAST(d.x AS HUGEINT) * st.nd - st.s)
+                         * (CAST(d.x AS HUGEINT) * st.nd - st.s)
+                         > 4 * (CAST(st.nd AS HUGEINT) * st.q
+                                - CAST(st.s AS HUGEINT) * st.s)
+                    THEN 1 ELSE 0 END AS is_spike
+        FROM daily d JOIN stats st USING (event_type)
+    """,
+    "pps_sample": """
+        WITH d AS (SELECT doc_id, n_chars AS w,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 12))::BIGINT // 262144 AS h30
+                   FROM documents),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d)
+        SELECT d.doc_id, d.w
+        FROM d, tot
+        WHERE CAST(d.h30 AS HUGEINT) * tot.tw
+              < CAST(100 AS HUGEINT) * d.w * 1073741824
+    """,
+    "pagerank_types": """
+        WITH seq AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events),
+        edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+        oe AS (SELECT e.src, e.dst, e.n, t.out_n FROM edges e
+               JOIN (SELECT src, CAST(sum(n) AS BIGINT) AS out_n
+                     FROM edges GROUP BY src) t USING (src)),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+        pr0 AS (SELECT node, CAST(1000000000 // nn.nn AS BIGINT) AS pr_e9
+                FROM nodes, nn),
+        c1 AS (SELECT oe.dst AS node,
+                      CAST(sum(p.pr_e9 * oe.n // oe.out_n) AS BIGINT) AS inc
+               FROM oe JOIN pr0 p ON p.node = oe.src GROUP BY oe.dst),
+        pr1 AS (SELECT n.node,
+                       CAST(150000000 // nn.nn
+                            + 85 * coalesce(c.inc, 0) // 100
+                            AS BIGINT) AS pr_e9
+                FROM nodes n CROSS JOIN nn LEFT JOIN c1 c ON c.node = n.node),
+        c2 AS (SELECT oe.dst AS node,
+                      CAST(sum(p.pr_e9 * oe.n // oe.out_n) AS BIGINT) AS inc
+               FROM oe JOIN pr1 p ON p.node = oe.src GROUP BY oe.dst),
+        pr2 AS (SELECT n.node,
+                       CAST(150000000 // nn.nn
+                            + 85 * coalesce(c.inc, 0) // 100
+                            AS BIGINT) AS pr_e9
+                FROM nodes n CROSS JOIN nn LEFT JOIN c2 c ON c.node = n.node),
+        c3 AS (SELECT oe.dst AS node,
+                      CAST(sum(p.pr_e9 * oe.n // oe.out_n) AS BIGINT) AS inc
+               FROM oe JOIN pr2 p ON p.node = oe.src GROUP BY oe.dst),
+        pr3 AS (SELECT n.node,
+                       CAST(150000000 // nn.nn
+                            + 85 * coalesce(c.inc, 0) // 100
+                            AS BIGINT) AS pr_e9
+                FROM nodes n CROSS JOIN nn LEFT JOIN c3 c ON c.node = n.node),
+        c4 AS (SELECT oe.dst AS node,
+                      CAST(sum(p.pr_e9 * oe.n // oe.out_n) AS BIGINT) AS inc
+               FROM oe JOIN pr3 p ON p.node = oe.src GROUP BY oe.dst),
+        pr4 AS (SELECT n.node,
+                       CAST(150000000 // nn.nn
+                            + 85 * coalesce(c.inc, 0) // 100
+                            AS BIGINT) AS pr_e9
+                FROM nodes n CROSS JOIN nn LEFT JOIN c4 c ON c.node = n.node),
+        c5 AS (SELECT oe.dst AS node,
+                      CAST(sum(p.pr_e9 * oe.n // oe.out_n) AS BIGINT) AS inc
+               FROM oe JOIN pr4 p ON p.node = oe.src GROUP BY oe.dst),
+        pr5 AS (SELECT n.node,
+                       CAST(150000000 // nn.nn
+                            + 85 * coalesce(c.inc, 0) // 100
+                            AS BIGINT) AS pr_e9
+                FROM nodes n CROSS JOIN nn LEFT JOIN c5 c ON c.node = n.node)
+        SELECT node AS event_type, pr_e9 FROM pr5
     """,
 }
