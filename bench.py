@@ -92,10 +92,10 @@ HEADLINE = [
     "forecast_revenue",
     "nation_volume_shipping",
     "product_profit",
-    "customer_distribution",
     "top_supplier",
-    "supplier_part_counts",
     "waiting_suppliers",
+    "jaccard_prefix_join",
+    "dsir_importance",
 ]
 
 

@@ -2691,10 +2691,13 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer div makes every iteration bit-identical cross-engine (the
     q_ann_pq_trained_recall precedent: iterative algorithms hash-gate by
     unrolling into SQL). Scale shape: the corpus is touched ONCE to
-    aggregate the edge list; all 5 iterations run on the |types|²-bounded
-    graph, so iteration cost is independent of corpus size. Dangling
-    mass is not redistributed (documented choice; no dangling nodes in
-    this graph — every type transitions somewhere)."""
+    aggregate the edge list, which is then ``localCheckpoint``-ed (the
+    dedup_clusters precedent) so the 5 iterations replay a materialized
+    |types|²-bounded graph instead of re-expanding the corpus subtree
+    5×; per-iteration joins broadcast the tiny rank vector. Iteration
+    cost is independent of corpus size. Dangling mass is not
+    redistributed (documented choice; no dangling nodes in this graph —
+    every type transitions somewhere)."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (t["events"]
@@ -2704,19 +2707,21 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("_next").alias("dst"))
              .agg(F.count("*").alias("n")))
     edges = edges.join(
-        edges.groupBy("src").agg(F.sum("n").alias("out_n")), "src")
+        edges.groupBy("src").agg(F.sum("n").alias("out_n")), "src") \
+        .localCheckpoint()
     nodes = (t["events"].select(F.col("event_type").alias("node"))
-             .distinct())
+             .distinct().localCheckpoint())
     n_nodes = nodes.agg(F.count("*").alias("nn"))
     pr = (nodes.crossJoin(F.broadcast(n_nodes))
           .select("node", F.expr("1000000000 div nn").alias("pr_e9")))
     base = F.expr("150000000 div nn")
     for _ in range(5):
-        contrib = (edges.join(pr.withColumnRenamed("node", "src"), "src")
+        contrib = (edges.join(F.broadcast(
+                       pr.withColumnRenamed("node", "src")), "src")
                    .withColumn("c", F.expr("pr_e9 * n div out_n"))
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum("c").alias("inc")))
-        pr = (nodes.join(contrib, "node", "left")
+        pr = (nodes.join(F.broadcast(contrib), "node", "left")
               .crossJoin(F.broadcast(n_nodes))
               .select("node",
                       (base + F.expr("85 * coalesce(inc, 0) div 100"))
@@ -6017,7 +6022,9 @@ ORACLE: dict[str, str] = {
                                t -> length(t) > 0) AS toks
             FROM documents),
         tok AS (
-            SELECT DISTINCT doc_id AS id, shingle AS token FROM (
+            SELECT DISTINCT doc_id AS id,
+                   ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS token
+            FROM (
                 SELECT doc_id,
                        unnest(list_transform(
                            generate_series(0, greatest(len(toks) - 3, 0)),
