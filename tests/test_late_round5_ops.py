@@ -226,3 +226,53 @@ class TestPagerankTypes:
         assert out["buy"] > out["click"] > out["view"]
         # every node keeps at least the teleport mass
         assert all(v >= 150_000_000 // 3 for v in out.values())
+
+
+class TestPrefixFilterJaccardProperty:
+    """Lossless-pruning property: on random corpora the prefix-filtered,
+    positionally-filtered join must return EXACTLY the brute-force
+    Jaccard-threshold pairs — the positional filter's soundness rests on
+    the shared-global-order argument (operators/dedup.py docstring), and
+    this hammers it with adversarial duplicate-heavy vocabularies."""
+
+    def test_random_corpora_match_bruteforce(self, spark):
+        import random
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        words = ["a", "b", "c", "dd", "ee", "ff", "g1", "h2"]
+        for seed in (1, 2, 3):
+            rng = random.Random(seed)
+            docs = []
+            for i in range(30):
+                n = rng.randint(1, 12)
+                docs.append((i, " ".join(rng.choice(words)
+                                         for _ in range(n))))
+            # duplicate-heavy tail: near-dups of earlier docs
+            for i in range(30, 40):
+                base_id = rng.randrange(30)
+                t = docs[base_id][1] + (" extra" if rng.random() < 0.5
+                                        else "")
+                docs.append((i, t))
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            for tau_e2 in (30, 50, 80):
+                got = {(r.id_a, r.id_b): r.n_shared
+                       for r in prefix_filter_jaccard(
+                           df, "text", "doc_id",
+                           threshold_e2=tau_e2).collect()}
+                sets = {i: {_h48(s) for s in _shingle_set(t)}
+                        for i, t in docs}
+                want = {}
+                for a in sorted(sets):
+                    for b in sorted(sets):
+                        if a >= b or not sets[a] or not sets[b]:
+                            continue
+                        inter = len(sets[a] & sets[b])
+                        union = len(sets[a] | sets[b])
+                        if 100 * inter >= tau_e2 * union:
+                            want[(a, b)] = inter
+                assert got == want, (seed, tau_e2)
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
