@@ -2684,6 +2684,35 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "w"))
 
 
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity counter: per event type, the
+    exponentially decayed daily-count sum as of the corpus's latest day,
+    with a one-day half-life — the freshness-weighted popularity signal
+    behind trending rankings and decayed CTR features. Integer-exact:
+    weight 2^(−age) is a LEFT SHIFT — day d contributes x_d·2^(20−age)
+    in units of 2⁻²⁰, days older than the 20-day horizon contribute less
+    than one ulp and truncate to zero by construction (documented cap;
+    no float pow, no cross-engine ulps). One corpus groupBy; the as-of
+    day is a broadcast 1-row aggregate."""
+    t = load_tables(spark, sf_dir)
+    daily = (t["events"]
+             .select("event_type", F.to_date("ts").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").alias("x")))
+    asof = daily.agg(F.max("day").alias("as_of"))
+    aged = (daily.crossJoin(F.broadcast(asof))
+            .withColumn("age", F.datediff("as_of", "day")))
+    return (aged.groupBy("event_type")
+            .agg(F.min("as_of").alias("as_of"),
+                 F.sum(F.expr(
+                     "CASE WHEN age <= 20 THEN"
+                     " x * shiftleft(cast(1 as bigint), 20 - age)"
+                     " ELSE cast(0 as bigint) END"))
+                  .alias("decayed_x2e20"),
+                 F.sum((F.col("age") <= 20).cast("bigint"))
+                  .alias("n_days_in_horizon")))
+
+
 def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the event-type transition graph (edges =
     q_transition_matrix's lead() pairs, weighted by count), 5 unrolled
@@ -2759,9 +2788,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # list(QUERIES)[:50] and confirm every query changed this round is
     # inside it. ROUND-6 NOTE: five late-round-5 additions sit just past
     # the window (dsir_importance, resample_gapfill, anomaly_zscore,
-    # pps_sample, pagerank_types — slots 51-55, never driver-checked);
-    # next window = those five FIRST, then anything round 6 adds/changes,
-    # then the longest-unverified greens (the r01/r02 battery tail).
+    # pps_sample, pagerank_types, decayed_counts — slots 51-56, never
+    # driver-checked);
+    # next window = those six FIRST (plus decayed_counts, slot 56), then
+    # anything round 6 adds/changes, then the longest-unverified greens
+    # (the r01/r02 battery tail).
     "important_parts": q_important_parts,
     "conditional_agg": q_conditional_agg,
     "null_handling": q_null_handling,
@@ -2823,6 +2854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_zscore": q_anomaly_zscore,
     "pps_sample": q_pps_sample,
     "pagerank_types": q_pagerank_types,
+    "decayed_counts": q_decayed_counts,
     "wordcount": q_wordcount,
     "session_window": q_session_window,
     "select_project": q_select_project,
@@ -6187,5 +6219,21 @@ ORACLE: dict[str, str] = {
                             AS BIGINT) AS pr_e9
                 FROM nodes n CROSS JOIN nn LEFT JOIN c5 c ON c.node = n.node)
         SELECT node AS event_type, pr_e9 FROM pr5
+    """,
+"decayed_counts": """
+        WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS BIGINT) AS x
+                       FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        cutoff AS (SELECT max(day) AS as_of FROM daily)
+        SELECT d.event_type, min(a.as_of) AS as_of,
+               CAST(sum(CASE WHEN a.as_of - d.day <= 20
+                             THEN d.x * (CAST(1 AS BIGINT)
+                                         << (20 - (a.as_of - d.day)))
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+                 AS decayed_x2e20,
+               CAST(sum(CASE WHEN a.as_of - d.day <= 20 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_days_in_horizon
+        FROM daily d, cutoff a
+        GROUP BY d.event_type
     """,
 }

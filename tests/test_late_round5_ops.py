@@ -276,3 +276,32 @@ class TestPrefixFilterJaccardProperty:
 
 def _h48(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+class TestDecayedCounts:
+    def test_halving_weights_and_horizon_cut(self, spark):
+        import datetime as dt
+
+        from kafka_connect_streams_spark.queries import q_decayed_counts
+        rows, eid = [], 0
+        # 4 on latest day, 2 one day back, 1 two days back, 7 beyond horizon
+        for day, cnt in [(dt.datetime(2024, 2, 1, 9), 4),
+                         (dt.datetime(2024, 1, 31, 9), 2),
+                         (dt.datetime(2024, 1, 30, 9), 1),
+                         (dt.datetime(2023, 12, 1, 9), 7)]:
+            for _ in range(cnt):
+                rows.append((eid, day, 1, "click", 1.0))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        df.write.mode("overwrite").parquet(
+            "/tmp/spark_graft_decay_events/events.parquet")
+        out = q_decayed_counts(spark, "/tmp/spark_graft_decay_events") \
+            .collect()
+        assert len(out) == 1
+        r = out[0]
+        # 4·2^20 + 2·2^19 + 1·2^18 in units of 2^-20 = 4 + 1 + 0.25
+        assert r.decayed_x2e20 == 4 * 2**20 + 2 * 2**19 + 1 * 2**18
+        assert r.n_days_in_horizon == 3          # the 2023 day truncates out
+        assert str(r.as_of) == "2024-02-01"
