@@ -368,3 +368,27 @@ def test_winsorize_broadcasts_bounds(spark, sf_dir):
     into the clip join as a broadcast, never shuffle the fact side."""
     df = Q.q_winsorize(spark, sf_dir)
     assert has_broadcast_join(df), physical_plan(df)
+
+
+def test_jaccard_prefix_join_filter_never_inlines_grams(spark, sf_dir):
+    """Regression pin for the 35x filter-pushdown blowup: a filter on an
+    aliased expensive array expression gets pushed THROUGH its projection
+    with the whole cascade inlined into the predicate (split() re-run per
+    element probe). The empty-doc filter must sit on the raw token array,
+    so no Filter node may contain the gram construction (concat_ws)."""
+    df = Q.q_jaccard_prefix_join(spark, sf_dir)
+    plan = physical_plan(df)
+    for block in plan.split("\n\n"):
+        for line in block.splitlines():
+            if line.strip().startswith("Condition") and "concat_ws" in line:
+                raise AssertionError(
+                    "gram expression inlined into a Filter:\n" + line[:400])
+
+
+def test_pagerank_iterations_run_on_checkpointed_graph(spark, sf_dir):
+    """The 5 PageRank iterations must replay the materialized edge list,
+    never re-expand the corpus subtree: 0 parquet scans in the plan."""
+    df = Q.q_pagerank_types(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
