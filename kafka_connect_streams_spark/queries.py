@@ -2791,8 +2791,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pps_sample, pagerank_types, decayed_counts — slots 51-56, never
     # driver-checked);
     # next window = those six FIRST (plus decayed_counts, slot 56), then
-    # anything round 6 adds/changes, then the longest-unverified greens
-    # (the r01/r02 battery tail).
+    # anything round 6 adds/changes, then dedup_ngram_jaccard (its
+    # shingles() helper was rewritten late in round 5 — proven
+    # element-identical and locally hash-green at all three SFs, but it
+    # sits outside this window so the driver hasn't re-checked it), then
+    # the longest-unverified greens (the r01/r02 battery tail).
     "important_parts": q_important_parts,
     "conditional_agg": q_conditional_agg,
     "null_handling": q_null_handling,
