@@ -33,15 +33,24 @@ def _h64(col) -> F.Column:
 
 
 def tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, token) rows: lowercase \\W+ split, empties dropped."""
+    """(id, token) rows: lowercase \\W+ split, empties dropped.
+
+    NULL text ≡ empty document (the repo-wide policy): coalesce before
+    split, so a NULL doc contributes zero token rows by the same path as
+    an empty one."""
     return (fan_out(df).select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("token"))
+        F.explode(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                          r"\W+")).alias("token"))
         .filter(F.length("token") > 0))
 
 
-def _gram_array(text_col: str, n: int) -> F.Column:
-    """Word n-gram array, one in-row expression (codegen, no Python).
+def _gram_array(toks_col: str, n: int) -> F.Column:
+    """Word n-gram array over a token-array column (codegen, no Python).
+
+    ``toks_col`` names the token array a prior ``_with_gram_tokens`` (or
+    equivalent) projection added — taking the column name rather than the
+    raw text makes that dependency explicit in the API.
 
     Built with ``concat_ws`` over ``try_element_at`` probes instead of
     ``array_join(slice(...))`` — slice allocates a fresh array per
@@ -52,20 +61,22 @@ def _gram_array(text_col: str, n: int) -> F.Column:
     yield '' (callers filter on length). Verified element-for-element
     identical to the slice formulation on the full sf0.1 corpus.
     """
-    probes = ", ".join(f"try_element_at(_sg_toks, i + {k})"
+    probes = ", ".join(f"try_element_at({toks_col}, i + {k})"
                        for k in range(n))
     return F.expr(f"""
         filter(transform(
-            sequence(1, greatest(size(_sg_toks) - {n - 1}, 1)),
+            sequence(1, greatest(size({toks_col}) - {n - 1}, 1)),
             i -> concat_ws(' ', {probes})),
           g -> length(g) > 0)
     """)
 
 
 def _with_gram_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    # coalesce: NULL text ≡ empty document (repo-wide NULL-text policy)
     return df.withColumn(
         "_sg_toks",
-        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+        F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         r"\W+"),
                  lambda t: F.length(t) > 0))
 
 
@@ -77,7 +88,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     """
     out = (_with_gram_tokens(fan_out(df), text_col)
            .select(F.col(id_col),
-                   F.explode(_gram_array(text_col, n)).alias("shingle")))
+                   F.explode(_gram_array("_sg_toks", n)).alias("shingle")))
     return out.distinct()
 
 
@@ -453,7 +464,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     shorter than k+w-1 words emit the minimum over whatever windows exist
     (<k words: none).
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                          r"\W+"),
                     lambda t: F.length(t) > 0)
     base = df.select(F.col(id_col), toks.alias("toks"))
     grams = (f"transform(sequence(0, greatest(size(toks) - {k}, 0)), "
@@ -560,7 +572,7 @@ def prefix_filter_jaccard(df: DataFrame, text_col: str, id_col: str,
     # ≥1 token ⟺ ≥1 gram, since concat_ws skips the NULL probes.
     base = (_with_gram_tokens(fan_out(df), text_col)
             .filter(F.size("_sg_toks") > 0)
-            .withColumn("_sg_grams", _gram_array(text_col, shingle_n))
+            .withColumn("_sg_grams", _gram_array("_sg_toks", shingle_n))
             .select(F.col(id_col),
                     F.array_sort(F.array_distinct(hashed)).alias("toks"))
             .withColumn("set_size", F.size("toks").cast("bigint"))

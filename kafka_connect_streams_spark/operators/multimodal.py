@@ -44,12 +44,15 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Uses the document text UTF-8 bytes as the stand-in payload; a real
     pipeline reads the bytes column straight from parquet.
     """
+    # NULL text ≡ empty payload (the repo-wide NULL-text policy): a doc
+    # with no content yields b'', not a NULL that crashes the decoders
+    body = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.encode(body, "UTF-8").alias("payload"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
-            F.octet_length(F.col(text_col)).cast("bigint").alias("n_bytes"),
+            F.octet_length(body).cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )
 

@@ -1022,13 +1022,17 @@ def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side codegen expressions (KSQL 5.1 has none of these; Spark SQL is
     the strict superset SURVEY §2.7 promises)."""
     t = load_tables(spark, sf_dir)
+    # NULL-text policy: regex over coalesce(text, '') so a NULL doc yields
+    # ('', '', false, 0), never NULLs (which also represent differently
+    # across engines: Spark NULL boolean vs DuckDB→pandas NaN)
+    body = F.coalesce(F.col("text"), F.lit(""))
     return t["documents"].select(
         "doc_id",
-        F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("digits_masked"),
-        F.regexp_extract(F.col("text"), r"\b([A-Za-z]{4})[A-Za-z]*", 1)
+        F.regexp_replace(body, "[0-9]+", "#").alias("digits_masked"),
+        F.regexp_extract(body, r"\b([A-Za-z]{4})[A-Za-z]*", 1)
         .alias("first_word4"),
-        F.col("text").rlike("[0-9]").alias("has_digit"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0))
+        body.rlike("[0-9]").alias("has_digit"),
+        F.size(F.regexp_extract_all(body, F.lit("[.!?]"), 0))
         .cast("bigint").alias("n_sentences"))
 
 
@@ -2764,105 +2768,76 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
-    # list(QUERIES)[:50]. Round-5 window: important_parts FIRST (slot 51 in
-    # every prior round — never driver-checked), then the six queries whose
-    # oracles were HUGEINT-red in r04 (now CAST AS BIGINT), then the 32
-    # round-5 additions (mix_weights, training_order, packing_efficiency,
-    # decontamination_minhash, doc_chunking, chunk_dedup,
-    # tokenizer_fertility, cluster_best_doc, curation_pipeline,
-    # audio_segments, ann_pq_adc, ann_pq_recall, ann_pq_trained_recall
-    # (rows-only: iterative k-means, no oracle), ann_ivfpq,
-    # transition_matrix, source_drift, phrase_search,
-    # rolling_active_users, join_skew_report, ngram_lm_counts,
-    # token_budget_sample,
-    # ccnet_buckets,
-    # cross_source_duplicates, embedding_decontamination, and the eight
-    # decision-support additions local_supplier_volume forecast_revenue
-    # nation_volume_shipping product_profit customer_distribution
-    # top_supplier supplier_part_counts waiting_suppliers), then the three
-    # late-round-5 additions (lm_doc_score, boilerplate_removal,
-    # linear_quality, min_cost_supplier, dominant_suppliers, gopher_rules,
-    # semantic_dedup, winnowing_dedup, exact_k_sample, winsorize), then
-    # oldest-green queries for re-verification up to slot 50. Everything
-    # else rotates to the back. After ANY registry edit, recompute
-    # list(QUERIES)[:50] and confirm every query changed this round is
-    # inside it. ROUND-6 NOTE: five late-round-5 additions sit just past
-    # the window (dsir_importance, resample_gapfill, anomaly_zscore,
-    # pps_sample, pagerank_types, decayed_counts — slots 51-56, never
-    # driver-checked);
-    # next window = those six FIRST (plus decayed_counts, slot 56), then
-    # anything round 6 adds/changes, then dedup_ngram_jaccard (its
-    # shingles() helper was rewritten late in round 5 — proven
-    # element-identical and locally hash-green at all three SFs, but it
-    # sits outside this window so the driver hasn't re-checked it), then
-    # the longest-unverified greens (the r01/r02 battery tail).
-    "important_parts": q_important_parts,
-    "conditional_agg": q_conditional_agg,
-    "null_handling": q_null_handling,
-    "linestatus_priority": q_linestatus_priority,
-    "sequence_packing": q_sequence_packing,
-    "quality_funnel": q_quality_funnel,
-    "training_pipeline": q_training_pipeline,
-    "mix_weights": q_mix_weights,
-    "training_order": q_training_order,
-    "packing_efficiency": q_packing_efficiency,
-    "decontamination_minhash": q_decontamination_minhash,
-    "doc_chunking": q_doc_chunking,
-    "chunk_dedup": q_chunk_dedup,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "cluster_best_doc": q_cluster_best_doc,
-    "curation_pipeline": q_curation_pipeline,
-    "audio_segments": q_audio_segments,
-    "ann_pq_adc": q_ann_pq_adc,
-    "ann_pq_recall": q_ann_pq_recall,
-    "ann_pq_trained_recall": q_ann_pq_trained_recall,
-    "ann_ivfpq": q_ann_ivfpq,
-    "transition_matrix": q_transition_matrix,
-    "source_drift": q_source_drift,
-    "phrase_search": q_phrase_search,
-    "rolling_active_users": q_rolling_active_users,
-    "join_skew_report": q_join_skew_report,
-    "ngram_lm_counts": q_ngram_lm_counts,
-    "local_supplier_volume": q_local_supplier_volume,
-    "forecast_revenue": q_forecast_revenue,
-    "nation_volume_shipping": q_nation_volume_shipping,
-    "product_profit": q_product_profit,
-    "customer_distribution": q_customer_distribution,
-    "top_supplier": q_top_supplier,
-    "supplier_part_counts": q_supplier_part_counts,
-    "waiting_suppliers": q_waiting_suppliers,
-    "token_budget_sample": q_token_budget_sample,
-    "ccnet_buckets": q_ccnet_buckets,
-    "cross_source_duplicates": q_cross_source_duplicates,
-    "embedding_decontamination": q_embedding_decontamination,
-    "lm_doc_score": q_lm_doc_score,
-    "boilerplate_removal": q_boilerplate_removal,
-    "linear_quality": q_linear_quality,
-    "min_cost_supplier": q_min_cost_supplier,
-    "dominant_suppliers": q_dominant_suppliers,
-    "gopher_rules": q_gopher_rules,
-    "semantic_dedup": q_semantic_dedup,
-    "winnowing_dedup": q_winnowing_dedup,
-    "exact_k_sample": q_exact_k_sample,
-    "winsorize": q_winsorize,
-    "jaccard_prefix_join": q_jaccard_prefix_join,
-    # --- end of driver window (slot 50 is jaccard_prefix_join; wordcount
-    # rotated out — it has green rows since r01 and was this window's only
-    # re-verification pick) ---
-    # Late round-5 additions below were registered AFTER the window froze;
-    # per the ROUND-6 NOTE above they lead the next window: dsir_importance,
-    # resample_gapfill, anomaly_zscore, pps_sample, pagerank_types.
+    # list(QUERIES)[:50]. Round-6 window, per VERDICT r5 "Next round" #1:
+    # (a) the six queries that have NEVER had a driver row (registered
+    #     late in round 5 at slots 50-55): dsir_importance,
+    #     resample_gapfill, anomaly_zscore, pps_sample, pagerank_types,
+    #     decayed_counts;
+    # (b) dedup_ngram_jaccard — its shingles() helper was rewritten late
+    #     in round 5 and its _gram_array signature changed in round 6;
+    # (c) every query whose oracle SQL or Spark plan changed in round 6
+    #     (the NULL-text-policy mirror: coalesce(text,'') spread into 40
+    #     oracles, attach_payload, dedup tokenizers, regex_functions) —
+    #     semantics are identical on NULL-free testdata, but the driver
+    #     must re-hash anything touched;
+    # (d) round-6 additions, inserted here as they land (each must stay
+    #     inside slot 50 — recompute after EVERY registry edit);
+    # (e) the remainder, ordered oldest-driver-row first, so slots left
+    #     over re-verify the stalest greens (r03 battery before r04/r05).
+    # ann_pq_trained_recall note: it HAS an oracle (the Lloyd loop is
+    # unrolled into the SQL twin) and a green r05 hash row; ORACLE_EXEMPT
+    # is empty (test_driver_contract.py).
     "dsir_importance": q_dsir_importance,
     "resample_gapfill": q_resample_gapfill,
     "anomaly_zscore": q_anomaly_zscore,
     "pps_sample": q_pps_sample,
     "pagerank_types": q_pagerank_types,
     "decayed_counts": q_decayed_counts,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "audio_segments": q_audio_segments,
+    "bigram_topk": q_bigram_topk,
+    "boilerplate_removal": q_boilerplate_removal,
+    "ccnet_buckets": q_ccnet_buckets,
+    "cluster_best_doc": q_cluster_best_doc,
+    "cross_source_duplicates": q_cross_source_duplicates,
+    "curation_pipeline": q_curation_pipeline,
+    "decontamination": q_decontamination,
+    "decontamination_minhash": q_decontamination_minhash,
+    "decontamination_ngram": q_decontamination_ngram,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_edit_distance": q_dedup_edit_distance,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_recall": q_dedup_recall,
+    "dedup_simhash": q_dedup_simhash,
+    "flatmap_rekey": q_flatmap_rekey,
+    "frame_sampling": q_frame_sampling,
+    "gopher_rules": q_gopher_rules,
+    "incremental_dedup": q_incremental_dedup,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
+    "linear_quality": q_linear_quality,
+    "lm_doc_score": q_lm_doc_score,
+    "multimodal_decode": q_multimodal_decode,
+    "ngram_lm_counts": q_ngram_lm_counts,
+    "phrase_search": q_phrase_search,
+    "quality_funnel": q_quality_funnel,
+    "regex_functions": q_regex_functions,
+    "source_drift": q_source_drift,
+    "text_fingerprint": q_text_fingerprint,
+    "text_language_id": q_text_language_id,
+    "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
+    "text_tokens": q_text_tokens,
+    "tfidf_topk": q_tfidf_topk,
+    "training_pipeline": q_training_pipeline,
+    "winnowing_dedup": q_winnowing_dedup,
     "wordcount": q_wordcount,
+    # --- round-6 additions land ABOVE this line; below = oldest-
+    # driver-row-first re-verification order (window cuts at 50) ---
     "session_window": q_session_window,
     "select_project": q_select_project,
     "filter": q_filter,
-    "flatmap_rekey": q_flatmap_rekey,
     "scalar_functions": q_scalar_functions,
     "json_extract": q_json_extract,
     "join_inner": q_join_inner,
@@ -2885,21 +2860,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot": q_pivot,
     "exists_subquery": q_exists_subquery,
     "distinct": q_distinct,
-    "dedup_exact": q_dedup_exact,
     "multiway_join": q_multiway_join,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
     "correlated_subquery": q_correlated_subquery,
     "topn_per_group": q_topn_per_group,
     "percentile_disc": q_percentile_disc,
     "approx_distinct": q_approx_distinct,
-    "text_tokens": q_text_tokens,
-    "text_quality": q_text_quality,
-    "text_language_id": q_text_language_id,
-    "text_fingerprint": q_text_fingerprint,
     "interval_join": q_interval_join,
-    "frame_sampling": q_frame_sampling,
     "grouping_sets": q_grouping_sets,
     "moving_avg": q_moving_avg,
     "time_range_frame": q_time_range_frame,
@@ -2909,13 +2876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "tfidf_topk": q_tfidf_topk,
     "hash_split": q_hash_split,
-    "regex_functions": q_regex_functions,
     "percent_rank_cume": q_percent_rank_cume,
-    "dedup_edit_distance": q_dedup_edit_distance,
     "user_journeys": q_user_journeys,
     "unpivot": q_unpivot,
     "data_profile": q_data_profile,
@@ -2925,32 +2887,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_items": q_returned_items,
     "disjunctive_predicates": q_disjunctive_predicates,
     "idle_customers": q_idle_customers,
-    "dedup_recall": q_dedup_recall,
     "ann_recall": q_ann_recall,
     "skew_salted_agg": q_skew_salted_agg,
     "stratified_sample": q_stratified_sample,
     "pii_redaction": q_pii_redaction,
-    "bigram_topk": q_bigram_topk,
     "histogram": q_histogram,
-    "incremental_dedup": q_incremental_dedup,
-    "decontamination": q_decontamination,
-    "decontamination_ngram": q_decontamination_ngram,
     "large_orders": q_large_orders,
     "ann_auto_recall": q_ann_auto_recall,
     "ann_topk_cosine": q_ann_topk_cosine,
-    "dedup_simhash": q_dedup_simhash,
-    "text_repetition": q_text_repetition,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "embedding_neardup": q_embedding_neardup,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
+    "important_parts": q_important_parts,
+    "conditional_agg": q_conditional_agg,
+    "null_handling": q_null_handling,
+    "linestatus_priority": q_linestatus_priority,
+    "sequence_packing": q_sequence_packing,
+    "mix_weights": q_mix_weights,
+    "training_order": q_training_order,
+    "packing_efficiency": q_packing_efficiency,
+    "doc_chunking": q_doc_chunking,
+    "chunk_dedup": q_chunk_dedup,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "ann_pq_adc": q_ann_pq_adc,
+    "ann_pq_recall": q_ann_pq_recall,
+    "ann_pq_trained_recall": q_ann_pq_trained_recall,
+    "ann_ivfpq": q_ann_ivfpq,
+    "transition_matrix": q_transition_matrix,
+    "rolling_active_users": q_rolling_active_users,
+    "join_skew_report": q_join_skew_report,
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue": q_forecast_revenue,
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "product_profit": q_product_profit,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
+    "waiting_suppliers": q_waiting_suppliers,
+    "token_budget_sample": q_token_budget_sample,
+    "embedding_decontamination": q_embedding_decontamination,
+    "min_cost_supplier": q_min_cost_supplier,
+    "dominant_suppliers": q_dominant_suppliers,
+    "semantic_dedup": q_semantic_dedup,
+    "exact_k_sample": q_exact_k_sample,
+    "winsorize": q_winsorize,
 }
 
 ORACLE: dict[str, str] = {
     "wordcount": """
         SELECT word, count(*) AS cnt
-        FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS word
+        FROM (SELECT unnest(string_split_regex(lower(coalesce(text, '')), '\\W+')) AS word
               FROM documents) t
         WHERE length(word) > 0
         GROUP BY word
@@ -2970,7 +2957,7 @@ ORACLE: dict[str, str] = {
         SELECT word, count(*) AS occurrences,
                count(DISTINCT doc_id) AS n_docs
         FROM (SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\\W+')) AS word
+                     unnest(string_split_regex(lower(coalesce(text, '')), '\\W+')) AS word
               FROM documents) t
         WHERE length(word) > 0
         GROUP BY word
@@ -3216,13 +3203,16 @@ ORACLE: dict[str, str] = {
         SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
     """,
     "dedup_exact": """
-        SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
-        FROM documents GROUP BY md5(text)
+        -- coalesce mirrors the Spark side's NULL-text policy (NULL ≡ ''):
+        -- a NULL doc shares the empty-doc fingerprint, not its own group
+        SELECT md5(coalesce(text, '')) AS fp, min(doc_id) AS keep_id,
+               count(*) AS copies
+        FROM documents GROUP BY md5(coalesce(text, ''))
     """,
     "dedup_minhash_lsh": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -3265,7 +3255,7 @@ ORACLE: dict[str, str] = {
         WITH tok AS (
             SELECT DISTINCT doc_id, token FROM (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(text), '\\W+')) AS token
+                       unnest(string_split_regex(lower(coalesce(text, '')), '\\W+')) AS token
                 FROM documents) u
             WHERE length(token) > 0),
         hashed AS (
@@ -3286,7 +3276,7 @@ ORACLE: dict[str, str] = {
     "dedup_ngram_jaccard": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -3616,7 +3606,7 @@ ORACLE: dict[str, str] = {
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                     t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
-               CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+               CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                     t -> length(t) > 0)) AS BIGINT) AS word_tokens,
                CAST(len(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
@@ -3626,9 +3616,9 @@ ORACLE: dict[str, str] = {
         WITH f AS (
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS n_chars,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0)) AS DOUBLE) AS n_tok,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0 AND t IN
                             ('the','a','of','and','to','in','is','that','it','for')))
                         AS DOUBLE) AS n_stop,
@@ -3650,7 +3640,7 @@ ORACLE: dict[str, str] = {
     "text_language_id": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         scored AS (
@@ -3679,18 +3669,21 @@ ORACLE: dict[str, str] = {
     "text_fingerprint": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents)
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+               -- coalesce: array_to_string([]) is NULL in DuckDB; Spark's
+               -- array_join gives '' (a NULL/empty doc hashes md5(''))
+               md5(coalesce(array_to_string(list_sort(list_distinct(toks)),
+                                            ' '), '')) AS fingerprint,
                CAST(len(list_distinct(toks)) AS BIGINT) AS vocab_size
         FROM toks
     """,
     "text_repetition": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         inrow AS (
@@ -3722,25 +3715,27 @@ ORACLE: dict[str, str] = {
         FROM per_doc d JOIN inrow i ON d.doc_id = i.doc_id
     """,
     "multimodal_decode": """
+        -- coalesce(text, ''): NULL text ≡ empty payload (attach_payload)
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS body FROM documents)
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
-               md5(text) AS content_hash,
-               CAST(('0x' || substr(md5(text), 1, 4))::INT % 1920 AS BIGINT) AS fake_width,
-               CAST(('0x' || substr(md5(text), 5, 4))::INT % 1080 AS BIGINT) AS fake_height
-        FROM documents
+               CAST(octet_length(encode(body)) AS BIGINT) AS media_bytes,
+               md5(body) AS content_hash,
+               CAST(('0x' || substr(md5(body), 1, 4))::INT % 1920 AS BIGINT) AS fake_width,
+               CAST(('0x' || substr(md5(body), 5, 4))::INT % 1080 AS BIGINT) AS fake_height
+        FROM d
     """,
     "frame_sampling": """
         -- documents.text is ASCII in every sf (verified octet_length =
         -- length), so VARCHAR substring is byte-identical to the Python
         -- payload slice; DuckDB has no BLOB substring.
-        WITH docs AS (SELECT doc_id, text,
-                             octet_length(encode(text)) AS size
+        WITH docs AS (SELECT doc_id, coalesce(text, '') AS body,
+                             octet_length(encode(coalesce(text, ''))) AS size
                       FROM documents),
         idx AS (SELECT unnest(generate_series(0, 3)) AS frame_idx)
         SELECT doc_id,
                CAST(frame_idx AS BIGINT) AS frame_idx,
                CAST((size * frame_idx) // 4 AS BIGINT) AS frame_offset_bytes,
-               md5(substring(text, CAST((size * frame_idx) // 4 AS BIGINT) + 1,
+               md5(substring(body, CAST((size * frame_idx) // 4 AS BIGINT) + 1,
                              64)) AS frame_hash
         FROM docs CROSS JOIN idx
     """,
@@ -3852,7 +3847,7 @@ ORACLE: dict[str, str] = {
     "dedup_clusters": """
         WITH RECURSIVE toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -3898,7 +3893,7 @@ ORACLE: dict[str, str] = {
         "dedup_cluster_sizes": """
         WITH RECURSIVE toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -3952,7 +3947,7 @@ ORACLE: dict[str, str] = {
     "tfidf_topk": """
         WITH toks AS (
             SELECT doc_id,
-                   unnest(string_split_regex(lower(text), '\\W+')) AS term
+                   unnest(string_split_regex(lower(coalesce(text, '')), '\\W+')) AS term
             FROM documents),
         tf AS (
             SELECT doc_id, term, count(*) AS tf
@@ -3984,13 +3979,13 @@ ORACLE: dict[str, str] = {
         WITH f AS (
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS n_chars,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks,
                    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
                      AS n_punct,
                    md5(text) AS exact_fp,
                    md5(array_to_string(list_sort(list_distinct(
-                       list_filter(string_split_regex(lower(text), '\\W+'),
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                    t -> length(t) > 0))), ' ')) AS neardup_fp,
                    CAST(len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
@@ -4028,14 +4023,16 @@ ORACLE: dict[str, str] = {
         GROUP BY 1
     """,
     "regex_functions": """
+        -- coalesce(text, ''): NULL-text policy, mirrored from Spark
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS body FROM documents)
         SELECT doc_id,
-               regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
-               regexp_extract(text, '\\b([A-Za-z]{4})[A-Za-z]*', 1)
+               regexp_replace(body, '[0-9]+', '#', 'g') AS digits_masked,
+               regexp_extract(body, '\\b([A-Za-z]{4})[A-Za-z]*', 1)
                  AS first_word4,
-               regexp_matches(text, '[0-9]') AS has_digit,
-               CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+               regexp_matches(body, '[0-9]') AS has_digit,
+               CAST(len(regexp_extract_all(body, '[.!?]')) AS BIGINT)
                  AS n_sentences
-        FROM documents
+        FROM d
     """,
     "null_handling": """
         WITH li AS (
@@ -4070,7 +4067,7 @@ ORACLE: dict[str, str] = {
     "dedup_edit_distance": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -4271,7 +4268,7 @@ ORACLE: dict[str, str] = {
     "dedup_recall": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -4609,7 +4606,7 @@ ORACLE: dict[str, str] = {
     """,
     "bigram_topk": """
         WITH toks AS (
-            SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+            SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS t
             FROM documents),
         big AS (
@@ -4630,7 +4627,7 @@ ORACLE: dict[str, str] = {
     "incremental_dedup": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         fp AS (
@@ -4648,7 +4645,7 @@ ORACLE: dict[str, str] = {
     "decontamination": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         fp AS (
@@ -4665,7 +4662,7 @@ ORACLE: dict[str, str] = {
     "decontamination_ngram": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -4729,9 +4726,9 @@ ORACLE: dict[str, str] = {
         WITH f AS (
             SELECT doc_id, lang,
                    CAST(length(text) AS DOUBLE) AS n_chars,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0)) AS DOUBLE) AS n_tok,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0 AND t IN
                             ('the','a','of','and','to','in','is','that','it','for')))
                         AS DOUBLE) AS n_stop,
@@ -4808,7 +4805,7 @@ ORACLE: dict[str, str] = {
     "decontamination_minhash": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -5287,7 +5284,7 @@ ORACLE: dict[str, str] = {
     """,
     "ngram_lm_counts": """
         WITH base AS (
-            SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+            SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                x -> length(x) > 0) AS toks
             FROM documents),
         uni AS (
@@ -5329,7 +5326,7 @@ ORACLE: dict[str, str] = {
     "phrase_search": """
         WITH base AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                x -> length(x) > 0) AS l
             FROM documents),
         idx AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS p, l
@@ -5385,7 +5382,7 @@ ORACLE: dict[str, str] = {
     "source_drift": """
         WITH toks AS (
             SELECT source,
-                   unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                   unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                       x -> length(x) > 0)) AS term
             FROM documents),
         per_st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
@@ -5411,21 +5408,21 @@ ORACLE: dict[str, str] = {
     "audio_segments": """
         -- documents.text is ASCII in every sf (octet_length = length), so
         -- VARCHAR substring is byte-identical to the Python payload slice
-        WITH docs AS (SELECT doc_id, text,
-                             octet_length(encode(text)) AS size
+        WITH docs AS (SELECT doc_id, coalesce(text, '') AS body,
+                             octet_length(encode(coalesce(text, ''))) AS size
                       FROM documents),
-        n AS (SELECT doc_id, text, size,
+        n AS (SELECT doc_id, body, size,
                      CAST(greatest(0, ceil((size - 96) / 64.0)) AS BIGINT)
                        AS n_extra
               FROM docs),
-        seg AS (SELECT doc_id, text, size,
+        seg AS (SELECT doc_id, body, size,
                        unnest(generate_series(0, n_extra)) AS seg_idx
                 FROM n)
         SELECT doc_id,
                CAST(seg_idx AS BIGINT) AS seg_idx,
                CAST(seg_idx * 64 AS BIGINT) AS seg_offset_bytes,
                CAST(least(96, size - seg_idx * 64) AS BIGINT) AS seg_bytes,
-               md5(substring(text, CAST(seg_idx * 64 AS BIGINT) + 1, 96))
+               md5(substring(body, CAST(seg_idx * 64 AS BIGINT) + 1, 96))
                  AS seg_hash
         FROM seg
     """,
@@ -5433,9 +5430,9 @@ ORACLE: dict[str, str] = {
         WITH f AS (
             SELECT doc_id, lang, source,
                    CAST(length(text) AS DOUBLE) AS n_chars,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0)) AS DOUBLE) AS n_tok_d,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0 AND t IN
                             ('the','a','of','and','to','in','is','that','it','for')))
                         AS DOUBLE) AS n_stop,
@@ -5471,7 +5468,7 @@ ORACLE: dict[str, str] = {
         tokset AS (
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
-                       list_filter(string_split_regex(lower(text), '\\W+'),
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                    t -> length(t) > 0))), ' ')) AS fingerprint,
                    CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                         x -> length(x) > 0)) AS BIGINT)
@@ -5521,7 +5518,7 @@ ORACLE: dict[str, str] = {
     "cluster_best_doc": """
         WITH RECURSIVE toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         sh AS (
@@ -5566,9 +5563,9 @@ ORACLE: dict[str, str] = {
         f AS (
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS n_chars,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0)) AS DOUBLE) AS n_tok,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0 AND t IN
                             ('the','a','of','and','to','in','is','that','it','for')))
                         AS DOUBLE) AS n_stop,
@@ -5643,9 +5640,9 @@ ORACLE: dict[str, str] = {
         WITH f AS (
             SELECT doc_id, lang,
                    CAST(length(text) AS DOUBLE) AS n_chars,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0)) AS DOUBLE) AS n_tok,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                   CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                             t -> length(t) > 0 AND t IN
                             ('the','a','of','and','to','in','is','that','it','for')))
                         AS DOUBLE) AS n_stop,
@@ -5682,7 +5679,7 @@ ORACLE: dict[str, str] = {
     "cross_source_duplicates": """
         WITH toks AS (
             SELECT doc_id, source,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         fp AS (
@@ -5826,7 +5823,7 @@ ORACLE: dict[str, str] = {
     "winnowing_dedup": """
         WITH base AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                x -> length(x) > 0) AS toks
             FROM documents),
         g AS (
@@ -5868,7 +5865,7 @@ ORACLE: dict[str, str] = {
     "gopher_rules": """
         WITH base AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                x -> length(x) > 0) AS toks
             FROM documents),
         sig AS (
@@ -5973,7 +5970,7 @@ ORACLE: dict[str, str] = {
     "lm_doc_score": """
         WITH base AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                x -> length(x) > 0) AS toks
             FROM documents),
         flat AS (
@@ -6001,7 +5998,7 @@ ORACLE: dict[str, str] = {
     "boilerplate_removal": """
         WITH base AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                x -> length(x) > 0) AS toks
             FROM documents),
         pos AS (
@@ -6036,7 +6033,7 @@ ORACLE: dict[str, str] = {
     "linear_quality": """
         WITH base AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                x -> length(x) > 0) AS toks
             FROM documents),
         scored AS (
@@ -6053,7 +6050,7 @@ ORACLE: dict[str, str] = {
     "jaccard_prefix_join": """
         WITH t0 AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
                                t -> length(t) > 0) AS toks
             FROM documents),
         tok AS (

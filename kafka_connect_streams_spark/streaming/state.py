@@ -194,12 +194,15 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
     session logic the built-in can't express (e.g. per-session payloads,
     mid-session side effects).
 
-    Mechanics: state holds (start, last, count); new events either extend
-    the session (watermark bounds out-of-order merge) or — after a gap —
-    flush the finished session and restart; the event-time timeout
-    (``last + gap``) flushes sessions that simply stop receiving events.
-    State is per-key in the state store, evicted on flush: memory is
-    O(open sessions), not O(stream).
+    Mechanics: state holds (start, last, count); each micro-batch's
+    timestamps are sorted and split on intra-batch gaps > ``gap_s`` (so an
+    availableNow/file-source replay that delivers a key's whole history in
+    ONE batch still yields the same per-gap sessions as a trickled feed),
+    the stored open session is merged into whichever segment it adjoins,
+    every gap-completed segment flushes, and the trailing segment stays
+    open; the event-time timeout (``last + gap``) flushes sessions that
+    simply stop receiving events. State is per-key in the state store,
+    evicted on flush: memory is O(open sessions), not O(stream).
     """
     gap_ms = gap_s * 1000
 
@@ -214,26 +217,38 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
             state.remove()
             yield row(start, last, n)
             return
-        mn = mx = None
-        cnt = 0
+        ts: list[int] = []
         for pdf in batches:
-            ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
-            if ms:
-                lo, hi = min(ms), max(ms)
-                mn = lo if mn is None else min(mn, lo)
-                mx = hi if mx is None else max(mx, hi)
-                cnt += len(ms)
-        if cnt == 0:
+            ts.extend((pdf[ts_col].astype("int64") // 1_000_000).tolist())
+        if not ts:
             return
-        if state.exists:
-            start, last, n = state.get
-            if mn - last > gap_ms:
-                yield row(start, last, n)          # finished by a gap
-                start, last, n = mn, mx, cnt
+        ts.sort()
+        # split the batch itself on gaps: (start, last, n) segments
+        segs: list[list[int]] = [[ts[0], ts[0], 1]]
+        for t in ts[1:]:
+            if t - segs[-1][1] > gap_ms:
+                segs.append([t, t, 1])
             else:
-                start, last, n = min(start, mn), max(last, mx), n + cnt
-        else:
-            start, last, n = mn, mx, cnt
+                segs[-1][1] = t
+                segs[-1][2] += 1
+        if state.exists:
+            # merge the stored open session as one more interval, sorted by
+            # start (out-of-order data within the watermark may precede it),
+            # then re-split on gaps — segments that end > gap before the
+            # stored session stay separate instead of swallowing it
+            segs.append(list(state.get))
+            segs.sort(key=lambda s: (s[0], s[1]))
+            merged = [segs[0]]
+            for s in segs[1:]:
+                if s[0] - merged[-1][1] > gap_ms:
+                    merged.append(s)
+                else:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+            segs = merged
+        for start, last, n in segs[:-1]:
+            yield row(start, last, n)              # finished by a gap
+        start, last, n = segs[-1]
         state.update((start, last, n))
         state.setTimeoutTimestamp(last + gap_ms)
 

@@ -300,3 +300,93 @@ def test_sessionize_state_survives_restart(spark, tmp_path):
             r.n_events) for r in rows}
     # ONE session for "a" spanning both runs: state restored, then merged
     assert ("a", 0, 10_000, 2) in got, got
+
+
+def test_sessionize_splits_intra_batch_gaps(spark, tmp_path):
+    """A file-source replay delivers a key's WHOLE history in one
+    micro-batch; events separated by more than gap_s inside that batch
+    must still split into distinct sessions (one mega-session per key is
+    wrong — session_window semantics don't depend on batch boundaries)."""
+    from kafka_connect_streams_spark.streaming.state import sessionize
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000_000
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for k, off_s in rows:
+                f.write(json.dumps({"key": k,
+                                    "ts_ms": base + off_s * 1000}) + "\n")
+
+    # one file = one batch: three gap-separated bursts for "a" (written
+    # out of order — the sessionizer must sort before splitting), plus a
+    # singleton for "b"
+    write("a.json", [("a", 100), ("a", 105), ("a", 0), ("a", 5),
+                     ("a", 300), ("b", 7)])
+    stream = (spark.readStream.schema("key string, ts_ms long")
+              .json(str(src))
+              .selectExpr("key", "timestamp_micros(ts_ms*1000) AS ts"))
+    out = sessionize(stream, gap_s=30, watermark="5 seconds")
+    q = (out.writeStream.format("memory").queryName("sess_intra")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        # push the watermark past 300s + gap so the trailing sessions flush
+        write("b.json", [("a", 500)])
+        q.processAllAvailable()
+        write("c.json", [("a", 900)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_intra").collect()
+    finally:
+        q.stop()
+    got = {(r.key, r.session_start_ms - base, r.session_end_ms - base,
+            r.n_events) for r in rows}
+    assert ("a", 0, 5_000, 2) in got, got        # split inside batch 1
+    assert ("a", 100_000, 105_000, 2) in got, got
+    assert ("a", 300_000, 300_000, 1) in got, got
+    assert ("b", 7_000, 7_000, 1) in got, got
+
+
+def test_sessionize_early_segment_does_not_swallow_open_session(spark,
+                                                                tmp_path):
+    """Out-of-order data within the watermark may arrive BEFORE the stored
+    open session's start; if it's separated from the stored session by more
+    than the gap it must flush as its own session, not merge."""
+    from kafka_connect_streams_spark.streaming.state import sessionize
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000_000
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for k, off_s in rows:
+                f.write(json.dumps({"key": k,
+                                    "ts_ms": base + off_s * 1000}) + "\n")
+
+    # batch 1 opens a session at 100s (watermark stays at 100s - 5s = 95s)
+    write("a.json", [("a", 100)])
+    stream = (spark.readStream.schema("key string, ts_ms long")
+              .json(str(src))
+              .selectExpr("key", "timestamp_micros(ts_ms*1000) AS ts"))
+    # huge watermark delay so the 96s event in batch 2 is NOT dropped
+    out = sessionize(stream, gap_s=2, watermark="1000 seconds")
+    q = (out.writeStream.format("memory").queryName("sess_early")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: an event BEFORE the stored session, gap-separated (2s
+        # gap; 96 -> 100 is 4s apart) plus an extension at 101s
+        write("b.json", [("a", 96), ("a", 101)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_early").collect()
+    finally:
+        q.stop()
+    got = {(r.key, r.session_start_ms - base, r.session_end_ms - base,
+            r.n_events) for r in rows}
+    # the early singleton flushed alone; the open session (100..101) stays
+    assert ("a", 96_000, 96_000, 1) in got, got
+    assert not any(s == 96_000 and e > 96_000 for _, s, e, _ in got), got
