@@ -77,7 +77,7 @@ _MS = {"millisecond": 1, "second": 1_000, "minute": 60_000,
        "hour": 3_600_000, "day": 86_400_000}
 
 
-def rewrite_within_clause(sql: str) -> str:
+def rewrite_within_clause(sql: str, frames: dict | None = None) -> str:
     """KSQL ``s1 JOIN s2 WITHIN n UNIT ON ...`` → a time-bounded join.
 
     KSQL 5.1's stream-stream join window: rows pair iff
@@ -88,29 +88,46 @@ def rewrite_within_clause(sql: str) -> str:
     ``WITHIN (before, after)`` form bounds how far the RIGHT side may lag
     or lead the left (KSQL semantics: ``t_r ∈ [t_l − before, t_l +
     after]``) and rewrites to a BETWEEN. KSQL join conditions are single
-    equalities, so appending with AND never rebinds an OR. The rewrite
-    works on live streaming legs too (pinned by test) and produces the
-    correct window-bounded pairs, but the bigint bound is NOT an
-    event-time constraint, so Spark cannot evict join state by watermark
-    — fine for availableNow/bounded replays; an unbounded 24×7 topology
-    should use streaming/joins.windowed_join, which builds the same
-    window as a timestamp-typed, watermarked condition with bounded
-    state.
+    equalities, so appending with AND never rebinds an OR.
+
+    When ``frames`` (the context's name→DataFrame registry) shows BOTH legs
+    as streaming relations carrying the watermarked ``rowtime_ts``
+    pseudo-column, the rewrite adds the SAME window as an event-time
+    interval bound on those columns. That bound is what Spark's
+    stream-stream join derives its state watermark from: rows older than
+    ``watermark − window`` are evicted instead of held forever — the
+    reference's JoinWindows.of(n)+retention semantics
+    (StreamStreamJoinIntegrationTest.java:82) with bounded state. The
+    bigint bound stays alongside (it is implied by the interval bound, and
+    keeps batch/streaming plans value-identical). Bounded/batch legs keep
+    the bigint-only rewrite.
     """
     def _ms(n: str, unit: str) -> int:
         return int(n) * _MS[unit.lower().rstrip("s")]
+
+    def _streaming_with_ts(name: str) -> bool:
+        df = (frames or {}).get(name.lower())
+        return (df is not None and df.isStreaming
+                and "rowtime_ts" in df.columns)
 
     def _sub(m: re.Match) -> str:
         left = m.group("lalias") or m.group("lname")
         right = m.group("ralias") or m.group("rname")
         if m.group("n"):
-            ms = _ms(m.group("n"), m.group("unit"))
-            cond = f"abs({left}.rowtime - {right}.rowtime) <= {ms}"
+            before = after = _ms(m.group("n"), m.group("unit"))
+            cond = f"abs({left}.rowtime - {right}.rowtime) <= {before}"
         else:
             before = _ms(m.group("nb"), m.group("ub"))
             after = _ms(m.group("na"), m.group("ua"))
             cond = (f"{right}.rowtime BETWEEN {left}.rowtime - {before} "
                     f"AND {left}.rowtime + {after}")
+        if (_streaming_with_ts(m.group("lname"))
+                and _streaming_with_ts(m.group("rname"))):
+            cond += (
+                f" AND {right}.rowtime_ts >= {left}.rowtime_ts"
+                f" - INTERVAL {before} MILLISECONDS"
+                f" AND {right}.rowtime_ts <= {left}.rowtime_ts"
+                f" + INTERVAL {after} MILLISECONDS")
         jtype = (m.group("jtype") or "")
         alias_l = f" {m.group('lalias')}" if m.group("lalias") else ""
         alias_r = f" {m.group('ralias')}" if m.group("ralias") else ""
@@ -202,6 +219,9 @@ class StreamMeta:
     timestamp_col: str | None = None
     columns: dict[str, str] = field(default_factory=dict)
     kind: str = "stream"  # "stream" | "table" (KSQL stream/table duality)
+    #: watermark delay for streaming relations (WITH(watermark='...')) —
+    #: the Spark analog of KSQL's join retention/grace
+    watermark: str = "30 seconds"
 
 
 class KsqlContext:
@@ -225,7 +245,7 @@ class KsqlContext:
     def sql(self, statement: str) -> DataFrame | None:
         from kafka_connect_streams_spark.functions import rewrite_ksql_sql
         statement = rewrite_window_clause(statement)
-        statement = rewrite_within_clause(statement)
+        statement = rewrite_within_clause(statement, self.frames)
         m = _CSAS_RE.match(statement)
         if m:
             return self._csas(m)
@@ -386,6 +406,7 @@ class KsqlContext:
             timestamp_col=props.get("timestamp", "").lower() or None,
             columns=cols,
             kind=kind.lower(),
+            watermark=props.get("watermark", "30 seconds"),
         )
         df = self.resolver(meta.topic)
         df = self._with_pseudo_columns(df, meta)
@@ -437,7 +458,17 @@ class KsqlContext:
     def _with_pseudo_columns(self, df: DataFrame, meta: StreamMeta) -> DataFrame:
         """Inject ROWKEY/ROWTIME (§1.4): rowkey = designated key column as
         string; rowtime = epoch-ms event time (timestamp col if declared,
-        else a ts/timestamp column if present, else null)."""
+        else a ts/timestamp column if present, else null).
+
+        A STREAMING relation with a known event time additionally gets a
+        timestamp-typed ``rowtime_ts`` carrying a watermark
+        (WITH(watermark='...'), default 30 seconds). This is what lets a
+        ``JOIN ... WITHIN`` over two live legs evict join state: the WITHIN
+        rewrite adds an interval bound on the watermarked columns, and
+        Spark derives the state-eviction threshold from it — without this
+        an unbounded 24×7 topology accumulates state forever (the KSQL
+        analog is JoinWindows retention, reference
+        StreamStreamJoinIntegrationTest.java:82)."""
         cols = {c.lower(): c for c in df.columns}
         out = df
         if "rowkey" not in cols:
@@ -458,6 +489,10 @@ class KsqlContext:
             else:
                 rowtime = F.lit(None).cast("bigint")
             out = out.withColumn("rowtime", rowtime)
+        if out.isStreaming and "rowtime_ts" not in cols:
+            out = (out.withColumn("rowtime_ts",
+                                  F.timestamp_millis(F.col("rowtime")))
+                   .withWatermark("rowtime_ts", meta.watermark))
         return out
 
     # -- CREATE STREAM out AS SELECT ... (CSAS) ------------------------------

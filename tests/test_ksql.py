@@ -641,10 +641,10 @@ class TestJoinWithin:
     def test_within_on_live_streaming_legs(self, spark, tmp_path):
         """The WITHIN rewrite must compose with live streaming relations:
         two filebroker topics, window-bounded pairs out (inclusive 10s
-        edge, outside-window row excluded). Note: the bigint rowtime
-        bound is not an event-time constraint — state is not watermark-
-        evicted — so this path suits bounded replays; unbounded topologies
-        use streaming/joins.windowed_join (see rewrite_within_clause)."""
+        edge, outside-window row excluded). Both legs are streaming, so
+        the rewrite also binds the window on the watermarked rowtime_ts
+        columns — join state is watermark-evicted (see the companion
+        eviction test below)."""
         import json as js
 
         from pyspark.sql.types import _parse_datatype_string
@@ -692,6 +692,88 @@ class TestJoinWithin:
         rows = sorted((r.lv, r.rv) for r in
                       spark.sql("SELECT * FROM within_live").collect())
         assert rows == [("L1", "R1"), ("L2", "R1")]
+
+    def test_within_live_legs_evict_state_by_watermark(self, spark,
+                                                       tmp_path):
+        """JOIN ... WITHIN over two LIVE legs must run with BOUNDED state:
+        the rewrite binds the window on the watermarked rowtime_ts
+        pseudo-columns, so Spark evicts join-state rows once the watermark
+        passes their window — the reference's JoinWindows.of + retention
+        contract (StreamStreamJoinIntegrationTest.java:82). Without the
+        event-time bound the state grows forever and a 24x7 topology OOMs.
+        Asserts BOTH the golden pairs and that state rows are dropped
+        after far-future events drag the watermark forward."""
+        import json as js
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from kafka_connect_streams_spark.sources import filebroker as fb
+        from kafka_connect_streams_spark.sources.kafka import decode_records
+
+        broker = fb.FileBroker(str(tmp_path / "b"))
+        for t in ("le_top", "re_top"):
+            broker.create_topic(t, partitions=1)
+        p = broker.producer()
+        base = 1_700_000_000_000
+
+        def feed(rows):
+            for t, k, off, v in rows:
+                p.send(t, js.dumps({"k": k, "ordertime": base + off,
+                                    "v": v}),
+                       key=k, timestamp_ms=base + off)
+            p.flush()
+
+        feed([("le_top", "k1", 1_000, "L1"),
+              ("re_top", "k1", 5_000, "R1")])
+        fb.register(spark)
+
+        def leg(topic):
+            raw = (spark.readStream.format("filebroker")
+                   .option("path", broker.root)
+                   .option("subscribe", topic).load())
+            return decode_records(raw, _parse_datatype_string(
+                "k string, ordertime bigint, v string"))
+
+        frames = {"le_top": leg("le_top"), "re_top": leg("re_top")}
+        ctx = KsqlContext(spark, resolver=lambda t: frames[t])
+        ddl = ("CREATE STREAM {n} (K varchar, ORDERTIME bigint, V varchar) "
+               "WITH (kafka_topic='{t}', value_format='JSON', key='k', "
+               "timestamp='ordertime', watermark='5 seconds')")
+        ctx.sql(ddl.format(n="le", t="le_top"))
+        ctx.sql(ddl.format(n="re", t="re_top"))
+        out = ctx.sql("SELECT a.v AS lv, b.v AS rv FROM le a JOIN re b "
+                      "WITHIN 10 SECONDS ON a.k = b.k")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("within_evict")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        try:
+            q.processAllAvailable()
+            p1 = q.lastProgress
+            held = p1["stateOperators"][0]["numRowsTotal"]
+            assert held >= 2        # L1 and R1 buffered in the join state
+            # events far past L1/R1's window drag the watermark forward;
+            # a second empty-ish batch applies the new watermark
+            feed([("le_top", "k2", 600_000, "L9"),
+                  ("re_top", "k2", 601_000, "R9")])
+            q.processAllAvailable()
+            feed([("le_top", "k3", 900_000, "LA"),
+                  ("re_top", "k3", 901_000, "RA")])
+            q.processAllAvailable()
+            prog = q.lastProgress
+            rows_now = prog["stateOperators"][0]["numRowsTotal"]
+            removed = prog["stateOperators"][0]["numRowsRemoved"]
+            got = sorted((r.lv, r.rv) for r in
+                         spark.sql("SELECT * FROM within_evict").collect())
+        finally:
+            q.stop()
+        assert ("L1", "R1") in got           # golden pair unharmed
+        assert removed > 0 or rows_now < held + 4, (
+            f"join state never evicted: held={held}, now={rows_now}, "
+            f"removed={removed}")
+        # L1/R1 (t=1s..5s) are far past watermark (~900s-5s): gone
+        assert rows_now <= 4, f"stale state retained: {prog['stateOperators'][0]}"
+
 
 
 class TestShowQueriesTerminate:
