@@ -49,10 +49,8 @@ HEADLINE = [
     "asof_join",
     "shipping_priority",
     "range_join",
-    "grouping_sets",
     "funnel",
     "correlated_subquery",
-    "percentile_disc",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -93,9 +91,11 @@ HEADLINE = [
     "nation_volume_shipping",
     "product_profit",
     "top_supplier",
-    "waiting_suppliers",
     "jaccard_prefix_join",
     "dsir_importance",
+    "pagerank_types",
+    "decayed_counts",
+    "ann_ivf_trained_recall",
 ]
 
 

@@ -455,6 +455,81 @@ def _coarse_assign(qv: Column, coarse: list[list[int]]) -> Column:
     return F.array_sort(darr)
 
 
+def kmeans_coarse_centroids(vectors: DataFrame, n_lists: int = 8,
+                            iters: int = 3,
+                            init: list | None = None) -> list:
+    """TRAINED IVF coarse quantizer: full-vector Lloyd iterations on the
+    quantized int64 vectors, fully deterministic — init is the hash-ordered
+    sample (:func:`coarse_centroids`), every round re-assigns by exact
+    squared-L2 (ties → lowest list id) and recenters to the FLOOR-average
+    (int64 sums, Python floor division), and an empty list keeps its
+    previous centroid. Same contract as :func:`kmeans_subspace_codebooks`,
+    one level up: hash-sampled coarse centroids skew list sizes — the #1
+    IVF tail-latency killer at scale, because the hottest list bounds the
+    probe-stage straggler — and a few Lloyd rounds rebalance them.
+
+    Scale shape per round: ONE job — assignment is an in-row argmin over
+    the broadcast centroid matrix (no join), a groupBy over n_lists keys
+    computes int64 dimension sums, and O(n_lists) rows come back to the
+    driver. Training cost is ``iters`` jobs regardless of corpus size.
+    """
+    coarse = coarse_centroids(vectors, n_lists) if init is None else init
+    if not coarse:
+        return coarse
+    dim = len(coarse[0])
+    vq = vectors.select(_quantized(F.col("embedding")).alias("_v"))
+    for _ in range(iters):
+        sums = (vq.select(
+                    _coarse_assign(F.col("_v"), coarse)[0]["j"].alias("j"),
+                    "_v")
+                .groupBy("j")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.col("_v").getItem(d)).alias(f"s{d}")
+                       for d in range(dim)])
+                .collect())
+        upd = {int(r["j"]): [int(r[f"s{d}"]) // int(r["n"])
+                             for d in range(dim)] for r in sums}
+        coarse = [upd.get(j, coarse[j]) for j in range(len(coarse))]
+    return coarse
+
+
+def topk_cosine_ivf_inrow(queries: DataFrame, candidates: DataFrame,
+                          k: int = 5, coarse: list | None = None,
+                          nprobe: int = 2, n_lists: int = 8,
+                          exclude_self: bool = True) -> DataFrame:
+    """IVF-Flat top-k with the coarse codebook folded INTO expressions:
+    list assignment and query probing are in-row argmin / slice over the
+    broadcast centroid matrix (:func:`_coarse_assign`, exact int64 L2,
+    ties → lowest list id) — no centroid join at all, unlike
+    :func:`topk_cosine_ivf`'s broadcast-join codebook. Pass a trained
+    ``coarse`` (:func:`kmeans_coarse_centroids`) for balanced lists; the
+    default is the hash-ordered sample. Exact quantized cosine scores the
+    probed lists only: ~nprobe/n_lists of the corpus per query.
+    """
+    if coarse is None:
+        coarse = coarse_centroids(candidates, n_lists)
+    if not coarse:
+        return _pq_empty(candidates).select(
+            "q_id", "c_id",
+            F.lit(0.0).alias("cosine"),
+            F.col("rank"))
+    cq = candidates.select(F.col("id").alias("c_id"),
+                           _quantized(F.col("embedding")).alias("_cv"))
+    lists = cq.select(
+        "c_id", _coarse_assign(F.col("_cv"), coarse)[0]["j"].alias("list"))
+    qq = queries.select(F.col("id").alias("q_id"),
+                        _quantized(F.col("embedding")).alias("_qv"))
+    probes = (qq.select(
+        "q_id",
+        F.explode(F.slice(_coarse_assign(F.col("_qv"), coarse),
+                          1, nprobe)).alias("_p"))
+        .select("q_id", F.col("_p")["j"].alias("list")))
+    paired = probes.join(lists, "list").select("q_id", "c_id")
+    if exclude_self:
+        paired = paired.filter(F.col("q_id") != F.col("c_id"))
+    return _exact_topk_over_pairs(paired, queries, candidates, k)
+
+
 def topk_ivfpq(queries: DataFrame, candidates: DataFrame, k: int = 5,
                n_lists: int = 8, nprobe: int = 2,
                m_sub: int = 8, k_cent: int = 16,

@@ -2152,6 +2152,76 @@ def q_ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_e9")))
 
 
+def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat recall@5 with a TRAINED coarse quantizer vs the hash-sampled
+    one, plus the list-size skew each codebook induces — in ONE plan.
+
+    Hash-sampled coarse centroids skew inverted-list sizes, and the hottest
+    list bounds the probe-stage straggler at scale; three deterministic
+    full-vector Lloyd rounds (kmeans_coarse_centroids — in-row argmin
+    assignment, int64 floor-average recentering, one job per round,
+    O(n_lists) driver rows) rebalance them. Both variants run through
+    topk_cosine_ivf_inrow (codebook folded into expressions, zero centroid
+    joins) against the same exact brute-force top-5, so the recall uplift
+    AND the skew drop are measured, hash-verified numbers. skew_e9 =
+    max_list_size / ideal_list_size as e9 fixed-point (1e9 = perfectly
+    balanced). The THREE FIXED Lloyd rounds unroll into the SQL twin as
+    chained CTE stages, like ann_pq_trained_recall's subspace version."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        _coarse_assign, _quantized, coarse_centroids,
+        kmeans_coarse_centroids, topk_cosine, topk_cosine_ivf_inrow)
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    queries = emb.filter(F.col("id") % 100 == 0)
+    cands = emb.filter(F.col("id") % 100 != 0)
+    cb_hash = coarse_centroids(emb, n_lists=8)
+    if not cb_hash:        # empty corpus: nothing to train or score
+        return spark.createDataFrame(
+            [], "recall_hash_e9 bigint, recall_trained_e9 bigint, "
+                "n_queries bigint, skew_hash_e9 bigint, "
+                "skew_trained_e9 bigint")
+    cb_trained = kmeans_coarse_centroids(emb, n_lists=8, iters=3,
+                                         init=cb_hash)
+    exact = topk_cosine(queries, cands, k=5,
+                        exclude_self=False).select("q_id", "c_id")
+
+    def hits_of(approx, name):
+        return (exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
+                .groupBy("q_id").agg(F.count("*").alias(name)))
+
+    h_hash = hits_of(topk_cosine_ivf_inrow(
+        queries, cands, k=5, coarse=cb_hash, nprobe=2,
+        exclude_self=False), "h_hash")
+    h_trained = hits_of(topk_cosine_ivf_inrow(
+        queries, cands, k=5, coarse=cb_trained, nprobe=2,
+        exclude_self=False), "h_trained")
+    per_q = (exact.groupBy("q_id").agg(F.count("*").alias("k_actual"))
+             .join(h_hash, "q_id", "left").join(h_trained, "q_id", "left")
+             .select(F.coalesce("h_hash", F.lit(0)).alias("h_hash"),
+                     F.coalesce("h_trained", F.lit(0)).alias("h_trained"),
+                     "k_actual"))
+    recall = lambda c: F.expr(  # noqa: E731
+        f"(sum({c}) * CAST(1000000000 AS BIGINT)) DIV sum(k_actual)")
+    recalls = per_q.agg(recall("h_hash").alias("recall_hash_e9"),
+                        recall("h_trained").alias("recall_trained_e9"),
+                        F.count("*").alias("n_queries"))
+
+    cq = cands.select(_quantized(F.col("embedding")).alias("_cv"))
+
+    def skew_of(cb, name):
+        sizes = (cq.select(_coarse_assign(F.col("_cv"), cb)[0]["j"]
+                           .alias("list"))
+                 .groupBy("list").agg(F.count("*").alias("n")))
+        return sizes.agg(F.expr(
+            "(max(n) * 8 * CAST(1000000000 AS BIGINT)) DIV sum(n)")
+            .alias(name))
+
+    return (recalls
+            .crossJoin(skew_of(cb_hash, "skew_hash_e9"))
+            .crossJoin(skew_of(cb_trained, "skew_trained_e9")))
+
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality segmentation: overlapping 96-byte windows every 64
     bytes over each binary payload (Arrow-batched mapInPandas 1→N
@@ -2833,6 +2903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline": q_training_pipeline,
     "winnowing_dedup": q_winnowing_dedup,
     "wordcount": q_wordcount,
+    "ann_ivf_trained_recall": q_ann_ivf_trained_recall,
     # --- round-6 additions land ABOVE this line; below = oldest-
     # driver-row-first re-verification order (window cuts at 50) ---
     "session_window": q_session_window,
@@ -5079,6 +5150,192 @@ ORACLE: dict[str, str] = {
                  AS recall_e9
         FROM (SELECT id AS q_id FROM emb WHERE id % 100 = 0) q
         LEFT JOIN hits h USING (q_id)
+    """,
+    "ann_ivf_trained_recall": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        -- hash-sampled coarse codebook: salt 'c:', j = 0..7 in (md5, id)
+        -- order (similarity.py coarse_centroids)
+        samp AS (
+            SELECT id, rn - 1 AS j FROM (
+                SELECT id, row_number() OVER (
+                    ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) AS rn
+                FROM emb) s
+            WHERE rn <= 8),
+        cent0 AS (SELECT s.j, c.d, c.x FROM samp s JOIN comp c USING (id)),
+        -- Lloyd round 1: assign ALL vectors by exact int64 L2 (ties ->
+        -- lowest j), recenter to the floor-average, empty list keeps its
+        -- previous centroid (kmeans_coarse_centroids, unrolled)
+        dist1 AS (
+            SELECT v.id, c.j,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent0 c USING (d) GROUP BY v.id, c.j),
+        asg1 AS (
+            SELECT id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM dist1) x WHERE rn = 1),
+        sums1 AS (
+            SELECT a.j, v.d, CAST(sum(v.x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM asg1 a JOIN comp v USING (id) GROUP BY a.j, v.d),
+        cent1 AS (
+            SELECT p.j, p.d,
+                   coalesce(CAST(floor(s.sx / CAST(s.n AS DOUBLE)) AS BIGINT),
+                            p.x) AS x
+            FROM cent0 p LEFT JOIN sums1 s ON s.j = p.j AND s.d = p.d),
+        -- Lloyd round 2
+        dist2 AS (
+            SELECT v.id, c.j,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent1 c USING (d) GROUP BY v.id, c.j),
+        asg2 AS (
+            SELECT id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM dist2) x WHERE rn = 1),
+        sums2 AS (
+            SELECT a.j, v.d, CAST(sum(v.x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM asg2 a JOIN comp v USING (id) GROUP BY a.j, v.d),
+        cent2 AS (
+            SELECT p.j, p.d,
+                   coalesce(CAST(floor(s.sx / CAST(s.n AS DOUBLE)) AS BIGINT),
+                            p.x) AS x
+            FROM cent1 p LEFT JOIN sums2 s ON s.j = p.j AND s.d = p.d),
+        -- Lloyd round 3
+        dist3 AS (
+            SELECT v.id, c.j,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent2 c USING (d) GROUP BY v.id, c.j),
+        asg3 AS (
+            SELECT id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM dist3) x WHERE rn = 1),
+        sums3 AS (
+            SELECT a.j, v.d, CAST(sum(v.x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM asg3 a JOIN comp v USING (id) GROUP BY a.j, v.d),
+        cent3 AS (
+            SELECT p.j, p.d,
+                   coalesce(CAST(floor(s.sx / CAST(s.n AS DOUBLE)) AS BIGINT),
+                            p.x) AS x
+            FROM cent2 p LEFT JOIN sums3 s ON s.j = p.j AND s.d = p.d),
+        -- trained-codebook distances (assignment + probing both read these)
+        dist4 AS (
+            SELECT v.id, c.j,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent3 c USING (d) GROUP BY v.id, c.j),
+        -- inverted lists (candidates only) and probes (queries, nprobe=2)
+        -- for each codebook; dist1 already holds the hash-codebook L2s
+        lists_h AS (
+            SELECT id AS c_id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM dist1 WHERE id % 100 <> 0) x WHERE rn = 1),
+        probes_h AS (
+            SELECT id AS q_id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM dist1 WHERE id % 100 = 0) x WHERE rn <= 2),
+        lists_t AS (
+            SELECT id AS c_id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM dist4 WHERE id % 100 <> 0) x WHERE rn = 1),
+        probes_t AS (
+            SELECT id AS q_id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM dist4 WHERE id % 100 = 0) x WHERE rn <= 2),
+        -- exact brute-force cosine top-5 (queries x candidates)
+        qd AS (SELECT id AS q_id, d, x AS qx FROM comp WHERE id % 100 = 0),
+        bsums AS (SELECT q_id, comp.id AS c_id,
+                         CAST(sum(qx * x) AS BIGINT) AS dot,
+                         CAST(sum(qx * qx) AS BIGINT) AS qn,
+                         CAST(sum(x * x) AS BIGINT) AS cn
+                  FROM qd JOIN comp USING (d)
+                  WHERE comp.id % 100 <> 0
+                  GROUP BY q_id, comp.id),
+        branked AS (
+            SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY CAST(dot AS DOUBLE)
+                         / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+                         c_id) AS rank
+            FROM bsums),
+        exact AS (SELECT q_id, c_id FROM branked WHERE rank <= 5),
+        -- probed exact-cosine top-5 per codebook
+        pair_h AS (SELECT q_id, c_id FROM probes_h JOIN lists_h USING (j)),
+        hsums AS (SELECT p.q_id, p.c_id,
+                         CAST(sum(qd2.x * cd2.x) AS BIGINT) AS dot,
+                         CAST(sum(qd2.x * qd2.x) AS BIGINT) AS qn,
+                         CAST(sum(cd2.x * cd2.x) AS BIGINT) AS cn
+                  FROM pair_h p
+                  JOIN comp qd2 ON qd2.id = p.q_id
+                  JOIN comp cd2 ON cd2.id = p.c_id AND cd2.d = qd2.d
+                  GROUP BY p.q_id, p.c_id),
+        hranked AS (
+            SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY CAST(dot AS DOUBLE)
+                         / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+                         c_id) AS rank
+            FROM hsums),
+        approx_h AS (SELECT q_id, c_id FROM hranked WHERE rank <= 5),
+        pair_t AS (SELECT q_id, c_id FROM probes_t JOIN lists_t USING (j)),
+        tsums AS (SELECT p.q_id, p.c_id,
+                         CAST(sum(qd3.x * cd3.x) AS BIGINT) AS dot,
+                         CAST(sum(qd3.x * qd3.x) AS BIGINT) AS qn,
+                         CAST(sum(cd3.x * cd3.x) AS BIGINT) AS cn
+                  FROM pair_t p
+                  JOIN comp qd3 ON qd3.id = p.q_id
+                  JOIN comp cd3 ON cd3.id = p.c_id AND cd3.d = qd3.d
+                  GROUP BY p.q_id, p.c_id),
+        tranked AS (
+            SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY CAST(dot AS DOUBLE)
+                         / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+                         c_id) AS rank
+            FROM tsums),
+        approx_t AS (SELECT q_id, c_id FROM tranked WHERE rank <= 5),
+        hits_h AS (SELECT e.q_id, count(*) AS h
+                   FROM exact e JOIN approx_h a
+                     ON e.q_id = a.q_id AND e.c_id = a.c_id
+                   GROUP BY e.q_id),
+        hits_t AS (SELECT e.q_id, count(*) AS h
+                   FROM exact e JOIN approx_t a
+                     ON e.q_id = a.q_id AND e.c_id = a.c_id
+                   GROUP BY e.q_id),
+        per_q AS (SELECT k.q_id, coalesce(hh.h, 0) AS h_hash,
+                         coalesce(ht.h, 0) AS h_trained, k.k_actual
+                  FROM (SELECT q_id, count(*) AS k_actual
+                        FROM exact GROUP BY q_id) k
+                  LEFT JOIN hits_h hh ON k.q_id = hh.q_id
+                  LEFT JOIN hits_t ht ON k.q_id = ht.q_id),
+        recalls AS (
+            SELECT CAST((sum(h_hash) * 1000000000) // sum(k_actual)
+                        AS BIGINT) AS recall_hash_e9,
+                   CAST((sum(h_trained) * 1000000000) // sum(k_actual)
+                        AS BIGINT) AS recall_trained_e9,
+                   count(*) AS n_queries
+            FROM per_q),
+        skew_h AS (
+            SELECT CAST((max(n) * 8 * 1000000000) // sum(n) AS BIGINT)
+                     AS skew_hash_e9
+            FROM (SELECT j, count(*) AS n FROM lists_h GROUP BY j) z),
+        skew_t AS (
+            SELECT CAST((max(n) * 8 * 1000000000) // sum(n) AS BIGINT)
+                     AS skew_trained_e9
+            FROM (SELECT j, count(*) AS n FROM lists_t GROUP BY j) z)
+        SELECT recall_hash_e9, recall_trained_e9, n_queries,
+               skew_hash_e9, skew_trained_e9
+        FROM recalls CROSS JOIN skew_h CROSS JOIN skew_t
     """,
     "ann_pq_trained_recall": """
         WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),

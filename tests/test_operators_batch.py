@@ -587,6 +587,39 @@ class TestPartitioningInvariance:
         got = [[[int(v) for v in c] for c in bm] for bm in got]
         assert got == books
 
+    def test_kmeans_coarse_centroids_match_numpy_lloyd(self, spark, sf_dir):
+        """The trained IVF coarse quantizer must replicate a bit-exact
+        numpy full-vector Lloyd loop: 'c:'-salted hash-sample init,
+        squared-L2 argmin with ties→lowest list, int64 floor-average
+        recentering, empty lists keep their centroid."""
+        import hashlib
+        import numpy as np
+        from pyspark.sql import functions as F
+        from kafka_connect_streams_spark.operators.similarity import (
+            kmeans_coarse_centroids)
+        vecs = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .select(F.col("vec_id").alias("id"), "embedding").limit(150))
+        rows = vecs.collect()
+        q = {r.id: np.floor(np.asarray(r.embedding, dtype=np.float64)
+                            * 10000.0 + 0.5).astype(np.int64) for r in rows}
+        order = sorted(q, key=lambda i: (
+            hashlib.md5(f"c:{i}".encode()).hexdigest(), i))[:8]
+        cents = [q[i].copy() for i in order]
+        for _ in range(3):
+            sums = {}
+            for x in q.values():
+                j = min(range(8), key=lambda c: (
+                    int(((x - cents[c]) ** 2).sum()), c))
+                n, s = sums.get(j, (0, np.zeros(len(x), np.int64)))
+                sums[j] = (n + 1, s + x)
+            cents = [np.asarray([int(v) // n for v in s], np.int64)
+                     if j in sums else cents[j]
+                     for j in range(8)
+                     for n, s in [sums.get(j, (1, cents[j]))]]
+        got = kmeans_coarse_centroids(vecs, n_lists=8, iters=3)
+        assert [[int(v) for v in c] for c in got] == \
+               [[int(v) for v in c] for c in cents]
+
 
 class TestSemanticDedup:
     def test_matches_numpy_reference(self, spark):
