@@ -193,6 +193,75 @@ def hash_split(df: DataFrame, id_col: str,
          .otherwise("test").alias("split"))
 
 
+def leakage_safe_split(df: DataFrame, text_col: str, id_col: str,
+                       train: int = 80, valid: int = 10) -> DataFrame:
+    """Train/valid/test split keyed on the CONTENT fingerprint, not the id:
+    exact duplicates share ``md5(coalesce(text, ''))``, so every copy of a
+    document lands in the SAME split — an id-hash split (``hash_split``)
+    puts two byte-identical docs with different ids in different splits
+    ~32% of the time, which leaks training text into eval verbatim. Same
+    zero-shuffle, append/retry-stable projection shape as ``hash_split``;
+    for NEAR-duplicate safety substitute the dedup cluster representative
+    (operators/dedup.neardup_clusters min-id) for the fingerprint at this
+    same seam.
+    """
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    b = (F.conv(F.substring(fp, 1, 4), 16, 10).cast("int") % 100)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        b.alias("bucket"),
+        F.when(b < train, "train")
+         .when(b < train + valid, "valid")
+         .otherwise("test").alias("split"))
+
+
+def bm25_term_topk(df: DataFrame, text_col: str, id_col: str,
+                   n_terms: int = 5, k: int = 10) -> DataFrame:
+    """Per-term BM25 top-k documents with EXACT arithmetic (no libm ln).
+
+    BM25(t, d) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    Within one term, idf and (k1+1) are constant, so the ranking is decided
+    by the tf-saturation part alone; with the classic k1=6/5, b=3/4 and
+    avgdl = L/N (L = corpus token count over docs with ≥1 token, N = their
+    count) it equals 20·tf·L / (20·tf·L + 6·L + 18·dl·N) — an integer
+    rational. The single final division runs in double on identical int64s
+    (IEEE-exact on any engine, the cosine-operator discipline), so the
+    ordering is bit-reproducible and ln's 1-ULP libm skew (the tfidf_topk
+    finding) never enters. int64 bound: 20·tf·L < 2^63 holds while
+    tf·L < 4.6e17 — beyond that, pre-divide L by its gcd granularity or
+    rescale to per-million document lengths.
+
+    The "query" is self-contained: the ``n_terms`` highest-document-
+    frequency terms (ties → lexicographic). One explode + three hash
+    aggregations + a broadcast of the tiny term set; the corpus totals
+    ride a 1-row broadcast, never a driver round-trip.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(_tok_array(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n_docs"),
+                    F.sum("dl").alias("l_total"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("docfreq"))
+    top_terms = (docfreq.orderBy(F.col("docfreq").desc(), "term")
+                 .limit(n_terms))
+    cand = (tf.join(F.broadcast(top_terms), "term")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(corpus)))
+    num = F.col("tf") * F.lit(20) * F.col("l_total")
+    den = (num + F.lit(6) * F.col("l_total")
+           + F.lit(18) * F.col("dl") * F.col("n_docs"))
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(),
+                                           F.col(id_col))
+    return (cand.withColumn("score",
+                            num.cast("double") / den.cast("double"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("term", F.col(id_col), "tf", "dl", "docfreq",
+                    "score", F.col("rnk").cast("int").alias("rnk")))
+
+
 def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
                       rates: dict[str, int], default_rate: int = 100) -> DataFrame:
     """Deterministic per-stratum downsampling: keep a row iff its md5-derived

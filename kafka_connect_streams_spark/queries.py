@@ -2222,6 +2222,27 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (operators/text.py: bm25_term_topk): top-10
+    docs per highest-df query term, ranked by the exact integer-rational
+    tf-saturation form of BM25(k1=1.2, b=0.75) — per-term idf is
+    rank-neutral, so no libm ln enters and the ranking hash-verifies."""
+    from kafka_connect_streams_spark.operators.text import bm25_term_topk
+    t = load_tables(spark, sf_dir)
+    return bm25_term_topk(t["documents"], "text", "doc_id",
+                          n_terms=5, k=10)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/valid/test split (operators/text.py:
+    leakage_safe_split): buckets on md5(coalesce(text,'')) so exact
+    duplicates always co-assign — the eval-leakage guarantee an id-hash
+    split cannot give."""
+    from kafka_connect_streams_spark.operators.text import leakage_safe_split
+    t = load_tables(spark, sf_dir)
+    return leakage_safe_split(t["documents"], "text", "doc_id")
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality segmentation: overlapping 96-byte windows every 64
     bytes over each binary payload (Arrow-batched mapInPandas 1→N
@@ -2904,6 +2925,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_dedup": q_winnowing_dedup,
     "wordcount": q_wordcount,
     "ann_ivf_trained_recall": q_ann_ivf_trained_recall,
+    "bm25_term_topk": q_bm25_term_topk,
+    "leakage_safe_split": q_leakage_safe_split,
     # --- round-6 additions land ABOVE this line; below = oldest-
     # driver-row-first re-verification order (window cuts at 50) ---
     "session_window": q_session_window,
@@ -4033,6 +4056,55 @@ ORACLE: dict[str, str] = {
             FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc_id, term, tf, df, CAST(rnk AS INTEGER) AS rnk, n_docs
         FROM ranked WHERE rnk <= 5
+    """,
+    "bm25_term_topk": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '\\W+'),
+                       t -> length(t) > 0)) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM toks GROUP BY doc_id),
+        corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(dl) AS BIGINT) AS l_total
+                   FROM dl),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS docfreq
+                FROM tf GROUP BY term),
+        top_terms AS (SELECT term, docfreq FROM dft
+                      ORDER BY docfreq DESC, term LIMIT 5),
+        cand AS (SELECT t.term, t.doc_id, t.tf, d.dl, tt.docfreq,
+                        c.n_docs, c.l_total
+                 FROM tf t JOIN top_terms tt USING (term)
+                 JOIN dl d USING (doc_id) CROSS JOIN corpus c),
+        scored AS (
+            SELECT term, doc_id, tf, dl, docfreq,
+                   CAST(tf * 20 * l_total AS DOUBLE)
+                     / CAST(tf * 20 * l_total + 6 * l_total
+                            + 18 * dl * n_docs AS DOUBLE) AS score
+            FROM cand),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+                   FROM scored)
+        SELECT term, doc_id, tf, dl, docfreq, score,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 10
+    """,
+    "leakage_safe_split": """
+        WITH b AS (
+            SELECT doc_id, md5(coalesce(text, '')) AS fingerprint
+            FROM documents),
+        k AS (
+            SELECT doc_id, fingerprint,
+                   ('0x' || substr(fingerprint, 1, 4))::INT % 100 AS bucket
+            FROM b)
+        SELECT doc_id, fingerprint, CAST(bucket AS INTEGER) AS bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM k
     """,
     "hash_split": """
         WITH b AS (

@@ -31,6 +31,7 @@ TEXT_QUERIES = [
     "text_fingerprint", "regex_functions", "gopher_rules",
     "boilerplate_removal", "linear_quality", "text_tokens", "text_quality",
     "text_language_id", "text_repetition", "lm_doc_score",
+    "bm25_term_topk", "leakage_safe_split",
 ]
 
 
