@@ -37,14 +37,14 @@ from kafka_connect_streams_spark import queries as Q  # noqa: E402
 #: headline set: one per operator family, weighted toward shuffle/join-heavy
 #: plans where scale behavior actually shows.
 HEADLINE = [
+    # round 6: five thin Catalyst micro-queries (interval_join,
+    # agg_pricing, groupby_stats, window_rank, tumbling_window —
+    # all sub-0.3s wrappers over built-ins, stable across r3-r5)
+    # rotated out for the round-6 operator batch below; the r5
+    # common set stays 54 queries for the trend comparison.
     "wordcount",
     "join_inner",
     "multiway_join",
-    "interval_join",
-    "agg_pricing",
-    "groupby_stats",
-    "window_rank",
-    "tumbling_window",
     "session_window",
     "asof_join",
     "shipping_priority",
@@ -96,6 +96,11 @@ HEADLINE = [
     "pagerank_types",
     "decayed_counts",
     "ann_ivf_trained_recall",
+    "heavy_hitters",
+    "cms_frequency",
+    "triangle_census",
+    "zorder_layout",
+    "skyline",
 ]
 
 

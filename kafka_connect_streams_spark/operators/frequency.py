@@ -1,0 +1,160 @@
+"""Frequency estimation at corpus scale: exact heavy hitters via mergeable
+Misra-Gries summaries, and a deterministic count-min sketch.
+
+Why these two, when ``wordcount`` already exists: a full groupBy over a
+100 TB corpus shuffles the whole vocabulary — billions of distinct keys.
+The operators here bound the shuffle by the *answer size* instead:
+
+- ``heavy_hitters_exact`` shuffles at most ``partitions × k`` candidate
+  words (pass 1) plus the exact counts of that candidate set (pass 2).
+  The output is provably EXACT — the Misra-Gries merge guarantee
+  (Agarwal et al., "Mergeable Summaries", PODS'12) says any word with
+  global frequency > N/k survives in some partition summary, and pass 2
+  re-counts candidates exactly — so the result is independent of
+  partitioning and has a plain-SQL oracle.
+- ``count_min_sketch`` builds the d×w counter matrix of Cormode &
+  Muthukrishnan (J. Algorithms '05) with md5-derived hash rows, so the
+  sketch itself is bit-reproducible in any engine (same cells, same
+  counts) and the one-sided error guarantee (est ≥ true) can be asserted
+  per probe in-plan.
+
+The reference engine has no sketch operators (SURVEY §0: its 3.4k Java
+lines are Connect client machinery); these extend the analytics surface
+the way Kafka Streams users lean on interactive state stores for
+frequency queries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_48(col: Column) -> Column:
+    """48-bit integer from the md5 hex prefix — identical in Spark and
+    DuckDB (``('0x' || substr(md5(x),1,12))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def words_of(df: DataFrame, text_col: str) -> DataFrame:
+    """Tokenize to one word per row. NULL text ≡ empty document (the
+    repo-wide NULL-text policy)."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+")
+    return (df.select(F.explode(toks).alias("word"))
+              .where(F.length("word") > 0))
+
+
+def heavy_hitters_exact(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Exact words with frequency > N/k in two corpus passes.
+
+    Pass 1 (zero shuffle): each partition streams its Arrow batches
+    through a Misra-Gries summary with k counters — merge the batch's
+    ``value_counts`` into the counter dict, then decrement all counters
+    by the (k+1)-th largest and drop the non-positive (the mergeable-
+    summaries rule), which keeps ≤ k counters with per-partition error
+    < n_p/k. Each partition emits its ≤ k candidate words plus one
+    marker row carrying the partition's word count n_p.
+
+    Pass 2 (one bounded shuffle): the candidate union (≤ partitions × k
+    words, independent of vocabulary size) is broadcast back against the
+    token stream and counted exactly; ``cnt · k > N`` keeps the true
+    heavy hitters. Any word that IS one must be a candidate (averaging:
+    global > N/k ⇒ > n_p/k in some partition), so the output is exact
+    and partitioning-independent — hence oracle-checkable.
+    """
+    words = words_of(df, text_col)
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n_p = 0
+        for pdf in batches:
+            n_p += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {w: c - cut for w, c in counters.items()
+                            if c > cut}
+        yield pd.DataFrame({
+            "word": list(counters) + [None],
+            "n_p": [None] * len(counters) + [n_p],
+        })
+
+    summary = words.mapInPandas(mg, "word string, n_p long")
+    summary = summary.localCheckpoint(eager=True)  # one pass-1 scan, reused
+    total = summary.agg(F.sum("n_p")).collect()[0][0] or 0  # O(1) scalar
+    cands = summary.where(F.col("word").isNotNull()).select("word").distinct()
+    return (words.join(F.broadcast(cands), "word")
+                 .groupBy("word").agg(F.count("*").alias("cnt"))
+                 .where(F.col("cnt") * k > F.lit(total))
+                 .orderBy(F.desc("cnt"), "word"))
+
+
+def cms_hash(col: Column, row: int, width: int) -> Column:
+    """Row-``row`` CMS bucket for a word: affine transform of the word's
+    48-bit md5 integer modulo a Mersenne prime, then modulo the width.
+    Plain integer arithmetic — reproducible in any SQL engine."""
+    a, b = 2 * row + 1, 104729 * (row + 1)
+    return ((_md5_48(col) * a + b) % 2147483647) % width
+
+
+def count_min_sketch(df: DataFrame, text_col: str,
+                     depth: int = 4, width: int = 512) -> DataFrame:
+    """The CMS counter matrix: one row per non-empty (row, bucket) cell.
+
+    One corpus scan; ``posexplode`` fans each word to its ``depth``
+    buckets in-row, and the single groupBy shuffles at most
+    ``depth × width`` keys after map-side partial aggregation — sketch
+    size is independent of both corpus and vocabulary size, which is the
+    whole point at 100 TB.
+    """
+    words = words_of(df, text_col)
+    cells = F.array(*[cms_hash(F.col("word"), r, width)
+                      for r in range(depth)])
+    return (words.select(F.posexplode(cells).alias("row", "bucket"))
+                 .groupBy("row", "bucket")
+                 .agg(F.count("*").alias("counter")))
+
+
+def cms_estimate(df: DataFrame, text_col: str, probes: DataFrame,
+                 depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-query the sketch for each probe word and assert the CMS
+    guarantee in-plan.
+
+    Returns (word, exact, est, overcount_ok) where ``est`` is the min
+    over the word's ``depth`` counters and ``overcount_ok`` checks the
+    one-sided bound est ≥ exact. The probe set joins the sketch via
+    broadcast — the corpus is scanned once to build the sketch and once
+    for the exact counts, never per-probe.
+    """
+    # the sketch is consumed once per hash row below; truncate lineage
+    # so the corpus scan that builds it runs once, not ``depth`` times
+    # (the matrix is ≤ depth×width rows — checkpointing it is free)
+    sketch = count_min_sketch(df, text_col, depth, width) \
+        .localCheckpoint(eager=True)
+    exact = (words_of(df, text_col).groupBy("word")
+             .agg(F.count("*").alias("exact")))
+    probed = probes.select("word", *[
+        cms_hash(F.col("word"), r, width).alias(f"h{r}")
+        for r in range(depth)])
+    est = None
+    joined = probed
+    for r in range(depth):
+        s_r = (sketch.where(F.col("row") == r)
+               .select(F.col("bucket").alias(f"h{r}"),
+                       F.col("counter").alias(f"c{r}")))
+        joined = joined.join(F.broadcast(s_r), f"h{r}", "left")
+        c_r = F.coalesce(F.col(f"c{r}"), F.lit(0))
+        est = c_r if est is None else F.least(est, c_r)
+    return (joined.withColumn("est", est)
+                  .join(exact, "word", "left")
+                  .select("word",
+                          F.coalesce("exact", F.lit(0)).alias("exact"),
+                          F.col("est"),
+                          (F.col("est") >= F.coalesce("exact", F.lit(0))
+                           ).alias("overcount_ok"))
+                  .orderBy(F.desc("exact"), "word"))

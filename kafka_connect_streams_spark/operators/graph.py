@@ -1,0 +1,114 @@
+"""Graph analytics over relational co-occurrence graphs: triangle census
+with the degree-ordered edge-iterator.
+
+Triangle counting is the canonical "joins explode at scale" workload:
+the naive 3-way self-join enumerates every wedge (path of length 2),
+and wedge count is Σ C(deg(v), 2) — quadratic in hub degree. The fix is
+40 years of graph-mining practice (Schank & Wagner '05; Suri & Vassilvitskii
+WWW'11 for the MapReduce form): orient every edge from the lower-ranked
+endpoint to the higher under the total order (degree, node id). Then
+
+- every triangle has exactly ONE wedge rooted at its lowest-ranked
+  corner, so counting oriented wedges closed by an edge counts each
+  triangle once, and
+- out-degrees are bounded by O(√m), which caps the per-node wedge work.
+
+We count closed wedges in-row: group oriented edges into sorted
+adjacency arrays, join each oriented edge (u,v) with N⁺(u) and N⁺(v),
+and take ``array_intersect`` cardinality — the wedge set never
+materializes as rows, only as array payloads bounded by out-degree.
+
+Graph construction from lineitem (parts co-occurring in an order) keeps
+per-row fan-out bounded by order size: pairs expand in-row from the
+order's sorted part array (≤ C(7,2) pairs), never via a self-join of
+the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pairs_in_row(arr: Column) -> Column:
+    """All (a,b) a<b pairs from a sorted distinct array, expanded in-row
+    (flatten∘transform — JVM codegen, no Generate until the final explode)."""
+    a = F.array_sort(arr)
+    n = F.size(a)
+    return F.flatten(F.transform(
+        a, lambda x, i: F.transform(
+            F.slice(a, i + 2, n), lambda y: F.struct(
+                x.alias("a"), y.alias("b")))))
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str,
+                       item_col: str) -> DataFrame:
+    """Distinct undirected edges between items sharing a group, with the
+    (a < b) canonical form. One shuffle to collect the per-group item
+    sets, one to dedup the edges."""
+    return (df.groupBy(group_col)
+              .agg(F.collect_set(item_col).alias("items"))
+              .select(F.explode(pairs_in_row(F.col("items"))).alias("e"))
+              .select("e.a", "e.b")
+              .distinct())
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """(n_nodes, n_edges, n_wedges, n_triangles, gcc_e9) in one row.
+
+    ``edges`` must be distinct with a < b. Orientation rank is
+    (degree, node) — ties broken by id, so the order is total and the
+    count is exact regardless of partitioning. ``gcc_e9`` is the global
+    clustering coefficient 3·T/wedges in e9 fixed-point (the repo's
+    cross-engine convention for derived ratios: integer arithmetic only,
+    no float ulps in the hash).
+
+    The edge list and the oriented edge list are each consumed by
+    several branches (degrees, adjacency ×2, the census scalars) —
+    without lineage truncation Catalyst re-derives the co-occurrence
+    pair generation once per consumer (18 scans of the fact table in
+    the un-truncated plan). ``localCheckpoint`` materializes each once,
+    the same discipline dedup_clusters uses for its pair graph.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    # orient: keep each edge as (lo, hi) under the (deg, id) total order
+    e = (edges
+         .join(deg.withColumnRenamed("v", "a")
+                  .withColumnRenamed("deg", "da"), "a")
+         .join(deg.withColumnRenamed("v", "b")
+                  .withColumnRenamed("deg", "db"), "b")
+         .select(
+             F.when((F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db"))
+                       & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("lo"), F.col("b").alias("hi"))
+                    ).otherwise(
+                 F.struct(F.col("b").alias("lo"), F.col("a").alias("hi"))
+             ).alias("e"))
+         .select("e.lo", "e.hi")
+         .localCheckpoint(eager=True))
+    adj = (e.groupBy("lo").agg(F.array_sort(
+        F.collect_list("hi")).alias("nbrs")))
+    # closed wedges per oriented edge: |N+(lo) ∩ N+(hi)| — in-row intersect
+    closed = (e
+              .join(adj, "lo")
+              .join(adj.withColumnRenamed("lo", "hi")
+                       .withColumnRenamed("nbrs", "nbrs_hi"), "hi")
+              .select(F.size(F.array_intersect(
+                  F.col("nbrs"), F.col("nbrs_hi"))).alias("tri")))
+    tri = closed.agg(
+        F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles"))
+    wedges = deg.agg(
+        F.count("*").alias("n_nodes"),
+        # integer `div` on both engines (DuckDB `//`) — no double ulps
+        F.expr("sum(deg * (deg - 1)) div 2").alias("n_wedges"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (wedges.crossJoin(n_edges).crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    F.when(F.col("n_wedges") > 0,
+                           F.expr("n_triangles * 3 * 1000000000"
+                                  " div n_wedges"))
+                    .otherwise(F.lit(0)).alias("gcc_e9")))

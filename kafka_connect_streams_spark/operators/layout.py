@@ -1,0 +1,117 @@
+"""Physical-layout and dominance operators: Z-order clustering keys and
+a distributive Pareto-front (skyline).
+
+``zorder_key`` is the data-layout half of the 100 TB story: min-max
+pruning on parquet/Delta files only works if rows that are close in the
+filter dimensions land in the same files. Interleaving the bits of two
+bounded dimensions (Morton '66; the same trick behind Delta Lake's
+OPTIMIZE ZORDER BY) gives a single sort key whose ranges are small
+hyper-rectangles in both dimensions at once — the per-bucket min/max
+spans it produces ARE the file-skipping statistics a scan would prune
+with. Pure bit arithmetic (shift/and/or), so codegen-friendly in Spark
+and bit-identical in any SQL oracle.
+
+``skyline`` (Börzsönyi, Kossmann & Stocker, ICDE'01) returns the
+maximal vectors under Pareto dominance. The naive form is a quadratic
+NOT EXISTS self-join; the distributive form used here exploits that the
+global skyline is a subset of the union of per-partition skylines:
+
+  pass 1 — a streaming Arrow scan emits each record batch's skyline
+  with ZERO wide exchange (the corpus is touched once, no global sort,
+  no partition-sized buffering);
+  pass 2 — the candidate union (≈ batches × skyline size, tiny) is
+  broadcast and the exact dominance filter runs candidates-vs-candidates.
+
+The result is the exact skyline regardless of partitioning, so a plain
+NOT EXISTS oracle checks it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton-interleave ``bits`` low bits of two non-negative ints:
+    bit i of x lands at position 2i, bit i of y at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(1),
+                                 2 * i + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """The same interleave as ANSI SQL text, for oracle twins."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout_stats(df: DataFrame, x: Column, y: Column,
+                        bits: int = 16, bucket_shift: int = 26) -> DataFrame:
+    """Assign each row to a Z-order bucket (zkey's top bits) and report
+    the per-bucket min-max spans of BOTH dimensions — the file-skipping
+    stats a z-ordered write would give a scan. One groupBy over ≤
+    2^(2·bits − bucket_shift) bucket keys; map-side combine makes the
+    shuffle independent of row count."""
+    z = zorder_key(x, y, bits)
+    return (df.select(x.alias("x"), y.alias("y"),
+                      F.shiftright(z, bucket_shift).alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count("*").alias("n_rows"),
+                   F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                   F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+              .orderBy("bucket"))
+
+
+def skyline2d(df: DataFrame, x_col: str, y_col: str,
+              id_col: str) -> DataFrame:
+    """Exact 2-D Pareto front, both dimensions minimized.
+
+    Dominance: p ≤ q on both dims with < on at least one. Points that
+    tie on both dims are mutually non-dominating and all kept. ``x``
+    must be integer-typed (cents, days, …) so the cross-engine compare
+    has no float ulps.
+    """
+    pts = df.select(F.col(id_col).alias("pid"),
+                    F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+
+    def batch_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-BATCH skyline is enough: the exact pass-2 filter only
+        # needs candidates ⊇ global skyline (dominance is transitive,
+        # so anything a batch prunes is dominated by a surviving
+        # candidate). That keeps pass 1 a true streaming scan — no
+        # partition-sized buffering, no sort, no shuffle.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["x", "y"], ignore_index=True)
+            same_x_min = pdf.groupby("x")["y"].transform("min")
+            # min y over strictly-smaller x: cummin over per-x minima,
+            # shifted one unique-x back (groupby output is x-ascending)
+            cheaper = pdf.groupby("x")["y"].min().cummin().shift()
+            cheaper_y = pdf["x"].map(cheaper)
+            keep = ((cheaper_y.isna() | (pdf["y"] < cheaper_y))
+                    & (pdf["y"] == same_x_min))
+            yield pdf[keep]
+
+    local = pts.mapInPandas(batch_skyline, "pid long, x long, y long")
+    cand = F.broadcast(local.select(F.col("x").alias("cx"),
+                                    F.col("y").alias("cy")).distinct())
+    dominated = ((F.col("cx") <= F.col("x")) & (F.col("cy") <= F.col("y"))
+                 & ((F.col("cx") < F.col("x")) | (F.col("cy") < F.col("y"))))
+    return (local.join(cand, dominated, "left_anti")
+                 .select("pid", "x", "y")
+                 .orderBy("x", "y", "pid"))

@@ -937,3 +937,107 @@ class TestAnalyticsReferences:
         got = [(r.path, r.n_sessions)
                for r in Q.QUERIES["user_journeys"](spark, sf_dir).collect()]
         assert got == want
+
+
+class TestFrequency:
+    def test_heavy_hitters_match_brute_force(self, spark):
+        """MG candidates + exact second pass ≡ plain groupBy-and-filter,
+        on skewed data spread over many partitions (the candidate set is
+        partition-dependent; the OUTPUT must not be)."""
+        import random
+
+        from kafka_connect_streams_spark.operators.frequency import (
+            heavy_hitters_exact)
+
+        rng = random.Random(7)
+        # Zipf-ish: word_i has weight 1/(i+1); 40 distinct words
+        words = [f"w{rng.choices(range(40), weights=[1/(i+1) for i in range(40)])[0]}"
+                 for _ in range(5000)]
+        docs = [" ".join(words[i:i + 25]) for i in range(0, 5000, 25)]
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)],
+            "doc_id long, text string").repartition(16)
+        k = 25
+        got = {(r.word, r.cnt) for r in
+               heavy_hitters_exact(df, "text", k).collect()}
+        from collections import Counter
+        exact = Counter(words)
+        want = {(w, c) for w, c in exact.items() if c * k > len(words)}
+        assert got == want and got  # non-trivial answer
+
+    def test_cms_never_undercounts(self, spark):
+        from kafka_connect_streams_spark.operators.frequency import (
+            cms_estimate, words_of)
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta w{i % 97} w{i % 31}") for i in range(800)],
+            "doc_id long, text string")
+        probes = (words_of(df, "text").distinct().limit(40))
+        rows = cms_estimate(df, "text", probes).collect()
+        assert rows and all(r.overcount_ok for r in rows)
+        assert all(r.est >= r.exact for r in rows)
+
+
+class TestGraph:
+    def test_triangle_census_on_known_graphs(self, spark):
+        from kafka_connect_streams_spark.operators.graph import (
+            triangle_census)
+
+        # K4 = 4 triangles, 6 edges, C(3,2)*4/... wedges = sum C(3,2)=12
+        k4 = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(4) if a < b],
+            "a long, b long")
+        r = triangle_census(k4).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+        assert r.gcc_e9 == 1000000000  # 3*4/12
+        # path graph: no triangles
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "a long, b long")
+        r = triangle_census(path).collect()[0]
+        assert r.n_triangles == 0 and r.gcc_e9 == 0
+
+    def test_triangle_census_matches_brute_force_random(self, spark):
+        import itertools
+        import random
+
+        from kafka_connect_streams_spark.operators.graph import (
+            triangle_census)
+
+        rng = random.Random(13)
+        edges = sorted({tuple(sorted(rng.sample(range(30), 2)))
+                        for _ in range(120)})
+        eset = set(edges)
+        want = sum(1 for a, b, c in itertools.combinations(range(30), 3)
+                   if (a, b) in eset and (b, c) in eset and (a, c) in eset)
+        df = spark.createDataFrame(edges, "a long, b long")
+        assert triangle_census(df).collect()[0].n_triangles == want
+
+
+class TestLayout:
+    def test_zorder_key_interleaves_bits(self, spark):
+        from kafka_connect_streams_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+        z = df.select(zorder_key(F.col("x"), F.col("y"), bits=3)
+                      .alias("z")).collect()[0].z
+        # x bits at even positions, y bits at odd: x=101,y=011 -> 011011
+        assert z == 0b011011
+
+    def test_skyline_matches_brute_force(self, spark):
+        import random
+
+        from kafka_connect_streams_spark.operators.layout import skyline2d
+
+        rng = random.Random(5)
+        pts = [(i, rng.randrange(50), rng.randrange(50))
+               for i in range(400)]
+        # duplicate some points to exercise the tie rules
+        pts += [(1000 + i, x, y) for i, (_, x, y) in enumerate(pts[:10])]
+        df = spark.createDataFrame(pts, "pid long, x long, y long") \
+                  .repartition(8)
+        got = {(r.pid, r.x, r.y) for r in
+               skyline2d(df, "x", "y", "pid").collect()}
+        want = {(p, x, y) for (p, x, y) in pts
+                if not any((dx <= x and dy <= y and (dx < x or dy < y))
+                           for (_, dx, dy) in pts)}
+        assert got == want and got
