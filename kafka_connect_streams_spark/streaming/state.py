@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
 
 COUNT_SCHEMA = StructType([
     StructField("key", StringType()),
@@ -260,3 +261,81 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
                 stateStructType=_SESSION_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+HH_SCHEMA = StructType([
+    StructField("shard", LongType()),
+    StructField("word", StringType()),
+    StructField("cnt_lb", LongType()),
+    StructField("cnt_ub", LongType()),
+    StructField("shard_n", LongType()),
+])
+_HH_STATE = StructType([
+    StructField("words", ArrayType(StringType())),
+    StructField("counts", ArrayType(LongType())),
+    StructField("n_s", LongType()),
+    StructField("dec", LongType()),
+])
+
+
+def streaming_heavy_hitters(df: DataFrame, text_col: str, k: int = 50,
+                            shards: int = 8) -> DataFrame:
+    """Streaming Misra-Gries: the unbounded-stream form of
+    operators/frequency.py heavy_hitters_exact.
+
+    Words are sharded by a stable hash (each word lives wholly in ONE
+    shard, so a word's shard-local frequency IS its global frequency);
+    each shard key holds an MG(k) summary in the state store — ≤ k
+    (word, counter) pairs plus the shard's total word count and the sum
+    of decrements. State is shards × k rows, CONSTANT in stream length:
+    the property that makes a frequency operator runnable forever,
+    where a streaming groupBy(word).count() grows with the vocabulary.
+
+    Every trigger emits (update mode) the shard's current candidates
+    with deterministic error bounds from the MG analysis:
+    ``cnt_lb ≤ true_count ≤ cnt_ub`` with ``cnt_ub − cnt_lb = dec ≤
+    n_s/(k+1)``. Any word with true count > n_s/(k+1) is guaranteed
+    present — the candidate superset a periodic exact batch pass
+    (heavy_hitters_exact) verifies, mirroring the batch operator's
+    two-pass contract across the stream/batch boundary.
+    """
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+")
+    words = (df.select(F.explode(toks).alias("word"))
+             .where(F.length("word") > 0)
+             .withColumn("shard",
+                         F.conv(F.substring(F.md5(F.col("word")), 1, 12),
+                                16, 10).cast("bigint") % shards))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ws, cs, n_s, dec = state.get
+            counters = dict(zip(list(ws), list(cs)))
+        else:
+            counters, n_s, dec = {}, 0, 0
+        for pdf in batches:
+            n_s += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                dec += cut
+                counters = {w: c - cut for w, c in counters.items()
+                            if c > cut}
+        state.update((list(counters), [counters[w] for w in counters],
+                      n_s, dec))
+        yield pd.DataFrame({
+            "shard": [key[0]] * len(counters),
+            "word": list(counters),
+            "cnt_lb": list(counters.values()),
+            "cnt_ub": [c + dec for c in counters.values()],
+            "shard_n": [n_s] * len(counters),
+        })
+
+    return (words.groupBy("shard")
+            .applyInPandasWithState(
+                update,
+                outputStructType=HH_SCHEMA,
+                stateStructType=_HH_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -390,3 +390,59 @@ def test_sessionize_early_segment_does_not_swallow_open_session(spark,
     # the early singleton flushed alone; the open session (100..101) stays
     assert ("a", 96_000, 96_000, 1) in got, got
     assert not any(s == 96_000 and e > 96_000 for _, s, e, _ in got), got
+
+
+def test_streaming_heavy_hitters_bounds_and_superset(spark, tmp_path):
+    """MG candidates over two micro-batches: every true heavy hitter is
+    present, the per-word MG bounds bracket the exact count, and shard
+    state stays ≤ k entries regardless of vocabulary size."""
+    from collections import Counter
+
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_heavy_hitters)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # skewed vocabulary: 'hot' dominates, long tail of singletons
+    batch_a = ["hot hot hot warm tail%d" % i for i in range(20)]
+    batch_b = ["hot warm warm tail%d" % (100 + i) for i in range(20)]
+    with open(src / "a.json", "w") as f:
+        for t in batch_a:
+            f.write(json.dumps({"text": t}) + "\n")
+    stream = spark.readStream.schema("text string").json(str(src))
+    k = 5
+    out = streaming_heavy_hitters(stream, "text", k=k, shards=4)
+    q = (out.writeStream.format("memory").queryName("shh")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        with open(src / "b.json", "w") as f:
+            for t in batch_b:
+                f.write(json.dumps({"text": t}) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM shh").collect()
+    finally:
+        q.stop()
+    exact = Counter(w for t in batch_a + batch_b for w in t.split())
+    # latest emission per (shard, word)
+    latest = {}
+    for r in rows:
+        latest[(r.shard, r.word)] = r
+    by_word = {}
+    for (_, w), r in latest.items():
+        by_word[w] = r
+    n_total = sum(exact.values())
+    # true heavy hitters (> n/(k+1) of even the TOTAL stream) survive
+    for w, c in exact.items():
+        if c > n_total / (k + 1):
+            assert w in by_word, f"true heavy hitter {w} evicted"
+    for w, r in by_word.items():
+        assert r.cnt_lb <= exact[w] <= r.cnt_ub, (w, r, exact[w])
+        # MG decrement bound: ub - lb = dec ≤ shard_n/(k+1)
+        assert r.cnt_ub - r.cnt_lb <= r.shard_n / (k + 1)
+    # state boundedness: ≤ k candidates per shard in the final emission
+    from collections import defaultdict
+    per_shard = defaultdict(int)
+    for (s, _w) in latest:
+        per_shard[s] += 1
+    assert per_shard and all(v <= k for v in per_shard.values())
