@@ -39,14 +39,13 @@ from kafka_connect_streams_spark import queries as Q  # noqa: E402
 HEADLINE = [
     # round 6: five thin Catalyst micro-queries (interval_join,
     # agg_pricing, groupby_stats, window_rank, tumbling_window —
-    # all sub-0.3s wrappers over built-ins, stable across r3-r5)
+    # all sub-0.3s wrappers over built-ins, stable across r3-r5,
+    # plus session_window and asof_join for batch 3)
     # rotated out for the round-6 operator batch below; the r5
     # common set stays 54 queries for the trend comparison.
     "wordcount",
     "join_inner",
     "multiway_join",
-    "session_window",
-    "asof_join",
     "shipping_priority",
     "range_join",
     "funnel",
@@ -101,6 +100,8 @@ HEADLINE = [
     "triangle_census",
     "zorder_layout",
     "skyline",
+    "kmv_set_ops",
+    "bloom_semijoin",
 ]
 
 

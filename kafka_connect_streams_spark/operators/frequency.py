@@ -158,3 +158,126 @@ def cms_estimate(df: DataFrame, text_col: str, probes: DataFrame,
                           (F.col("est") >= F.coalesce("exact", F.lit(0))
                            ).alias("overcount_ok"))
                   .orderBy(F.desc("exact"), "word"))
+
+
+def _kmin_distinct(df: DataFrame, set_col: str, h_col: str,
+                   k: int) -> DataFrame:
+    """Per set, the k smallest DISTINCT hash values, as a sorted array.
+
+    Same mergeable-summary shape as heavy_hitters_exact: pass 1 streams
+    each partition through a bounded dict-of-k-mins per set (Arrow
+    batches, state ≤ sets × k), pass 2 merges the ≤ partitions × k
+    candidates with one tiny shuffle. Never a vocabulary-sized
+    collect_list, never a per-set sort of the raw stream.
+    """
+    def kmins(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[str, list] = {}
+        import heapq
+        for pdf in batches:
+            for s, grp in pdf.groupby(set_col, sort=False):
+                heap = state.setdefault(s, [])   # max-heap via negation
+                for h in grp[h_col].unique():
+                    h = int(h)
+                    if len(heap) < k:
+                        if -h not in heap:
+                            heapq.heappush(heap, -h)
+                    elif h < -heap[0] and -h not in heap:
+                        heapq.heapreplace(heap, -h)
+        for s, heap in state.items():
+            yield pd.DataFrame({set_col: s, h_col: [-x for x in heap]})
+
+    cand = df.select(set_col, h_col).mapInPandas(
+        kmins, f"{set_col} string, {h_col} long")
+    return (cand.groupBy(set_col)
+            .agg(F.slice(F.array_sort(F.collect_set(h_col)), 1, k)
+                 .alias("kmins")))
+
+
+def kmv_report(df: DataFrame, set_col: str, elem_col: str,
+               k: int = 64) -> DataFrame:
+    """KMV/theta-sketch set algebra with an exact side-by-side check
+    (Beyer et al. SIGMOD'07; theta sketches per Dasgupta et al.).
+
+    For each pair of sets (A, B): estimate |A|, |B|, |A∪B|, |A∩B| from
+    k-min sketches of the md5-48 element hash —
+
+    - cardinality: (k−1)·M `div` h_k with M = 2^48 (exact when the set
+      has < k distinct members: the sketch then holds the whole set),
+    - union: the k-min of the merged sketches (sketches are mergeable —
+      the property that lets 1000 executors sketch independently),
+    - intersection: the theta filter — members of BOTH sketches below
+      θ = the union sketch's h_k, scaled by M `div` θ.
+
+    All integer arithmetic on deterministic hashes, so the estimates —
+    not just the exact counts — hash-match a SQL oracle, and
+    ``within_bound`` asserts |est−exact| ≤ 4·exact/√(k−1) (≈4·RSE) for
+    the three KMV estimates in-plan.
+
+    Scale shape: sketches build in the heavy_hitters two-pass pattern
+    (bounded per-partition state, candidate merge ≤ partitions × k);
+    the pairwise algebra runs on ≤ |sets|² sketch rows. The exact
+    counts are the EVAL side (one distinct pass + one per-hash
+    groupBy); production use drops them and keeps the sketch-only plan.
+    """
+    M = 1 << 48
+    hashed = (df.select(F.col(set_col).cast("string").alias("s"),
+                        _md5_48(F.col(elem_col).cast("string")).alias("h"))
+              .where(F.col("s").isNotNull() & F.col("h").isNotNull())
+              .distinct()
+              .localCheckpoint(eager=True))
+    sk = _kmin_distinct(hashed, "s", "h", k)
+    ex = hashed.groupBy("s").agg(F.count("*").alias("exact"))
+    # exact pair intersections via the side-flag shape: group each hash's
+    # member-set list, expand ordered pairs in-row — no raw A⋈B join
+    from kafka_connect_streams_spark.operators.graph import pairs_in_row
+    inter = (hashed.groupBy("h")
+             .agg(F.collect_set("s").alias("ss"))
+             .select(F.explode(pairs_in_row(F.col("ss"))).alias("p"))
+             .groupBy(F.col("p.a").alias("set_a"),
+                      F.col("p.b").alias("set_b"))
+             .agg(F.count("*").alias("exact_intersect")))
+    pairs = (sk.alias("a").crossJoin(sk.alias("b"))
+             .where(F.expr("a.s < b.s"))
+             .select(F.expr("a.s").alias("set_a"),
+                     F.expr("b.s").alias("set_b"),
+                     F.expr("a.kmins").alias("ka"),
+                     F.expr("b.kmins").alias("kb")))
+    est = (f"CASE WHEN size({{a}}) < {k} THEN cast(size({{a}}) as bigint) "
+           f"ELSE ({k} - 1) * cast({M} as bigint)"
+           f" div element_at({{a}}, size({{a}})) END")
+    p = (pairs
+         .withColumn("mu", F.slice(
+             F.array_sort(F.array_union("ka", "kb")), 1, k))
+         .withColumn("theta", F.element_at("mu", F.size("mu")))
+         .withColumn("est_a", F.expr(est.format(a="ka")))
+         .withColumn("est_b", F.expr(est.format(a="kb")))
+         .withColumn("est_union", F.expr(est.format(a="mu")))
+         .withColumn("inter_below", F.size(F.array_intersect(
+             F.filter("ka", lambda x: x <= F.col("theta")),
+             F.filter("kb", lambda x: x <= F.col("theta")))))
+         .withColumn("est_intersect", F.expr(
+             f"CASE WHEN size(ka) < {k} AND size(kb) < {k} "
+             f"THEN cast(size(array_intersect(ka, kb)) as bigint) "
+             f"ELSE cast(inter_below as bigint) * cast({M} as bigint)"
+             f" div theta END")))
+    rse4 = int(4000 / (k - 1) ** 0.5)  # 4·RSE in e3 fixed point
+    ok = " AND ".join(
+        f"abs(est_{c} - exact_{c}) * 1000 <= exact_{c} * {rse4}"
+        for c in ("a", "b", "union"))
+    return (p
+            .join(ex.select(F.col("s").alias("set_a"),
+                            F.col("exact").alias("exact_a")), "set_a")
+            .join(ex.select(F.col("s").alias("set_b"),
+                            F.col("exact").alias("exact_b")), "set_b")
+            .join(inter, ["set_a", "set_b"], "left")
+            .withColumn("exact_intersect",
+                        F.coalesce("exact_intersect", F.lit(0)))
+            .withColumn("exact_union",
+                        F.col("exact_a") + F.col("exact_b")
+                        - F.col("exact_intersect"))
+            .select("set_a", "set_b",
+                    "exact_a", "est_a", "exact_b", "est_b",
+                    "exact_union", "est_union",
+                    "exact_intersect", "est_intersect",
+                    F.expr(ok).alias("within_bound"))
+            .orderBy("set_a", "set_b"))

@@ -2938,6 +2938,46 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (-F.col("y")).alias("size")))
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set algebra (operators/frequency.py:
+    kmv_report): per order-priority pair, sketch-estimated vs exact
+    |A|, |B|, |A∪B|, |A∩B| over customer sets, k=64 — the mergeable
+    distinct-counting family (union by sketch merge, intersection by
+    theta filter), deterministic md5 hashes so even the ESTIMATES
+    hash-match the oracle; 4·RSE bound flagged in-plan."""
+    from kafka_connect_streams_spark.operators.frequency import kmv_report
+    t = load_tables(spark, sf_dir)
+    return kmv_report(t["orders"], "o_orderpriority", "o_custkey", k=64)
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join economics (operators/membership.py:
+    bloom_semijoin_report): urgent-order customer keys → one broadcast
+    bit-position array; customers probe it with 3 in-row
+    array_contains — the runtime-filter trick made explicit, with
+    candidates / true matches / false positives / fp rate scored
+    exactly and the no-false-negatives soundness flag in-plan."""
+    from kafka_connect_streams_spark.operators.membership import (
+        bloom_semijoin_report)
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    return bloom_semijoin_report(urgent, "o_custkey",
+                                 t["customer"], "c_custkey")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked delta-encoded inverted index (operators/indexing.py:
+    inverted_index): word → per-128-doc-block (df, total tf, gap-coded
+    postings). Blocking bounds every row's payload and spreads hot
+    words across reducers; delta coding is computed in-row from the
+    sorted array. The IR-index build workload as one shuffle."""
+    from kafka_connect_streams_spark.operators.indexing import (
+        inverted_index)
+    t = load_tables(spark, sf_dir)
+    return inverted_index(t["documents"], "text", "doc_id",
+                          block_size=128)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2972,8 +3012,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "audio_segments": q_audio_segments,
     "bigram_topk": q_bigram_topk,
-    "boilerplate_removal": q_boilerplate_removal,
-    "ccnet_buckets": q_ccnet_buckets,
     "cluster_best_doc": q_cluster_best_doc,
     "cross_source_duplicates": q_cross_source_duplicates,
     "curation_pipeline": q_curation_pipeline,
@@ -3002,7 +3040,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_tokens": q_text_tokens,
     "tfidf_topk": q_tfidf_topk,
-    "training_pipeline": q_training_pipeline,
     "winnowing_dedup": q_winnowing_dedup,
     "wordcount": q_wordcount,
     "ann_ivf_trained_recall": q_ann_ivf_trained_recall,
@@ -3013,6 +3050,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_census": q_triangle_census,
     "zorder_layout": q_zorder_layout,
     "skyline": q_skyline,
+    "kmv_set_ops": q_kmv_set_ops,
+    "bloom_semijoin": q_bloom_semijoin,
+    "inverted_index": q_inverted_index,
     # --- round-6 additions land ABOVE this line; below = oldest-
     # driver-row-first re-verification order (window cuts at 50).
     # Window math for the five round-6 batch-2 entries above: the slots
@@ -3123,6 +3163,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the round-6 window (oracle-text-only change,
     # r05-green rows) — first in line for the round-7 window:
     "ngram_lm_counts": q_ngram_lm_counts,
+    "boilerplate_removal": q_boilerplate_removal,
+    "ccnet_buckets": q_ccnet_buckets,
+    "training_pipeline": q_training_pipeline,
     "phrase_search": q_phrase_search,
     "quality_funnel": q_quality_funnel,
     "source_drift": q_source_drift,
@@ -6765,6 +6808,142 @@ ORACLE: dict[str, str] = {
                CAST(min(y) AS BIGINT) AS min_y,
                CAST(max(y) AS BIGINT) AS max_y
         FROM keyed GROUP BY bucket ORDER BY bucket
+    """,
+    "kmv_set_ops": """
+        WITH hashed AS (
+            SELECT DISTINCT CAST(o_orderpriority AS VARCHAR) AS s,
+                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                   1, 12))::BIGINT AS h
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL),
+        ranked AS (SELECT s, h,
+                          row_number() OVER (PARTITION BY s
+                                             ORDER BY h) AS rn
+                   FROM hashed),
+        sk AS (SELECT s, list(h ORDER BY h) AS kmins
+               FROM ranked WHERE rn <= 64 GROUP BY s),
+        ex AS (SELECT s, CAST(count(*) AS BIGINT) AS exact
+               FROM hashed GROUP BY s),
+        inter AS (SELECT a.s AS set_a, b.s AS set_b,
+                         CAST(count(*) AS BIGINT) AS exact_intersect
+                  FROM hashed a JOIN hashed b
+                    ON a.h = b.h AND a.s < b.s
+                  GROUP BY 1, 2),
+        pairs AS (SELECT a.s AS set_a, b.s AS set_b,
+                         a.kmins AS ka, b.kmins AS kb
+                  FROM sk a JOIN sk b ON a.s < b.s),
+        c1 AS (SELECT *, list_slice(list_sort(list_distinct(
+                   list_concat(ka, kb))), 1, 64) AS mu FROM pairs),
+        c2 AS (SELECT *, mu[len(mu)] AS theta FROM c1),
+        c3 AS (SELECT *,
+                CASE WHEN len(ka) < 64 THEN CAST(len(ka) AS BIGINT)
+                     ELSE CAST(17732923532771328 // ka[len(ka)]
+                               AS BIGINT) END AS est_a,
+                CASE WHEN len(kb) < 64 THEN CAST(len(kb) AS BIGINT)
+                     ELSE CAST(17732923532771328 // kb[len(kb)]
+                               AS BIGINT) END AS est_b,
+                CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS BIGINT)
+                     ELSE CAST(17732923532771328 // mu[len(mu)]
+                               AS BIGINT) END AS est_union,
+                len(list_intersect(
+                    list_filter(ka, x -> x <= theta),
+                    list_filter(kb, x -> x <= theta))) AS inter_below
+               FROM c2),
+        c4 AS (SELECT *,
+                CASE WHEN len(ka) < 64 AND len(kb) < 64
+                     THEN CAST(len(list_intersect(ka, kb)) AS BIGINT)
+                     ELSE CAST(CAST(inter_below AS BIGINT)
+                               * 281474976710656 // theta AS BIGINT)
+                END AS est_intersect
+               FROM c3)
+        SELECT p.set_a, p.set_b,
+               ea.exact AS exact_a, p.est_a,
+               eb.exact AS exact_b, p.est_b,
+               ea.exact + eb.exact - coalesce(i.exact_intersect, 0)
+                 AS exact_union,
+               p.est_union,
+               coalesce(i.exact_intersect, CAST(0 AS BIGINT))
+                 AS exact_intersect,
+               p.est_intersect,
+               (abs(p.est_a - ea.exact) * 1000 <= ea.exact * 503
+                AND abs(p.est_b - eb.exact) * 1000 <= eb.exact * 503
+                AND abs(p.est_union - (ea.exact + eb.exact
+                        - coalesce(i.exact_intersect, 0))) * 1000
+                    <= (ea.exact + eb.exact
+                        - coalesce(i.exact_intersect, 0)) * 503)
+                 AS within_bound
+        FROM c4 p
+        JOIN ex ea ON ea.s = p.set_a
+        JOIN ex eb ON eb.s = p.set_b
+        LEFT JOIN inter i
+          ON i.set_a = p.set_a AND i.set_b = p.set_b
+        ORDER BY p.set_a, p.set_b
+    """,
+    "bloom_semijoin": """
+        WITH bk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+                    FROM orders
+                    WHERE o_orderpriority = '1-URGENT'
+                      AND o_custkey IS NOT NULL),
+        pos AS (SELECT DISTINCT
+                    ((('0x' || substr(md5(k), 1, 12))::BIGINT
+                      * (2 * r + 1) + 104729 * (r + 1))
+                     % 2147483647) % 16384 AS pos
+                FROM bk
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rs),
+        pf AS (SELECT k,
+                ((h48 * 1 + 104729) % 2147483647) % 16384 AS p0,
+                ((h48 * 3 + 209458) % 2147483647) % 16384 AS p1,
+                ((h48 * 5 + 314187) % 2147483647) % 16384 AS p2
+               FROM (SELECT CAST(c_custkey AS VARCHAR) AS k,
+                            ('0x' || substr(md5(CAST(c_custkey
+                                AS VARCHAR)), 1, 12))::BIGINT AS h48
+                     FROM customer)),
+        flags AS (SELECT k,
+                (p0 IN (SELECT pos FROM pos)
+                 AND p1 IN (SELECT pos FROM pos)
+                 AND p2 IN (SELECT pos FROM pos)) AS bloom_pass,
+                k IN (SELECT k FROM bk) AS is_true
+            FROM pf),
+        agg AS (SELECT
+            CAST(count(*) AS BIGINT) AS n_probe,
+            CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bloom_pass,
+            CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_true,
+            CAST(sum(CASE WHEN bloom_pass AND NOT is_true
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+            FROM flags)
+        SELECT n_probe, n_bloom_pass, n_true, n_false_pos,
+               CASE WHEN n_probe - n_true > 0
+                    THEN CAST(n_false_pos * 1000000
+                              // (n_probe - n_true) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS fp_e6,
+               n_bloom_pass >= n_true AS no_false_negatives
+        FROM agg
+    """,
+    "inverted_index": """
+        WITH wd AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id, unnest(string_split_regex(
+                    lower(coalesce(text, '')), '\\W+')) AS word
+                FROM documents)
+            WHERE length(word) > 0),
+        per_doc AS (SELECT word, doc_id,
+                           CAST(count(*) AS BIGINT) AS tf,
+                           doc_id // 128 AS block
+                    FROM wd GROUP BY word, doc_id),
+        gaps AS (SELECT word, block, doc_id, tf,
+                        doc_id - coalesce(lag(doc_id) OVER (
+                            PARTITION BY word, block
+                            ORDER BY doc_id), 0) AS gap
+                 FROM per_doc)
+        SELECT word, block,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS tf_total,
+               string_agg(CAST(gap AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings
+        FROM gaps GROUP BY word, block
+        ORDER BY word, block
     """,
     "skyline": """
         WITH p AS (SELECT p_partkey AS pid,

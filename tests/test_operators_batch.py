@@ -1041,3 +1041,77 @@ class TestLayout:
                 if not any((dx <= x and dy <= y and (dx < x or dy < y))
                            for (_, dx, dy) in pts)}
         assert got == want and got
+
+
+class TestSketchAlgebra:
+    def test_kmv_exact_when_sets_smaller_than_k(self, spark):
+        """Sets with < k distinct members: the sketch IS the set, every
+        estimate must equal its exact counterpart."""
+        from kafka_connect_streams_spark.operators.frequency import (
+            kmv_report)
+
+        rows = ([("A", i) for i in range(30)]
+                + [("B", i) for i in range(20, 50)])
+        df = spark.createDataFrame(rows, "s string, e long")
+        r = kmv_report(df, "s", "e", k=64).collect()[0]
+        assert (r.exact_a, r.exact_b, r.exact_union,
+                r.exact_intersect) == (30, 30, 50, 10)
+        assert (r.est_a, r.est_b, r.est_union,
+                r.est_intersect) == (30, 30, 50, 10)
+        assert r.within_bound
+
+    def test_kmv_bound_holds_on_large_sets(self, spark):
+        from kafka_connect_streams_spark.operators.frequency import (
+            kmv_report)
+
+        rows = ([("A", i) for i in range(3000)]
+                + [("B", i) for i in range(1500, 4500)])
+        df = spark.createDataFrame(rows, "s string, e long") \
+                  .repartition(16)
+        r = kmv_report(df, "s", "e", k=64).collect()[0]
+        assert (r.exact_a, r.exact_union, r.exact_intersect) \
+            == (3000, 4500, 1500)
+        assert r.within_bound  # 4·RSE @ k=64 ≈ ±50%
+
+
+class TestBloomSemijoin:
+    def test_counts_and_soundness(self, spark):
+        from kafka_connect_streams_spark.operators.membership import (
+            bloom_semijoin_report)
+
+        build = spark.createDataFrame(
+            [(i,) for i in range(0, 200)], "k long")
+        probe = spark.createDataFrame(
+            [(i,) for i in range(100, 1100)], "k long")
+        r = bloom_semijoin_report(build, "k", probe, "k").collect()[0]
+        assert r.n_probe == 1000 and r.n_true == 100
+        assert r.no_false_negatives and r.n_bloom_pass >= r.n_true
+        assert r.n_false_pos == r.n_bloom_pass - r.n_true
+        assert r.fp_e6 == r.n_false_pos * 1_000_000 // 900
+
+
+class TestInvertedIndex:
+    def test_postings_reconstruct_doc_lists(self, spark):
+        from collections import defaultdict
+
+        from kafka_connect_streams_spark.operators.indexing import (
+            inverted_index)
+
+        docs = [(i, f"alpha w{i % 7} beta w{i % 3}") for i in range(40)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = inverted_index(df, "text", "doc_id", block_size=16) \
+            .collect()
+        want = defaultdict(set)
+        for i, t in docs:
+            for w in t.split():
+                want[(w, i // 16)].add(i)
+        got = {}
+        for r in rows:
+            gaps = [int(g) for g in r.postings.split(",")]
+            ids, acc = [], 0
+            for g in gaps:
+                acc += g
+                ids.append(acc)
+            assert r.df == len(ids) and ids == sorted(ids)
+            got[(r.word, r.block)] = set(ids)
+        assert got == {k: v for k, v in want.items()}
