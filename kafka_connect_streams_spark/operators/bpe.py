@@ -1,0 +1,152 @@
+"""BPE tokenizer training: corpus-level byte-pair-merge learning
+(Sennrich, Haddow & Birch, ACL'16) as a deterministic Spark loop.
+
+The workload every in-house tokenizer run needs at scale: count
+adjacent symbol pairs over the corpus's word-frequency table, merge the
+most frequent pair, repeat. Three design choices make it exact and
+oracle-checkable across engines:
+
+- **Train on the word-frequency table, not the corpus.** The classic
+  BPE trick: after one corpus pass (wordcount), every round runs on
+  |vocab| rows — at 100 TB the corpus is touched once and the training
+  loop iterates over megabytes. Each round's symbol table is
+  ``localCheckpoint``-ed (the Lloyd-rounds discipline from trained PQ).
+- **Deterministic argmax.** Ties break (count DESC, left, right) — a
+  total order, so the learned merge table is partitioning-independent.
+- **No self-merges (left ≠ right).** Applying (a,a) needs greedy
+  run-parsing (leftmost-non-overlapping), which is sequential per word
+  and not expressible as independent per-position logic in SQL. With
+  left ≠ right, merge positions provably cannot overlap — position i
+  merges iff (s[i],s[i+1]) = (a,b) and position i−1 did NOT merge; the
+  latter requires s[i] = b AND s[i] = a, impossible — so the merge
+  applies as a pure per-position expression on both engines. This is a
+  documented variant of Sennrich's greedy application; the restriction
+  only reorders which pair wins a round when a self-pair would top the
+  count.
+
+Per round the operator emits the merge learned and the corpus token
+count after applying it — the compression curve BPE optimizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+MERGE_SCHEMA = StructType([
+    StructField("round", LongType()),
+    StructField("lhs", StringType()),
+    StructField("rhs", StringType()),
+    StructField("pair_count", LongType()),
+    StructField("n_tokens_after", LongType()),
+])
+
+
+def word_freq(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One corpus pass: the word-frequency table BPE trains on.
+    NULL text ≡ empty document (repo-wide policy)."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                   r"\W+")
+    return (df.select(F.explode(toks).alias("word"))
+            .where(F.length("word") > 0)
+            .groupBy("word").agg(F.count("*").alias("cnt")))
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the symbol table, weighted by word
+    frequency. In-row pair expansion (sequence + transform), one tiny
+    groupBy over the pair vocabulary."""
+    pairs = F.expr("""
+        CASE WHEN size(s) > 1 THEN
+            transform(sequence(1, size(s) - 1),
+                      i -> struct(element_at(s, i) AS a,
+                                  element_at(s, i + 1) AS b))
+        ELSE array() END
+    """)
+    return (syms.select(F.col("cnt"), F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c")))
+
+
+def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
+    """Merge every (a,b) adjacency in every word's symbol array —
+    pure per-position logic (left ≠ right ⇒ no overlapping matches)."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    # try_element_at handles the past-the-end probe (NULL); the i-1
+    # probe is CASE-guarded because index 0 is invalid even for try_
+    merged = F.expr(f"""
+        filter(transform(sequence(1, size(s)), i -> CASE
+            WHEN element_at(s, i) = '{qa}'
+                 AND try_element_at(s, i + 1) = '{qb}'
+                THEN '{qa}{qb}'
+            WHEN i > 1 AND element_at(s, i) = '{qb}'
+                 AND (CASE WHEN i > 1 THEN element_at(s, i - 1) END)
+                     = '{qa}'
+                THEN CAST(NULL AS STRING)
+            ELSE element_at(s, i) END),
+          x -> x IS NOT NULL)
+    """)
+    return syms.select("word", "cnt", merged.alias("s"))
+
+
+def bpe_merges(spark: SparkSession, df: DataFrame, text_col: str,
+               id_col: str, rounds: int = 3) -> DataFrame:
+    """Learn ``rounds`` BPE merges; return the merge table with the
+    post-merge corpus token counts.
+
+    The per-round argmax is a 1-row collect (the trained-PQ/IVF
+    precedent for learned parameters); everything else is DataFrame
+    algebra over the checkpointed |vocab|-row symbol table.
+    """
+    syms = (word_freq(df, text_col, id_col)
+            .select("word", "cnt",
+                    F.expr("regexp_extract_all(word, '.', 0)").alias("s"))
+            .localCheckpoint(eager=True))
+    out: list[tuple] = []
+    for r in range(1, rounds + 1):
+        best = (_pair_counts(syms)
+                .where(F.col("a") != F.col("b"))
+                .orderBy(F.desc("c"), "a", "b")
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, c = best[0].a, best[0].b, best[0].c
+        syms = _apply_merge(syms, a, b).localCheckpoint(eager=True)
+        n_after = syms.agg(
+            F.sum(F.col("cnt") * F.size("s"))).collect()[0][0]
+        out.append((r, a, b, int(c), int(n_after)))
+    return spark.createDataFrame(out, MERGE_SCHEMA)
+
+
+def bpe_round_sql(r: int) -> str:
+    """One unrolled training round as SQL CTEs (DuckDB dialect) — the
+    oracle twin of `_pair_counts` + argmax + `_apply_merge`. ``syms0``
+    must exist; produces ``best{r}`` and ``syms{r}``."""
+    p = r - 1
+    return f"""
+        pairs{r} AS (
+            SELECT s[i] AS a, s[i + 1] AS b,
+                   CAST(sum(cnt) AS BIGINT) AS c
+            FROM syms{p},
+                 UNNEST(range(1, len(s))) AS t(i)
+            GROUP BY 1, 2),
+        best{r} AS (SELECT a, b, c FROM pairs{r} WHERE a <> b
+                    ORDER BY c DESC, a, b LIMIT 1),
+        syms{r} AS (
+            SELECT word, cnt,
+                   list_filter(list_transform(range(1, len(s) + 1),
+                       i -> CASE
+                           WHEN s[i] = m.a AND i < len(s)
+                                AND s[i + 1] = m.b THEN m.a || m.b
+                           WHEN i > 1 AND s[i - 1] = m.a
+                                AND s[i] = m.b THEN NULL
+                           ELSE s[i] END),
+                       x -> x IS NOT NULL) AS s
+            FROM syms{p} CROSS JOIN best{r} m),
+        stat{r} AS (SELECT CAST({r} AS BIGINT) AS round, m.a AS lhs,
+                           m.b AS rhs, m.c AS pair_count,
+                           (SELECT CAST(sum(cnt * len(s)) AS BIGINT)
+                            FROM syms{r}) AS n_tokens_after
+                    FROM best{r} m)"""

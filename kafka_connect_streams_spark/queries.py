@@ -23,6 +23,7 @@ from kafka_connect_streams_spark.catalog import load_tables
 from kafka_connect_streams_spark.operators import aggregations as agg
 from kafka_connect_streams_spark.operators import joins as J
 from kafka_connect_streams_spark.operators.aggregations import sum_money
+from kafka_connect_streams_spark.operators.bpe import bpe_round_sql
 from kafka_connect_streams_spark.operators.layout import zorder_sql
 from kafka_connect_streams_spark.operators.projections import flat_map_values
 
@@ -2978,6 +2979,22 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                           block_size=128)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 3 rounds (operators/bpe.py: bpe_merges):
+    corpus word-frequency table → iterated most-frequent-adjacent-pair
+    merges with the (count DESC, lhs, rhs) total tie order and the
+    no-self-merge variant that makes merge application pure
+    per-position logic in both engines. The corpus is scanned ONCE;
+    the training loop iterates over the checkpointed |vocab|-row
+    symbol table (the trained-PQ discipline). Emits the merge table
+    plus the post-merge corpus token counts — the compression curve.
+    The loop is UNROLLED into the SQL twin (bpe_round_sql), so this is
+    a full hash row, not rows-only."""
+    from kafka_connect_streams_spark.operators.bpe import bpe_merges
+    t = load_tables(spark, sf_dir)
+    return bpe_merges(spark, t["documents"], "text", "doc_id", rounds=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3030,7 +3047,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": q_gopher_rules,
     "incremental_dedup": q_incremental_dedup,
     "jaccard_prefix_join": q_jaccard_prefix_join,
-    "linear_quality": q_linear_quality,
     "lm_doc_score": q_lm_doc_score,
     "multimodal_decode": q_multimodal_decode,
     "regex_functions": q_regex_functions,
@@ -3053,6 +3069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_set_ops": q_kmv_set_ops,
     "bloom_semijoin": q_bloom_semijoin,
     "inverted_index": q_inverted_index,
+    "bpe_merges": q_bpe_merges,
     # --- round-6 additions land ABOVE this line; below = oldest-
     # driver-row-first re-verification order (window cuts at 50).
     # Window math for the five round-6 batch-2 entries above: the slots
@@ -3163,6 +3180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the round-6 window (oracle-text-only change,
     # r05-green rows) — first in line for the round-7 window:
     "ngram_lm_counts": q_ngram_lm_counts,
+    "linear_quality": q_linear_quality,
     "boilerplate_removal": q_boilerplate_removal,
     "ccnet_buckets": q_ccnet_buckets,
     "training_pipeline": q_training_pipeline,
@@ -6944,6 +6962,24 @@ ORACLE: dict[str, str] = {
                           ORDER BY doc_id) AS postings
         FROM gaps GROUP BY word, block
         ORDER BY word, block
+    """,
+    "bpe_merges": f"""
+        WITH wf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(string_split_regex(
+                    lower(coalesce(text, '')), '\\W+')) AS word
+                FROM documents)
+            WHERE length(word) > 0 GROUP BY word),
+        syms0 AS (SELECT word, cnt,
+                         regexp_extract_all(word, '.') AS s
+                  FROM wf),
+        {bpe_round_sql(1)},
+        {bpe_round_sql(2)},
+        {bpe_round_sql(3)}
+        SELECT * FROM stat1
+        UNION ALL SELECT * FROM stat2
+        UNION ALL SELECT * FROM stat3
+        ORDER BY round
     """,
     "skyline": """
         WITH p AS (SELECT p_partkey AS pid,

@@ -32,7 +32,7 @@ TEXT_QUERIES = [
     "boilerplate_removal", "linear_quality", "text_tokens", "text_quality",
     "text_language_id", "text_repetition", "lm_doc_score",
     "bm25_term_topk", "leakage_safe_split",
-    "heavy_hitters", "cms_frequency", "inverted_index",
+    "heavy_hitters", "cms_frequency", "inverted_index", "bpe_merges",
 ]
 
 

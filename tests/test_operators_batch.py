@@ -1115,3 +1115,49 @@ class TestInvertedIndex:
             assert r.df == len(ids) and ids == sorted(ids)
             got[(r.word, r.block)] = set(ids)
         assert got == {k: v for k, v in want.items()}
+
+
+class TestBpeMerges:
+    def test_matches_python_reference(self, spark):
+        """3 rounds ≡ a Python BPE trainer with the same conventions:
+        all-position pair counts, no self-merges, (count DESC, lhs,
+        rhs) tie order, per-position merge application."""
+        from collections import Counter
+
+        from kafka_connect_streams_spark.operators.bpe import bpe_merges
+
+        docs = [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the hat of the cat",
+             "a rat ate the oat", "that cat s hat", "thee see thee"])]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        wf = Counter(w for _, t in docs for w in t.split())
+        syms = {w: list(w) for w in wf}
+        want = []
+        for r in range(1, 4):
+            pc = Counter()
+            for w, s in syms.items():
+                for i in range(len(s) - 1):
+                    if s[i] != s[i + 1]:
+                        pc[(s[i], s[i + 1])] += wf[w]
+            if not pc:
+                break
+            (a, b), c = min(pc.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            for w, s in syms.items():
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                syms[w] = ns
+            n_after = sum(wf[w] * len(s) for w, s in syms.items())
+            want.append((r, a, b, c, n_after))
+
+        got = [(r.round, r.lhs, r.rhs, r.pair_count, r.n_tokens_after)
+               for r in bpe_merges(spark, df, "text", "doc_id",
+                                   rounds=3).collect()]
+        assert got == want and len(got) == 3
