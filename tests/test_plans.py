@@ -154,9 +154,13 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
 def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     """Fleet-wide hygiene: NO registered query may plan a row-at-a-time
     Python eval (BatchEvalPython); Arrow-batched Python (MapInPandas) is
-    allowed only for the multimodal queries whose decode step is
-    intrinsically Python. Everything else must stay JVM-side."""
-    arrow_ok = {"multimodal_decode", "frame_sampling", "audio_segments"}
+    allowed only where batched Python IS the operator's design: the
+    multimodal decode seam, and the bounded-state summary scans
+    (Misra-Gries candidates, KMV k-mins, per-batch skylines) whose
+    k-bounded streaming state Spark SQL cannot express as an
+    aggregate. Everything else must stay JVM-side."""
+    arrow_ok = {"multimodal_decode", "frame_sampling", "audio_segments",
+                "heavy_hitters", "kmv_set_ops", "skyline"}
     offenders = []
     for name, fn in Q.QUERIES.items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
