@@ -2995,6 +2995,89 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(spark, t["documents"], "text", "doc_id", rounds=3)
 
 
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-style data-quality constraint audit in one report:
+    primary-key uniqueness, referential integrity (left-anti broadcast
+    counts — the FK check that never materializes the join), domain
+    rules, and not-null checks across four tables. Each check is one
+    aggregate over one scan; the report unions the scalar rows. The
+    audit every 100 TB ingest runs before promoting a partition."""
+    t = load_tables(spark, sf_dir)
+
+    def check(name: str, checked, violations) -> DataFrame:
+        return (violations.select(
+            F.lit(name).alias("check_name"),
+            checked.alias("n_checked"),
+            F.col("v").alias("n_violations"),
+            (F.col("v") == 0).alias("pass")))
+
+    orders, customer, li, part = (t["orders"], t["customer"],
+                                  t["lineitem"], t["part"])
+    pk_o = orders.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v"))
+    pk_c = customer.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("c_custkey")).alias("v"))
+    fk_oc = (orders.join(F.broadcast(customer.select("c_custkey")),
+                         orders.o_custkey == F.col("c_custkey"),
+                         "left_anti")
+             .agg(F.count("*").alias("v"))
+             .crossJoin(orders.agg(F.count("*").alias("n"))))
+    fk_lp = (li.join(F.broadcast(part.select("p_partkey")),
+                     li.l_partkey == F.col("p_partkey"), "left_anti")
+             .agg(F.count("*").alias("v"))
+             .crossJoin(li.agg(F.count("*").alias("n"))))
+    dom_disc = li.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("l_discount") < 0)
+               | (F.col("l_discount") > 1)).cast("bigint")).alias("v"))
+    dom_qty = li.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("v"))
+    nn_date = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderdate").isNull().cast("bigint")).alias("v"))
+    report = (check("pk_unique_orders", F.col("n"), pk_o)
+              .unionAll(check("pk_unique_customer", F.col("n"), pk_c))
+              .unionAll(check("fk_orders_customer", F.col("n"), fk_oc))
+              .unionAll(check("fk_lineitem_part", F.col("n"), fk_lp))
+              .unionAll(check("domain_discount_0_1", F.col("n"), dom_disc))
+              .unionAll(check("domain_quantity_pos", F.col("n"), dom_qty))
+              .unionAll(check("not_null_orderdate", F.col("n"), nn_date)))
+    return report.orderBy("check_name")
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event-type stream into change intervals (new version only
+    when the value CHANGES) with valid_from / valid_to / is_current —
+    the warehouse changelog-compaction pattern. One shuffle by user;
+    windows are per-user (never a global sort); the (ts, event_id)
+    total order makes versioning deterministic."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (t["events"]
+            .select("user_id", "event_id", "event_type", "ts")
+            .withColumn("chg", (F.lag("event_type").over(w).isNull()
+                                | (F.col("event_type")
+                                   != F.lag("event_type").over(w)))
+                        .cast("bigint"))
+            .withColumn("version", F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    hist = (runs.groupBy("user_id", "version")
+            .agg(F.min("event_type").alias("event_type"),  # constant per run
+                 F.min("ts").alias("valid_from"),
+                 F.count("*").alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return (hist
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select("user_id", "version", "event_type", "valid_from",
+                    "valid_to", "n_events", "is_current")
+            .orderBy("user_id", "version"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3029,8 +3112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "audio_segments": q_audio_segments,
     "bigram_topk": q_bigram_topk,
-    "cluster_best_doc": q_cluster_best_doc,
-    "cross_source_duplicates": q_cross_source_duplicates,
+    "boilerplate_removal": q_boilerplate_removal,
     "curation_pipeline": q_curation_pipeline,
     "decontamination": q_decontamination,
     "decontamination_minhash": q_decontamination_minhash,
@@ -3047,7 +3129,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": q_gopher_rules,
     "incremental_dedup": q_incremental_dedup,
     "jaccard_prefix_join": q_jaccard_prefix_join,
-    "lm_doc_score": q_lm_doc_score,
     "multimodal_decode": q_multimodal_decode,
     "regex_functions": q_regex_functions,
     "text_fingerprint": q_text_fingerprint,
@@ -3070,6 +3151,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semijoin": q_bloom_semijoin,
     "inverted_index": q_inverted_index,
     "bpe_merges": q_bpe_merges,
+    "constraint_report": q_constraint_report,
+    "scd2_history": q_scd2_history,
     # --- round-6 additions land ABOVE this line; below = oldest-
     # driver-row-first re-verification order (window cuts at 50).
     # Window math for the five round-6 batch-2 entries above: the slots
@@ -3180,8 +3263,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the round-6 window (oracle-text-only change,
     # r05-green rows) — first in line for the round-7 window:
     "ngram_lm_counts": q_ngram_lm_counts,
+    "lm_doc_score": q_lm_doc_score,
+    "cluster_best_doc": q_cluster_best_doc,
+    "cross_source_duplicates": q_cross_source_duplicates,
     "linear_quality": q_linear_quality,
-    "boilerplate_removal": q_boilerplate_removal,
     "ccnet_buckets": q_ccnet_buckets,
     "training_pipeline": q_training_pipeline,
     "phrase_search": q_phrase_search,
@@ -6980,6 +7065,86 @@ ORACLE: dict[str, str] = {
         UNION ALL SELECT * FROM stat2
         UNION ALL SELECT * FROM stat3
         ORDER BY round
+    """,
+    "constraint_report": """
+        SELECT * FROM (
+            SELECT 'pk_unique_orders' AS check_name,
+                   CAST(count(*) AS BIGINT) AS n_checked,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                     AS n_violations,
+                   count(*) - count(DISTINCT o_orderkey) = 0 AS pass
+            FROM orders
+            UNION ALL
+            SELECT 'pk_unique_customer',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+                   count(*) - count(DISTINCT c_custkey) = 0
+            FROM customer
+            UNION ALL
+            SELECT 'fk_orders_customer',
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders),
+                   CAST(count(*) AS BIGINT),
+                   count(*) = 0
+            FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT 'fk_lineitem_part',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   CAST(count(*) AS BIGINT),
+                   count(*) = 0
+            FROM lineitem l
+            WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part)
+            UNION ALL
+            SELECT 'domain_discount_0_1',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                       THEN 1 ELSE 0 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'domain_quantity_pos',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'not_null_orderdate',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderdate IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN o_orderdate IS NULL
+                       THEN 1 ELSE 0 END) = 0
+            FROM orders)
+        ORDER BY check_name
+    """,
+    "scd2_history": """
+        WITH runs AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR event_type <> lag(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        v AS (SELECT *,
+                     sum(chg) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS version
+              FROM runs),
+        hist AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                        min(event_type) AS event_type,
+                        min(ts) AS valid_from,
+                        CAST(count(*) AS BIGINT) AS n_events
+                 FROM v GROUP BY user_id, version)
+        SELECT user_id, version, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY version) AS valid_to,
+               n_events,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY version) IS NULL
+                 AS is_current
+        FROM hist ORDER BY user_id, version
     """,
     "skyline": """
         WITH p AS (SELECT p_partkey AS pid,
