@@ -241,11 +241,25 @@ class KsqlContext:
         #: target's CURRENT plan, captured here — re-reading the temp view by
         #: name after replacing it would make the view reference itself.
         self.frames: dict[str, DataFrame] = {}
+        #: name → ConnectorMeta (CREATE SOURCE/SINK CONNECTOR registry)
+        self.connectors: dict[str, "ConnectorMeta"] = {}
 
     def sql(self, statement: str) -> DataFrame | None:
         from kafka_connect_streams_spark.functions import rewrite_ksql_sql
         statement = rewrite_window_clause(statement)
         statement = rewrite_within_clause(statement, self.frames)
+        m = _CREATE_CONNECTOR_RE.match(statement)
+        if m:
+            return self._create_connector(m)
+        m = _SHOW_CONNECTORS_RE.match(statement)
+        if m:
+            return self._show_connectors()
+        m = _DROP_CONNECTOR_RE.match(statement)
+        if m:
+            return self._drop_connector(m, statement)
+        m = _DESCRIBE_CONNECTOR_RE.match(statement)
+        if m:
+            return self._describe_connector(m)
         m = _CSAS_RE.match(statement)
         if m:
             return self._csas(m)
@@ -552,3 +566,184 @@ class KsqlContext:
         return bool(sources) and all(
             self.metastore.get(s.lower()) is not None
             and self.metastore[s.lower()].kind == "table" for s in sources)
+
+    # -- CREATE SOURCE/SINK CONNECTOR ---------------------------------------
+    # ksqlDB's connector-management DDL bound to this repo's Connect layer:
+    # a SOURCE connector wraps sources/table_poll.py (the JDBC source
+    # connector equivalent — ConnectSourceConsumer.java:550-630) and
+    # registers its topic as a queryable STREAM; a SINK connector binds a
+    # registered relation to a parquet/JDBC put target (sinks.py batch-put
+    # contract, ConnectSinkTask put/flush). Statement shapes follow ksqlDB
+    # (CREATE [SOURCE|SINK] CONNECTOR name WITH ('k'='v', ...); SHOW
+    # CONNECTORS; DESCRIBE CONNECTOR; DROP CONNECTOR).
+
+    def _create_connector(self, m: re.Match) -> None:
+        ctype = m.group(1).lower()
+        name = m.group(2).lower()
+        if name in self.connectors:
+            if re.search(r"\bIF\s+NOT\s+EXISTS\b", m.string, re.IGNORECASE):
+                return None
+            raise ValueError(
+                f"CREATE CONNECTOR {name}: connector already exists")
+        props = _parse_connector_props(m.group("props"))
+        clazz = props.get("connector.class", "")
+        if ctype == "source":
+            if "jdbcsource" not in clazz.lower().replace(".", "") \
+                    and "tablepoll" not in clazz.lower():
+                raise ValueError(
+                    f"CREATE SOURCE CONNECTOR {name}: unsupported class "
+                    f"{clazz!r} (JdbcSourceConnector / TablePollSource)")
+            from kafka_connect_streams_spark.sources.table_poll import (
+                TablePollSource, jdbc_reader, parquet_dir_reader)
+            table = props.get("table.whitelist", props.get("table", ""))
+            if not table:
+                raise ValueError(
+                    f"CREATE SOURCE CONNECTOR {name}: table.whitelist "
+                    "required")
+            if "path" in props:
+                reader = parquet_dir_reader(props["path"])
+            elif "connection.url" in props:
+                reader = jdbc_reader(props["connection.url"], table)
+            else:
+                raise ValueError(
+                    f"CREATE SOURCE CONNECTOR {name}: need 'path' (file "
+                    "table) or 'connection.url' (JDBC)")
+            poll = TablePollSource(
+                reader,
+                mode=props.get("mode", "bulk"),
+                inc_col=props.get("incrementing.column.name", "id"),
+                checkpoint=props.get("checkpoint") or None)
+            topic = props.get("topic.prefix", "") + table
+            # the topic keeps its Kafka spelling; the registered STREAM
+            # needs a valid SQL identifier (ksqlDB names them apart too)
+            stream = re.sub(r"\W", "_", topic.lower())
+            df = reader(self.spark)
+            meta = StreamMeta(
+                name=stream, topic=topic.lower(),
+                value_format=props.get("value_format", "json").lower(),
+                key_col=None, columns=dict(df.dtypes), kind="stream")
+            df.createOrReplaceTempView(stream)
+            self.metastore[stream] = meta
+            self.frames[stream] = df
+            self.connectors[name] = ConnectorMeta(
+                name=name, ctype=ctype, clazz=clazz, props=props,
+                topic=stream, poll=poll)
+        else:
+            if "jdbcsink" not in clazz.lower().replace(".", "") \
+                    and "parquet" not in clazz.lower():
+                raise ValueError(
+                    f"CREATE SINK CONNECTOR {name}: unsupported class "
+                    f"{clazz!r} (JdbcSinkConnector / parquet)")
+            topics = props.get("topics", "")
+            if topics.lower() not in self.frames:
+                raise ValueError(
+                    f"CREATE SINK CONNECTOR {name}: unknown topic/stream "
+                    f"{topics!r}")
+            if "path" not in props:
+                raise ValueError(
+                    f"CREATE SINK CONNECTOR {name}: 'path' required")
+            self.connectors[name] = ConnectorMeta(
+                name=name, ctype=ctype, clazz=clazz, props=props,
+                topic=topics.lower())
+        return None
+
+    def start_connector(self, name: str, deliver=None,
+                        trigger_seconds: float = 0.5):
+        """Run a SOURCE connector's poll loop (TablePollSource.start).
+        ``deliver`` defaults to appending each delta to the connector's
+        registered stream frame — the topic fills as the table grows."""
+        meta = self.connectors.get(name.lower())
+        if meta is None or meta.ctype != "source":
+            raise ValueError(f"start_connector: no source connector "
+                             f"{name!r}")
+
+        def default_deliver(batch: DataFrame, _epoch: int) -> None:
+            rows = batch.collect()
+            if not rows:
+                return
+            add = self.spark.createDataFrame(rows, batch.schema)
+            cur = self.frames[meta.topic].unionByName(add)
+            cur.createOrReplaceTempView(meta.topic)
+            self.frames[meta.topic] = cur
+
+        meta.query = meta.poll.start(
+            self.spark, deliver or default_deliver,
+            trigger_seconds=trigger_seconds)
+        return meta.query
+
+    def flush_connector(self, name: str) -> int:
+        """Run a SINK connector's batch put: write the bound relation's
+        current rows to the target path (idempotent overwrite per flush —
+        the put/flush contract of ConnectSinkTask)."""
+        meta = self.connectors.get(name.lower())
+        if meta is None or meta.ctype != "sink":
+            raise ValueError(f"flush_connector: no sink connector {name!r}")
+        df = self.frames[meta.topic]
+        df.write.mode("overwrite").parquet(meta.props["path"])
+        return df.count()
+
+    def _show_connectors(self) -> DataFrame:
+        rows = [(c.name, c.ctype.upper(), c.clazz,
+                 "RUNNING" if (c.query is not None and c.query.isActive)
+                 else "REGISTERED")
+                for c in self.connectors.values()]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, class string, state string")
+
+    def _describe_connector(self, m: re.Match) -> DataFrame:
+        name = m.group(1).lower()
+        c = self.connectors.get(name)
+        if c is None:
+            raise ValueError(f"DESCRIBE CONNECTOR {name}: unknown connector")
+        rows = ([("name", c.name), ("type", c.ctype.upper()),
+                 ("topic", c.topic)]
+                + sorted(c.props.items()))
+        return self.spark.createDataFrame(rows, "prop string, value string")
+
+    def _drop_connector(self, m: re.Match, statement: str) -> None:
+        name = m.group(1).lower()
+        c = self.connectors.get(name)
+        if c is None:
+            if re.search(r"\bIF\s+EXISTS\b", statement, re.IGNORECASE):
+                return None
+            raise ValueError(f"DROP CONNECTOR {name}: unknown connector")
+        if c.query is not None and c.query.isActive:
+            c.query.stop()
+        # ksqlDB parity: dropping the connector leaves the topic/stream
+        # registered — data already produced stays queryable
+        del self.connectors[name]
+        return None
+
+
+@dataclass
+class ConnectorMeta:
+    """What ksqlDB's connector registry tracks per connector."""
+    name: str
+    ctype: str                      # "source" | "sink"
+    clazz: str
+    props: dict[str, str]
+    topic: str
+    poll: object | None = None      # TablePollSource for sources
+    query: object | None = None     # running StreamingQuery handle
+
+
+def _parse_connector_props(s: str) -> dict[str, str]:
+    """ksqlDB connector WITH props: quoted keys AND values
+    ('connector.class'='...', 'mode'='incrementing')."""
+    out: dict[str, str] = {}
+    for part in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", s or ""):
+        out[part[0].strip().lower()] = part[1]
+    return out
+
+
+_CREATE_CONNECTOR_RE = re.compile(
+    r"^\s*CREATE\s+(SOURCE|SINK)\s+CONNECTOR\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(\w+)\s+WITH\s*\((?P<props>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_SHOW_CONNECTORS_RE = re.compile(
+    r"^\s*(?:SHOW|LIST)\s+CONNECTORS\s*;?\s*$", re.IGNORECASE)
+_DROP_CONNECTOR_RE = re.compile(
+    r"^\s*DROP\s+CONNECTOR\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+    re.IGNORECASE)
+_DESCRIBE_CONNECTOR_RE = re.compile(
+    r"^\s*DESCRIBE\s+CONNECTOR\s+(\w+)\s*;?\s*$", re.IGNORECASE)

@@ -833,3 +833,118 @@ class TestPrint:
                        ).count() == 3
         with pytest.raises(KeyError):
             ctx.sql("PRINT 'nope'")
+
+
+class TestConnectorDdl:
+    """ksqlDB connector-management DDL bound to the Connect layer
+    (table_poll source loop, batch-put sink contract)."""
+
+    def test_source_connector_lifecycle(self, spark, tmp_path):
+        from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+        src = tmp_path / "users"
+        spark.createDataFrame(
+            [(1, "ann"), (2, "bob")], "id long, name string") \
+            .write.parquet(str(src))
+        ctx = KsqlContext(spark, resolver=lambda t: None)
+        ctx.sql(f"""
+            CREATE SOURCE CONNECTOR jdbc_users WITH (
+                'connector.class'='io.confluent.connect.jdbc.JdbcSourceConnector',
+                'path'='{src}',
+                'mode'='incrementing',
+                'incrementing.column.name'='id',
+                'table.whitelist'='users',
+                'topic.prefix'='db-');
+        """)
+        # the connector's topic is a queryable STREAM
+        rows = ctx.sql("SELECT name FROM db_users ORDER BY name").collect()
+        assert [r.name for r in rows] == ["ann", "bob"]
+        listing = {(r.name, r.type, r.state)
+                   for r in ctx.sql("SHOW CONNECTORS;").collect()}
+        assert listing == {("jdbc_users", "SOURCE", "REGISTERED")}
+        desc = {r.prop: r.value
+                for r in ctx.sql("DESCRIBE CONNECTOR jdbc_users").collect()}
+        assert desc["mode"] == "incrementing" and desc["topic"] == "db_users"
+        # duplicate CREATE errors; IF NOT EXISTS is silent
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="already exists"):
+            ctx.sql("CREATE SOURCE CONNECTOR jdbc_users WITH ("
+                    "'connector.class'='JdbcSourceConnector',"
+                    f"'path'='{src}', 'table.whitelist'='users');")
+        ctx.sql("CREATE SOURCE CONNECTOR IF NOT EXISTS jdbc_users WITH ("
+                "'connector.class'='JdbcSourceConnector',"
+                f"'path'='{src}', 'table.whitelist'='users');")
+        # DROP removes the connector, leaves the topic queryable
+        ctx.sql("DROP CONNECTOR jdbc_users;")
+        assert ctx.sql("SHOW CONNECTORS;").count() == 0
+        assert ctx.sql("SELECT count(*) AS n FROM db_users") \
+            .collect()[0].n == 2
+        with _pytest.raises(ValueError, match="unknown connector"):
+            ctx.sql("DROP CONNECTOR jdbc_users;")
+        ctx.sql("DROP CONNECTOR IF EXISTS jdbc_users;")
+
+    def test_source_connector_poll_loop_delivers_delta(self, spark,
+                                                       tmp_path):
+        import time
+
+        from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+        src = tmp_path / "tbl"
+        spark.createDataFrame([(1, "a")], "id long, v string") \
+            .write.parquet(str(src))
+        ctx = KsqlContext(spark, resolver=lambda t: None)
+        ctx.sql(f"""
+            CREATE SOURCE CONNECTOR poller WITH (
+                'connector.class'='TablePollSource',
+                'path'='{src}', 'mode'='incrementing',
+                'incrementing.column.name'='id',
+                'table.whitelist'='tbl',
+                'checkpoint'='{tmp_path / "ckpt"}');
+        """)
+        got: list = []
+        q = ctx.start_connector(
+            "poller", deliver=lambda b, e: got.extend(
+                (r.id, r.v) for r in b.collect()),
+            trigger_seconds=0.2)
+        try:
+            deadline = time.time() + 30
+            while (1, "a") not in got and time.time() < deadline:
+                time.sleep(0.2)
+            spark.createDataFrame([(2, "b")], "id long, v string") \
+                .write.mode("append").parquet(str(src))
+            while (2, "b") not in got and time.time() < deadline:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        assert (1, "a") in got and (2, "b") in got
+        # incrementing mode: row 1 delivered exactly once (offset advanced)
+        assert got.count((1, "a")) == 1
+        listing = {(r.name, r.state)
+                   for r in ctx.sql("SHOW CONNECTORS;").collect()}
+        assert listing == {("poller", "REGISTERED")}  # stopped
+
+    def test_sink_connector_batch_put(self, spark, tmp_path):
+        from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+        data = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "k long, v string")
+        ctx = KsqlContext(spark, resolver=lambda t: data)
+        ctx.sql("CREATE STREAM s (k BIGINT, v VARCHAR) "
+                "WITH (kafka_topic='s', value_format='JSON');")
+        out = tmp_path / "out"
+        ctx.sql(f"""
+            CREATE SINK CONNECTOR writer WITH (
+                'connector.class'='io.confluent.connect.jdbc.JdbcSinkConnector',
+                'topics'='s', 'path'='{out}');
+        """)
+        n = ctx.flush_connector("writer")
+        assert n == 2
+        back = spark.read.parquet(str(out))
+        assert {(r.k, r.v) for r in back.select("k", "v").collect()} \
+            == {(1, "x"), (2, "y")}
+        # unknown topic is rejected at CREATE time
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown topic"):
+            ctx.sql("CREATE SINK CONNECTOR bad WITH ("
+                    "'connector.class'='JdbcSinkConnector',"
+                    f"'topics'='nope', 'path'='{out}');")
