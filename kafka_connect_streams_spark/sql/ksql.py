@@ -260,6 +260,12 @@ class KsqlContext:
         m = _DESCRIBE_CONNECTOR_RE.match(statement)
         if m:
             return self._describe_connector(m)
+        m = _SHOW_TOPICS_RE.match(statement)
+        if m:
+            return self._show_topics()
+        m = _EXPLAIN_RE.match(statement)
+        if m:
+            return self._explain(m.group("body"))
         m = _CSAS_RE.match(statement)
         if m:
             return self._csas(m)
@@ -700,6 +706,32 @@ class KsqlContext:
                 + sorted(c.props.items()))
         return self.spark.createDataFrame(rows, "prop string, value string")
 
+    def _show_topics(self) -> DataFrame:
+        """``SHOW TOPICS``: the topics this context knows about — every
+        registered relation's backing topic (ksqlDB lists the broker's
+        topics; without a broker, the metastore IS the topic registry)."""
+        rows = sorted({(meta.topic, meta.kind)
+                       for meta in self.metastore.values()})
+        return self.spark.createDataFrame(
+            rows, "kafka_topic string, kind string")
+
+    def _explain(self, body: str) -> DataFrame:
+        """``EXPLAIN <name | query>``: the physical plan ksqlDB prints
+        for a persistent query — here the Catalyst executed plan of the
+        registered relation (by name) or of the ad-hoc query."""
+        from kafka_connect_streams_spark.functions import rewrite_ksql_sql
+        name = body.strip().rstrip(";").strip().lower()
+        if name in self.frames:
+            df = self.frames[name]
+        else:
+            df = self.spark.sql(rewrite_ksql_sql(body.rstrip(";")))
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        return self.spark.createDataFrame(
+            [(line,) for line in plan.splitlines() if line.strip()],
+            "plan_line string")
+
     def _drop_connector(self, m: re.Match, statement: str) -> None:
         name = m.group(1).lower()
         c = self.connectors.get(name)
@@ -747,3 +779,7 @@ _DROP_CONNECTOR_RE = re.compile(
     re.IGNORECASE)
 _DESCRIBE_CONNECTOR_RE = re.compile(
     r"^\s*DESCRIBE\s+CONNECTOR\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_SHOW_TOPICS_RE = re.compile(
+    r"^\s*(?:SHOW|LIST)\s+TOPICS\s*;?\s*$", re.IGNORECASE)
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?P<body>.+?);?\s*$", re.IGNORECASE | re.DOTALL)

@@ -339,3 +339,59 @@ def streaming_heavy_hitters(df: DataFrame, text_col: str, k: int = 50,
                 stateStructType=_HH_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+KMV_SCHEMA = StructType([
+    StructField("shard", LongType()),
+    StructField("kmins", ArrayType(LongType())),
+    StructField("n_seen", LongType()),
+])
+_KMV_STATE = StructType([
+    StructField("kmins", ArrayType(LongType())),
+    StructField("n_seen", LongType()),
+])
+
+
+def streaming_distinct_kmv(df: DataFrame, elem_col: str, k: int = 64,
+                           shards: int = 8) -> DataFrame:
+    """Streaming KMV distinct counting: the unbounded-stream form of
+    operators/frequency.py kmv_report's sketches.
+
+    Elements shard by hash range (``h % shards``), each shard keeps the
+    k smallest distinct md5-48 hashes it has seen — state is
+    shards × k longs FOREVER, where a streaming
+    ``groupBy(x).count()`` grows with the distinct count. Per trigger
+    each shard emits its sketch (update mode); shard sketches are
+    mergeable (union the arrays, keep the k smallest — the same
+    merge kmv_report uses), so a consumer estimates the global distinct
+    count from shards × k values at any moment.
+    """
+    hashed = (df.select(
+        F.conv(F.substring(F.md5(F.col(elem_col).cast("string")), 1, 12),
+               16, 10).cast("bigint").alias("h"))
+        .where(F.col("h").isNotNull())
+        .withColumn("shard", F.col("h") % shards))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            km, n_seen = list(state.get[0]), state.get[1]
+        else:
+            km, n_seen = [], 0
+        mins = set(km)
+        for pdf in batches:
+            n_seen += len(pdf)
+            for h in pdf["h"].unique():
+                mins.add(int(h))
+        km = sorted(mins)[:k]
+        state.update((km, n_seen))
+        yield pd.DataFrame({"shard": [key[0]], "kmins": [km],
+                            "n_seen": [n_seen]})
+
+    return (hashed.groupBy("shard")
+            .applyInPandasWithState(
+                update,
+                outputStructType=KMV_SCHEMA,
+                stateStructType=_KMV_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

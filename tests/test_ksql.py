@@ -948,3 +948,33 @@ class TestConnectorDdl:
             ctx.sql("CREATE SINK CONNECTOR bad WITH ("
                     "'connector.class'='JdbcSinkConnector',"
                     f"'topics'='nope', 'path'='{out}');")
+
+
+class TestShowTopicsExplain:
+    def test_show_topics_lists_registered_backing_topics(self, spark):
+        from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+        data = spark.createDataFrame([(1, "a")], "k long, v string")
+        ctx = KsqlContext(spark, resolver=lambda t: data)
+        ctx.sql("CREATE STREAM s1 (k BIGINT, v VARCHAR) "
+                "WITH (kafka_topic='topic_a', value_format='JSON');")
+        ctx.sql("CREATE STREAM s2 (k BIGINT, v VARCHAR) "
+                "WITH (kafka_topic='topic_b', value_format='JSON');")
+        got = {(r.kafka_topic, r.kind)
+               for r in ctx.sql("SHOW TOPICS;").collect()}
+        assert got == {("topic_a", "stream"), ("topic_b", "stream")}
+
+    def test_explain_renders_plan_for_name_and_query(self, spark):
+        from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+        data = spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "k long, v string")
+        ctx = KsqlContext(spark, resolver=lambda t: data)
+        ctx.sql("CREATE STREAM s (k BIGINT, v VARCHAR) "
+                "WITH (kafka_topic='s', value_format='JSON');")
+        by_name = "\n".join(
+            r.plan_line for r in ctx.sql("EXPLAIN s;").collect())
+        assert "Physical Plan" in by_name
+        adhoc = "\n".join(r.plan_line for r in ctx.sql(
+            "EXPLAIN SELECT count(*) AS n FROM s GROUP BY v;").collect())
+        assert "Physical Plan" in adhoc and "HashAggregate" in adhoc

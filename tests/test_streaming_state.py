@@ -446,3 +446,48 @@ def test_streaming_heavy_hitters_bounds_and_superset(spark, tmp_path):
     for (s, _w) in latest:
         per_shard[s] += 1
     assert per_shard and all(v <= k for v in per_shard.values())
+
+
+def test_streaming_distinct_kmv_estimates_and_bounded_state(spark,
+                                                            tmp_path):
+    """Shard KMV sketches over two micro-batches: merging the shard
+    sketches (union, keep k smallest — the kmv_report merge) estimates
+    the global distinct count within the KMV bound, with state ≤
+    shards × k regardless of the distinct count."""
+    import hashlib
+
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_distinct_kmv)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(1500):
+            f.write(json.dumps({"e": i}) + "\n")
+    stream = spark.readStream.schema("e long").json(str(src))
+    k, shards = 64, 4
+    out = streaming_distinct_kmv(stream, "e", k=k, shards=shards)
+    q = (out.writeStream.format("memory").queryName("skmv")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        with open(src / "b.json", "w") as f:
+            for i in range(1000, 2500):  # 500 repeats + 1000 fresh
+                f.write(json.dumps({"e": i}) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM skmv").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r.shard] = r
+    assert all(len(r.kmins) <= k for r in latest.values())
+    merged = sorted(set().union(*[r.kmins for r in latest.values()]))[:k]
+    M = 1 << 48
+    est = (len(merged) if len(merged) < k
+           else (k - 1) * M // merged[-1])
+    exact = 2500
+    assert abs(est - exact) <= exact * 4 / (k - 1) ** 0.5, (est, exact)
+    # hash parity with the batch sketch path: same md5-48 elements
+    h0 = int(hashlib.md5(b"0").hexdigest()[:12], 16)
+    assert any(h0 in r.kmins for r in latest.values()) or h0 > merged[-1]
