@@ -10,4 +10,10 @@ DataFrame transformations so Catalyst owns the physical plan:
 - ``similarity``   — embedding cosine top-k (brute force + LSH-bucketed)
 - ``text``         — language-ID, quality scoring, token counts, fingerprints
 - ``multimodal``   — binary payload columns + Arrow-batched decode plumbing
+- ``frequency``    — Misra-Gries exact heavy hitters, count-min sketch, KMV
+- ``graph``        — co-occurrence edges + degree-oriented triangle census
+- ``layout``       — Z-order clustering keys, distributive skyline
+- ``membership``   — Bloom-filter semi-join with fp accounting
+- ``indexing``     — blocked delta-encoded inverted index
+- ``bpe``          — BPE tokenizer training (unrollable merge rounds)
 """
