@@ -1161,3 +1161,30 @@ class TestBpeMerges:
                for r in bpe_merges(spark, df, "text", "doc_id",
                                    rounds=3).collect()]
         assert got == want and len(got) == 3
+
+
+class TestZorderCrossEngine:
+    def test_zorder_key_matches_generated_sql_bit_for_bit(self, spark):
+        """The Spark Column builder and the SQL-text generator must stay
+        in lockstep — the oracle depends on it."""
+        import random
+
+        import duckdb
+
+        from kafka_connect_streams_spark.operators.layout import (
+            zorder_key, zorder_sql)
+
+        rng = random.Random(11)
+        pts = [(rng.randrange(1 << 12), rng.randrange(1 << 12))
+               for _ in range(200)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = [r.z for r in df.select(
+            zorder_key(F.col("x"), F.col("y"), bits=12).alias("z"))
+            .collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                    + ",".join(f"({x},{y})" for x, y in pts)
+                    + ") v(x, y)")
+        want = [r[0] for r in con.execute(
+            f"SELECT {zorder_sql('x', 'y', bits=12)} FROM t").fetchall()]
+        assert got == want
