@@ -396,3 +396,63 @@ def test_pagerank_iterations_run_on_checkpointed_graph(spark, sf_dir):
     plan = physical_plan(df)
     assert "Scan parquet" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_heavy_hitters_second_pass_broadcasts_candidates(spark, sf_dir):
+    """MG pass 2 must semi-filter the token stream against a BROADCAST
+    candidate set and scan the corpus exactly once — the answer-bounded
+    shuffle is the whole point."""
+    import re
+    df = Q.q_heavy_hitters(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_triangle_census_has_no_cartesian_and_no_rescan(spark, sf_dir):
+    """Edge lists are localCheckpoint-ed: the pair-generation never
+    re-derives from the fact table (0 parquet scans in the final plan),
+    and wedge counting must be joins + in-row intersects, never a
+    cartesian product."""
+    import re
+    df = Q.q_triangle_census(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "array_intersect" in plan, plan
+
+
+def test_zorder_layout_single_shuffle_pruned_scan(spark, sf_dir):
+    """One groupBy over ≤64 bucket keys with map-side combine; the scan
+    reads only the two layout dimensions."""
+    df = Q.q_zorder_layout(spark, sf_dir)
+    assert shuffle_count(df) <= 2, physical_plan(df)  # agg + orderBy
+    assert has_partial_aggregate(df), physical_plan(df)
+    cols = scan_read_schema(df)
+    assert "l_extendedprice" not in cols, "layout scan must prune columns"
+
+
+def test_skyline_candidates_filter_is_broadcast(spark, sf_dir):
+    """Pass 2's dominance filter joins the Arrow candidate stream
+    against a BROADCAST candidate set — no shuffle of the corpus."""
+    df = Q.q_skyline(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df), plan
+
+
+def test_bloom_semijoin_probe_side_never_shuffles(spark, sf_dir):
+    """The probe side meets the bitmap via broadcast; its only wide
+    exchange would be the final scalar aggregate."""
+    df = Q.q_bloom_semijoin(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+
+
+def test_inverted_index_delta_coding_is_in_row(spark, sf_dir):
+    """Gap coding must be a transform over the sorted array (no second
+    window/shuffle after the grouping)."""
+    df = Q.q_inverted_index(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "transform" in plan, plan
+    # (word,block) agg + orderBy = the only exchanges
+    assert shuffle_count(df) <= 3, plan
