@@ -279,7 +279,8 @@ _HH_STATE = StructType([
 
 
 def streaming_heavy_hitters(df: DataFrame, text_col: str, k: int = 50,
-                            shards: int = 8) -> DataFrame:
+                            shards: int = 8,
+                            output_mode: str = "update") -> DataFrame:
     """Streaming Misra-Gries: the unbounded-stream form of
     operators/frequency.py heavy_hitters_exact.
 
@@ -332,12 +333,15 @@ def streaming_heavy_hitters(df: DataFrame, text_col: str, k: int = 50,
             "shard_n": [n_s] * len(counters),
         })
 
+    # update for changelog-style sinks; append for file sinks (each
+    # trigger's candidate snapshot appends — consumers keep the latest
+    # per word, exactly the KTable-changelog compaction read)
     return (words.groupBy("shard")
             .applyInPandasWithState(
                 update,
                 outputStructType=HH_SCHEMA,
                 stateStructType=_HH_STATE,
-                outputMode="update",
+                outputMode=output_mode,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 

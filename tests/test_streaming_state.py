@@ -491,3 +491,51 @@ def test_streaming_distinct_kmv_estimates_and_bounded_state(spark,
     # hash parity with the batch sketch path: same md5-48 elements
     h0 = int(hashlib.md5(b"0").hexdigest()[:12], 16)
     assert any(h0 in r.kmins for r in latest.values()) or h0 > merged[-1]
+
+
+def test_streaming_heavy_hitters_state_survives_restart(spark, tmp_path):
+    """The MG shard summaries must survive a query restart from the same
+    checkpoint: counts accumulated before the restart keep counting after
+    it (the KTable-store recovery contract — state restores from the
+    checkpoint, not from replaying the whole stream)."""
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_heavy_hitters)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def start():
+        stream = spark.readStream.schema("text string").json(str(src))
+        return (streaming_heavy_hitters(stream, "text", k=5, shards=2,
+                                        output_mode="append")
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start())
+
+    with open(src / "a.json", "w") as f:
+        for _ in range(10):
+            f.write(json.dumps({"text": "hot warm"}) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(src / "b.json", "w") as f:
+        for _ in range(7):
+            f.write(json.dumps({"text": "hot"}) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(out)).collect()
+    latest = {}
+    for r in rows:  # keep the highest count seen per word (last emission)
+        if r.word not in latest or r.cnt_lb > latest[r.word]:
+            latest[r.word] = r.cnt_lb
+    # 10 pre-restart + 7 post-restart: only correct if state was restored
+    assert latest.get("hot") == 17, latest
+    assert latest.get("warm") == 10, latest
