@@ -3103,6 +3103,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ann_pq_trained_recall note: it HAS an oracle (the Lloyd loop is
     # unrolled into the SQL twin) and a green r05 hash row; ORACLE_EXEMPT
     # is empty (test_driver_contract.py).
+    #
+    # ROUND-7 WINDOW QUEUE (write the round-7 window from this, in
+    # order): (1) the eleven entries displaced from this round's window
+    # to make room for the 11 round-6 additions — all have green rows
+    # (r05 or earlier) and only oracle-text coalesce-mirror changes, but
+    # the driver has never hashed the NEW oracle text: ngram_lm_counts,
+    # phrase_search, quality_funnel, source_drift, lm_doc_score,
+    # cluster_best_doc, cross_source_duplicates, linear_quality,
+    # boilerplate_removal*, ccnet_buckets, training_pipeline,
+    # session_window (*boilerplate_removal was pulled back into the
+    # round-6 window — its oracle change was semantic — strike it from
+    # the queue if its r06 row is green); (2) anything round 7 touches;
+    # (3) oldest greens. All of (1) were locally hash-green in the three
+    # full-registry sweeps this round at sf0.001/0.01/0.1.
     "dsir_importance": q_dsir_importance,
     "resample_gapfill": q_resample_gapfill,
     "anomaly_zscore": q_anomaly_zscore,
