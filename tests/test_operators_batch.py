@@ -1188,3 +1188,100 @@ class TestZorderCrossEngine:
         want = [r[0] for r in con.execute(
             f"SELECT {zorder_sql('x', 'y', bits=12)} FROM t").fetchall()]
         assert got == want
+
+
+class TestBpeMergesProperty:
+    """Hypothesis leg for bpe_merges: the Spark trainer ≡ the Python
+    reference (all-position pair counts, no self-merges, the
+    (count DESC, lhs, rhs) tie order, per-position application) on
+    random small corpora — ties and short/1-char words included."""
+
+    def test_matches_python_reference_random(self, spark):
+        from collections import Counter
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from kafka_connect_streams_spark.operators.bpe import bpe_merges
+
+        WORD = st.text(alphabet="abc", min_size=1, max_size=5)
+        DOC = st.lists(WORD, min_size=1, max_size=6).map(" ".join)
+
+        def reference(docs, rounds=2):
+            wf = Counter(w for t in docs for w in t.split())
+            syms = {w: list(w) for w in wf}
+            out = []
+            for r in range(1, rounds + 1):
+                pc = Counter()
+                for w, s in syms.items():
+                    for i in range(len(s) - 1):
+                        if s[i] != s[i + 1]:
+                            pc[(s[i], s[i + 1])] += wf[w]
+                if not pc:
+                    break
+                (a, b), c = min(
+                    pc.items(),
+                    key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+                for w, s in syms.items():
+                    ns, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            ns.append(a + b)
+                            i += 2
+                        else:
+                            ns.append(s[i])
+                            i += 1
+                    syms[w] = ns
+                out.append((r, a, b, c,
+                            sum(wf[w] * len(s) for w, s in syms.items())))
+            return out
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(st.lists(DOC, min_size=1, max_size=5))
+        def run(docs):
+            df = spark.createDataFrame(
+                [(i, d) for i, d in enumerate(docs)],
+                "doc_id long, text string")
+            got = [(r.round, r.lhs, r.rhs, r.pair_count, r.n_tokens_after)
+                   for r in bpe_merges(spark, df, "text", "doc_id",
+                                       rounds=2).collect()]
+            assert got == reference(docs), docs
+
+        run()
+
+
+class TestHeavyHittersProperty:
+    """Hypothesis leg: MG two-pass output is exact under adversarial
+    skew and tiny k — including the all-same-word and all-distinct
+    extremes where the candidate machinery degenerates."""
+
+    def test_exact_under_random_skew(self, spark):
+        from collections import Counter
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from kafka_connect_streams_spark.operators.frequency import (
+            heavy_hitters_exact)
+
+        WORD = st.sampled_from(["x", "y", "z", "w1", "w2", "w3"])
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(st.lists(WORD, min_size=1, max_size=120),
+               st.integers(min_value=2, max_value=6))
+        def run(words, k):
+            docs = [" ".join(words[i:i + 7])
+                    for i in range(0, len(words), 7)]
+            df = spark.createDataFrame(
+                [(i, d) for i, d in enumerate(docs)],
+                "doc_id long, text string").repartition(5)
+            got = {(r.word, r.cnt) for r in
+                   heavy_hitters_exact(df, "text", k).collect()}
+            exact = Counter(words)
+            want = {(w, c) for w, c in exact.items()
+                    if c * k > len(words)}
+            assert got == want, (words, k)
+
+        run()
