@@ -539,3 +539,37 @@ def test_streaming_heavy_hitters_state_survives_restart(spark, tmp_path):
     # 10 pre-restart + 7 post-restart: only correct if state was restored
     assert latest.get("hot") == 17, latest
     assert latest.get("warm") == 10, latest
+
+
+def test_streaming_candidates_cover_batch_heavy_hitters(spark, tmp_path):
+    """Cross-surface invariant: on the same corpus, the streaming MG
+    shard candidates must be a superset of the batch-exact heavy
+    hitters (the batch pass is the periodic verifier a production
+    pipeline runs over the stream's candidate set)."""
+    from kafka_connect_streams_spark.operators.frequency import (
+        heavy_hitters_exact)
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_heavy_hitters)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    k = 40
+    batch_hh = {r.word for r in
+                heavy_hitters_exact(docs, "text", k).collect()}
+    assert batch_hh  # non-trivial corpus
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(1).write.json(str(src / "a"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .json(str(src / "a")))
+    out = streaming_heavy_hitters(stream, "text", k=k, shards=4)
+    q = (out.writeStream.format("memory").queryName("xhh")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        cands = {r.word for r in spark.sql("SELECT word FROM xhh").collect()}
+    finally:
+        q.stop()
+    missing = batch_hh - cands
+    assert not missing, missing
