@@ -399,3 +399,26 @@ def streaming_distinct_kmv(df: DataFrame, elem_col: str, k: int = 64,
                 stateStructType=_KMV_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_cms(df: DataFrame, text_col: str,
+                  depth: int = 4, width: int = 512) -> DataFrame:
+    """Streaming count-min sketch — a NATIVE streaming aggregation.
+
+    The whole point of sketching a stream: the CMS key space is bounded
+    (depth × width cells), so the unbounded-vocabulary wordcount that
+    needs ever-growing state becomes a plain streaming groupBy over at
+    most d·w keys — no custom state store, no watermark eviction, and
+    the per-cell counters are exactly the batch operator's
+    (operators/frequency.py count_min_sketch shares the hash family, so
+    a batch-built sketch and a stream-built sketch over the same data
+    are cell-identical)."""
+    from kafka_connect_streams_spark.operators.frequency import cms_hash
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+")
+    words = (df.select(F.explode(toks).alias("word"))
+             .where(F.length("word") > 0))
+    cells = F.array(*[cms_hash(F.col("word"), r, width)
+                      for r in range(depth)])
+    return (words.select(F.posexplode(cells).alias("row", "bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count("*").alias("counter")))

@@ -573,3 +573,34 @@ def test_streaming_candidates_cover_batch_heavy_hitters(spark, tmp_path):
         q.stop()
     missing = batch_hh - cands
     assert not missing, missing
+
+
+def test_streaming_cms_cells_match_batch_sketch(spark, tmp_path):
+    """The stream-built CMS must be cell-identical to the batch sketch
+    over the same corpus — bounded keys (d×w) make the sketch a native
+    streaming aggregation with no custom state."""
+    from kafka_connect_streams_spark.operators.frequency import (
+        count_min_sketch)
+    from kafka_connect_streams_spark.streaming.state import streaming_cms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    batch = {(r.row, r.bucket): r.counter
+             for r in count_min_sketch(docs, "text").collect()}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(2).write.json(str(src / "a"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .json(str(src / "a")))
+    q = (streaming_cms(stream, "text")
+         .writeStream.format("memory").queryName("scms")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.row, r.bucket): r.counter for r in
+               spark.sql("SELECT * FROM scms").collect()}
+    finally:
+        q.stop()
+    assert got == batch
+    assert len(got) <= 4 * 512  # bounded key space, vocabulary-free
