@@ -2997,8 +2997,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ/dbt-style data-quality constraint audit in one report:
-    primary-key uniqueness, referential integrity (left-anti broadcast
-    counts — the FK check that never materializes the join), domain
+    primary-key uniqueness, referential integrity (left-anti semi
+    counts — the FK check that never materializes the join; dims
+    broadcast, corpus-sized parents stay AQE-size-driven), domain
     rules, and not-null checks across four tables. Each check is one
     aggregate over one scan; the report unions the scalar rows. The
     audit every 100 TB ingest runs before promoting a partition."""
@@ -3019,7 +3020,10 @@ def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk_c = customer.agg(
         F.count("*").alias("n"),
         (F.count("*") - F.countDistinct("c_custkey")).alias("v"))
-    fk_oc = (orders.join(F.broadcast(customer.select("c_custkey")),
+    # no broadcast hint on customer: the FK parent is corpus-sized at
+    # scale (unlike part below) — AQE picks broadcast at test SFs and
+    # a shuffled semi at 100×, both correct
+    fk_oc = (orders.join(customer.select("c_custkey"),
                          orders.o_custkey == F.col("c_custkey"),
                          "left_anti")
              .agg(F.count("*").alias("v"))
