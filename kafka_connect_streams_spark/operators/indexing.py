@@ -23,8 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_connect_streams_spark.operators.frequency import words_of
-
 
 def inverted_index(df: DataFrame, text_col: str, id_col: str,
                    block_size: int = 65536) -> DataFrame:
