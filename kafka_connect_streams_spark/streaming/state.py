@@ -422,3 +422,100 @@ def streaming_cms(df: DataFrame, text_col: str,
     return (words.select(F.posexplode(cells).alias("row", "bucket"))
             .groupBy("row", "bucket")
             .agg(F.count("*").alias("counter")))
+
+
+def incremental_neardup_processor(text_col: str, id_col: str,
+                                  index_dir: str, out_dir: str, *,
+                                  n: int = 3, k: int = 16, bands: int = 4,
+                                  rows_per_band: int = 4,
+                                  threshold: float = 0.5):
+    """Streaming ingestion NEAR-dup against ALL history — the MinHash
+    companion to :func:`incremental_dedup_processor` (which catches only
+    byte-identical content).
+
+    Per micro-batch: shingle → wide MinHash signatures → band keys; a
+    document is a near-duplicate if any band key collides with the
+    history index AND the signature-estimated Jaccard against the
+    collided document clears ``threshold`` (banding alone is a candidate
+    filter — the verify join keeps false band collisions from dropping
+    real documents). Within a batch, the earlier id of a verified pair
+    survives (the greedy first-wins rule of streaming ingest).
+
+    The index is two epoch-partitioned parquet tables — band keys and
+    signatures of SURVIVORS only — with the exactly-once contract of the
+    exact processor: reads filter ``epoch < current``, writes
+    dynamic-overwrite their own epoch, so a replayed epoch converges to
+    the same output. At scale both tables carry fixed-width rows
+    (16-byte band keys; k longs per signature), never text, and the
+    band join is the only corpus-history contact.
+    """
+    from kafka_connect_streams_spark.operators.dedup import (
+        banded_signatures, lsh_candidate_pairs_wide,
+        minhash_signatures_wide, minhash_similarity_wide, shingles)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        sh = shingles(batch, text_col, id_col, n)
+        wide = minhash_signatures_wide(sh, id_col, k).localCheckpoint()
+        banded = banded_signatures(wide, id_col, bands, rows_per_band)
+        from pyspark.sql.utils import AnalysisException
+        dup_hist = None
+        try:
+            hist_b = (spark.read.parquet(f"{index_dir}/bands")
+                      .filter(F.col("epoch") < epoch_id)
+                      .select("band", "band_key",
+                              F.col(id_col).alias("_hist_id")))
+            hist_s = (spark.read.parquet(f"{index_dir}/sigs")
+                      .filter(F.col("epoch") < epoch_id)
+                      .select(F.col(id_col).alias("_hist_id"),
+                              F.col("sig").alias("_hist_sig")))
+            cand = (banded.join(hist_b, ["band", "band_key"])
+                    .select(id_col, "_hist_id").distinct())
+            est = F.aggregate(
+                F.zip_with("sig", "_hist_sig",
+                           lambda x, y: F.when(x == y, 1).otherwise(0)),
+                F.lit(0), lambda acc, v: acc + v) / F.lit(k)
+            dup_hist = (cand.join(wide, id_col).join(hist_s, "_hist_id")
+                        .where(est >= threshold)
+                        .select(id_col).distinct())
+        except AnalysisException:  # first epoch: no index paths yet
+            pass
+        # within-batch: verified pairs drop the larger id (first wins)
+        pairs = lsh_candidate_pairs_wide(wide, id_col, bands, rows_per_band)
+        sim = minhash_similarity_wide(wide, pairs, id_col, k)
+        dup_batch = (sim.where(F.col("est_jaccard") >= threshold)
+                     .select(F.col("id_b").alias(id_col)).distinct())
+        ids = batch.select(id_col)
+        dropped = dup_batch if dup_hist is None \
+            else dup_hist.unionByName(dup_batch).distinct()
+        survivors = ids.join(dropped, id_col, "left_anti").localCheckpoint()
+        sv_wide = wide.join(survivors, id_col)
+        (banded_signatures(sv_wide, id_col, bands, rows_per_band)
+         .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(f"{index_dir}/bands"))
+        (sv_wide.withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(f"{index_dir}/sigs"))
+        (batch.join(survivors, id_col)
+         .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(out_dir))
+
+    return process
+
+
+def start_incremental_neardup(stream: DataFrame, text_col: str, id_col: str,
+                              index_dir: str, out_dir: str,
+                              checkpoint_dir: str, **kw):
+    """Wire :func:`incremental_neardup_processor` into a foreachBatch
+    stream (availableNow trigger: drain what exists, then stop)."""
+    return (stream.writeStream
+            .foreachBatch(incremental_neardup_processor(
+                text_col, id_col, index_dir, out_dir, **kw))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -604,3 +604,78 @@ def test_streaming_cms_cells_match_batch_sketch(spark, tmp_path):
         q.stop()
     assert got == batch
     assert len(got) <= 4 * 512  # bounded key space, vocabulary-free
+
+
+class TestIncrementalNeardupStream:
+    """Streaming ingestion NEAR-dup against all history (epoch-partitioned
+    band + signature index): history near-dups dropped, band-collision
+    false positives verified away, replay-once convergence."""
+
+    def _write_docs(self, path, rows):
+        import json as _json
+        with open(path, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def test_neardup_across_runs_and_replay(self, spark, tmp_path):
+        from kafka_connect_streams_spark.streaming.state import (
+            incremental_neardup_processor, start_incremental_neardup)
+
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again until the very end of the line")
+        # suffix-append variant: shares every original shingle, so its
+        # signature provably band-collides (est_jaccard 0.938 under the
+        # fixed md5 hash family — deterministic, no RNG)
+        near = base + " extra tail words"
+        other = ("completely different words entirely unrelated content "
+                 "nothing shared with anything else at all here")
+        src = tmp_path / "in"
+        src.mkdir()
+        index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+
+        def run():
+            stream = (spark.readStream
+                      .schema("doc_id long, text string").json(str(src)))
+            q = start_incremental_neardup(
+                stream, "text", "doc_id", index, out, ckpt)
+            q.awaitTermination(120)
+
+        # run 1: two distinct docs survive
+        self._write_docs(src / "a.json", [(1, base), (2, other)])
+        run()
+        got1 = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert got1 == {1, 2}
+
+        # run 2 (same checkpoint → only the new file, next epoch): a
+        # near-dup of doc 1 drops against HISTORY; an in-batch near pair
+        # keeps only the earlier id
+        fresh = ("some brand new sentence with plenty of novel words "
+                 "never seen before in any earlier document body")
+        fresh_near = fresh + " extra tail words"
+        self._write_docs(src / "b.json",
+                         [(3, near), (4, fresh), (5, fresh_near)])
+        run()
+        got2 = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert 3 not in got2, "history near-dup must be dropped"
+        assert 4 in got2 and 5 not in got2, "in-batch pair keeps min id"
+        assert got2 == {1, 2, 4}
+
+        # replay the LAST epoch with the same content and epoch id (the
+        # foreachBatch crash-before-commit contract): output and index
+        # must converge, not gain duplicates or self-veto survivors
+        last_epoch = max(r.epoch for r in
+                         spark.read.parquet(out).select("epoch").collect())
+        replay = spark.createDataFrame(
+            [(3, near), (4, fresh), (5, fresh_near)],
+            "doc_id long, text string")
+        proc = incremental_neardup_processor(
+            "text", "doc_id", index, out)
+        proc(replay, last_epoch)
+        got3 = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert got3 == got2, "replayed epoch must converge, not duplicate"
+        sigs = spark.read.parquet(f"{index}/sigs")
+        assert sigs.count() == sigs.select("doc_id").distinct().count() == 3
