@@ -664,6 +664,11 @@ class KsqlContext:
                              f"{name!r}")
 
         def default_deliver(batch: DataFrame, _epoch: int) -> None:
+            # interactive-context default: fold each delta into the
+            # registered in-session frame (collect is the micro-batch
+            # bridge — deltas are poll-sized, bounded by the connector's
+            # max_rows_per_poll). Production passes ``deliver=`` bound
+            # to a real sink (sinks.py / python_datasink) instead.
             rows = batch.collect()
             if not rows:
                 return
