@@ -618,7 +618,10 @@ class KsqlContext:
                 reader,
                 mode=props.get("mode", "bulk"),
                 inc_col=props.get("incrementing.column.name", "id"),
-                checkpoint=props.get("checkpoint") or None)
+                checkpoint=props.get("checkpoint") or None,
+                # ksqlDB/Connect backpressure knob → ST6 cap
+                max_rows_per_poll=(int(props["max.poll.rows"])
+                                   if "max.poll.rows" in props else None))
             topic = props.get("topic.prefix", "") + table
             # the topic keeps its Kafka spelling; the registered STREAM
             # needs a valid SQL identifier (ksqlDB names them apart too)

@@ -978,3 +978,41 @@ class TestShowTopicsExplain:
         adhoc = "\n".join(r.plan_line for r in ctx.sql(
             "EXPLAIN SELECT count(*) AS n FROM s GROUP BY v;").collect())
         assert "Physical Plan" in adhoc and "HashAggregate" in adhoc
+
+
+def test_source_connector_honors_max_poll_rows(spark, tmp_path):
+    """'max.poll.rows' in the connector props caps each incrementing
+    poll (the Connect transfer-queue backpressure, ST6): a 5-row
+    backlog drains over multiple triggers, never one oversized batch,
+    and every row still arrives exactly once."""
+    from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+    src = tmp_path / "tbl"
+    spark.createDataFrame([(i, f"v{i}") for i in range(5)],
+                          "id long, v string").write.parquet(str(src))
+    ctx = KsqlContext(spark, resolver=lambda t: None)
+    ctx.sql(f"""
+        CREATE SOURCE CONNECTOR capped WITH (
+            'connector.class'='TablePollSource',
+            'path'='{src}', 'mode'='incrementing',
+            'incrementing.column.name'='id',
+            'table.whitelist'='tbl',
+            'max.poll.rows'='2',
+            'checkpoint'='{tmp_path / "ckpt"}');
+    """)
+    batches: list = []
+    q = ctx.start_connector(
+        "capped",
+        deliver=lambda b, e: batches.append(
+            sorted(r.id for r in b.collect())),
+        trigger_seconds=0.2)
+    try:
+        import time
+        deadline = time.time() + 30
+        while sum(len(b) for b in batches) < 5 and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    delivered = [i for b in batches for i in b]
+    assert sorted(delivered) == [0, 1, 2, 3, 4]       # exactly once
+    assert all(len(b) <= 2 for b in batches)          # cap respected
