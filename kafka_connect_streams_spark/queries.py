@@ -3088,39 +3088,138 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
-    # list(QUERIES)[:50]. Round-6 window, per VERDICT r5 "Next round" #1:
-    # (a) the six queries that have NEVER had a driver row (registered
-    #     late in round 5 at slots 50-55): dsir_importance,
-    #     resample_gapfill, anomaly_zscore, pps_sample, pagerank_types,
-    #     decayed_counts;
-    # (b) dedup_ngram_jaccard — its shingles() helper was rewritten late
-    #     in round 5 and its _gram_array signature changed in round 6;
-    # (c) every query whose oracle SQL or Spark plan changed in round 6
-    #     (the NULL-text-policy mirror: coalesce(text,'') spread into 40
-    #     oracles, attach_payload, dedup tokenizers, regex_functions) —
-    #     semantics are identical on NULL-free testdata, but the driver
-    #     must re-hash anything touched;
-    # (d) round-6 additions, inserted here as they land (each must stay
-    #     inside slot 50 — recompute after EVERY registry edit);
-    # (e) the remainder, ordered oldest-driver-row first, so slots left
-    #     over re-verify the stalest greens (r03 battery before r04/r05).
-    # ann_pq_trained_recall note: it HAS an oracle (the Lloyd loop is
-    # unrolled into the SQL twin) and a green r05 hash row; ORACLE_EXEMPT
-    # is empty (test_driver_contract.py).
-    #
-    # ROUND-7 WINDOW QUEUE (write the round-7 window from this, in
-    # order): (1) the eleven entries displaced from this round's window
-    # to make room for the 11 round-6 additions — all have green rows
-    # (r05 or earlier) and only oracle-text coalesce-mirror changes, but
-    # the driver has never hashed the NEW oracle text: ngram_lm_counts,
-    # phrase_search, quality_funnel, source_drift, lm_doc_score,
-    # cluster_best_doc, cross_source_duplicates, linear_quality,
-    # boilerplate_removal*, ccnet_buckets, training_pipeline,
-    # session_window (*boilerplate_removal was pulled back into the
-    # round-6 window — its oracle change was semantic — strike it from
-    # the queue if its r06 row is green); (2) anything round 7 touches;
-    # (3) oldest greens. All of (1) were locally hash-green in the three
-    # full-registry sweeps this round at sf0.001/0.01/0.1.
+    # list(QUERIES)[:50]. ROUND-7 WINDOW, per VERDICT r6 "Next round"
+    # #1 (executing the queue written at the end of round 6):
+    # (a) the ELEVEN stale-oracle queries first — green r05-or-earlier
+    #     rows, but their DuckDB twins gained the NULL-coalesce mirror
+    #     AFTER that row, so the driver has never hashed the current
+    #     oracle text: ngram_lm_counts, phrase_search, quality_funnel,
+    #     source_drift, lm_doc_score, cluster_best_doc,
+    #     cross_source_duplicates, linear_quality, ccnet_buckets,
+    #     training_pipeline, session_window;
+    # (b) everything round 7 touches (constraint_report: FK oracle
+    #     rewritten NOT IN -> NOT EXISTS to match left-anti NULL
+    #     semantics, ADVICE r6 medium; plus any round-7 additions,
+    #     inserted here as they land — recompute [:50] after EVERY
+    #     registry edit);
+    # (c) the remainder oldest-driver-row-first, so leftover slots
+    #     re-verify the stalest greens (the r03 battery: 32 entries,
+    #     then r04 heads moving_avg..range_join fill the window to 50).
+    # All window entries were locally hash-green via tools/check.py at
+    # sf0.01 before commit; the driver row is the bar.
+    "ngram_lm_counts": q_ngram_lm_counts,
+    "phrase_search": q_phrase_search,
+    "quality_funnel": q_quality_funnel,
+    "source_drift": q_source_drift,
+    "lm_doc_score": q_lm_doc_score,
+    "cluster_best_doc": q_cluster_best_doc,
+    "cross_source_duplicates": q_cross_source_duplicates,
+    "linear_quality": q_linear_quality,
+    "ccnet_buckets": q_ccnet_buckets,
+    "training_pipeline": q_training_pipeline,
+    "session_window": q_session_window,
+    # -- (b) round-7 touched --
+    "constraint_report": q_constraint_report,
+    # -- latest driver row: r03 --
+    "select_project": q_select_project,
+    "filter": q_filter,
+    "scalar_functions": q_scalar_functions,
+    "json_extract": q_json_extract,
+    "join_inner": q_join_inner,
+    "join_left": q_join_left,
+    "join_outer": q_join_outer,
+    "agg_pricing": q_agg_pricing,
+    "groupby_stats": q_groupby_stats,
+    "rollup": q_rollup,
+    "window_rank": q_window_rank,
+    "window_running": q_window_running,
+    "topk": q_topk,
+    "set_ops": q_set_ops,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "cube": q_cube,
+    "semi_anti_join": q_semi_anti_join,
+    "string_functions": q_string_functions,
+    "date_functions": q_date_functions,
+    "having": q_having,
+    "pivot": q_pivot,
+    "exists_subquery": q_exists_subquery,
+    "distinct": q_distinct,
+    "multiway_join": q_multiway_join,
+    "asof_join": q_asof_join,
+    "correlated_subquery": q_correlated_subquery,
+    "topn_per_group": q_topn_per_group,
+    "percentile_disc": q_percentile_disc,
+    "approx_distinct": q_approx_distinct,
+    "interval_join": q_interval_join,
+    "grouping_sets": q_grouping_sets,
+    # -- latest driver row: r04 --
+    "moving_avg": q_moving_avg,
+    "time_range_frame": q_time_range_frame,
+    "ntile_buckets": q_ntile_buckets,
+    "listagg": q_listagg,
+    "shipping_priority": q_shipping_priority,
+    "range_join": q_range_join,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "hash_split": q_hash_split,
+    "percent_rank_cume": q_percent_rank_cume,
+    "user_journeys": q_user_journeys,
+    "unpivot": q_unpivot,
+    "data_profile": q_data_profile,
+    "approx_quantile": q_approx_quantile,
+    "market_share": q_market_share,
+    "promo_revenue": q_promo_revenue,
+    "returned_items": q_returned_items,
+    "disjunctive_predicates": q_disjunctive_predicates,
+    "idle_customers": q_idle_customers,
+    "ann_recall": q_ann_recall,
+    "skew_salted_agg": q_skew_salted_agg,
+    "stratified_sample": q_stratified_sample,
+    "pii_redaction": q_pii_redaction,
+    "histogram": q_histogram,
+    "large_orders": q_large_orders,
+    "ann_auto_recall": q_ann_auto_recall,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "ann_lsh_cosine": q_ann_lsh_cosine,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_dedup_clusters": q_embedding_dedup_clusters,
+    # -- latest driver row: r05 --
+    "important_parts": q_important_parts,
+    "conditional_agg": q_conditional_agg,
+    "null_handling": q_null_handling,
+    "linestatus_priority": q_linestatus_priority,
+    "sequence_packing": q_sequence_packing,
+    "mix_weights": q_mix_weights,
+    "training_order": q_training_order,
+    "packing_efficiency": q_packing_efficiency,
+    "doc_chunking": q_doc_chunking,
+    "chunk_dedup": q_chunk_dedup,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "ann_pq_adc": q_ann_pq_adc,
+    "ann_pq_recall": q_ann_pq_recall,
+    "ann_pq_trained_recall": q_ann_pq_trained_recall,
+    "ann_ivfpq": q_ann_ivfpq,
+    "transition_matrix": q_transition_matrix,
+    "rolling_active_users": q_rolling_active_users,
+    "join_skew_report": q_join_skew_report,
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue": q_forecast_revenue,
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "product_profit": q_product_profit,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
+    "waiting_suppliers": q_waiting_suppliers,
+    "token_budget_sample": q_token_budget_sample,
+    "embedding_decontamination": q_embedding_decontamination,
+    "min_cost_supplier": q_min_cost_supplier,
+    "dominant_suppliers": q_dominant_suppliers,
+    "semantic_dedup": q_semantic_dedup,
+    "exact_k_sample": q_exact_k_sample,
+    "winsorize": q_winsorize,
+    # -- latest driver row: r06 --
     "dsir_importance": q_dsir_importance,
     "resample_gapfill": q_resample_gapfill,
     "anomaly_zscore": q_anomaly_zscore,
@@ -3169,127 +3268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semijoin": q_bloom_semijoin,
     "inverted_index": q_inverted_index,
     "bpe_merges": q_bpe_merges,
-    "constraint_report": q_constraint_report,
     "scd2_history": q_scd2_history,
-    # --- round-6 additions land ABOVE this line; below = oldest-
-    # driver-row-first re-verification order (window cuts at 50).
-    # Window math for the five round-6 batch-2 entries above: the slots
-    # came from session_window (pure rotation, r0x green, code
-    # untouched this round) and four r05-green entries whose ONLY
-    # round-6 change is the oracle-text coalesce mirror (no Spark-side
-    # or operator-module change): ngram_lm_counts, phrase_search,
-    # quality_funnel, source_drift — now parked at the registry tail;
-    # they re-enter the window in round 7 together with anything round
-    # 7 touches. Recompute [:50] after EVERY registry edit. ---
-    "session_window": q_session_window,
-    "select_project": q_select_project,
-    "filter": q_filter,
-    "scalar_functions": q_scalar_functions,
-    "json_extract": q_json_extract,
-    "join_inner": q_join_inner,
-    "join_left": q_join_left,
-    "join_outer": q_join_outer,
-    "agg_pricing": q_agg_pricing,
-    "groupby_stats": q_groupby_stats,
-    "rollup": q_rollup,
-    "window_rank": q_window_rank,
-    "window_running": q_window_running,
-    "topk": q_topk,
-    "set_ops": q_set_ops,
-    "tumbling_window": q_tumbling_window,
-    "sliding_window": q_sliding_window,
-    "cube": q_cube,
-    "semi_anti_join": q_semi_anti_join,
-    "string_functions": q_string_functions,
-    "date_functions": q_date_functions,
-    "having": q_having,
-    "pivot": q_pivot,
-    "exists_subquery": q_exists_subquery,
-    "distinct": q_distinct,
-    "multiway_join": q_multiway_join,
-    "asof_join": q_asof_join,
-    "correlated_subquery": q_correlated_subquery,
-    "topn_per_group": q_topn_per_group,
-    "percentile_disc": q_percentile_disc,
-    "approx_distinct": q_approx_distinct,
-    "interval_join": q_interval_join,
-    "grouping_sets": q_grouping_sets,
-    "moving_avg": q_moving_avg,
-    "time_range_frame": q_time_range_frame,
-    "ntile_buckets": q_ntile_buckets,
-    "listagg": q_listagg,
-    "shipping_priority": q_shipping_priority,
-    "range_join": q_range_join,
-    "funnel": q_funnel,
-    "cohort_retention": q_cohort_retention,
-    "hash_split": q_hash_split,
-    "percent_rank_cume": q_percent_rank_cume,
-    "user_journeys": q_user_journeys,
-    "unpivot": q_unpivot,
-    "data_profile": q_data_profile,
-    "approx_quantile": q_approx_quantile,
-    "market_share": q_market_share,
-    "promo_revenue": q_promo_revenue,
-    "returned_items": q_returned_items,
-    "disjunctive_predicates": q_disjunctive_predicates,
-    "idle_customers": q_idle_customers,
-    "ann_recall": q_ann_recall,
-    "skew_salted_agg": q_skew_salted_agg,
-    "stratified_sample": q_stratified_sample,
-    "pii_redaction": q_pii_redaction,
-    "histogram": q_histogram,
-    "large_orders": q_large_orders,
-    "ann_auto_recall": q_ann_auto_recall,
-    "ann_topk_cosine": q_ann_topk_cosine,
-    "ann_lsh_cosine": q_ann_lsh_cosine,
-    "ann_ivf_cosine": q_ann_ivf_cosine,
-    "embedding_neardup": q_embedding_neardup,
-    "embedding_dedup_clusters": q_embedding_dedup_clusters,
-    "important_parts": q_important_parts,
-    "conditional_agg": q_conditional_agg,
-    "null_handling": q_null_handling,
-    "linestatus_priority": q_linestatus_priority,
-    "sequence_packing": q_sequence_packing,
-    "mix_weights": q_mix_weights,
-    "training_order": q_training_order,
-    "packing_efficiency": q_packing_efficiency,
-    "doc_chunking": q_doc_chunking,
-    "chunk_dedup": q_chunk_dedup,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "ann_pq_adc": q_ann_pq_adc,
-    "ann_pq_recall": q_ann_pq_recall,
-    "ann_pq_trained_recall": q_ann_pq_trained_recall,
-    "ann_ivfpq": q_ann_ivfpq,
-    "transition_matrix": q_transition_matrix,
-    "rolling_active_users": q_rolling_active_users,
-    "join_skew_report": q_join_skew_report,
-    "local_supplier_volume": q_local_supplier_volume,
-    "forecast_revenue": q_forecast_revenue,
-    "nation_volume_shipping": q_nation_volume_shipping,
-    "product_profit": q_product_profit,
-    "customer_distribution": q_customer_distribution,
-    "top_supplier": q_top_supplier,
-    "supplier_part_counts": q_supplier_part_counts,
-    "waiting_suppliers": q_waiting_suppliers,
-    "token_budget_sample": q_token_budget_sample,
-    "embedding_decontamination": q_embedding_decontamination,
-    "min_cost_supplier": q_min_cost_supplier,
-    "dominant_suppliers": q_dominant_suppliers,
-    "semantic_dedup": q_semantic_dedup,
-    "exact_k_sample": q_exact_k_sample,
-    "winsorize": q_winsorize,
-    # displaced from the round-6 window (oracle-text-only change,
-    # r05-green rows) — first in line for the round-7 window:
-    "ngram_lm_counts": q_ngram_lm_counts,
-    "lm_doc_score": q_lm_doc_score,
-    "cluster_best_doc": q_cluster_best_doc,
-    "cross_source_duplicates": q_cross_source_duplicates,
-    "linear_quality": q_linear_quality,
-    "ccnet_buckets": q_ccnet_buckets,
-    "training_pipeline": q_training_pipeline,
-    "phrase_search": q_phrase_search,
-    "quality_funnel": q_quality_funnel,
-    "source_drift": q_source_drift,
 }
 
 ORACLE: dict[str, str] = {
@@ -7104,14 +7083,16 @@ ORACLE: dict[str, str] = {
                    CAST(count(*) AS BIGINT),
                    count(*) = 0
             FROM orders o
-            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
             UNION ALL
             SELECT 'fk_lineitem_part',
                    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
                    CAST(count(*) AS BIGINT),
                    count(*) = 0
             FROM lineitem l
-            WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part)
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)
             UNION ALL
             SELECT 'domain_discount_0_1',
                    CAST(count(*) AS BIGINT),

@@ -180,9 +180,9 @@ SESSION_SCHEMA = StructType([
     StructField("n_events", LongType()),
 ])
 _SESSION_STATE = StructType([
-    StructField("start_ms", LongType()),
-    StructField("last_ms", LongType()),
-    StructField("n", LongType()),
+    StructField("starts", ArrayType(LongType())),
+    StructField("lasts", ArrayType(LongType())),
+    StructField("ns", ArrayType(LongType())),
 ])
 
 
@@ -195,15 +195,23 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
     session logic the built-in can't express (e.g. per-session payloads,
     mid-session side effects).
 
-    Mechanics: state holds (start, last, count); each micro-batch's
-    timestamps are sorted and split on intra-batch gaps > ``gap_s`` (so an
+    Mechanics: state holds a LIST of (start, last, count) segments — the
+    open session plus every gap-completed session whose close the
+    watermark has not yet confirmed. Each micro-batch's timestamps are
+    sorted and split on intra-batch gaps > ``gap_s`` (so an
     availableNow/file-source replay that delivers a key's whole history in
     ONE batch still yields the same per-gap sessions as a trickled feed),
-    the stored open session is merged into whichever segment it adjoins,
-    every gap-completed segment flushes, and the trailing segment stays
-    open; the event-time timeout (``last + gap``) flushes sessions that
+    then merged with the stored segments and re-split. A segment is
+    emitted ONLY once the event-time watermark passes ``last + gap`` —
+    the same hold-until-watermark contract as the built-in
+    ``session_window`` in append mode, so a late event (still inside the
+    watermark) that lands in a gap-completed segment merges into it
+    instead of opening a second overlapping session (ADVICE r6: the old
+    eager flush at batch boundaries diverged here). The event-time
+    timeout (earliest pending ``last + gap``) flushes sessions that
     simply stop receiving events. State is per-key in the state store,
-    evicted on flush: memory is O(open sessions), not O(stream).
+    evicted on flush: memory is O(pending sessions) — bounded by the
+    watermark horizon over the gap — not O(stream).
     """
     gap_ms = gap_s * 1000
 
@@ -213,10 +221,32 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
             return pd.DataFrame({"key": [key[0]], "session_start_ms": [start],
                                  "session_end_ms": [last], "n_events": [n]})
 
+        def flush_and_store(segs: list[list[int]]):
+            """Emit watermark-confirmed segments; keep the rest in state."""
+            wm = state.getCurrentWatermarkMs()
+            pend = []
+            for s in segs:
+                if s[1] + gap_ms <= wm:
+                    yield row(*s)
+                else:
+                    pend.append(s)
+            if pend:
+                state.update(([s[0] for s in pend],
+                              [s[1] for s in pend],
+                              [s[2] for s in pend]))
+                # earliest pending close; > wm by construction, as
+                # setTimeoutTimestamp requires
+                state.setTimeoutTimestamp(
+                    min(s[1] for s in pend) + gap_ms)
+            else:
+                state.remove()
+
+        stored: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            stored = [[s, l, c] for s, l, c in zip(starts, lasts, ns)]
         if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield row(start, last, n)
+            yield from flush_and_store(stored)
             return
         ts: list[int] = []
         for pdf in batches:
@@ -232,26 +262,20 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
             else:
                 segs[-1][1] = t
                 segs[-1][2] += 1
-        if state.exists:
-            # merge the stored open session as one more interval, sorted by
-            # start (out-of-order data within the watermark may precede it),
-            # then re-split on gaps — segments that end > gap before the
-            # stored session stay separate instead of swallowing it
-            segs.append(list(state.get))
-            segs.sort(key=lambda s: (s[0], s[1]))
-            merged = [segs[0]]
-            for s in segs[1:]:
-                if s[0] - merged[-1][1] > gap_ms:
-                    merged.append(s)
-                else:
-                    merged[-1][1] = max(merged[-1][1], s[1])
-                    merged[-1][2] += s[2]
-            segs = merged
-        for start, last, n in segs[:-1]:
-            yield row(start, last, n)              # finished by a gap
-        start, last, n = segs[-1]
-        state.update((start, last, n))
-        state.setTimeoutTimestamp(last + gap_ms)
+        # merge the stored segments as more intervals, sorted by start
+        # (out-of-order data within the watermark may precede any of
+        # them), then re-split on gaps — a late-but-in-watermark event
+        # landing inside a pending gap-completed segment merges into it
+        segs.extend(stored)
+        segs.sort(key=lambda s: (s[0], s[1]))
+        merged = [segs[0]]
+        for s in segs[1:]:
+            if s[0] - merged[-1][1] > gap_ms:
+                merged.append(s)
+            else:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+        yield from flush_and_store(merged)
 
     return (keyed.withWatermark(ts_col, watermark)
             .groupBy(F.col(key_col).cast("string").alias("key"))

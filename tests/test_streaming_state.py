@@ -353,7 +353,10 @@ def test_sessionize_early_segment_does_not_swallow_open_session(spark,
                                                                 tmp_path):
     """Out-of-order data within the watermark may arrive BEFORE the stored
     open session's start; if it's separated from the stored session by more
-    than the gap it must flush as its own session, not merge."""
+    than the gap it must become its own session, not merge — and it is
+    HELD in state until the watermark passes its close (hold-until-
+    watermark, the built-in session_window append contract), not flushed
+    at the batch boundary."""
     from kafka_connect_streams_spark.streaming.state import sessionize
 
     src = tmp_path / "in"
@@ -366,7 +369,7 @@ def test_sessionize_early_segment_does_not_swallow_open_session(spark,
                 f.write(json.dumps({"key": k,
                                     "ts_ms": base + off_s * 1000}) + "\n")
 
-    # batch 1 opens a session at 100s (watermark stays at 100s - 5s = 95s)
+    # batch 1 opens a session at 100s
     write("a.json", [("a", 100)])
     stream = (spark.readStream.schema("key string, ts_ms long")
               .json(str(src))
@@ -382,13 +385,26 @@ def test_sessionize_early_segment_does_not_swallow_open_session(spark,
         # gap; 96 -> 100 is 4s apart) plus an extension at 101s
         write("b.json", [("a", 96), ("a", 101)])
         q.processAllAvailable()
+        # nothing may flush yet: the watermark (≈ 101s - 1000s) has not
+        # passed any segment's close — eager batch-boundary flush would
+        # wrongly emit the 96s singleton here
+        early = spark.sql("SELECT * FROM sess_early").collect()
+        assert early == [], early
+        # drag the watermark past both segments' closes (needs events at
+        # ≥ 96+2+1000s); two more batches so the wm advance is visible to
+        # the timeout path
+        write("c.json", [("a", 2000)])
+        q.processAllAvailable()
+        write("d.json", [("a", 4000)])
+        q.processAllAvailable()
         rows = spark.sql("SELECT * FROM sess_early").collect()
     finally:
         q.stop()
     got = {(r.key, r.session_start_ms - base, r.session_end_ms - base,
             r.n_events) for r in rows}
-    # the early singleton flushed alone; the open session (100..101) stays
+    # the early singleton flushed alone; the 100..101 session separately
     assert ("a", 96_000, 96_000, 1) in got, got
+    assert ("a", 100_000, 101_000, 2) in got, got
     assert not any(s == 96_000 and e > 96_000 for _, s, e, _ in got), got
 
 
