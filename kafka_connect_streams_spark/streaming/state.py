@@ -462,8 +462,13 @@ def incremental_neardup_processor(text_col: str, id_col: str,
     history index AND the signature-estimated Jaccard against the
     collided document clears ``threshold`` (banding alone is a candidate
     filter — the verify join keeps false band collisions from dropping
-    real documents). Within a batch, the earlier id of a verified pair
-    survives (the greedy first-wins rule of streaming ingest).
+    real documents). Within a batch, the greedy first-wins rule of
+    sequential ingest, iterated to a fixpoint: a document is dropped iff
+    it verified-pairs with a smaller-id document that itself SURVIVES —
+    in a chain A~B~C (A<B<C, A≁C), B drops but C survives, exactly as if
+    the docs had arrived one per micro-batch in id order. Documents
+    dropped against history neither survive nor drop in-batch partners
+    (a sequential ingest never adds them to the index it consults).
 
     The index is two epoch-partitioned parquet tables — band keys and
     signatures of SURVIVORS only — with the exactly-once contract of the
@@ -504,15 +509,50 @@ def incremental_neardup_processor(text_col: str, id_col: str,
                         .select(id_col).distinct())
         except AnalysisException:  # first epoch: no index paths yet
             pass
-        # within-batch: verified pairs drop the larger id (first wins)
+        # within-batch: greedy first-wins in id order, ITERATED — a doc
+        # drops iff it verified-pairs with a smaller id that itself
+        # survives. History-dropped docs take no further part: their
+        # edges are removed before the loop.
         pairs = lsh_candidate_pairs_wide(wide, id_col, bands, rows_per_band)
         sim = minhash_similarity_wide(wide, pairs, id_col, k)
-        dup_batch = (sim.where(F.col("est_jaccard") >= threshold)
-                     .select(F.col("id_b").alias(id_col)).distinct())
+        edges = (sim.where(F.col("est_jaccard") >= threshold)
+                 .select("id_a", "id_b"))
+        if dup_hist is not None:
+            edges = (edges
+                     .join(dup_hist.select(F.col(id_col).alias("id_a")),
+                           "id_a", "left_anti")
+                     .join(dup_hist.select(F.col(id_col).alias("id_b")),
+                           "id_b", "left_anti"))
+        edges = edges.localCheckpoint()
+        dropped = dup_hist  # None on the first epoch
+        rounds = 0
+        while edges.count() > 0:
+            rounds += 1
+            if rounds > 64:  # exact-or-raise, like the CC operator
+                raise RuntimeError(
+                    "neardup within-batch greedy did not converge")
+            # an id_a never appearing as an id_b is a DETERMINED
+            # survivor; its partners drop now. The smallest remaining
+            # endpoint is always determined (id_a < id_b), so each
+            # round strictly shrinks the edge set — rounds ≤ longest
+            # smaller-id dependency chain in the batch, and each round
+            # is two left-anti joins, no driver-side pair list.
+            blocked = edges.select(F.col("id_b").alias("id_a")).distinct()
+            newly = (edges.join(blocked, "id_a", "left_anti")
+                     .select(F.col("id_b").alias(id_col)).distinct()
+                     .localCheckpoint())
+            dropped = newly if dropped is None \
+                else dropped.unionByName(newly)
+            edges = (edges
+                     .join(newly.select(F.col(id_col).alias("id_a")),
+                           "id_a", "left_anti")
+                     .join(newly.select(F.col(id_col).alias("id_b")),
+                           "id_b", "left_anti")
+                     .localCheckpoint())
         ids = batch.select(id_col)
-        dropped = dup_batch if dup_hist is None \
-            else dup_hist.unionByName(dup_batch).distinct()
-        survivors = ids.join(dropped, id_col, "left_anti").localCheckpoint()
+        survivors = ids if dropped is None else \
+            ids.join(dropped.distinct(), id_col, "left_anti")
+        survivors = survivors.localCheckpoint()
         sv_wide = wide.join(survivors, id_col)
         (banded_signatures(sv_wide, id_col, bands, rows_per_band)
          .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
@@ -543,3 +583,45 @@ def start_incremental_neardup(stream: DataFrame, text_col: str, id_col: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def compact_neardup_index(spark, index_dir: str, upto_epoch: int) -> int:
+    """Compact the near-dup history index: fold every epoch partition
+    BELOW ``upto_epoch`` of BOTH tables (``bands`` and ``sigs``) into a
+    single ``epoch=-1`` base partition — the near-dup twin of
+    :func:`compact_dedup_index`. Without it the index accretes one tiny
+    parquet partition per micro-batch forever (the small-files problem
+    at production trigger rates); reads are unchanged because consumers
+    filter ``epoch < current`` and -1 sorts below every real epoch.
+
+    Safe to run between (not during) stream triggers; the dynamic-
+    partition overwrite makes a crash mid-compaction leave either the
+    old layout or the new one, and re-running converges. Returns the
+    number of distinct surviving documents in the compacted sigs base.
+    """
+    import shutil
+
+    from pyspark.sql.utils import AnalysisException
+    n_docs = 0
+    for sub in ("bands", "sigs"):
+        path = f"{index_dir}/{sub}"
+        try:
+            idx = spark.read.parquet(path)
+        except AnalysisException:
+            continue
+        old = idx.filter(F.col("epoch") < upto_epoch)
+        cols = [c for c in idx.columns if c != "epoch"]
+        base = (old.select(*cols).distinct()
+                .withColumn("epoch", F.lit(-1).cast("bigint"))
+                .localCheckpoint())  # pin BEFORE overwriting what it reads
+        if sub == "sigs":
+            n_docs = base.count()
+        doomed = [r.epoch for r in
+                  old.select("epoch").distinct().collect() if r.epoch != -1]
+        (base.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(path))
+        # dynamic overwrite replaced epoch=-1 only; drop folded partitions
+        for e in doomed:
+            shutil.rmtree(f"{path}/epoch={e}", ignore_errors=True)
+    return n_docs

@@ -695,3 +695,95 @@ class TestIncrementalNeardupStream:
         assert got3 == got2, "replayed epoch must converge, not duplicate"
         sigs = spark.read.parquet(f"{index}/sigs")
         assert sigs.count() == sigs.select("doc_id").distinct().count() == 3
+
+    def test_neardup_chain_greedy_first_wins(self, spark, tmp_path):
+        """Transitive chain A~B~C (A<B<C, A≁C) in ONE batch: greedy
+        first-wins in id order keeps A and C — B drops against A, and C's
+        only verified partner (B) did not survive, so C survives, exactly
+        as if the docs had arrived one per micro-batch (ADVICE r6: the
+        old pairwise rule dropped every id_b, so C was lost)."""
+        from kafka_connect_streams_spark.streaming.state import (
+            incremental_neardup_processor)
+        A = ("the quick brown fox jumps over the lazy dog again and "
+             "again until the very end of the line")
+        B = A + " extra tail words"
+        # shares B's suffix region only: est(A,B)=0.938, est(B,C)=0.625,
+        # no verified (A,C) pair — deterministic under the md5 family
+        C = ("jumps over the lazy dog again and again until the very "
+             "end of the line extra tail words and some novel padding")
+        index = str(tmp_path / "idx"); out = str(tmp_path / "out")
+        proc = incremental_neardup_processor("text", "doc_id", index, out)
+        proc(spark.createDataFrame([(1, A), (2, B), (3, C)],
+                                   "doc_id long, text string"), 0)
+        kept = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert kept == {1, 3}, kept
+        # the index holds exactly the survivors
+        sigs = spark.read.parquet(f"{index}/sigs")
+        assert {r.doc_id for r in sigs.select("doc_id").collect()} == {1, 3}
+
+    def test_neardup_history_dropped_doc_does_not_drop_partner(
+            self, spark, tmp_path):
+        """A doc dropped against HISTORY must not drop its in-batch
+        near-partner: sequential ingest never adds a history-dup to the
+        index, so a later doc similar only to it survives."""
+        from kafka_connect_streams_spark.streaming.state import (
+            incremental_neardup_processor)
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again until the very end of the line")
+        near = base + " extra tail words"          # ~ base (0.938)
+        # ~ near (0.625) but not ~ base: survives once near is dropped
+        chain = ("jumps over the lazy dog again and again until the very "
+                 "end of the line extra tail words and some novel padding")
+        index = str(tmp_path / "idx"); out = str(tmp_path / "out")
+        proc = incremental_neardup_processor("text", "doc_id", index, out)
+        proc(spark.createDataFrame([(1, base)],
+                                   "doc_id long, text string"), 0)
+        proc(spark.createDataFrame([(2, near), (3, chain)],
+                                   "doc_id long, text string"), 1)
+        kept = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert kept == {1, 3}, kept
+
+    def test_neardup_index_compaction(self, spark, tmp_path):
+        """compact_neardup_index folds old epoch partitions of BOTH index
+        tables into epoch=-1: same rows, fewer partitions, and a later
+        batch still near-dedupes against the compacted history; a replay
+        of the post-compaction epoch converges."""
+        from kafka_connect_streams_spark.streaming.state import (
+            compact_neardup_index, incremental_neardup_processor)
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again until the very end of the line")
+        other = ("completely different words entirely unrelated content "
+                 "nothing shared with anything else at all here")
+        near = base + " extra tail words"
+        index = str(tmp_path / "idx"); out = str(tmp_path / "out")
+        proc = incremental_neardup_processor("text", "doc_id", index, out)
+        mk = lambda rows: spark.createDataFrame(rows,
+                                                "doc_id long, text string")
+        proc(mk([(1, base)]), 0)
+        proc(mk([(2, other)]), 1)
+        bands_before = {(r.band, r.band_key, r.doc_id) for r in
+                        spark.read.parquet(f"{index}/bands")
+                        .select("band", "band_key", "doc_id").collect()}
+        n = compact_neardup_index(spark, index, upto_epoch=2)
+        assert n == 2
+        for sub in ("bands", "sigs"):
+            t = spark.read.parquet(f"{index}/{sub}")
+            assert {r.epoch for r in t.select("epoch").collect()} == {-1}
+        bands_after = {(r.band, r.band_key, r.doc_id) for r in
+                       spark.read.parquet(f"{index}/bands")
+                       .select("band", "band_key", "doc_id").collect()}
+        assert bands_after == bands_before, "reads must be unchanged"
+        # history near-dedup still works against the compacted base
+        proc(mk([(3, near), (4, "zeta eta theta iota kappa")]), 2)
+        kept = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert kept == {1, 2, 4}, kept
+        # replaying the post-compaction epoch converges (no self-veto)
+        proc(mk([(3, near), (4, "zeta eta theta iota kappa")]), 2)
+        kept2 = {r.doc_id for r in
+                 spark.read.parquet(out).select("doc_id").collect()}
+        assert kept2 == kept
+        sigs = spark.read.parquet(f"{index}/sigs")
+        assert sigs.count() == sigs.select("doc_id").distinct().count() == 3
