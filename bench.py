@@ -71,13 +71,9 @@ HEADLINE = [
     "ann_recall",
     "incremental_dedup",
     "large_orders",
-    "mix_weights",
-    "training_order",
-    "packing_efficiency",
     "decontamination_minhash",
     "doc_chunking",
     "chunk_dedup",
-    "tokenizer_fertility",
     "curation_pipeline",
     "token_budget_sample",
     "ccnet_buckets",
@@ -86,14 +82,12 @@ HEADLINE = [
     "lm_doc_score",
     "boilerplate_removal",
     "local_supplier_volume",
-    "forecast_revenue",
     "nation_volume_shipping",
     "product_profit",
     "top_supplier",
     "jaccard_prefix_join",
     "dsir_importance",
     "pagerank_types",
-    "decayed_counts",
     "ann_ivf_trained_recall",
     "heavy_hitters",
     "cms_frequency",
@@ -102,6 +96,20 @@ HEADLINE = [
     "skyline",
     "kmv_set_ops",
     "bloom_semijoin",
+    # round 7: the round-6 batch-2 operators that landed after the r6
+    # headline freeze (VERDICT r6 next-round #3), plus waiting_suppliers
+    # re-admitted (the heaviest entry of the ten rotated out in r6 —
+    # 0.99 s in r5, worth tracking). To keep the contract line inside
+    # the driver's 2000-char stdout tail, SIX thin stable sub-0.25 s
+    # wrappers rotated out above: mix_weights (0.153 s in r6),
+    # training_order (0.112), packing_efficiency (0.187),
+    # tokenizer_fertility (0.223), forecast_revenue (0.156),
+    # decayed_counts (0.216).
+    "inverted_index",
+    "bpe_merges",
+    "constraint_report",
+    "scd2_history",
+    "waiting_suppliers",
 ]
 
 

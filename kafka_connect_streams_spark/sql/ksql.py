@@ -244,10 +244,71 @@ class KsqlContext:
         #: name → ConnectorMeta (CREATE SOURCE/SINK CONNECTOR registry)
         self.connectors: dict[str, "ConnectorMeta"] = {}
 
+    _ST_SRC_RE = re.compile(
+        r"\b(?:(?P<from>FROM)|(?:(?P<jt>LEFT|RIGHT|FULL|INNER)\s+"
+        r"(?:OUTER\s+)?)?(?P<join>JOIN))\s+"
+        r"(?P<name>\w+)"
+        r"(?:\s+(?P<alias>(?!ON\b|JOIN\b|WHERE\b|GROUP\b|LEFT\b|RIGHT\b"
+        r"|FULL\b|INNER\b|OUTER\b|WITHIN\b|EMIT\b|WINDOW\b|PARTITION\b"
+        r"|HAVING\b|ORDER\b|LIMIT\b)\w+))?",
+        re.IGNORECASE)
+
+    def _dispatch_stream_table_join(self, statement: str) -> str:
+        """KSQL 5.1 stream-table join (KSQL links the capability; the
+        reference never tests one — SURVEY §2.3): when a query joins a
+        LIVE stream relation with a materialized TABLE relation, inject a
+        ``/*+ BROADCAST(table) */`` hint so every micro-batch plans a
+        map-side hash join against the table's CURRENT state — the
+        stream side is never shuffled, and Spark's per-trigger re-read of
+        the static side gives the KTable lookup-at-processing-time
+        semantics (streaming/joins.py stream_table_join, the same
+        dispatch for the DataFrame API). KSQL's shape rules are
+        enforced: the stream must be the LEFT side, and only INNER/LEFT
+        joins are supported for stream-table."""
+        streams: list[str] = []
+        tables: list[str] = []
+        from_is_table = False
+        join_has_stream = False
+        bad_jt = None
+        for m in self._ST_SRC_RE.finditer(statement):
+            name = m.group("name").lower()
+            meta = self.metastore.get(name)
+            df = self.frames.get(name)
+            if meta is None or df is None:
+                continue
+            is_static_table = meta.kind == "table" and not df.isStreaming
+            jt = (m.group("jt") or "").upper()
+            if is_static_table:
+                tables.append(m.group("alias") or m.group("name"))
+                if m.group("from"):
+                    from_is_table = True
+                elif jt in ("RIGHT", "FULL"):
+                    bad_jt = jt        # stream FULL/RIGHT JOIN table
+            elif df.isStreaming:
+                streams.append(name)
+                if m.group("join"):
+                    join_has_stream = True
+                    if jt in ("RIGHT", "FULL"):
+                        bad_jt = jt    # table FULL/RIGHT JOIN stream
+        if not (streams and tables):
+            return statement
+        if from_is_table and join_has_stream:
+            raise ValueError(
+                "stream-table join: the STREAM must be the left side "
+                "(FROM stream JOIN table), as in KSQL")
+        if bad_jt:
+            raise ValueError(
+                f"stream-table join: {bad_jt} JOIN is not supported — "
+                "KSQL stream-table joins are INNER or LEFT")
+        hint = "/*+ BROADCAST(" + ", ".join(tables) + ") */ "
+        sel = re.search(r"\bSELECT\b", statement, re.IGNORECASE)
+        return statement[:sel.end()] + " " + hint + statement[sel.end():]
+
     def sql(self, statement: str) -> DataFrame | None:
         from kafka_connect_streams_spark.functions import rewrite_ksql_sql
         statement = rewrite_window_clause(statement)
         statement = rewrite_within_clause(statement, self.frames)
+        statement = self._dispatch_stream_table_join(statement)
         m = _CREATE_CONNECTOR_RE.match(statement)
         if m:
             return self._create_connector(m)
@@ -659,19 +720,35 @@ class KsqlContext:
     def start_connector(self, name: str, deliver=None,
                         trigger_seconds: float = 0.5):
         """Run a SOURCE connector's poll loop (TablePollSource.start).
-        ``deliver`` defaults to appending each delta to the connector's
-        registered stream frame — the topic fills as the table grows."""
+
+        Deliver resolution: an explicit ``deliver=`` wins; else, if the
+        connector props name a ``sink.path``, the PRODUCTION default —
+        each delta lands in that parquet dir as an epoch partition via
+        dynamic overwrite, so a re-delivered epoch (foreachBatch crash-
+        before-commit) rewrites instead of duplicating, and no data rows
+        pass through the driver; else the interactive REPL fallback that
+        folds each delta into the registered in-session frame (collect
+        is the micro-batch bridge there, bounded by the connector's
+        ``max.poll.rows``)."""
         meta = self.connectors.get(name.lower())
         if meta is None or meta.ctype != "source":
             raise ValueError(f"start_connector: no source connector "
                              f"{name!r}")
+        sink_path = meta.props.get("sink.path")
+
+        def parquet_deliver(batch: DataFrame, epoch: int) -> None:
+            if batch.isEmpty():      # O(1) probe, not a row transfer
+                return
+            (batch.withColumn("epoch", F.lit(epoch).cast("bigint"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(sink_path))
 
         def default_deliver(batch: DataFrame, _epoch: int) -> None:
-            # interactive-context default: fold each delta into the
+            # interactive-context fallback: fold each delta into the
             # registered in-session frame (collect is the micro-batch
             # bridge — deltas are poll-sized, bounded by the connector's
-            # max_rows_per_poll). Production passes ``deliver=`` bound
-            # to a real sink (sinks.py / python_datasink) instead.
+            # max_rows_per_poll).
             rows = batch.collect()
             if not rows:
                 return
@@ -680,9 +757,10 @@ class KsqlContext:
             cur.createOrReplaceTempView(meta.topic)
             self.frames[meta.topic] = cur
 
+        if deliver is None:
+            deliver = parquet_deliver if sink_path else default_deliver
         meta.query = meta.poll.start(
-            self.spark, deliver or default_deliver,
-            trigger_seconds=trigger_seconds)
+            self.spark, deliver, trigger_seconds=trigger_seconds)
         return meta.query
 
     def flush_connector(self, name: str) -> int:

@@ -776,6 +776,101 @@ class TestJoinWithin:
 
 
 
+class TestStreamTableJoin:
+    """KSQL 5.1 stream-table join: a LIVE stream enriched against a CTAS
+    TABLE. The table side is broadcast (map-side hash join per
+    micro-batch, stream never shuffled); table state is re-read per
+    trigger — the KTable lookup-at-processing-time contract. KSQL shape
+    rules enforced: stream on the left; INNER/LEFT only."""
+
+    def _ctx_with_live_stream(self, spark, tmp_path):
+        import json as js
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from kafka_connect_streams_spark.sources import filebroker as fb
+        from kafka_connect_streams_spark.sources.kafka import decode_records
+        from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+        broker = fb.FileBroker(str(tmp_path / "b"))
+        broker.create_topic("orders_top", partitions=1)
+        p = broker.producer()
+        base = 1_700_000_000_000
+        for k, off, v in [("u1", 1_000, "o1"), ("u2", 2_000, "o2"),
+                          ("u3", 3_000, "o3")]:
+            p.send("orders_top",
+                   js.dumps({"k": k, "ordertime": base + off, "v": v}),
+                   key=k, timestamp_ms=base + off)
+        p.flush()
+        fb.register(spark)
+        raw = (spark.readStream.format("filebroker")
+               .option("path", broker.root)
+               .option("subscribe", "orders_top").load())
+        live = decode_records(raw, _parse_datatype_string(
+            "k string, ordertime bigint, v string"))
+        users = spark.createDataFrame(
+            [("u1", "alice"), ("u2", "bob"), ("u9", "zoe")],
+            "k string, name string")
+        frames = {"orders_top": live, "users_top": users}
+        ctx = KsqlContext(spark, resolver=lambda t: frames[t])
+        ctx.sql("CREATE STREAM orders_s (K varchar, ORDERTIME bigint, "
+                "V varchar) WITH (kafka_topic='orders_top', "
+                "value_format='JSON', key='k', timestamp='ordertime', "
+                "watermark='5 seconds');")
+        ctx.sql("CREATE STREAM users_raw (K varchar, NAME varchar) "
+                "WITH (kafka_topic='users_top', value_format='JSON');")
+        ctx.sql("CREATE TABLE users AS SELECT k, max(name) AS name "
+                "FROM users_raw GROUP BY k;")
+        return ctx
+
+    def test_live_stream_joins_ctas_table(self, spark, tmp_path):
+        ctx = self._ctx_with_live_stream(spark, tmp_path)
+        out = ctx.sql("SELECT o.v AS order_v, u.name AS user_name "
+                      "FROM orders_s o JOIN users u ON o.k = u.k")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("st_join")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None
+        rows = sorted((r.order_v, r.user_name) for r in
+                      spark.sql("SELECT * FROM st_join").collect())
+        # inner: u3 has no dimension row, u9 has no orders
+        assert rows == [("o1", "alice"), ("o2", "bob")]
+
+    def test_left_join_pads_missing_dimension(self, spark, tmp_path):
+        ctx = self._ctx_with_live_stream(spark, tmp_path)
+        out = ctx.sql("SELECT o.v AS order_v, u.name AS user_name "
+                      "FROM orders_s o LEFT JOIN users u ON o.k = u.k")
+        q = (out.writeStream.format("memory").queryName("st_left")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None
+        rows = sorted(((r.order_v, r.user_name) for r in
+                       spark.sql("SELECT * FROM st_left").collect()),
+                      key=str)
+        assert rows == [("o1", "alice"), ("o2", "bob"), ("o3", None)]
+
+    def test_broadcast_hint_injected_and_shape_rules(self, spark, tmp_path):
+        import pytest as _pytest
+        ctx = self._ctx_with_live_stream(spark, tmp_path)
+        stmt = ctx._dispatch_stream_table_join(
+            "SELECT o.v FROM orders_s o JOIN users u ON o.k = u.k")
+        assert "/*+ BROADCAST(u) */" in stmt
+        # a stream-stream or table-table query is left untouched
+        assert "BROADCAST" not in ctx._dispatch_stream_table_join(
+            "SELECT k FROM users")
+        with _pytest.raises(ValueError, match="left side"):
+            ctx.sql("SELECT u.name FROM users u JOIN orders_s o "
+                    "ON o.k = u.k")
+        with _pytest.raises(ValueError, match="INNER or LEFT"):
+            ctx.sql("SELECT o.v FROM orders_s o FULL OUTER JOIN users u "
+                    "ON o.k = u.k")
+
+
 class TestShowQueriesTerminate:
     """KSQL persistent-query management: SHOW QUERIES lists the session's
     running continuous queries; TERMINATE stops one by name or id (its
@@ -978,6 +1073,58 @@ class TestShowTopicsExplain:
         adhoc = "\n".join(r.plan_line for r in ctx.sql(
             "EXPLAIN SELECT count(*) AS n FROM s GROUP BY v;").collect())
         assert "Physical Plan" in adhoc and "HashAggregate" in adhoc
+
+
+def test_source_connector_sink_path_is_production_default(spark, tmp_path):
+    """A SOURCE connector whose props name a 'sink.path' delivers straight
+    to that parquet dir by default — epoch-partitioned dynamic overwrite,
+    no driver-side collect in the delivery path (the interactive
+    frame-fold stays the REPL-only fallback). Rows arrive exactly once
+    across polls; the epoch column records the delivering poll."""
+    import time
+
+    from kafka_connect_streams_spark.sql.ksql import KsqlContext
+
+    src = tmp_path / "tbl"
+    sink = tmp_path / "sink"
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.parquet(str(src))
+    ctx = KsqlContext(spark, resolver=lambda t: None)
+    ctx.sql(f"""
+        CREATE SOURCE CONNECTOR prod WITH (
+            'connector.class'='TablePollSource',
+            'path'='{src}', 'mode'='incrementing',
+            'incrementing.column.name'='id',
+            'table.whitelist'='tbl',
+            'sink.path'='{sink}',
+            'checkpoint'='{tmp_path / "ckpt"}');
+    """)
+    q = ctx.start_connector("prod", trigger_seconds=0.2)
+    try:
+        deadline = time.time() + 30
+
+        def sunk():
+            try:
+                return {(r.id, r.v) for r in
+                        spark.read.parquet(str(sink))
+                        .select("id", "v").collect()}
+            except Exception:
+                return set()
+
+        while (1, "a") not in sunk() and time.time() < deadline:
+            time.sleep(0.2)
+        spark.createDataFrame([(2, "b")], "id long, v string") \
+            .write.mode("append").parquet(str(src))
+        while (2, "b") not in sunk() and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(sink)).collect()
+    assert {(r.id, r.v) for r in rows} == {(1, "a"), (2, "b")}
+    # exactly once: the incrementing offset advanced after each delivery
+    assert len(rows) == 2
+    # delivered in two different polls, each tagged with its epoch
+    assert len({r.epoch for r in rows}) == 2
 
 
 def test_source_connector_honors_max_poll_rows(spark, tmp_path):
