@@ -715,3 +715,100 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
             .groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.sum("ratio_e6").alias("dsir_score_e6")))
+
+
+def block_dedup(df: DataFrame, text_col: str, id_col: str,
+                size: int = 8) -> DataFrame:
+    """Corpus-wide BLOCK-level exact dedup with reconstruction — the
+    paragraph-dedup pass of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (exact-substring dedup at fixed block
+    granularity): every non-overlapping ``size``-token block that has
+    appeared anywhere EARLIER in the corpus (by (doc_id, block_id)
+    order) is removed, and each document is reconstructed from its
+    surviving blocks. Catches the repeated passages document-level
+    fingerprints can't see, and unlike chunk_dedup (detection) this
+    OUTPUTS the deduped corpus shape.
+
+    Returns one row per non-empty document: block counts, surviving
+    token count, and the md5 of the reconstructed text (not the text
+    itself, so the verified output stays narrow).
+
+    Scale shape: ONE corpus scan and two shuffles — first-occurrence-
+    wins is one row_number window keyed by the 16-byte block
+    fingerprint (block text rides along so nothing re-derives), then
+    one per-doc aggregate rebuilds survivors via a sorted collect_list
+    bounded by tokens-per-doc. At extreme scale, where shuffling block
+    text twice dominates, the same semantics run with an fp-only window
+    plus a (doc, block_id) re-join against a second scan — the shape is
+    a knob, the decision column (_rn == 1) is identical.
+    """
+    toks = _tok_array(text_col)
+    d = (df.select(F.col(id_col), toks.alias("_toks"))
+         .withColumn("_n", F.size("_toks"))
+         .filter(F.col("_n") > 0))
+    n_blocks = F.ceil(F.col("_n") / F.lit(float(size))).cast("bigint")
+    block = F.slice(F.col("_toks"),
+                    (F.col("block_id") * size + 1).cast("int"), size)
+    blocks = (d.select(F.col(id_col), "_toks", "_n",
+                       F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                            n_blocks - 1))
+                       .alias("block_id"))
+              .select(F.col(id_col), "block_id",
+                      F.array_join(block, " ").alias("_btext"))
+              .withColumn("_bfp", F.md5("_btext")))
+    w = Window.partitionBy("_bfp").orderBy(id_col, "block_id")
+    ranked = blocks.withColumn("_rn", F.row_number().over(w))
+    rebuilt = (ranked.groupBy(id_col)
+               .agg(F.count("*").alias("n_blocks"),
+                    F.sum((F.col("_rn") == 1).cast("bigint"))
+                    .alias("kept_blocks"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("_rn") == 1,
+                                       F.struct("block_id", "_btext")))),
+                            lambda s: s["_btext"]), " ").alias("_ktext")))
+    return rebuilt.select(
+        F.col(id_col), "n_blocks", "kept_blocks",
+        F.size(F.filter(
+            F.split(F.coalesce(F.col("_ktext"), F.lit("")), r"\s+"),
+            lambda t: F.length(t) > 0)).cast("bigint")
+        .alias("kept_tokens"),
+        F.md5(F.coalesce(F.col("_ktext"), F.lit(""))).alias("kept_fp"))
+
+
+def vocab_concentration(df: DataFrame, text_col: str,
+                        stratum_col: str, top: int = 10) -> DataFrame:
+    """Per-stratum vocabulary-concentration diagnostics — the corpus-
+    health report run before mixing sources: type-token ratio, hapax-
+    legomena share (fraction of the vocabulary seen exactly once: low →
+    boilerplate/templated text, high → noisy OCR), and the mass held by
+    the ``top`` most frequent tokens (near-Zipf head weight; a spam
+    source shows an inflated head).
+
+    All outputs are exact integers or e9 fixed-point ratios (truncating
+    div on non-negative counts) — bit-identical on any engine.
+
+    Scale shape: one scan, one partial-aggregated (stratum, token)
+    shuffle; the per-stratum aggregate and the top-k window then run
+    over vocabulary-sized data (counts, never text), and nothing sorts
+    the corpus.
+    """
+    per_tok = (df.select(F.col(stratum_col).alias("stratum"),
+                         F.explode(_tok_array(text_col)).alias("_tok"))
+               .groupBy("stratum", "_tok")
+               .agg(F.count("*").alias("c")))
+    wtop = Window.partitionBy("stratum").orderBy(F.desc("c"), "_tok")
+    ranked = per_tok.withColumn("_rk", F.row_number().over(wtop))
+    agg = (ranked.groupBy("stratum")
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count("*").alias("vocab"),
+                F.sum((F.col("c") == 1).cast("bigint")).alias("hapax"),
+                F.sum(F.when(F.col("_rk") <= top, F.col("c"))
+                      .otherwise(0)).alias("top_mass")))
+    e9 = "CAST(1000000000 AS BIGINT)"
+    return agg.select(
+        "stratum", "n_tokens", "vocab", "hapax", "top_mass",
+        F.expr(f"(vocab * {e9}) DIV n_tokens").alias("ttr_e9"),
+        F.expr(f"(hapax * {e9}) DIV vocab").alias("hapax_ratio_e9"),
+        F.expr(f"(top_mass * {e9}) DIV n_tokens").alias("top_share_e9"))

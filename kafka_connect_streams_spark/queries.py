@@ -3052,6 +3052,40 @@ def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.orderBy("check_name")
 
 
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide block-level exact dedup with reconstruction (Lee et
+    al. exact-substring dedup at 8-token block granularity): every
+    block seen earlier in (doc_id, block_id) order is removed and each
+    doc is rebuilt from its survivors. Output per doc: block counts,
+    surviving token count, md5 of the reconstructed text."""
+    from kafka_connect_streams_spark.operators.text import block_dedup
+    t = load_tables(spark, sf_dir)
+    return block_dedup(t["documents"], "text", "doc_id", size=8)
+
+
+def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-concentration report: type-token ratio,
+    hapax-legomena share, top-10 token mass — the corpus-health
+    diagnostics run before mixing sources (templated/spam sources show
+    a fat head and few hapaxes). Exact integers + e9 fixed-point."""
+    from kafka_connect_streams_spark.operators.text import (
+        vocab_concentration)
+    t = load_tables(spark, sf_dir)
+    return vocab_concentration(t["documents"], "text", "source", top=10)
+
+
+def q_cosine_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by term-frequency cosine via a
+    df-pruned postings self-join (Bayardo et al. all-pairs similarity):
+    integer dots/norms, cos² ranking in e9 fixed-point, global top-k as
+    TakeOrderedAndProject."""
+    from kafka_connect_streams_spark.operators.indexing import (
+        cosine_pair_topk)
+    t = load_tables(spark, sf_dir)
+    return cosine_pair_topk(t["documents"], "text", "doc_id",
+                            k=20, max_df=50)
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 history build: collapse each
     user's event-type stream into change intervals (new version only
@@ -3099,12 +3133,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     training_pipeline, session_window;
     # (b) everything round 7 touches (constraint_report: FK oracle
     #     rewritten NOT IN -> NOT EXISTS to match left-anti NULL
-    #     semantics, ADVICE r6 medium; plus any round-7 additions,
-    #     inserted here as they land — recompute [:50] after EVERY
-    #     registry edit);
+    #     semantics, ADVICE r6 medium) plus the round-7 additions
+    #     (block_dedup, vocab_concentration, cosine_pair_topk) —
+    #     recompute [:50] after EVERY registry edit;
     # (c) the remainder oldest-driver-row-first, so leftover slots
     #     re-verify the stalest greens (the r03 battery: 32 entries,
-    #     then r04 heads moving_avg..range_join fill the window to 50).
+    #     then r04 heads moving_avg, time_range_frame, ntile_buckets
+    #     fill the window to 50; listagg, shipping_priority, range_join
+    #     ceded their slots to the three round-7 additions and queue
+    #     for round 8 with their r04 rows intact).
     # All window entries were locally hash-green via tools/check.py at
     # sf0.01 before commit; the driver row is the bar.
     "ngram_lm_counts": q_ngram_lm_counts,
@@ -3118,8 +3155,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "training_pipeline": q_training_pipeline,
     "session_window": q_session_window,
-    # -- (b) round-7 touched --
+    # -- (b) round-7 touched / added --
     "constraint_report": q_constraint_report,
+    "block_dedup": q_block_dedup,
+    "vocab_concentration": q_vocab_concentration,
+    "cosine_pair_topk": q_cosine_pair_topk,
     # -- latest driver row: r03 --
     "select_project": q_select_project,
     "filter": q_filter,
@@ -7117,6 +7157,109 @@ ORACLE: dict[str, str] = {
                        THEN 1 ELSE 0 END) = 0
             FROM orders)
         ORDER BY check_name
+    """,
+    "block_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '\\W+'),
+                               x -> length(x) > 0) AS tk
+            FROM documents),
+        nb AS (
+            SELECT doc_id, tk,
+                   CAST(ceil(len(tk) / 8.0) AS BIGINT) AS n_blocks
+            FROM toks WHERE len(tk) > 0),
+        ids AS (
+            SELECT doc_id, tk, n_blocks,
+                   unnest(range(n_blocks)) AS block_id
+            FROM nb),
+        blocks AS (
+            SELECT doc_id, CAST(block_id AS BIGINT) AS block_id, n_blocks,
+                   array_to_string(
+                       tk[CAST(block_id * 8 + 1 AS BIGINT)
+                          : CAST(least((block_id + 1) * 8,
+                                       len(tk)) AS BIGINT)],
+                       ' ') AS btext
+            FROM ids),
+        kept AS (
+            SELECT doc_id, block_id, n_blocks, btext,
+                   row_number() OVER (PARTITION BY md5(btext)
+                                      ORDER BY doc_id, block_id) AS rn
+            FROM blocks),
+        rebuilt AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS kept_blocks,
+                   string_agg(btext, ' ' ORDER BY block_id) AS ktext
+            FROM kept WHERE rn = 1 GROUP BY doc_id)
+        SELECT n.doc_id, n.n_blocks,
+               CAST(coalesce(r.kept_blocks, 0) AS BIGINT) AS kept_blocks,
+               CAST(len(list_filter(
+                   string_split_regex(coalesce(r.ktext, ''), '\\s+'),
+                   x -> length(x) > 0)) AS BIGINT) AS kept_tokens,
+               md5(coalesce(r.ktext, '')) AS kept_fp
+        FROM nb n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
+    """,
+    "vocab_concentration": """
+        WITH per_tok AS (
+            SELECT source AS stratum, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT source,
+                         unnest(string_split_regex(
+                             lower(coalesce(text, '')), '\\W+')) AS tok
+                  FROM documents) t
+            WHERE length(tok) > 0
+            GROUP BY source, tok),
+        ranked AS (
+            SELECT stratum, tok, c,
+                   row_number() OVER (PARTITION BY stratum
+                                      ORDER BY c DESC, tok) AS rk
+            FROM per_tok),
+        agg AS (
+            SELECT stratum,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapax,
+                   CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END)
+                        AS BIGINT) AS top_mass
+            FROM ranked GROUP BY stratum)
+        SELECT stratum, n_tokens, vocab, hapax, top_mass,
+               CAST((vocab * 1000000000) // n_tokens AS BIGINT) AS ttr_e9,
+               CAST((hapax * 1000000000) // vocab AS BIGINT)
+                   AS hapax_ratio_e9,
+               CAST((top_mass * 1000000000) // n_tokens AS BIGINT)
+                   AS top_share_e9
+        FROM agg
+    """,
+    "cosine_pair_topk": """
+        WITH tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(
+                             lower(coalesce(text, '')), '\\W+')) AS term
+                  FROM documents) t
+            WHERE length(term) > 0
+            GROUP BY doc_id, term),
+        rare AS (
+            SELECT term FROM tf GROUP BY term HAVING count(*) <= 50),
+        pruned AS (
+            SELECT tf.* FROM tf JOIN rare USING (term)),
+        norms AS (
+            SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm_sq
+            FROM pruned GROUP BY doc_id),
+        dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+            FROM pruned a JOIN pruned b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b, dot, na.norm_sq AS na, nb.norm_sq AS nb,
+               CAST((dot * dot * 1000000000)
+                    // (na.norm_sq * nb.norm_sq) AS BIGINT) AS cos_sq_e9
+        FROM dots
+        JOIN norms na ON na.doc_id = id_a
+        JOIN norms nb ON nb.doc_id = id_b
+        ORDER BY cos_sq_e9 DESC, id_a, id_b
+        LIMIT 20
     """,
     "scd2_history": """
         WITH runs AS (

@@ -33,6 +33,7 @@ TEXT_QUERIES = [
     "text_language_id", "text_repetition", "lm_doc_score",
     "bm25_term_topk", "leakage_safe_split",
     "heavy_hitters", "cms_frequency", "inverted_index", "bpe_merges",
+    "block_dedup", "vocab_concentration", "cosine_pair_topk",
 ]
 
 

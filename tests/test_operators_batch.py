@@ -1285,3 +1285,160 @@ class TestHeavyHittersProperty:
             assert got == want, (words, k)
 
         run()
+
+
+class TestBlockDedup:
+    """block_dedup vs a sequential Python reference: first global
+    occurrence (by doc_id, block_id) of each block survives, documents
+    rebuild from survivors in block order."""
+
+    @staticmethod
+    def _reference(docs, size):
+        import hashlib
+        import re as _re
+        seen, out = set(), {}
+        for doc_id, text in sorted(docs):
+            toks = [t for t in _re.split(r"\W+", (text or "").lower())
+                    if t]
+            if not toks:
+                continue
+            nb = -(-len(toks) // size)
+            kept = []
+            for i in range(nb):
+                b = " ".join(toks[i * size:(i + 1) * size])
+                if b not in seen:
+                    seen.add(b)
+                    kept.append(b)
+            ktext = " ".join(kept)
+            out[doc_id] = (nb, len(kept), len(ktext.split()),
+                           hashlib.md5(ktext.encode()).hexdigest())
+        return out
+
+    def test_matches_python_reference_fixed(self, spark):
+        from kafka_connect_streams_spark.operators.text import block_dedup
+        docs = [
+            (1, "a b c d e f"),          # blocks: "a b c", "d e f"
+            (2, "a b c x y z"),          # first block dup of doc 1
+            (3, "d e f a b c"),          # both blocks already seen
+            (4, "q r"),                  # short single block
+            (5, "a b c d e f q r"),      # everything already seen
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.n_blocks, r.kept_blocks, r.kept_tokens,
+                          r.kept_fp)
+               for r in block_dedup(df, "text", "doc_id",
+                                    size=3).collect()}
+        assert got == self._reference(docs, 3)
+        assert got[3][1] == 0 and got[5][1] == 0   # fully deduped docs
+
+    def test_matches_python_reference_random(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from kafka_connect_streams_spark.operators.text import block_dedup
+
+        WORD = st.sampled_from(["a", "b", "c", "d"])
+        DOC = st.lists(WORD, min_size=0, max_size=10).map(" ".join)
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(st.lists(DOC, min_size=1, max_size=6))
+        def run(texts):
+            docs = [(i, t) for i, t in enumerate(texts)]
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {r.doc_id: (r.n_blocks, r.kept_blocks, r.kept_tokens,
+                              r.kept_fp)
+                   for r in block_dedup(df, "text", "doc_id",
+                                        size=2).collect()}
+            assert got == self._reference(docs, 2), docs
+
+        run()
+
+
+class TestVocabConcentration:
+    def test_matches_counter_reference(self, spark):
+        from collections import Counter
+
+        from kafka_connect_streams_spark.operators.text import (
+            vocab_concentration)
+        docs = [
+            ("web", "the the the cat sat on the mat"),
+            ("web", "the dog sat"),
+            ("book", "unique words only here now"),
+            ("book", None),
+        ]
+        df = spark.createDataFrame(docs, "source string, text string")
+        got = {r.stratum: (r.n_tokens, r.vocab, r.hapax, r.top_mass,
+                           r.ttr_e9, r.hapax_ratio_e9, r.top_share_e9)
+               for r in vocab_concentration(df, "text", "source",
+                                            top=2).collect()}
+        import re as _re
+        want = {}
+        by_src: dict = {}
+        for src, text in docs:
+            c = by_src.setdefault(src, Counter())
+            c.update(t for t in _re.split(r"\W+", (text or "").lower())
+                     if t)
+        for src, c in by_src.items():
+            n = sum(c.values())
+            vocab = len(c)
+            hapax = sum(1 for v in c.values() if v == 1)
+            top_mass = sum(v for _, v in sorted(
+                c.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+            want[src] = (n, vocab, hapax, top_mass,
+                         vocab * 10**9 // n, hapax * 10**9 // vocab,
+                         top_mass * 10**9 // n)
+        assert got == want
+
+
+class TestCosinePairTopk:
+    def test_matches_brute_force(self, spark):
+        from collections import Counter
+
+        from kafka_connect_streams_spark.operators.indexing import (
+            cosine_pair_topk)
+        docs = [
+            (1, "apple banana apple cherry"),
+            (2, "apple banana banana"),
+            (3, "cherry dog emu"),
+            (4, "fox grape"),            # no shared terms with 1-3
+            (5, "apple banana cherry dog emu fox grape"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r.id_a, r.id_b): (r.dot, r.na, r.nb, r.cos_sq_e9)
+               for r in cosine_pair_topk(df, "text", "doc_id",
+                                         k=100, max_df=50).collect()}
+        import re as _re
+        vecs = {i: Counter(t for t in
+                           _re.split(r"\W+", (txt or "").lower()) if t)
+                for i, txt in docs}
+        want = {}
+        ids = sorted(vecs)
+        for i in ids:
+            for j in ids:
+                if i >= j:
+                    continue
+                dot = sum(vecs[i][t] * vecs[j][t] for t in vecs[i])
+                if dot == 0:
+                    continue          # non-colliding pairs never pair up
+                na = sum(v * v for v in vecs[i].values())
+                nb = sum(v * v for v in vecs[j].values())
+                want[(i, j)] = (dot, na, nb,
+                                dot * dot * 10**9 // (na * nb))
+        assert got == want
+        assert (1, 4) not in got      # disjoint vocab → no candidate row
+
+    def test_max_df_prunes_stopword_fanout(self, spark):
+        """A term above max_df must not generate candidate pairs (and is
+        excluded from norms, keeping dot/norm consistent)."""
+        from kafka_connect_streams_spark.operators.indexing import (
+            cosine_pair_topk)
+        # 'common' appears in every doc; rare terms pair only 1-2
+        docs = [(i, f"common r{i // 2}") for i in range(6)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r.id_a, r.id_b): (r.dot, r.na, r.nb)
+               for r in cosine_pair_topk(df, "text", "doc_id",
+                                         k=100, max_df=2).collect()}
+        # only the rare-term pairs survive: (0,1), (2,3), (4,5)
+        assert set(got) == {(0, 1), (2, 3), (4, 5)}
+        assert all(v == (1, 1, 1) for v in got.values())

@@ -456,3 +456,34 @@ def test_inverted_index_delta_coding_is_in_row(spark, sf_dir):
     assert "transform" in plan, plan
     # (word,block) agg + orderBy = the only exchanges
     assert shuffle_count(df) <= 3, plan
+
+
+def test_block_dedup_one_scan_two_shuffles(spark, sf_dir):
+    """Block dedup must be one corpus scan (blocks are never re-derived)
+    and two exchanges: the fingerprint window and the per-doc rebuild."""
+    import re
+    df = Q.q_block_dedup(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_vocab_concentration_partial_agg_no_text_after_explode(spark,
+                                                               sf_dir):
+    """The (stratum, token) count must partial-aggregate map-side; the
+    scan reads only source + text."""
+    df = Q.q_vocab_concentration(spark, sf_dir)
+    assert has_partial_aggregate(df), physical_plan(df)
+    cols = scan_read_schema(df)
+    assert "n_chars" not in cols and "lang" not in cols, cols
+
+
+def test_cosine_pair_topk_prunes_and_takes_ordered(spark, sf_dir):
+    """All-pairs cosine must be candidate-bounded (equi-join on term,
+    never a cartesian product) and plan the global top-k as
+    TakeOrderedAndProject — per-partition top-k + k-row merge, not a
+    total sort."""
+    df = Q.q_cosine_pair_topk(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
