@@ -3243,6 +3243,37 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear.unionByName(zord).orderBy("layout")
 
 
+def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (the Debezium-consumer / MERGE INTO pattern):
+    treat the event stream as an ordered upsert/delete log per user —
+    'error' events are tombstones, everything else upserts — and
+    materialize the final table state: last surviving value per key,
+    keys whose LAST op is a delete absent from the result. One
+    row_number window per key on the (ts, event_id) total order; no
+    key's history is ever replayed more than once, and the shuffle
+    carries (key, op, value), never the log."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    log = (t["events"]
+           .select("user_id", "event_id", "ts", "event_type",
+                   F.when(F.col("event_type") == "error", F.lit("delete"))
+                   .otherwise(F.lit("upsert")).alias("op")))
+    latest = (log.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1))
+    n_ops = (log.groupBy("user_id")
+             .agg(F.count("*").alias("n_changes"),
+                  F.sum((F.col("op") == "delete").cast("bigint"))
+                  .alias("n_deletes")))
+    return (latest.filter(F.col("op") == "upsert")
+            .join(n_ops, "user_id")
+            .select("user_id",
+                    F.col("event_type").alias("last_value"),
+                    F.col("ts").alias("updated_at"),
+                    "n_changes", "n_deletes")
+            .orderBy("user_id"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3262,14 +3293,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     rewritten NOT IN -> NOT EXISTS to match left-anti NULL
     #     semantics, ADVICE r6 medium) plus the seven round-7 additions
     #     (block_dedup, vocab_concentration, cosine_pair_topk,
-    #     scd2_asof, rollup_merge, attribution, zonemap_prune) —
+    #     scd2_asof, rollup_merge, attribution, zonemap_prune,
+    #     cdc_materialize) —
     #     recompute [:50] after EVERY registry edit;
     # (c) the remainder oldest-driver-row-first, so leftover slots
     #     re-verify the stalest greens: the r03 battery fills the rest
-    #     of the window (32 of its 33 entries; only grouping_sets sits
-    #     at position 50 and queues FIRST for round 8 with its r03 row
-    #     intact, ahead of the r04 heads moving_avg..range_join that
-    #     ceded slots to the additions).
+    #     of the window (31 of its 33 entries; interval_join and
+    #     grouping_sets sit at positions 50-51 and queue FIRST for
+    #     round 8 with their r03 rows intact, ahead of the r04 heads
+    #     moving_avg..range_join that ceded slots to the additions).
     # All window entries were locally hash-green via tools/check.py at
     # sf0.01 before commit; the driver row is the bar.
     "ngram_lm_counts": q_ngram_lm_counts,
@@ -3292,6 +3324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_merge": q_rollup_merge,
     "attribution": q_attribution,
     "zonemap_prune": q_zonemap_prune,
+    "cdc_materialize": q_cdc_materialize,
     # -- latest driver row: r03 --
     "select_project": q_select_project,
     "filter": q_filter,
@@ -7392,6 +7425,29 @@ ORACLE: dict[str, str] = {
         JOIN norms nb ON nb.doc_id = id_b
         ORDER BY cos_sq_e9 DESC, id_a, id_b
         LIMIT 20
+    """,
+    "cdc_materialize": """
+        WITH log AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        ELSE 'upsert' END AS op
+            FROM events),
+        latest AS (
+            SELECT user_id, event_type, ts, op,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM log),
+        n_ops AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes,
+                   CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_deletes
+            FROM log GROUP BY user_id)
+        SELECT l.user_id, l.event_type AS last_value, l.ts AS updated_at,
+               n.n_changes, n.n_deletes
+        FROM latest l JOIN n_ops n ON l.user_id = n.user_id
+        WHERE l.rn = 1 AND l.op = 'upsert'
+        ORDER BY l.user_id
     """,
     "scd2_asof": """
         WITH runs AS (

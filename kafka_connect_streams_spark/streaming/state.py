@@ -625,3 +625,67 @@ def compact_neardup_index(spark, index_dir: str, upto_epoch: int) -> int:
         for e in doomed:
             shutil.rmtree(f"{path}/epoch={e}", ignore_errors=True)
     return n_docs
+
+
+THROTTLE_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("emitted_ms", LongType()),
+    StructField("suppressed", LongType()),
+])
+_THROTTLE_STATE = StructType([
+    StructField("last_emit_ms", LongType()),
+    StructField("suppressed", LongType()),
+])
+
+
+def throttle(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
+             min_interval_s: int = 60,
+             watermark: str = "10 seconds") -> DataFrame:
+    """Per-key rate limiter (leading-edge debounce): emit a key's first
+    event, then suppress further events until ``min_interval_s`` of
+    EVENT time has passed since the last emitted one — the
+    alert-deduplication / notification-throttle operator (one page per
+    incident per window, not one per error line). Each emitted row
+    carries how many events it suppressed since the previous emission,
+    so downstream sees the full count without the full stream.
+
+    State per key is two longs (last emitted event-time, suppressed
+    count) — constant in stream length. Within a micro-batch events are
+    processed in sorted event-time order, so a replayed batch emits
+    identically; across batches the decision is sequential on the state
+    store, the same contract as any stateful rate limiter (a late event
+    that arrives after a later one was already emitted is counted as
+    suppressed — it cannot retroactively un-emit).
+    """
+    interval_ms = min_interval_s * 1000
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        ts: list[int] = []
+        for pdf in batches:
+            ts.extend((pdf[ts_col].astype("int64") // 1_000_000).tolist())
+        if not ts:
+            return
+        ts.sort()
+        last, supp = state.get if state.exists else (None, 0)
+        out_ms, out_supp = [], []
+        for t in ts:
+            if last is None or t - last >= interval_ms:
+                out_ms.append(t)
+                out_supp.append(supp)
+                last, supp = t, 0
+            else:
+                supp += 1
+        state.update((last, supp))
+        if out_ms:
+            yield pd.DataFrame({"key": key[0], "emitted_ms": out_ms,
+                                "suppressed": out_supp})
+
+    return (keyed.withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col).cast("string").alias("key"))
+            .applyInPandasWithState(
+                update,
+                outputStructType=THROTTLE_SCHEMA,
+                stateStructType=_THROTTLE_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

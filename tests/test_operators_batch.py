@@ -1542,3 +1542,37 @@ class TestZonemapPrune:
         assert z.rows_skipped > lin.rows_skipped
         assert lin.rows_skipped + lin.rows_scanned \
             == z.rows_skipped + z.rows_scanned
+
+
+class TestCdcMaterialize:
+    def test_tombstone_semantics(self, spark, tmp_path):
+        """Last-writer-wins with tombstones: a key whose final op is a
+        delete is absent; a delete followed by an upsert resurrects;
+        op counts include tombstones."""
+        import datetime as dt
+
+        from kafka_connect_streams_spark import queries as Q
+
+        base = dt.datetime(2024, 1, 10)
+        D = dt.timedelta
+        rows = [
+            # user 1: upsert, delete, upsert -> present (resurrected)
+            (1, base, 1, "view", 0.0, "{}"),
+            (2, base + D(1), 1, "error", 0.0, "{}"),
+            (3, base + D(2), 1, "click", 0.0, "{}"),
+            # user 2: upsert then delete -> absent
+            (4, base, 2, "view", 0.0, "{}"),
+            (5, base + D(1), 2, "error", 0.0, "{}"),
+            # user 3: same-ts tie broken by event_id (7 wins)
+            (6, base, 3, "view", 0.0, "{}"),
+            (7, base, 3, "signup", 0.0, "{}"),
+        ]
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string") \
+            .write.parquet(str(sf / "events.parquet"))
+        got = {r.user_id: (r.last_value, r.n_changes, r.n_deletes)
+               for r in Q.q_cdc_materialize(spark, str(sf)).collect()}
+        assert got == {1: ("click", 3, 1), 3: ("signup", 2, 0)}

@@ -787,3 +787,45 @@ class TestIncrementalNeardupStream:
         assert kept2 == kept
         sigs = spark.read.parquet(f"{index}/sigs")
         assert sigs.count() == sigs.select("doc_id").distinct().count() == 3
+
+
+def test_throttle_rate_limits_per_key(spark, tmp_path):
+    """Leading-edge per-key throttle: first event emits, events inside
+    the min-interval are suppressed (and counted on the next emission),
+    state survives across micro-batches."""
+    from kafka_connect_streams_spark.streaming.state import throttle
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000_000
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for k, off_s in rows:
+                f.write(json.dumps({"key": k,
+                                    "ts_ms": base + off_s * 1000}) + "\n")
+
+    # batch 1: a@0 emits; a@10, a@20 suppressed (interval 60s);
+    # b@5 emits
+    write("a.json", [("a", 0), ("a", 10), ("a", 20), ("b", 5)])
+    stream = (spark.readStream.schema("key string, ts_ms long")
+              .json(str(src))
+              .selectExpr("key", "timestamp_micros(ts_ms*1000) AS ts"))
+    out = throttle(stream, min_interval_s=60, watermark="5 seconds")
+    q = (out.writeStream.format("memory").queryName("thr")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a@50 still inside (20+60? no — inside 0+60) suppressed;
+        # a@70 emits carrying 3 suppressed (10, 20, 50)
+        write("b.json", [("a", 50), ("a", 70)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM thr").collect()
+    finally:
+        q.stop()
+    got = {(r.key, r.emitted_ms - base, r.suppressed) for r in rows}
+    assert ("a", 0, 0) in got, got
+    assert ("b", 5_000, 0) in got, got
+    assert ("a", 70_000, 3) in got, got
+    assert len(got) == 3, got
