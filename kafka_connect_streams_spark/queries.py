@@ -3243,6 +3243,39 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear.unionByName(zord).orderBy("layout")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each sampled
+    anchor vector, the top-3 most-similar candidates with a DIFFERENT
+    label — the pass that makes embedding/contrastive training work
+    (easy negatives teach nothing; the hardest same-looking other-class
+    examples carry the gradient). Exact quantized cosine over sampled
+    anchors with the same in-row dot/norm machinery as the ann_*
+    family; at corpus scale the candidate generator swaps to the IVF/
+    LSH bucketed paths exactly as ann_ivf_cosine does — the label
+    filter and ranking are unchanged."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        cosine_pairs)
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"),
+                                 "embedding", "label")
+    anchors = emb.filter(F.col("id") % 100 == 0)
+    pairs = cosine_pairs(anchors.select("id", "embedding"),
+                         emb.select("id", "embedding"))
+    la = emb.select(F.col("id").alias("q_id"),
+                    F.col("label").alias("q_label"))
+    lb = emb.select(F.col("id").alias("c_id"),
+                    F.col("label").alias("c_label"))
+    scored = (pairs.filter(F.col("q_id") != F.col("c_id"))
+              .join(F.broadcast(la), "q_id")
+              .join(lb, "c_id")
+              .filter(F.col("q_label") != F.col("c_label")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("q_id", "q_label", "c_id", "c_label", "cosine",
+                    "rank"))
+
+
 def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog apply (the Debezium-consumer / MERGE INTO pattern):
     treat the event stream as an ordered upsert/delete log per user —
@@ -3294,14 +3327,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     semantics, ADVICE r6 medium) plus the seven round-7 additions
     #     (block_dedup, vocab_concentration, cosine_pair_topk,
     #     scd2_asof, rollup_merge, attribution, zonemap_prune,
-    #     cdc_materialize) —
+    #     cdc_materialize, hard_negatives) —
     #     recompute [:50] after EVERY registry edit;
     # (c) the remainder oldest-driver-row-first, so leftover slots
     #     re-verify the stalest greens: the r03 battery fills the rest
-    #     of the window (31 of its 33 entries; interval_join and
-    #     grouping_sets sit at positions 50-51 and queue FIRST for
-    #     round 8 with their r03 rows intact, ahead of the r04 heads
-    #     moving_avg..range_join that ceded slots to the additions).
+    #     of the window (30 of its 33 entries — with session_window in
+    #     (a) that is 30 r03-era rows re-verified, the verdict's floor;
+    #     approx_distinct, interval_join, grouping_sets sit at positions
+    #     50-52 and queue FIRST for round 8 with their r03 rows intact,
+    #     ahead of the r04 heads moving_avg..range_join that ceded
+    #     slots to the additions).
     # All window entries were locally hash-green via tools/check.py at
     # sf0.01 before commit; the driver row is the bar.
     "ngram_lm_counts": q_ngram_lm_counts,
@@ -3325,6 +3360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "zonemap_prune": q_zonemap_prune,
     "cdc_materialize": q_cdc_materialize,
+    "hard_negatives": q_hard_negatives,
     # -- latest driver row: r03 --
     "select_project": q_select_project,
     "filter": q_filter,
@@ -7425,6 +7461,39 @@ ORACLE: dict[str, str] = {
         JOIN norms nb ON nb.doc_id = id_b
         ORDER BY cos_sq_e9 DESC, id_a, id_b
         LIMIT 20
+    """,
+    "hard_negatives": """
+        WITH emb AS (SELECT vec_id AS id, embedding, label
+                     FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        cd AS (SELECT emb.id AS c_id, d,
+                      CAST(floor(CAST(embedding[d+1] AS DOUBLE)
+                                 * 10000.0 + 0.5) AS BIGINT) AS cx
+               FROM emb CROSS JOIN dims),
+        qd AS (SELECT c_id AS q_id, d, cx AS qx
+               FROM cd WHERE c_id % 100 = 0),
+        sums AS (SELECT q_id, c_id,
+                        CAST(sum(qx * cx) AS BIGINT) AS dot,
+                        CAST(sum(qx * qx) AS BIGINT) AS qn,
+                        CAST(sum(cx * cx) AS BIGINT) AS cn
+                 FROM qd JOIN cd USING (d) GROUP BY q_id, c_id),
+        sim AS (SELECT s.q_id, a.label AS q_label, s.c_id,
+                       b.label AS c_label,
+                       CAST(dot AS DOUBLE)
+                         / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))
+                         AS cosine
+                FROM sums s
+                JOIN emb a ON a.id = s.q_id
+                JOIN emb b ON b.id = s.c_id
+                WHERE s.q_id <> s.c_id AND a.label <> b.label),
+        ranked AS (SELECT *,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cosine DESC, c_id)
+                              AS rank
+                   FROM sim)
+        SELECT q_id, q_label, c_id, c_label, cosine,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
     """,
     "cdc_materialize": """
         WITH log AS (

@@ -1576,3 +1576,26 @@ class TestCdcMaterialize:
         got = {r.user_id: (r.last_value, r.n_changes, r.n_deletes)
                for r in Q.q_cdc_materialize(spark, str(sf)).collect()}
         assert got == {1: ("click", 3, 1), 3: ("signup", 2, 0)}
+
+
+class TestHardNegatives:
+    def test_cross_label_and_k_invariants(self, spark, sf_dir):
+        from collections import Counter
+
+        from kafka_connect_streams_spark import queries as Q
+        rows = Q.q_hard_negatives(spark, sf_dir).collect()
+        assert rows, "no anchors sampled"
+        per_anchor = Counter(r.q_id for r in rows)
+        assert all(n <= 3 for n in per_anchor.values())
+        for r in rows:
+            assert r.q_label != r.c_label    # negatives only
+            assert r.q_id != r.c_id
+        # ranks are 1..n and cosine non-increasing within an anchor
+        by_a = {}
+        for r in rows:
+            by_a.setdefault(r.q_id, []).append((r.rank, r.cosine))
+        for a, rs in by_a.items():
+            rs.sort()
+            assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+            assert all(rs[i][1] >= rs[i + 1][1]
+                       for i in range(len(rs) - 1))
