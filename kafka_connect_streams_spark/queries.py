@@ -3243,37 +3243,122 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear.unionByName(zord).orderBy("layout")
 
 
+#: hard-negative mining knobs, shared by the query and its recall eval.
+_HN_PLANES = 8
+_HN_TABLES = 4
+_HN_K = 3
+
+
+def _hard_negative_candidates(emb: DataFrame) -> DataFrame:
+    """Bucketed (q_id, c_id) candidate pairs for hard-negative mining:
+    4 independent hyperplane-LSH tables over the whole corpus
+    (OR-amplification), and within each table anchors (id % 100 == 0)
+    multiprobe their own bucket plus every Hamming-distance-1 bucket
+    (one bit flipped per plane) — both standard LSH recall levers, and
+    both fan out ONLY the 1% anchor side (×tables×(planes+1)) and the
+    two-long signature rows (×tables), never the vectors. The anchor
+    probe table is broadcast, so the corpus-side signature scan joins
+    map-side with no shuffle of the candidate leg; the cross-table union
+    dedups with one (q_id, c_id) distinct — the same 100 TB shape as
+    q_embedding_decontamination (eval-side broadcast) and the
+    MinHash-LSH band machinery (per-band buckets, unioned candidates)."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        hyperplane_signatures_multi)
+    sig = hyperplane_signatures_multi(emb, "id", "embedding",
+                                      planes=_HN_PLANES, tables=_HN_TABLES)
+    probes = (sig.filter(F.col("id") % 100 == 0)
+              .select(F.col("id").alias("q_id"), "tbl", F.explode(F.array(
+                  F.col("bucket"),
+                  *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("bigint"))
+                    for p in range(_HN_PLANES)])).alias("bucket")))
+    cand = sig.select(F.col("id").alias("c_id"), "tbl", "bucket")
+    return (F.broadcast(probes).join(cand, ["tbl", "bucket"])
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id").distinct())
+
+
+def _hard_negative_rank(emb: DataFrame, pairs: DataFrame,
+                        k: int = _HN_K) -> DataFrame:
+    """Exact quantized rescoring + label anti-filter + per-anchor top-k
+    over a (q_id, c_id) candidate set — the part of hard-negative mining
+    that never changes when the candidate generator does."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        _cosine, _dot, _quantized)
+
+    def side(pred, id_out, label_out, v_out, n_out):
+        return (emb.filter(pred) if pred is not None else emb) \
+            .select(F.col("id").alias(id_out),
+                    F.col("label").alias(label_out),
+                    _quantized(F.col("embedding")).alias(v_out)) \
+            .withColumn(n_out, _dot(F.col(v_out), F.col(v_out)))
+
+    q = side(F.col("id") % 100 == 0, "q_id", "q_label", "_qv", "qn")
+    c = side(None, "c_id", "c_label", "_cv", "cn")
+    scored = (pairs.join(F.broadcast(q), "q_id").join(c, "c_id")
+              .filter(F.col("q_label") != F.col("c_label"))
+              .withColumn("cosine", _cosine(
+                  _dot(F.col("_qv"), F.col("_cv")),
+                  F.col("qn"), F.col("cn"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "q_label", "c_id", "c_label", "cosine",
+                    "rank"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard-negative mining: for each sampled
-    anchor vector, the top-3 most-similar candidates with a DIFFERENT
-    label — the pass that makes embedding/contrastive training work
-    (easy negatives teach nothing; the hardest same-looking other-class
-    examples carry the gradient). Exact quantized cosine over sampled
-    anchors with the same in-row dot/norm machinery as the ann_*
-    family; at corpus scale the candidate generator swaps to the IVF/
-    LSH bucketed paths exactly as ann_ivf_cosine does — the label
-    filter and ranking are unchanged."""
+    anchor vector (id % 100 == 0), the top-3 most-similar candidates
+    with a DIFFERENT label — the pass that makes embedding/contrastive
+    training work (easy negatives teach nothing; the hardest
+    same-looking other-class examples carry the gradient).
+
+    Candidate generation is hyperplane-LSH bucketed with Hamming-1
+    multiprobe on the anchor side (see :func:`_hard_negative_candidates`
+    — never an anchors × corpus cross join, whose pair count grows
+    quadratically with the corpus); rescoring is exact quantized cosine
+    with the same in-row dot/norm machinery as the ann_* family. The
+    approximation is the standard ANN recall tradeoff, measured by
+    ``hard_negatives_recall`` against the exact (scale-guarded)
+    ground truth."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"),
+                                 "embedding", "label")
+    return _hard_negative_rank(emb, _hard_negative_candidates(emb))
+
+
+def q_hard_negatives_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall eval for ``hard_negatives``: the exact brute-force top-3
+    (the pre-round-8 crossJoin shape, now scale-guarded by ``max_pairs``
+    exactly like topk_cosine) is ground truth; the bucketed multiprobe
+    result is the system under test. One row: anchors covered, exact vs
+    approx pair counts, hits, recall — the eval harness the round-7
+    verdict asked to keep when the registered query went bucketed."""
     from kafka_connect_streams_spark.operators.similarity import (
-        cosine_pairs)
+        MAX_BRUTE_PAIRS, cosine_pairs)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(F.col("vec_id").alias("id"),
                                  "embedding", "label")
     anchors = emb.filter(F.col("id") % 100 == 0)
-    pairs = cosine_pairs(anchors.select("id", "embedding"),
-                         emb.select("id", "embedding"))
-    la = emb.select(F.col("id").alias("q_id"),
-                    F.col("label").alias("q_label"))
-    lb = emb.select(F.col("id").alias("c_id"),
-                    F.col("label").alias("c_label"))
-    scored = (pairs.filter(F.col("q_id") != F.col("c_id"))
-              .join(F.broadcast(la), "q_id")
-              .join(lb, "c_id")
-              .filter(F.col("q_label") != F.col("c_label")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("q_id", "q_label", "c_id", "c_label", "cosine",
-                    "rank"))
+    exact_pairs = (cosine_pairs(anchors.select("id", "embedding"),
+                                emb.select("id", "embedding"),
+                                max_pairs=MAX_BRUTE_PAIRS)
+                   .filter(F.col("q_id") != F.col("c_id"))
+                   .select("q_id", "c_id"))
+    exact = _hard_negative_rank(emb, exact_pairs).select("q_id", "c_id")
+    approx = (_hard_negative_rank(emb, _hard_negative_candidates(emb))
+              .select(F.col("q_id").alias("a_q_id"),
+                      F.col("c_id").alias("a_c_id"))
+              .withColumn("hit", F.lit(1)))
+    joined = exact.join(
+        approx, (F.col("q_id") == F.col("a_q_id"))
+        & (F.col("c_id") == F.col("a_c_id")), "left").select(
+            "q_id", "c_id", F.coalesce("hit", F.lit(0)).alias("hit"))
+    return joined.agg(
+        F.countDistinct("q_id").alias("n_anchors"),
+        F.count("*").alias("exact_pairs"),
+        F.sum("hit").alias("hits"),
+        (F.sum("hit") / F.count("*")).alias("recall"))
 
 
 def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3361,6 +3446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonemap_prune": q_zonemap_prune,
     "cdc_materialize": q_cdc_materialize,
     "hard_negatives": q_hard_negatives,
+    "hard_negatives_recall": q_hard_negatives_recall,
     # -- latest driver row: r03 --
     "select_project": q_select_project,
     "filter": q_filter,
@@ -7466,17 +7552,40 @@ ORACLE: dict[str, str] = {
         WITH emb AS (SELECT vec_id AS id, embedding, label
                      FROM embeddings),
         dims AS (SELECT unnest(generate_series(0, 63)) AS d),
-        cd AS (SELECT emb.id AS c_id, d,
-                      CAST(floor(CAST(embedding[d+1] AS DOUBLE)
-                                 * 10000.0 + 0.5) AS BIGINT) AS cx
-               FROM emb CROSS JOIN dims),
-        qd AS (SELECT c_id AS q_id, d, cx AS qx
-               FROM cd WHERE c_id % 100 = 0),
-        sums AS (SELECT q_id, c_id,
-                        CAST(sum(qx * cx) AS BIGINT) AS dot,
-                        CAST(sum(qx * qx) AS BIGINT) AS qn,
-                        CAST(sum(cx * cx) AS BIGINT) AS cn
-                 FROM qd JOIN cd USING (d) GROUP BY q_id, c_id),
+        planes AS (SELECT unnest(generate_series(0, 31)) AS p),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE)
+                                   * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        proj AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS proj
+            FROM comp CROSS JOIN planes
+            GROUP BY id, p),
+        bucket AS (
+            SELECT id, p // 8 AS tbl,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM proj GROUP BY id, p // 8),
+        probes AS (
+            SELECT b.id AS q_id, b.tbl,
+                   CASE WHEN pp.p = -1 THEN b.bucket
+                        ELSE xor(b.bucket, (1::BIGINT << pp.p)) END AS bucket
+            FROM bucket b
+            CROSS JOIN (SELECT unnest(generate_series(-1, 7)) AS p) pp
+            WHERE b.id % 100 = 0),
+        cand AS (SELECT DISTINCT p.q_id, c.id AS c_id
+                 FROM probes p JOIN bucket c USING (tbl, bucket)
+                 WHERE p.q_id <> c.id),
+        sums AS (SELECT cd.q_id, cd.c_id,
+                        CAST(sum(dq.x * dc.x) AS BIGINT) AS dot,
+                        CAST(sum(dq.x * dq.x) AS BIGINT) AS qn,
+                        CAST(sum(dc.x * dc.x) AS BIGINT) AS cn
+                 FROM cand cd
+                 JOIN comp dq ON dq.id = cd.q_id
+                 JOIN comp dc ON dc.id = cd.c_id AND dc.d = dq.d
+                 GROUP BY cd.q_id, cd.c_id),
         sim AS (SELECT s.q_id, a.label AS q_label, s.c_id,
                        b.label AS c_label,
                        CAST(dot AS DOUBLE)
@@ -7485,7 +7594,7 @@ ORACLE: dict[str, str] = {
                 FROM sums s
                 JOIN emb a ON a.id = s.q_id
                 JOIN emb b ON b.id = s.c_id
-                WHERE s.q_id <> s.c_id AND a.label <> b.label),
+                WHERE a.label <> b.label),
         ranked AS (SELECT *,
                           row_number() OVER (PARTITION BY q_id
                                              ORDER BY cosine DESC, c_id)
@@ -7494,6 +7603,76 @@ ORACLE: dict[str, str] = {
         SELECT q_id, q_label, c_id, c_label, cosine,
                CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
+    """,
+    "hard_negatives_recall": """
+        WITH emb AS (SELECT vec_id AS id, embedding, label
+                     FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        planes AS (SELECT unnest(generate_series(0, 31)) AS p),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE)
+                                   * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        qd AS (SELECT id AS q_id, d, x AS qx
+               FROM comp WHERE id % 100 = 0),
+        esums AS (SELECT q_id, cd.id AS c_id,
+                         CAST(sum(qx * cd.x) AS BIGINT) AS dot,
+                         CAST(sum(qx * qx) AS BIGINT) AS qn,
+                         CAST(sum(cd.x * cd.x) AS BIGINT) AS cn
+                  FROM qd JOIN comp cd USING (d)
+                  WHERE q_id <> cd.id
+                  GROUP BY q_id, cd.id),
+        esim AS (SELECT s.q_id, s.c_id,
+                        CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))
+                          AS cosine
+                 FROM esums s
+                 JOIN emb a ON a.id = s.q_id
+                 JOIN emb b ON b.id = s.c_id
+                 WHERE a.label <> b.label),
+        exact AS (SELECT q_id, c_id FROM (
+                    SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY cosine DESC, c_id)
+                               AS rank
+                    FROM esim) t WHERE rank <= 3),
+        proj AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS proj
+            FROM comp CROSS JOIN planes
+            GROUP BY id, p),
+        bucket AS (
+            SELECT id, p // 8 AS tbl,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM proj GROUP BY id, p // 8),
+        probes AS (
+            SELECT b.id AS q_id, b.tbl,
+                   CASE WHEN pp.p = -1 THEN b.bucket
+                        ELSE xor(b.bucket, (1::BIGINT << pp.p)) END AS bucket
+            FROM bucket b
+            CROSS JOIN (SELECT unnest(generate_series(-1, 7)) AS p) pp
+            WHERE b.id % 100 = 0),
+        cand AS (SELECT DISTINCT p.q_id, c.id AS c_id
+                 FROM probes p JOIN bucket c USING (tbl, bucket)
+                 WHERE p.q_id <> c.id),
+        asim AS (SELECT e.q_id, e.c_id, e.cosine
+                 FROM esim e JOIN cand USING (q_id, c_id)),
+        approx AS (SELECT q_id, c_id FROM (
+                     SELECT q_id, c_id,
+                            row_number() OVER (PARTITION BY q_id
+                                               ORDER BY cosine DESC, c_id)
+                                AS rank
+                     FROM asim) t WHERE rank <= 3)
+        SELECT CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_anchors,
+               CAST(count(*) AS BIGINT) AS exact_pairs,
+               CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits,
+               CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
     """,
     "cdc_materialize": """
         WITH log AS (
