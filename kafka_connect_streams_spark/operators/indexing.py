@@ -65,9 +65,13 @@ def cosine_pair_topk(df: DataFrame, text_col: str, id_col: str,
     exact integer sums over the pruned vectors; the ranking key is
     cos² in e9 fixed-point, ``dot²·1e9 div (na·nb)`` — integer-exact and
     engine-identical (no transcendentals, no float summation order).
-    Bound: dot ≤ doc token mass, so dot²·1e9 fits a bigint while per-doc
-    pruned token mass < ~3e4; corpora past that raise ``max_df`` rows to
-    DECIMAL(38) with the same plan shape.
+    Bound: by Cauchy-Schwarz dot ≤ sqrt(na·nb) — na/nb are per-doc sums
+    of tf² with NO cap on term frequency (max_df prunes document
+    frequency, not tf), so a rare term repeated a few hundred times in
+    two docs already pushes dot²·1e9 past int64. The ranking key is
+    therefore computed in DECIMAL(38,0) (exact to 38 digits, i.e.
+    per-doc pruned token mass up to ~3e9) and the quotient — always
+    ≤ 1e9 — lands back in a bigint.
 
     Scale shape: one (id, term) partial-aggregated shuffle, a per-term
     self-join whose fan-out is capped at max_df² per term, one pair
@@ -110,7 +114,9 @@ def cosine_pair_topk(df: DataFrame, text_col: str, id_col: str,
                       F.col("norm_sq").alias("nb"))
     return (dots.join(na, "id_a").join(nb, "id_b")
             .select("id_a", "id_b", "dot", "na", "nb",
-                    F.expr("(dot * dot * CAST(1000000000 AS BIGINT)) "
-                           "DIV (na * nb)").alias("cos_sq_e9"))
+                    F.expr("(CAST(dot AS DECIMAL(38,0)) * dot "
+                           "* CAST(1000000000 AS BIGINT)) "
+                           "DIV (CAST(na AS DECIMAL(38,0)) * nb)")
+                    .alias("cos_sq_e9"))
             .orderBy(F.desc("cos_sq_e9"), "id_a", "id_b")
             .limit(k))

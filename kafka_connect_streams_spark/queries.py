@@ -7540,8 +7540,9 @@ ORACLE: dict[str, str] = {
               ON a.term = b.term AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id)
         SELECT id_a, id_b, dot, na.norm_sq AS na, nb.norm_sq AS nb,
-               CAST((dot * dot * 1000000000)
-                    // (na.norm_sq * nb.norm_sq) AS BIGINT) AS cos_sq_e9
+               CAST((CAST(dot AS HUGEINT) * dot * 1000000000)
+                    // (CAST(na.norm_sq AS HUGEINT) * nb.norm_sq)
+                    AS BIGINT) AS cos_sq_e9
         FROM dots
         JOIN norms na ON na.doc_id = id_a
         JOIN norms nb ON nb.doc_id = id_b

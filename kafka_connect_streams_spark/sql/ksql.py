@@ -265,12 +265,20 @@ class KsqlContext:
         dispatch for the DataFrame API). KSQL's shape rules are
         enforced: the stream must be the LEFT side, and only INNER/LEFT
         joins are supported for stream-table."""
+        sel = re.search(r"\bSELECT\b", statement, re.IGNORECASE)
+        if sel is None:
+            # not a query (DDL/DML mentioning relation names) — nothing
+            # to dispatch, and no SELECT to anchor a hint to (round-7
+            # ADVICE: this used to AttributeError on sel.end())
+            return statement
         streams: list[str] = []
         tables: list[str] = []
         from_is_table = False
         join_has_stream = False
         bad_jt = None
-        for m in self._ST_SRC_RE.finditer(statement):
+        # scan only AFTER the SELECT: FROM/JOIN sources of a query always
+        # follow it, and this keeps the regex off DDL prefixes
+        for m in self._ST_SRC_RE.finditer(statement, sel.end()):
             name = m.group("name").lower()
             meta = self.metastore.get(name)
             df = self.frames.get(name)
@@ -301,7 +309,6 @@ class KsqlContext:
                 f"stream-table join: {bad_jt} JOIN is not supported — "
                 "KSQL stream-table joins are INNER or LEFT")
         hint = "/*+ BROADCAST(" + ", ".join(tables) + ") */ "
-        sel = re.search(r"\bSELECT\b", statement, re.IGNORECASE)
         return statement[:sel.end()] + " " + hint + statement[sel.end():]
 
     def sql(self, statement: str) -> DataFrame | None:

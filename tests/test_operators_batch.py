@@ -1443,6 +1443,22 @@ class TestCosinePairTopk:
         assert set(got) == {(0, 1), (2, 3), (4, 5)}
         assert all(v == (1, 1, 1) for v in got.values())
 
+    def test_repetitive_tf_does_not_overflow_ranking_key(self, spark):
+        """ADVICE r7: a rare term repeated ~311+ times in two docs pushes
+        dot²·1e9 past int64 (max_df caps document frequency, not term
+        frequency — think log spam / boilerplate). The DECIMAL(38,0)
+        ranking key must stay exact where bigint arithmetic would wrap
+        silently under non-ANSI Spark."""
+        from kafka_connect_streams_spark.operators.indexing import (
+            cosine_pair_topk)
+        n = 2000                       # dot = 4e6, dot²·1e9 ≈ 1.6e22
+        docs = [(1, " ".join(["zzyzx"] * n)),
+                (2, " ".join(["zzyzx"] * n))]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        [r] = cosine_pair_topk(df, "text", "doc_id", k=5).collect()
+        assert (r.dot, r.na, r.nb) == (n * n, n * n, n * n)
+        assert r.cos_sq_e9 == 10**9   # identical docs → cos² = 1 exactly
+
 
 class TestAttribution:
     def test_matches_python_reference(self, spark, tmp_path):

@@ -829,3 +829,53 @@ def test_throttle_rate_limits_per_key(spark, tmp_path):
     assert ("b", 5_000, 0) in got, got
     assert ("a", 70_000, 3) in got, got
     assert len(got) == 3, got
+
+
+def test_throttle_evicts_idle_keys_and_flushes_pending(spark, tmp_path):
+    """Round-7 verdict #3: once the watermark passes last_emit +
+    min_interval an idle key's state must evict (bounded state on
+    unbounded key cardinality), flushing a non-zero pending suppressed
+    count as one accounting row at the last emitted timestamp."""
+    import json
+
+    from kafka_connect_streams_spark.streaming.state import throttle
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000_000
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for k, off_s in rows:
+                f.write(json.dumps({"key": k,
+                                    "ts_ms": base + off_s * 1000}) + "\n")
+
+    # a@0 emits, a@10 suppressed (pending=1); b@0 emits (pending=0)
+    write("a.json", [("a", 0), ("a", 10), ("b", 0)])
+    stream = (spark.readStream.schema("key string, ts_ms long")
+              .json(str(src))
+              .selectExpr("key", "timestamp_micros(ts_ms*1000) AS ts"))
+    out = throttle(stream, min_interval_s=60, watermark="5 seconds")
+    q = (out.writeStream.format("memory").queryName("thr_evict")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past a/b's horizon (0+60s)...
+        write("b.json", [("c", 300)])
+        q.processAllAvailable()
+        # ...and run one more batch so the expired timers fire
+        write("c.json", [("d", 310)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM thr_evict").collect()
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    got = {(r.key, r.emitted_ms - base, r.suppressed) for r in rows}
+    assert ("a", 0, 0) in got, got          # original emission
+    assert ("a", 0, 1) in got, got          # eviction flush of pending=1
+    # b had nothing pending -> evicts silently (no flush row)
+    assert not any(k == "b" and s > 0 for k, _, s in got), got
+    # a and b are gone from the store; c/d (and possibly not-yet-expired
+    # timers) remain
+    assert n_state <= 2, n_state
