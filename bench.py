@@ -50,7 +50,6 @@ HEADLINE = [
     "range_join",
     "funnel",
     "correlated_subquery",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
@@ -63,16 +62,11 @@ HEADLINE = [
     "user_journeys",
     "data_profile",
     "market_share",
-    "returned_items",
-    "disjunctive_predicates",
     "bigram_topk",
-    "frame_sampling",
-    "sequence_packing",
     "ann_recall",
     "incremental_dedup",
     "large_orders",
     "decontamination_minhash",
-    "doc_chunking",
     "chunk_dedup",
     "curation_pipeline",
     "token_budget_sample",
@@ -80,7 +74,6 @@ HEADLINE = [
     "cross_source_duplicates",
     "embedding_decontamination",
     "lm_doc_score",
-    "boilerplate_removal",
     "local_supplier_volume",
     "nation_volume_shipping",
     "product_profit",
@@ -92,7 +85,6 @@ HEADLINE = [
     "heavy_hitters",
     "cms_frequency",
     "triangle_census",
-    "zorder_layout",
     "skyline",
     "kmv_set_ops",
     "bloom_semijoin",
@@ -105,11 +97,31 @@ HEADLINE = [
     # training_order (0.112), packing_efficiency (0.187),
     # tokenizer_fertility (0.223), forecast_revenue (0.156),
     # decayed_counts (0.216).
-    "inverted_index",
     "bpe_merges",
     "constraint_report",
     "scd2_history",
     "waiting_suppliers",
+    # round 8: the nine round-7 operators the r7 verdict flagged as
+    # invisible to the perf harness (What's-wrong #2), plus the new
+    # fp_rejoin block-dedup shape benched AGAINST the inline shape.
+    # To hold the 2000-char stdout tail, SEVEN thin stable sub-0.31 s
+    # wrappers rotated out above: boilerplate_removal (0.217 s in r7),
+    # inverted_index (0.237, r7 number recorded per the r6 ask),
+    # sequence_packing (0.270), doc_chunking (0.301), frame_sampling
+    # (0.301), disjunctive_predicates (0.305), zorder_layout (0.307),
+    # dedup_exact (0.281; block_dedup/incremental_dedup keep the
+    # family) and returned_items (0.499; market_share/large_orders
+    # keep TPC-H Q10-shape coverage).
+    "block_dedup",
+    "block_dedup_fp",
+    "vocab_concentration",
+    "cosine_pair_topk",
+    "scd2_asof",
+    "rollup_merge",
+    "attribution",
+    "zonemap_prune",
+    "cdc_materialize",
+    "hard_negatives",
 ]
 
 

@@ -34,6 +34,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
@@ -115,3 +116,44 @@ def skyline2d(df: DataFrame, x_col: str, y_col: str,
     return (local.join(cand, dominated, "left_anti")
                  .select("pid", "x", "y")
                  .orderBy("x", "y", "pid"))
+
+
+def global_index(df: DataFrame, id_col: str, buckets: int = 64) -> DataFrame:
+    """Contiguous global sample indices 0..N-1 in a deterministic
+    pseudo-random order — the "assign every training example a slot"
+    pass — WITHOUT a single-partition sort.
+
+    The naive ``row_number() OVER (ORDER BY hash)`` plans a global sort
+    whose final rank stage is ONE partition — the canonical 100 TB
+    anti-pattern. This is the textbook two-pass distributed ranking
+    instead (TeraSort's rank assignment): (1) key each row by an md5
+    prefix bucket — the permutation's coarse order — and rank within
+    each bucket: ``buckets`` parallel sorts of ~N/buckets rows; (2)
+    prefix-sum the O(buckets) bucket counts into start offsets on a
+    bucket-count aggregate (a window over ``buckets`` rows, not N),
+    broadcast them, and add. The result equals
+    ``row_number() OVER (ORDER BY bucket, h, id) - 1`` exactly — which
+    is the DuckDB oracle — while every corpus-sized stage stays
+    bucket-parallel. Deterministic under repartitioning, retries, and
+    engine choice: the order is a pure function of the ids (same md5
+    permutation family as training_order, queries.py q_training_order).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    keyed = df.select(F.col(id_col), h.alias("_h"),
+                      (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+                       % buckets).alias("_b"))
+    wb = Window.partitionBy("_b").orderBy("_h", id_col)
+    ranked = keyed.withColumn("_pos", F.row_number().over(wb))
+    # offsets: exclusive prefix sum over the bucket counts — `buckets`
+    # rows total, so the single-partition window here is O(buckets)
+    wo = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (keyed.groupBy("_b")
+               .agg(F.count("*").alias("_n"))
+               .withColumn("_off", F.coalesce(F.sum("_n").over(wo),
+                                              F.lit(0).cast("bigint"))))
+    return (ranked.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+            .select(F.col(id_col),
+                    F.col("_b").alias("bucket"),
+                    (F.col("_off") + F.col("_pos") - 1)
+                    .alias("global_idx")))

@@ -177,27 +177,51 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
     """
     if planes is None:
         planes = auto_planes(df.count())
+    dims = _vec_dims(df, vec_col)
     base = fan_out(df).select(F.col(id_col),
                               _quantized(F.col(vec_col)).alias("_v"))
     bucket = F.expr(_ZERO)
     for p in range(planes):
-        bucket = bucket + F.when(_hyperplane_proj(p) > 0,
+        bucket = bucket + F.when(_hyperplane_proj(p, dims) > 0,
                                  F.lit(1 << p).cast("bigint")) \
                            .otherwise(F.lit(0).cast("bigint"))
     return base.select(F.col(id_col), bucket.alias("bucket"))
 
 
-def _hyperplane_proj(p: int, vcol: str = "_v") -> Column:
-    """Σ_d w(p,d)·x_d computed in-row over a quantized array column:
-    md5-derived ±1 weights (one hex char of md5("p:d")), exact int64
-    sum, no dim×plane explode and no per-(id,p) aggregation shuffle."""
-    def signed(x: Column, d: Column) -> Column:
-        wbit = F.conv(F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(p)), d.cast("string"))),
-            1, 1), 16, 10).cast("int")
-        return F.when(wbit % 2 == 1, x).otherwise(-x)
-    return F.aggregate(F.transform(F.col(vcol), signed),
-                       F.expr(_ZERO), lambda acc, v: acc + v)
+def _plane_weights(p: int, dims: int) -> list[int]:
+    """±1 weight vector of plane ``p``: w(p,d) = +1 iff the first hex
+    char of md5("p:d") is odd — the exact family every SQL oracle
+    evaluates with its own md5()."""
+    import hashlib
+    return [1 if int(hashlib.md5(f"{p}:{d}".encode())
+                     .hexdigest()[0], 16) % 2 == 1 else -1
+            for d in range(dims)]
+
+
+def _vec_dims(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality, probed from one row (a limit-1 job on a
+    column-pruned scan). Embeddings are fixed-dim by contract — the SQL
+    oracles already hard-code the dimension the same way."""
+    row = (df.select(F.size(F.col(vec_col)).alias("n"))
+           .filter(F.col("n") > 0).first())
+    return int(row.n) if row is not None else 0
+
+
+def _hyperplane_proj(p: int, dims: int, vcol: str = "_v") -> Column:
+    """Σ_d w(p,d)·x_d as ``zip_with`` against a CONSTANT weight array:
+    the weights are fixed per (plane, dim), precomputed driver-side
+    (hashlib.md5 — identical digests to Spark's and DuckDB's md5) and
+    shipped as one foldable ``array(±1, …)`` literal that constant-
+    folding collapses to a single node. Per row this is one zip + one
+    int64 fold per plane — no per-row hashing (the previous in-row
+    ``md5(p:d)`` form evaluated planes×dims md5 calls per row in the
+    hot path of every LSH plan). Exact int64 sum, no dim×plane
+    explode, no per-(id,p) shuffle."""
+    w = F.expr("array(" + ",".join(
+        f"{x}L" for x in _plane_weights(p, dims)) + ")")
+    return F.aggregate(
+        F.zip_with(F.col(vcol), w, lambda x, wgt: x * wgt),
+        F.expr(_ZERO), lambda acc, v: acc + v)
 
 
 def hyperplane_signatures_multi(df: DataFrame, id_col: str, vec_col: str,
@@ -212,6 +236,7 @@ def hyperplane_signatures_multi(df: DataFrame, id_col: str, vec_col: str,
     selective. Returns (id, tbl, bucket): ``tables`` rows per vector —
     the fan-out is a constant factor on the SIGNATURE table (a pair of
     longs per row), never on the vectors or the pair join."""
+    dims = _vec_dims(df, vec_col)
     base = fan_out(df).select(F.col(id_col),
                               _quantized(F.col(vec_col)).alias("_v"))
     entries = []
@@ -219,7 +244,7 @@ def hyperplane_signatures_multi(df: DataFrame, id_col: str, vec_col: str,
         bucket = F.expr(_ZERO)
         for i in range(planes):
             bucket = bucket + F.when(
-                _hyperplane_proj(t * planes + i) > 0,
+                _hyperplane_proj(t * planes + i, dims) > 0,
                 F.lit(1 << i).cast("bigint")) \
                 .otherwise(F.lit(0).cast("bigint"))
         entries.append(F.struct(F.lit(t).cast("int").alias("tbl"),

@@ -718,7 +718,7 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
 
 
 def block_dedup(df: DataFrame, text_col: str, id_col: str,
-                size: int = 8) -> DataFrame:
+                size: int = 8, shape: str = "inline") -> DataFrame:
     """Corpus-wide BLOCK-level exact dedup with reconstruction — the
     paragraph-dedup pass of Lee et al., "Deduplicating Training Data
     Makes Language Models Better" (exact-substring dedup at fixed block
@@ -733,15 +733,25 @@ def block_dedup(df: DataFrame, text_col: str, id_col: str,
     token count, and the md5 of the reconstructed text (not the text
     itself, so the verified output stays narrow).
 
-    Scale shape: ONE corpus scan and two shuffles — first-occurrence-
-    wins is one row_number window keyed by the 16-byte block
-    fingerprint (block text rides along so nothing re-derives), then
-    one per-doc aggregate rebuilds survivors via a sorted collect_list
-    bounded by tokens-per-doc. At extreme scale, where shuffling block
-    text twice dominates, the same semantics run with an fp-only window
-    plus a (doc, block_id) re-join against a second scan — the shape is
-    a knob, the decision column (_rn == 1) is identical.
+    Scale shape, selected by ``shape``:
+
+    - ``"inline"`` (default): ONE corpus scan and two shuffles —
+      first-occurrence-wins is one row_number window keyed by the
+      16-byte block fingerprint (block text rides along so nothing
+      re-derives), then one per-doc aggregate rebuilds survivors via a
+      sorted collect_list bounded by tokens-per-doc. Block text
+      shuffles twice.
+    - ``"fp_rejoin"`` (extreme scale): the window shuffle carries ONLY
+      (doc, block_id, fp) — never block text; surviving block ids
+      aggregate to one array per doc, and a second corpus scan re-joins
+      the doc's token array by id, rebuilding survivors in-row. Text
+      crosses the wire exactly once (the id join); the tradeoff is the
+      second scan, which at 100 TB is far cheaper than a corpus-wide
+      text shuffle. The decision (first occurrence by fingerprint) and
+      every output column are identical between shapes.
     """
+    if shape not in ("inline", "fp_rejoin"):
+        raise ValueError(f"unknown block_dedup shape: {shape!r}")
     toks = _tok_array(text_col)
     d = (df.select(F.col(id_col), toks.alias("_toks"))
          .withColumn("_n", F.size("_toks"))
@@ -749,25 +759,50 @@ def block_dedup(df: DataFrame, text_col: str, id_col: str,
     n_blocks = F.ceil(F.col("_n") / F.lit(float(size))).cast("bigint")
     block = F.slice(F.col("_toks"),
                     (F.col("block_id") * size + 1).cast("int"), size)
-    blocks = (d.select(F.col(id_col), "_toks", "_n",
-                       F.explode(F.sequence(F.lit(0).cast("bigint"),
-                                            n_blocks - 1))
-                       .alias("block_id"))
-              .select(F.col(id_col), "block_id",
-                      F.array_join(block, " ").alias("_btext"))
-              .withColumn("_bfp", F.md5("_btext")))
+    exploded = d.select(F.col(id_col), "_toks", "_n",
+                        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                             n_blocks - 1))
+                        .alias("block_id"))
     w = Window.partitionBy("_bfp").orderBy(id_col, "block_id")
-    ranked = blocks.withColumn("_rn", F.row_number().over(w))
-    rebuilt = (ranked.groupBy(id_col)
-               .agg(F.count("*").alias("n_blocks"),
-                    F.sum((F.col("_rn") == 1).cast("bigint"))
-                    .alias("kept_blocks"),
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.when(F.col("_rn") == 1,
-                                       F.struct("block_id", "_btext")))),
-                            lambda s: s["_btext"]), " ").alias("_ktext")))
+    if shape == "inline":
+        blocks = (exploded
+                  .select(F.col(id_col), "block_id",
+                          F.array_join(block, " ").alias("_btext"))
+                  .withColumn("_bfp", F.md5("_btext")))
+        ranked = blocks.withColumn("_rn", F.row_number().over(w))
+        rebuilt = (ranked.groupBy(id_col)
+                   .agg(F.count("*").alias("n_blocks"),
+                        F.sum((F.col("_rn") == 1).cast("bigint"))
+                        .alias("kept_blocks"),
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.when(F.col("_rn") == 1,
+                                           F.struct("block_id",
+                                                    "_btext")))),
+                                lambda s: s["_btext"]), " ")
+                        .alias("_ktext")))
+    else:
+        # fingerprint in-row, DROP the text before the window shuffle
+        fps = exploded.select(
+            F.col(id_col), "block_id",
+            F.md5(F.array_join(block, " ")).alias("_bfp"))
+        dec = fps.withColumn("_rn", F.row_number().over(w))
+        per_doc = (dec.groupBy(id_col)
+                   .agg(F.count("*").alias("n_blocks"),
+                        F.sum((F.col("_rn") == 1).cast("bigint"))
+                        .alias("kept_blocks"),
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("_rn") == 1, F.col("block_id"))))
+                        .alias("_kept_ids")))
+        rebuilt = (d.join(per_doc, id_col)
+                   .select(F.col(id_col), "n_blocks", "kept_blocks",
+                           F.array_join(F.flatten(F.transform(
+                               F.col("_kept_ids"),
+                               lambda b: F.slice(
+                                   F.col("_toks"),
+                                   (b * size + 1).cast("int"),
+                                   size))), " ").alias("_ktext")))
     return rebuilt.select(
         F.col(id_col), "n_blocks", "kept_blocks",
         F.size(F.filter(

@@ -3063,6 +3063,19 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_dedup(t["documents"], "text", "doc_id", size=8)
 
 
+def q_block_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """block_dedup's extreme-scale shape (round-7 verdict #5): the
+    first-occurrence window shuffles ONLY (doc, block_id, fingerprint),
+    surviving block ids aggregate to one array per doc, and a second
+    corpus scan re-joins the token arrays by id for in-row rebuild —
+    text crosses the wire once instead of twice. Same oracle as
+    block_dedup: the two shapes are decision- and output-identical."""
+    from kafka_connect_streams_spark.operators.text import block_dedup
+    t = load_tables(spark, sf_dir)
+    return block_dedup(t["documents"], "text", "doc_id", size=8,
+                       shape="fp_rejoin")
+
+
 def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary-concentration report: type-token ratio,
     hapax-legomena share, top-10 token mass — the corpus-health
@@ -3398,32 +3411,12 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER MATTERS: the driver's correctness gate checks
-    # list(QUERIES)[:50]. ROUND-7 WINDOW, per VERDICT r6 "Next round"
-    # #1 (executing the queue written at the end of round 6):
-    # (a) the ELEVEN stale-oracle queries first — green r05-or-earlier
-    #     rows, but their DuckDB twins gained the NULL-coalesce mirror
-    #     AFTER that row, so the driver has never hashed the current
-    #     oracle text: ngram_lm_counts, phrase_search, quality_funnel,
-    #     source_drift, lm_doc_score, cluster_best_doc,
-    #     cross_source_duplicates, linear_quality, ccnet_buckets,
-    #     training_pipeline, session_window;
-    # (b) everything round 7 touches (constraint_report: FK oracle
-    #     rewritten NOT IN -> NOT EXISTS to match left-anti NULL
-    #     semantics, ADVICE r6 medium) plus the seven round-7 additions
-    #     (block_dedup, vocab_concentration, cosine_pair_topk,
-    #     scd2_asof, rollup_merge, attribution, zonemap_prune,
-    #     cdc_materialize, hard_negatives) —
-    #     recompute [:50] after EVERY registry edit;
-    # (c) the remainder oldest-driver-row-first, so leftover slots
-    #     re-verify the stalest greens: the r03 battery fills the rest
-    #     of the window (30 of its 33 entries — with session_window in
-    #     (a) that is 30 r03-era rows re-verified, the verdict's floor;
-    #     approx_distinct, interval_join, grouping_sets sit at positions
-    #     50-52 and queue FIRST for round 8 with their r03 rows intact,
-    #     ahead of the r04 heads moving_avg..range_join that ceded
-    #     slots to the additions).
-    # All window entries were locally hash-green via tools/check.py at
-    # sf0.01 before commit; the driver row is the bar.
+    # list(QUERIES)[:50]. Since round 8 the window is set EXPLICITLY by
+    # _R8_WINDOW below (the dict is re-keyed right after this literal),
+    # so the literal order here is era-grouping documentation only; the
+    # era comments ("latest driver row: rNN") still describe where each
+    # query's newest green row came from. Recompute _R8_WINDOW after
+    # EVERY registry edit.
     "ngram_lm_counts": q_ngram_lm_counts,
     "phrase_search": q_phrase_search,
     "quality_funnel": q_quality_funnel,
@@ -3438,6 +3431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- (b) round-7 touched / added --
     "constraint_report": q_constraint_report,
     "block_dedup": q_block_dedup,
+    "block_dedup_fp": q_block_dedup_fp,
     "vocab_concentration": q_vocab_concentration,
     "cosine_pair_topk": q_cosine_pair_topk,
     "scd2_asof": q_scd2_asof,
@@ -3597,6 +3591,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "scd2_history": q_scd2_history,
 }
+
+#: ROUND-8 WINDOW — the 50 names the driver hashes this round, per
+#: VERDICT r7 "Next round" #3 and the queue written at the end of round
+#: 7: (a) the last three r03-era rows (registry positions 50-52 last
+#: round, queued first); (b) everything round 8 adds or touches
+#: (hard_negatives rewritten bucketed + its new recall eval,
+#: cosine_pair_topk's DECIMAL ranking key on both engines, block_dedup
+#: restructured around the shape knob + the new fp_rejoin variant);
+#: (c) the stalest greens oldest-first — the full 31-entry r04 battery,
+#: then r05 heads important_parts..tokenizer_fertility to fill 50.
+#: All 50 were locally hash-green via tools/check.py at sf0.01 AND
+#: sf0.1 before commit; the driver row is the bar.
+_R8_WINDOW = [
+    "approx_distinct", "interval_join", "grouping_sets",
+    "hard_negatives", "hard_negatives_recall", "cosine_pair_topk",
+    "block_dedup", "block_dedup_fp",
+    "moving_avg", "time_range_frame", "ntile_buckets", "listagg",
+    "shipping_priority", "range_join", "funnel", "cohort_retention",
+    "hash_split", "percent_rank_cume", "user_journeys", "unpivot",
+    "data_profile", "approx_quantile", "market_share", "promo_revenue",
+    "returned_items", "disjunctive_predicates", "idle_customers",
+    "ann_recall", "skew_salted_agg", "stratified_sample",
+    "pii_redaction", "histogram", "large_orders", "ann_auto_recall",
+    "ann_topk_cosine", "ann_lsh_cosine", "ann_ivf_cosine",
+    "embedding_neardup", "embedding_dedup_clusters",
+    "important_parts", "conditional_agg", "null_handling",
+    "linestatus_priority", "sequence_packing", "mix_weights",
+    "training_order", "packing_efficiency", "doc_chunking",
+    "chunk_dedup", "tokenizer_fertility",
+]
+assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
+QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)}}
 
 ORACLE: dict[str, str] = {
     "wordcount": """
@@ -7863,3 +7890,8 @@ ORACLE: dict[str, str] = {
         ORDER BY cents, size, pid
     """,
 }
+
+# block_dedup's two physical shapes are output-identical by contract —
+# the fp-rejoin variant is verified against the SAME oracle text, which
+# IS the round-8 equality proof at driver level.
+ORACLE["block_dedup_fp"] = ORACLE["block_dedup"]

@@ -468,6 +468,18 @@ def test_block_dedup_one_scan_two_shuffles(spark, sf_dir):
     assert shuffle_count(df) <= 2, plan
 
 
+def test_block_dedup_fp_rejoin_window_never_shuffles_text(spark, sf_dir):
+    """The extreme-scale shape: no block-text column exists anywhere in
+    the plan (fingerprints are computed in-row and only (doc, block_id,
+    fp) reaches the first-occurrence window); the rebuild re-joins the
+    corpus by id, so text crosses the wire exactly once."""
+    import re
+    df = Q.q_block_dedup_fp(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "_btext" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+
 def test_vocab_concentration_partial_agg_no_text_after_explode(spark,
                                                                sf_dir):
     """The (stratum, token) count must partial-aggregate map-side; the
