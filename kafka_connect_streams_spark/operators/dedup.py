@@ -623,3 +623,79 @@ def prefix_filter_jaccard(df: DataFrame, text_col: str, id_col: str,
             .select("id_a", "id_b", "n_shared",
                     F.expr("n_shared * 1000000000 div _union")
                      .alias("jaccard_e9")))
+
+
+def lsh_tuning(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+               k: int = 16,
+               settings: tuple[tuple[int, int], ...] = ((16, 1), (8, 2),
+                                                        (4, 4), (2, 8)),
+               threshold: float = 0.5,
+               max_doc_freq: int = 100) -> DataFrame:
+    """LSH banding parameter sweep — the tuning report run BEFORE
+    committing a (bands, rows) choice for a corpus-wide MinHash dedup:
+    per setting, candidate volume and recall/precision against exact
+    n-gram Jaccard ≥ ``threshold``. More bands of fewer rows → higher
+    recall and more candidates (collision prob ≈ 1-(1-J^rows)^bands);
+    the report quantifies that tradeoff ON THE ACTUAL CORPUS instead of
+    the uniform-similarity assumption the formula makes.
+
+    Cost shape: shingles and the k-hash wide signature are computed
+    ONCE (one corpus shuffle); each setting re-bands the in-row
+    signature (narrow explode, bands rows/doc) and self-joins its
+    buckets — the same bounded shape as lsh_candidate_pairs_wide. The
+    exact ground truth uses the stop-shingle-capped postings join of
+    ngram_jaccard_pairs. Truth and signature subtrees are localCheckpoint
+    -pinned so the settings loop re-reads them instead of re-deriving.
+    """
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    wide = minhash_signatures_wide(sh, id_col, k).localCheckpoint(
+        eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    rare = (sh.groupBy("shingle")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle"))
+    shr = sh.join(rare, "shingle")
+    a = shr.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shr.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("n_shared")))
+    sza = sizes.select(F.col(id_col).alias("id_a"),
+                       F.col("set_size").alias("size_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"),
+                       F.col("set_size").alias("size_b"))
+    truth = (shared.join(sza, "id_a").join(szb, "id_b")
+             .filter(F.col("n_shared").cast("double")
+                     / (F.col("size_a") + F.col("size_b")
+                        - F.col("n_shared")) >= threshold)
+             .select("id_a", "id_b")
+             .withColumn("_true", F.lit(1))
+             .localCheckpoint(eager=False))
+    reports = []
+    for bands, rows in settings:
+        if bands * rows != k:
+            raise ValueError(f"setting {bands}x{rows} != k={k}")
+        cand = lsh_candidate_pairs_wide(wide, id_col, bands, rows)
+        stats = (cand.join(truth, ["id_a", "id_b"], "left")
+                 .agg(F.count("*").alias("n_candidates"),
+                      F.coalesce(F.sum(F.coalesce("_true", F.lit(0))),
+                                 F.lit(0)).cast("bigint")
+                      .alias("hits")))
+        totals = truth.agg(F.count("*").alias("true_pairs"))
+        reports.append(
+            stats.join(F.broadcast(totals))
+            .select(F.lit(bands).alias("bands"),
+                    F.lit(rows).alias("rows_per_band"),
+                    "n_candidates", "true_pairs", "hits",
+                    (F.col("hits").cast("double")
+                     / F.greatest("true_pairs", F.lit(1)))
+                    .alias("recall"),
+                    (F.col("hits").cast("double")
+                     / F.greatest("n_candidates", F.lit(1)))
+                    .alias("precision")))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rows_per_band")

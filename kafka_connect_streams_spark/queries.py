@@ -1628,6 +1628,34 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shuffle_bucket", "pos"))
 
 
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global sample indices 0..N-1 in deterministic permuted
+    order — training_order's (bucket, pos) made globally contiguous,
+    the "give every example a unique slot" pass epoch shuffling and
+    checkpoint-addressable datasets need. The naive row_number() over a
+    global ORDER BY hash plans the rank stage into ONE partition; this
+    runs the two-pass distributed ranking instead (64 parallel bucket
+    sorts + an O(64) prefix-sum broadcast — operators/layout.py
+    global_index), and equals the naive window bit-for-bit, which is
+    exactly what the oracle computes."""
+    from kafka_connect_streams_spark.operators.layout import global_index
+    t = load_tables(spark, sf_dir)
+    return global_index(t["documents"], "doc_id", buckets=64)
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding parameter sweep over the real corpus: for
+    each (bands, rows) banding of one 16-hash signature, candidate
+    volume and recall/precision against exact 3-gram Jaccard ≥ 0.5 —
+    the report run before committing a banding to a corpus-wide dedup
+    (collision prob ≈ 1-(1-J^rows)^bands assumes uniform similarity;
+    this measures the actual tradeoff). Shingles/signature/truth are
+    computed once and checkpoint-pinned; each setting re-bands in-row."""
+    from kafka_connect_streams_spark.operators.dedup import lsh_tuning
+    t = load_tables(spark, sf_dir)
+    return lsh_tuning(t["documents"], "text", "doc_id")
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency report over sequence_packing's output: per md5
     bucket, how many packs, how many tokens, and the mean fill rate of the
@@ -3514,6 +3542,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "mix_weights": q_mix_weights,
     "training_order": q_training_order,
+    "global_index": q_global_index,
+    "lsh_tuning": q_lsh_tuning,
     "packing_efficiency": q_packing_efficiency,
     "doc_chunking": q_doc_chunking,
     "chunk_dedup": q_chunk_dedup,
@@ -3600,7 +3630,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: cosine_pair_topk's DECIMAL ranking key on both engines, block_dedup
 #: restructured around the shape knob + the new fp_rejoin variant);
 #: (c) the stalest greens oldest-first — the full 31-entry r04 battery,
-#: then r05 heads important_parts..tokenizer_fertility to fill 50.
+#: then r05 heads important_parts..doc_chunking, with the new
+#: global_index (two-pass distributed ranking) and lsh_tuning (banding
+#: parameter sweep) taking the final two slots that chunk_dedup and
+#: tokenizer_fertility (r05/r06 greens, unchanged this round) ceded.
 #: All 50 were locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
 _R8_WINDOW = [
@@ -3619,7 +3652,7 @@ _R8_WINDOW = [
     "important_parts", "conditional_agg", "null_handling",
     "linestatus_priority", "sequence_packing", "mix_weights",
     "training_order", "packing_efficiency", "doc_chunking",
-    "chunk_dedup", "tokenizer_fertility",
+    "global_index", "lsh_tuning",
 ]
 assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW},
@@ -5514,6 +5547,93 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, shuffle_bucket,
                CAST(row_number() OVER (PARTITION BY shuffle_bucket
                                        ORDER BY h, doc_id) AS INTEGER) AS pos
+        FROM keyed
+    """,
+    "lsh_tuning": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        rare AS (
+            SELECT shingle FROM (
+                SELECT shingle, count(DISTINCT doc_id) AS df
+                FROM sh GROUP BY shingle) f
+            WHERE df <= 100),
+        shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        truth AS (
+            SELECT id_a, id_b
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_shared AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_shared) >= 0.5),
+        tt AS (SELECT count(*) AS n FROM truth),
+        seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        sh2 AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 12))::BIGINT % 2147483647 AS h0
+            FROM sh),
+        sigs AS (
+            SELECT doc_id, seed,
+                   min((h0 * (2*seed + 1) + seed * 2654435769) % 2147483647) AS sig
+            FROM sh2 CROSS JOIN seeds
+            GROUP BY doc_id, seed),
+        settings AS (SELECT unnest([1, 2, 4, 8]) AS rpb),
+        banded AS (
+            SELECT s.rpb, doc_id, seed // s.rpb AS band,
+                   md5(string_agg(sig::VARCHAR, ',' ORDER BY seed)) AS band_key
+            FROM sigs CROSS JOIN settings s
+            GROUP BY s.rpb, doc_id, seed // s.rpb),
+        pairs AS (
+            SELECT DISTINCT a.rpb, a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.rpb = b.rpb AND a.band = b.band
+                         AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id),
+        stats AS (
+            SELECT st.rpb,
+                   CAST(count(p.id_a) AS BIGINT) AS n_candidates,
+                   CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits
+            FROM settings st
+            LEFT JOIN pairs p ON p.rpb = st.rpb
+            LEFT JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b
+            GROUP BY st.rpb)
+        SELECT CAST(16 // s.rpb AS INTEGER) AS bands,
+               CAST(s.rpb AS INTEGER) AS rows_per_band,
+               s.n_candidates,
+               CAST(tt.n AS BIGINT) AS true_pairs,
+               s.hits,
+               CAST(s.hits AS DOUBLE) / greatest(tt.n, 1) AS recall,
+               CAST(s.hits AS DOUBLE) / greatest(s.n_candidates, 1)
+                   AS "precision"
+        FROM stats s CROSS JOIN tt
+        ORDER BY rows_per_band
+    """,
+    "global_index": """
+        WITH keyed AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        ::INT % 64 AS INTEGER) AS bucket
+            FROM documents)
+        SELECT doc_id, bucket,
+               CAST(row_number() OVER (ORDER BY bucket, h, doc_id) - 1
+                    AS BIGINT) AS global_idx
         FROM keyed
     """,
     "packing_efficiency": """

@@ -1655,3 +1655,56 @@ class TestHardNegatives:
             "id", "array(CAST(id AS FLOAT), 1.0F) AS embedding")
         with pytest.raises(ValueError, match="max_pairs"):
             cosine_pairs(vecs, vecs, max_pairs=100)
+
+
+class TestGlobalIndex:
+    def test_contiguous_and_equal_to_naive_window(self, spark, sf_dir):
+        """Two-pass distributed ranking must equal row_number() over the
+        global (bucket, h, id) order bit-for-bit, and the index set must
+        be exactly 0..N-1 (contiguous, no gaps, no dups)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from kafka_connect_streams_spark.operators.layout import (
+            global_index)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = global_index(docs, "doc_id", buckets=64)
+        n = docs.count()
+        idxs = [r.global_idx for r in got.select("global_idx").collect()]
+        assert sorted(idxs) == list(range(n))
+        h = F.md5(F.col("doc_id").cast("string"))
+        naive = (docs.select(
+            "doc_id", h.alias("_h"),
+            (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 64)
+            .alias("bucket"))
+            .withColumn("global_idx",
+                        F.row_number().over(
+                            Window.orderBy("bucket", "_h", "doc_id"))
+                        .cast("bigint") - 1)
+            .select("doc_id", "bucket", "global_idx"))
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, naive.collect()))
+
+
+class TestLshTuning:
+    def test_sweep_monotonicity_and_bounds(self, spark, sf_dir):
+        """More rows per band -> strictly-harder collisions: candidate
+        count must be non-increasing down the sweep; recall/precision in
+        [0,1]; hits never exceed either count; bands*rows == 16."""
+        from kafka_connect_streams_spark import queries as Q
+        rows = Q.q_lsh_tuning(spark, sf_dir).collect()
+        assert [r.rows_per_band for r in rows] == [1, 2, 4, 8]
+        cands = [r.n_candidates for r in rows]
+        assert cands == sorted(cands, reverse=True)
+        for r in rows:
+            assert r.bands * r.rows_per_band == 16
+            assert 0 <= r.hits <= min(r.n_candidates, r.true_pairs)
+            assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
+
+    def test_mismatched_setting_raises(self, spark, sf_dir):
+        import pytest
+
+        from kafka_connect_streams_spark.operators.dedup import lsh_tuning
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        with pytest.raises(ValueError, match="!= k"):
+            lsh_tuning(docs, "text", "doc_id", settings=((3, 5),))

@@ -502,6 +502,20 @@ def test_hard_negatives_bucketed_no_cartesian(spark, sf_dir):
     assert has_broadcast_join(df), plan
 
 
+def test_global_index_rank_stage_is_bucket_parallel(spark, sf_dir):
+    """The corpus-sized ranking must partition by bucket (64 parallel
+    sorts); the only single-partition exchange is the O(64)-row offsets
+    prefix sum, which then rides back in as a broadcast — never a
+    corpus-wide one-partition window (the classic global row_number
+    scale killer)."""
+    import re
+    df = Q.q_global_index(spark, sf_dir)
+    plan = physical_plan(df)
+    assert re.search(r"hashpartitioning\(_b", plan), plan
+    assert len(re.findall(r"SinglePartition", plan)) == 1, plan
+    assert has_broadcast_join(df), plan
+
+
 def test_cosine_pair_topk_prunes_and_takes_ordered(spark, sf_dir):
     """All-pairs cosine must be candidate-bounded (equi-join on term,
     never a cartesian product) and plan the global top-k as
