@@ -770,7 +770,8 @@ def sorted_neighborhood_pairs(df: DataFrame, text_col: str, id_col: str,
     the O(len²)-per-row Levenshtein verify — partitions here must be
     sized by compute, not bytes (measured 27 s → 3 s on 40k pairs).
     The verify keeps pairs with distance <= max_len/5 (integer
-    comparison, no floats)."""
+    comparison, no floats), computed with the BANDED threshold form of
+    levenshtein so rejected pairs cost O(len·band) not O(len²)."""
     key = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(F.col(id_col), key.alias("_key"))
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -799,18 +800,24 @@ def sorted_neighborhood_pairs(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count("*").alias("n_passes"))
             .repartition(par))
     ta = df.select(F.col(id_col).alias("id_a"),
-                   F.col(text_col).alias("_ta"))
+                   F.coalesce(F.col(text_col), F.lit("")).alias("_ta"))
     tb = df.select(F.col(id_col).alias("id_b"),
-                   F.col(text_col).alias("_tb"))
+                   F.coalesce(F.col(text_col), F.lit("")).alias("_tb"))
+    # banded verify: the oracle's predicate is edit*5 <= max_len, i.e.
+    # edit <= floor(max_len/5) (integer distance), so Spark's THRESHOLD
+    # form computes only the |i-j| <= max_len/5 DP band — O(len·len/5)
+    # instead of O(len²) — short-circuits on length difference (the
+    # |la-lb| lower bound), and returns -1 above the band; keeping
+    # d >= 0 rows is bit-identical to the full-distance filter, and d
+    # itself is the exact distance for every survivor.
     return (cand.join(ta, "id_a").join(tb, "id_b")
-            .withColumn("edit_distance",
-                        F.levenshtein(F.coalesce("_ta", F.lit("")),
-                                      F.coalesce("_tb", F.lit("")))
-                        .cast("bigint"))
             .withColumn("max_len",
-                        F.greatest(F.length(F.coalesce("_ta", F.lit(""))),
-                                   F.length(F.coalesce("_tb", F.lit(""))))
+                        F.greatest(F.length("_ta"), F.length("_tb"))
                         .cast("bigint"))
-            .filter(F.col("edit_distance") * 5 <= F.col("max_len"))
+            .withColumn("edit_distance",
+                        F.expr("levenshtein(_ta, _tb, "
+                               "cast(max_len div 5 as int))")
+                        .cast("bigint"))
+            .filter(F.col("edit_distance") >= 0)
             .select("id_a", "id_b", "n_passes", "edit_distance",
                     "max_len"))

@@ -1810,3 +1810,24 @@ class TestSortedNeighborhood:
         for r in got:
             assert r.id_a < r.id_b
             assert r.edit_distance * 5 <= r.max_len
+
+    def test_banded_verify_equals_full_distance(self, spark):
+        """The threshold-form levenshtein verify must be bit-identical
+        to filtering the FULL distance — including the band=0 edge
+        (identical strings shorter than 5 chars, where max_len div 5
+        is 0 and the banded form must return 0, not -1) and the
+        just-above-band rejection."""
+        from kafka_connect_streams_spark.operators.dedup import (
+            sorted_neighborhood_pairs)
+        rows = [(1, "abc"), (2, "abc"),          # dist 0, band 0: keep
+                (3, "abd"),                       # dist 1 > band 0: drop
+                (10, "x" * 40), (11, "x" * 32 + "y" * 8),  # dist 8 == band
+                (20, "q" * 40), (21, "q" * 31 + "z" * 9)]  # dist 9 > band 8
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted_neighborhood_pairs(df, "text", "doc_id", window=7)
+        kept = {(r.id_a, r.id_b): r.edit_distance for r in got.collect()}
+        assert kept[(1, 2)] == 0
+        assert (1, 3) not in kept and (2, 3) not in kept
+        assert kept[(10, 11)] == 8
+        assert (20, 21) not in kept
+        assert all(d >= 0 for d in kept.values())
