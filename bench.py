@@ -47,7 +47,6 @@ HEADLINE = [
     "join_inner",
     "multiway_join",
     "shipping_priority",
-    "range_join",
     "funnel",
     "correlated_subquery",
     "dedup_minhash_lsh",
@@ -59,18 +58,19 @@ HEADLINE = [
     "ann_pq_adc",
     "ann_ivfpq",
     "training_pipeline",
-    "user_journeys",
     "data_profile",
     "market_share",
     "ann_recall",
     "incremental_dedup",
     "large_orders",
     "decontamination_minhash",
-    "chunk_dedup",
-    # (cross_source_duplicates 0.364 s and scd2_history 0.373 s in r7
-    # rotated out for the three round-8 additions below; dedup family
-    # keeps block_dedup/incremental_dedup/dedup_minhash_lsh coverage,
-    # SCD2 keeps scd2_asof.)
+    # (cross_source_duplicates 0.364 s, scd2_history 0.373 s,
+    # chunk_dedup 0.505 s, user_journeys 0.482 s and product_profit
+    # 0.453 s in r7 rotated out for the six round-8 additions below;
+    # dedup keeps block_dedup/incremental_dedup/dedup_minhash_lsh,
+    # SCD2 keeps scd2_asof, sequence analytics keeps funnel, and
+    # profit-style joins keep nation_volume_shipping/market_share.
+    # Scorecards stay via audit_plans EXTRA.)
     "curation_pipeline",
     "token_budget_sample",
     "ccnet_buckets",
@@ -78,7 +78,6 @@ HEADLINE = [
     "lm_doc_score",
     "local_supplier_volume",
     "nation_volume_shipping",
-    "product_profit",
     "jaccard_prefix_join",
     "dsir_importance",
     "pagerank_types",
@@ -131,6 +130,13 @@ HEADLINE = [
     "bootstrap_ci",
     "copurchase_pairs",
     "sorted_neighborhood",
+    "quantile_exact",
+    "kcore",
+    "rrf_fusion",
+    # (hll_distinct joins the sketch group; range_join 0.348 s in r7
+    # rotated out to hold the line budget — its non-equi broadcast
+    # shape stays plan-pinned and scorecarded via EXTRA.)
+    "hll_distinct",
 ]
 
 

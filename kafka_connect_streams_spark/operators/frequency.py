@@ -281,3 +281,85 @@ def kmv_report(df: DataFrame, set_col: str, elem_col: str,
                     "exact_intersect", "est_intersect",
                     F.expr(ok).alias("within_bound"))
             .orderBy("set_a", "set_b"))
+
+
+#: alpha_256 · 256² · 2^53 / 1e6 with alpha_256 = 0.718272 (the e6
+#: truncation of Flajolet's 0.7213/(1+1.079/m) bias constant at m=256),
+#: correctly rounded ONCE to double (Fraction → float) so both engines
+#: divide the identical literal — no cross-engine constant folding.
+_HLL_NUM_256 = 4.2399295229796824e+20
+
+
+def _hll_hash60(e: Column) -> Column:
+    """60-bit md5 of a string column: top 8 bits index the register,
+    the low 52 bits are the rank window."""
+    return F.conv(F.substring(F.md5(e), 1, 15), 16, 10).cast("bigint")
+
+
+def hll_registers_from_hashed(hashed: DataFrame) -> DataFrame:
+    """(s, reg, m_reg) register table from (s, h) 60-bit hashes — the
+    max-fold shared by the batch report and the streaming form (a max
+    is algebraic, order-insensitive and retraction-free, so the same
+    expression is a native streaming aggregation)."""
+    return (hashed
+            .select("s",
+                    F.expr("h div 4503599627370496").alias("reg"),
+                    F.expr("h % 4503599627370496").alias("low"))
+            .withColumn("rho", F.expr(
+                "CASE WHEN low = 0 THEN 53"
+                " ELSE 53 - length(bin(low)) END"))
+            .groupBy("s", "reg").agg(F.max("rho").alias("m_reg")))
+
+
+def hll_report(df: DataFrame, set_col: str, elem_col: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al., AofA'07)
+    with an exact side-by-side check — the third mergeable-sketch
+    family next to KMV (set algebra) and CMS (frequency): 256 registers
+    of 6 bits answer COUNT DISTINCT within ~1.04/√256 ≈ 6.5% RSE, and
+    registers merge by max() — the property that lets 1000 executors
+    sketch independently and a coordinator fold the results.
+
+    Deterministic end-to-end: the element hash is md5-60 (top 8 bits →
+    register index, low 52 bits → rank window); the rank ρ = position
+    of the first 1-bit is pure integer arithmetic (53 − length(bin(v)),
+    v=0 → 53 — ``bin`` renders identically on both engines, verified);
+    the harmonic denominator Σ 2^(−M_j) is carried EXACTLY as the
+    integer S = Σ 2^(53−M_j) (+ 2^53 per empty register; terms ∈
+    [2^0, 2^53], 256 registers → < 2^62, no overflow), and the only
+    float is the single IEEE division of the pre-folded numerator
+    literal by S — bit-identical on any engine (the cosine-operator
+    discipline). Raw estimate only (no small-range linear-counting
+    branch — that needs ln; callers below ~2.5·m distincts should read
+    ``within_4rse`` before trusting it).
+
+    Scale shape: one distinct pass, one (set, register) max aggregate
+    (≤ 256 rows per set), one per-set fold. The exact count is the
+    EVAL side; production drops it and keeps the sketch-only plan.
+    """
+    m = 256
+    hashed = (df.select(F.col(set_col).cast("string").alias("s"),
+                        F.col(elem_col).cast("string").alias("e"))
+              .where(F.col("s").isNotNull() & F.col("e").isNotNull())
+              .distinct()
+              .withColumn("h", _hll_hash60(F.col("e")))
+              .localCheckpoint(eager=True))
+    regs = hll_registers_from_hashed(hashed)
+    per_set = (regs.groupBy("s")
+               .agg(F.count("*").alias("v_registers"),
+                    F.sum(F.expr(
+                        "shiftleft(cast(1 as bigint), 53 - m_reg)"))
+                    .alias("_sp"))
+               .withColumn("s_scaled", F.expr(
+                   f"_sp + ({m} - v_registers)"
+                   " * cast(9007199254740992 as bigint)")))
+    exact = hashed.groupBy("s").agg(F.count("*").alias("n_true"))
+    return (per_set.join(exact, "s")
+            .withColumn("hll_est", F.lit(_HLL_NUM_256)
+                        / F.col("s_scaled").cast("double"))
+            .withColumn("within_4rse",
+                        F.abs(F.col("hll_est")
+                              - F.col("n_true").cast("double"))
+                        / F.col("n_true").cast("double") <= F.lit(0.26))
+            .select(F.col("s").alias("set_key"), "n_true", "v_registers",
+                    "s_scaled", "hll_est", "within_4rse")
+            .orderBy("set_key"))

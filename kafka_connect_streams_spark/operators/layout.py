@@ -157,3 +157,80 @@ def global_index(df: DataFrame, id_col: str, buckets: int = 64) -> DataFrame:
                     F.col("_b").alias("bucket"),
                     (F.col("_off") + F.col("_pos") - 1)
                     .alias("global_idx")))
+
+
+def grouped_exact_quantiles(df: DataFrame, group_col: str, value_col: str,
+                            pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+                            bucket_width: int = 64) -> DataFrame:
+    """EXACT per-group percentiles — ``percentile_disc`` semantics, the
+    element at rank ``ceil(pct·N/100)`` — without ever sorting the
+    corpus.
+
+    The naive form (what the DuckDB oracle runs) is a full window sort
+    per group: ``row_number() OVER (PARTITION BY grp ORDER BY v)`` over
+    every row — at 100 TB that is a corpus-wide sort whose only output
+    is a handful of rows. This is the classic two-pass distributed
+    selection instead (the histogram refinement of quickselect;
+    same family as TeraSort's sampled range partitioning):
+
+    1. **Histogram pass**: one map-side-combined shuffle of
+       ``(group, floor(v / bucket_width))`` counts. The count table is
+       O(groups · value_range / bucket_width) rows — KBs, not the
+       corpus — and a per-group running sum (window PARTITIONED by
+       group: parallel across groups, never a single global partition)
+       turns it into exclusive offsets. Integer target ranks
+       ``(N·pct + 99) div 100`` (= ceil, no floats) then locate, for
+       every (group, pct), the ONE bucket whose offset interval
+       contains the rank.
+    2. **Selection pass**: rescan filtered to the ≤ groups·|pcts|
+       needed buckets (broadcast join on the tiny located set — the
+       filter reaches the scan side of the shuffle, so only the needed
+       sliver is ranked), sort WITHIN each needed bucket (row_number
+       partitioned by (group, bucket) — each a ~bucket_width-dense
+       sliver of one group), and pick the row whose local rank matches
+       ``rank − offset``. Duplicate values make row_number's tie order
+       arbitrary but the VALUE at a given rank is unique, so the
+       output is deterministic.
+
+    Exactly equals the naive global-sort selection bit-for-bit; only
+    the plan differs (two scans + two small shuffles vs one corpus
+    sort). Values should be pre-cast to an exact type (DECIMAL) by the
+    caller — the returned ``value`` is whatever type came in.
+    """
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(value_col).alias("_v"))
+    b = base.withColumn(
+        "_bkt", F.floor(F.col("_v") / F.lit(bucket_width)).cast("bigint"))
+    # the count table has four consumers (offsets, totals, locate,
+    # and the located set joined twice) — pin it so the corpus-sized
+    # histogram pass runs ONCE, not per consumer; the table itself is
+    # O(groups · range/width) rows, KBs at any SF
+    counts = (b.groupBy("grp", "_bkt").agg(F.count("*").alias("_n"))
+              .localCheckpoint(eager=False))
+    wg = (Window.partitionBy("grp").orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(wg), F.lit(0).cast("bigint")))
+    tot = counts.groupBy("grp").agg(F.sum("_n").alias("_tot"))
+    pcts_df = (df.sparkSession.range(1)
+               .select(F.explode(F.array(
+                   *[F.lit(p).cast("bigint") for p in pcts])).alias("pct")))
+    targets = (tot.crossJoin(F.broadcast(pcts_df))
+               .withColumn("_rank",
+                           F.expr("(_tot * pct + 99) div 100"))
+               .drop("_tot"))
+    located = (off.join(F.broadcast(targets), "grp")
+               .filter((F.col("_off") < F.col("_rank"))
+                       & (F.col("_rank") <= F.col("_off") + F.col("_n")))
+               .select("grp", "_bkt", "pct",
+                       (F.col("_rank") - F.col("_off")).alias("_want")))
+    needed = located.select("grp", "_bkt").distinct()
+    wv = Window.partitionBy("grp", "_bkt").orderBy("_v")
+    picked = (b.join(F.broadcast(needed), ["grp", "_bkt"])
+              .withColumn("_lr", F.row_number().over(wv).cast("bigint"))
+              .join(F.broadcast(located), ["grp", "_bkt"])
+              .filter(F.col("_lr") == F.col("_want")))
+    return (picked.select(F.col("grp").alias(group_col),
+                          F.col("pct"),
+                          F.col("_v").alias("value"))
+            .orderBy(group_col, "pct"))

@@ -723,3 +723,30 @@ def throttle(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
                 stateStructType=_THROTTLE_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_hll(df: DataFrame, set_col: str, elem_col: str) -> DataFrame:
+    """Streaming HyperLogLog registers — a NATIVE streaming aggregation
+    (the streaming_cms insight, applied to count-distinct): the
+    register space is bounded (256 per set) and a register is a MAX —
+    algebraic, order-insensitive, retraction-free — so the unbounded
+    streaming COUNT DISTINCT that needs ever-growing state becomes a
+    plain streaming groupBy over ≤ 256·|sets| keys in update mode. No
+    custom state store, no watermark eviction, state bounded forever.
+
+    Shares the md5-60 hash and the max-fold with the batch operator
+    (operators/frequency.py hll_report / hll_registers_from_hashed), so
+    a batch-built and a stream-built register table over the same data
+    are cell-identical (pinned in tests); a consumer folds the final
+    estimate from the ≤ 256 registers per set with the same
+    exact-integer harmonic sum. Duplicates need no dedup pass here —
+    max() absorbs re-deliveries, which also makes the sketch exactly
+    replay-tolerant under at-least-once sources."""
+    from kafka_connect_streams_spark.operators.frequency import (
+        _hll_hash60, hll_registers_from_hashed)
+    hashed = (df.select(F.col(set_col).cast("string").alias("s"),
+                        F.col(elem_col).cast("string").alias("e"))
+              .where(F.col("s").isNotNull() & F.col("e").isNotNull())
+              .withColumn("h", _hll_hash60(F.col("e")))
+              .drop("e"))
+    return hll_registers_from_hashed(hashed)

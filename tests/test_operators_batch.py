@@ -1831,3 +1831,150 @@ class TestSortedNeighborhood:
         assert kept[(10, 11)] == 8
         assert (20, 21) not in kept
         assert all(d >= 0 for d in kept.values())
+
+
+class TestQuantileExact:
+    def test_equals_naive_window_selection(self, spark, sf_dir):
+        """The two-pass histogram selection must equal the naive
+        global-sort row_number pick bit-for-bit, for every (group,
+        pct) — including the tie-heavy DECIMAL domain."""
+        from pyspark.sql.window import Window
+
+        from kafka_connect_streams_spark import queries as Q
+        got = {(r.priority, r.pct): r.value
+               for r in Q.q_quantile_exact(spark, sf_dir).collect()}
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .select(F.col("o_orderpriority").alias("priority"),
+                     F.col("o_totalprice").cast("decimal(18,2)")
+                     .alias("v")))
+        w = Window.partitionBy("priority").orderBy("v")
+        ranked = (o.withColumn("rk", F.row_number().over(w))
+                  .withColumn("n", F.count("*").over(
+                      Window.partitionBy("priority"))))
+        naive = {}
+        for pct in (25, 50, 75, 90, 99):
+            rows = ranked.filter(
+                F.col("rk") == F.expr(f"(n * {pct} + 99) div 100")
+            ).collect()
+            for r in rows:
+                naive[(r.priority, pct)] = float(r.v)
+        assert got == naive
+
+    def test_duplicate_heavy_groups(self, spark):
+        """With massive ties the bucket-local row_number order is
+        arbitrary but the selected VALUE must still be the unique
+        rank-value (percentile_disc semantics)."""
+        from kafka_connect_streams_spark.operators.layout import (
+            grouped_exact_quantiles)
+        rows = ([("a", 10)] * 30 + [("a", 20)] * 30 + [("a", 30)] * 40
+                + [("b", 5)])
+        df = spark.createDataFrame(rows, "grp string, v long")
+        got = {(r.grp, r.pct): r.value for r in
+               grouped_exact_quantiles(df, "grp", "v",
+                                       bucket_width=4).collect()}
+        # group a: N=100 → ranks 25,50,75,90,99 → 10,20,30,30,30
+        assert got[("a", 25)] == 10 and got[("a", 50)] == 20
+        assert got[("a", 75)] == 30 and got[("a", 99)] == 30
+        # group b: N=1 → every pct picks the single row
+        assert all(got[("b", p)] == 5 for p in (25, 50, 75, 90, 99))
+
+
+class TestKcore:
+    def test_multi_round_peeling(self, spark):
+        """A K5 clique with a pendant chain: the chain peels one node
+        per round (each removal exposes the next), the clique survives
+        with its internal degrees — the multi-round cascade the
+        operator exists for."""
+        from kafka_connect_streams_spark.operators.graph import kcore
+        clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+        chain = [(4, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(clique + chain, "a long, b long")
+        got = {r.node: r.deg for r in kcore(df, k=3, rounds=8).collect()}
+        assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+    def test_unconverged_raises(self, spark):
+        """A chain long enough that ``rounds`` peels cannot reach the
+        fixpoint must raise, never return a partial peel."""
+        import pytest
+
+        from kafka_connect_streams_spark.operators.graph import kcore
+        chain = [(i, i + 1) for i in range(10)]
+        df = spark.createDataFrame(chain, "a long, b long")
+        with pytest.raises(ValueError, match="did not converge"):
+            kcore(df, k=2, rounds=2)
+
+    def test_empty_core(self, spark):
+        """k above the max degree peels everything — empty result, no
+        convergence error (the empty graph IS the fixpoint)."""
+        from kafka_connect_streams_spark.operators.graph import kcore
+        df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        assert kcore(df, k=5, rounds=8).count() == 0
+
+
+class TestRrfFusion:
+    def test_score_formula_and_rank_contract(self, spark, sf_dir):
+        """rrf_e9 must equal the integer formula from the per-system
+        ranks, fused_rank must be the dense 1..20 total order, and
+        docs present in BOTH runs must carry both rank columns."""
+        from kafka_connect_streams_spark import queries as Q
+        rows = Q.q_rrf_fusion(spark, sf_dir).collect()
+        assert [r.fused_rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 20
+        prev = None
+        for r in rows:
+            want = 0
+            if r.lex_rank is not None:
+                want += 10 ** 9 // (60 + r.lex_rank)
+            if r.sem_rank is not None:
+                want += 10 ** 9 // (60 + r.sem_rank)
+            assert r.rrf_e9 == want
+            assert r.lex_rank is not None or r.sem_rank is not None
+            if prev is not None:
+                assert r.rrf_e9 <= prev
+            prev = r.rrf_e9
+
+
+class TestHllDistinct:
+    def test_estimates_within_bound_at_sf(self, spark, sf_dir):
+        """At corpus cardinalities (≫ 2.5·m) every per-flag estimate
+        must sit inside the 4·RSE band and the flag must agree with a
+        recomputation from the reported exact fields."""
+        from kafka_connect_streams_spark import queries as Q
+        rows = Q.q_hll_distinct(spark, sf_dir).collect()
+        assert len(rows) == 3
+        for r in rows:
+            rel = abs(r.hll_est - r.n_true) / r.n_true
+            assert r.within_4rse == (rel <= 0.26)
+            assert r.within_4rse, (r.set_key, rel)
+            assert 1 <= r.v_registers <= 256
+            # the exact harmonic denominator is bounded by the
+            # all-empty (m·2^53) and all-saturated (m) extremes
+            assert 256 <= r.s_scaled <= 256 * (1 << 53)
+
+    def test_small_set_flagged_not_trusted(self, spark):
+        """Below ~2.5·m distincts the raw estimate biases toward
+        alpha·m (no linear-counting branch, by design) — the 4·RSE
+        flag must report False rather than pretending accuracy."""
+        from kafka_connect_streams_spark.operators.frequency import (
+            hll_report)
+        df = spark.createDataFrame([("x", i) for i in range(3)],
+                                   "s string, e long")
+        r = hll_report(df, "s", "e").collect()[0]
+        assert r.n_true == 3 and r.v_registers == 3
+        assert not r.within_4rse
+
+    def test_merge_is_register_max(self, spark):
+        """Sketching two halves separately and folding their register
+        tables by max must give the SAME s_scaled as sketching the
+        union — the mergeability contract that makes the sketch
+        distributable."""
+        from kafka_connect_streams_spark.operators.frequency import (
+            hll_report)
+        rows = [("u", i) for i in range(2000)]
+        whole = spark.createDataFrame(rows, "s string, e long")
+        h1 = spark.createDataFrame(rows[:1000], "s string, e long")
+        h2 = spark.createDataFrame(rows[1000:], "s string, e long")
+        got = hll_report(whole, "s", "e").collect()[0]
+        merged = hll_report(h1.unionByName(h2), "s", "e").collect()[0]
+        assert got.s_scaled == merged.s_scaled
+        assert got.hll_est == merged.hll_est

@@ -568,3 +568,61 @@ def test_sorted_neighborhood_verify_runs_wide(spark, sf_dir):
     assert "RoundRobinPartitioning" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_quantile_exact_two_scans_no_corpus_sort(spark, sf_dir):
+    """The selection pass must be the plan's ONLY parquet scan (the
+    histogram pass runs once inside the pinned count table — its four
+    consumers read the ExistingRDD, not the corpus), the scan must
+    prune to the two needed columns, and there must be no corpus-wide
+    sort: the only Sort nodes are bucket-partitioned (the selection
+    window) or over the 25-row result, so at most one
+    rangepartitioning exchange (the final 25-row orderBy)."""
+    import re
+    df = Q.q_quantile_exact(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "ExistingRDD" in plan, plan
+    cols = scan_read_schema(df)
+    assert "o_orderkey" not in cols and "o_custkey" not in cols, cols
+    assert len(re.findall(r"rangepartitioning", plan)) <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kcore_replays_materialized_graph(spark, sf_dir):
+    """Each peel round must operate on the checkpointed shrinking edge
+    list, never re-expand the lineitem subtree: the FINAL plan reads
+    only materialized RDDs (zero parquet scans) and contains no
+    cartesian product."""
+    import re
+    df = Q.q_kcore(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_fusion_takeordered_and_linear_probe(spark, sf_dir):
+    """Both system top-50s and the fused top-20 must plan as
+    TakeOrderedAndProject (partial per-partition top-k, no global rank
+    window over the corpus), and the 1×N probe scoring must be a
+    broadcast — a CartesianProduct would mean the probe side lost its
+    hint."""
+    df = Q.q_rrf_fusion(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_hll_distinct_bounded_and_mapside(spark, sf_dir):
+    """The register table must build with a map-side partial max (the
+    per-set payload is ≤ 256 rows regardless of corpus size), from a
+    single scan, with no cartesian product anywhere."""
+    import re
+    df = Q.q_hll_distinct(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_partial_aggregate(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan, plan

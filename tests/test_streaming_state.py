@@ -879,3 +879,43 @@ def test_throttle_evicts_idle_keys_and_flushes_pending(spark, tmp_path):
     # a and b are gone from the store; c/d (and possibly not-yet-expired
     # timers) remain
     assert n_state <= 2, n_state
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The stream-built HLL register table must be cell-identical to
+    the batch sketch over the same corpus (shared hash + max-fold), the
+    key space must stay bounded regardless of distinct count, and a
+    replayed (at-least-once) delivery must not move a single register —
+    max() absorbs duplicates."""
+    from kafka_connect_streams_spark.operators.frequency import (
+        _hll_hash60, hll_registers_from_hashed)
+    from kafka_connect_streams_spark.streaming.state import streaming_hll
+
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select(F.col("l_returnflag").alias("flag"),
+                  F.col("l_orderkey").alias("okey")))
+    batch_hashed = (li.select(F.col("flag").cast("string").alias("s"),
+                              F.col("okey").cast("string").alias("e"))
+                    .distinct()
+                    .withColumn("h", _hll_hash60(F.col("e"))))
+    batch = {(r.s, r.reg): r.m_reg for r in
+             hll_registers_from_hashed(batch_hashed).collect()}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    li.coalesce(2).write.json(str(src / "a"))
+    # replayed copy of the same rows: at-least-once delivery
+    li.coalesce(1).write.json(str(src / "b"))
+    stream = (spark.readStream.schema("flag string, okey long")
+              .json(str(src / "*")))
+    q = (streaming_hll(stream, "flag", "okey")
+         .writeStream.format("memory").queryName("shll")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.s, r.reg): r.m_reg for r in
+               spark.sql("SELECT * FROM shll").collect()}
+    finally:
+        q.stop()
+    assert got == batch
+    assert len(got) <= 3 * 256  # bounded: ≤ m registers per set, forever
