@@ -87,7 +87,6 @@ HEADLINE = [
     "triangle_census",
     "skyline",
     "kmv_set_ops",
-    "bloom_semijoin",
     # round 7: the round-6 batch-2 operators that landed after the r6
     # headline freeze (VERDICT r6 next-round #3), plus waiting_suppliers
     # re-admitted (the heaviest entry of the ten rotated out in r6 —
@@ -133,10 +132,12 @@ HEADLINE = [
     "quantile_exact",
     "kcore",
     "rrf_fusion",
-    # (hll_distinct joins the sketch group; range_join 0.348 s in r7
-    # rotated out to hold the line budget — its non-equi broadcast
-    # shape stays plan-pinned and scorecarded via EXTRA.)
+    # (hll_distinct joins the sketch group; range_join 0.348 s and
+    # bloom_semijoin 0.401 s in r7 rotated out to hold the line budget
+    # — non-equi broadcast and runtime-filter shapes stay plan-pinned
+    # and scorecarded via EXTRA.)
     "hll_distinct",
+    "jl_projection",
 ]
 
 

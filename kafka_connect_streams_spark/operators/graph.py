@@ -150,8 +150,22 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     (node, deg) — their degree INSIDE the core.
     """
     cur = edges.select("a", "b").localCheckpoint()
+    prev_n = None
     for _ in range(rounds):
-        keep = _degrees(cur).filter(F.col("deg") >= k).select("node")
+        # fixpoint short-circuit: a peel that drops any node also drops
+        # that node's ≥1 edges (degree-0 nodes never appear in an edge
+        # list), so an unchanged edge count means every remaining round
+        # is a no-op — the result is IDENTICAL to running all `rounds`,
+        # which is what the unrolled SQL twin does. The count is a
+        # cheap job over the already-materialized checkpoint.
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        # pin the survivor list: both semi-joins consume it, and
+        # without the checkpoint each would re-run the degree aggregate
+        keep = (_degrees(cur).filter(F.col("deg") >= k).select("node")
+                .localCheckpoint())
         cur = (cur.join(keep.withColumnRenamed("node", "a"), "a",
                         "left_semi")
                .join(keep.withColumnRenamed("node", "b"), "b",

@@ -763,3 +763,53 @@ def semantic_dedup(vectors: DataFrame, n_centroids: int | None = None,
                     F.col("cent_id").alias("cluster_id"),
                     "cluster_size",
                     F.col("id_b").isNull().alias("keep")))
+
+
+def jl_projection(df: DataFrame, id_col: str, vec_col: str,
+                  out_dims: int = 16, pair_stride: int = 50) -> DataFrame:
+    """Johnson-Lindenstrauss random ±1 projection (Achlioptas '03 —
+    database-friendly signs instead of Gaussians) with an exact
+    distance-preservation eval: the dimensionality-reduction pass that
+    turns 64-d embeddings into k-d sketches BEFORE an expensive
+    pairwise stage, shrinking every downstream shuffle ~dims/k-fold.
+
+    Projection is scan-speed and shuffle-free: y_p = Σ_d w(p,d)·x_d
+    over the int64-quantized vector, one ``zip_with`` fold per output
+    dim against the same constant-folded md5 ±1 weight family as
+    hyperplane_signatures (deterministic, no stored random state —
+    identical on any engine). For ±1 signs E[‖y_a−y_b‖²] = k·‖x_a−x_b‖²
+    exactly, so the eval joins consecutive-id probe pairs
+    (id % stride == 0 with its successor — an equi-join, no pair
+    explosion) and reports ratio_e6 = (‖Δy‖²·(1e6/k)) div ‖Δx‖², which
+    concentrates at 1e6 with RSE √(2/k) ≈ 35% at k=16. All arithmetic
+    exact int64 (with |x| ≤ 1 quantized at 1e4 and 64→16 dims the
+    ranking key tops out ≈ 5·10¹⁷; 1e6/16 = 62500 divides first to
+    keep it there); identical-vector pairs report NULL rather than a
+    division blowup."""
+    dims = _vec_dims(df, vec_col)
+    scale_num = 1_000_000 // out_dims
+    base = df.select(F.col(id_col).alias("id"),
+                     _quantized(F.col(vec_col)).alias("_v"))
+    proj = base.select(
+        "id", "_v",
+        F.array(*[_hyperplane_proj(p, dims) for p in range(out_dims)])
+        .alias("_y"))
+    a = (proj.filter(F.col("id") % pair_stride == 0)
+         .select(F.col("id").alias("id_a"), F.col("_v").alias("_va"),
+                 F.col("_y").alias("_ya")))
+    b = proj.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"),
+                    F.col("_y").alias("_yb"))
+    sq = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), " \
+         "cast(0 as bigint), (acc, v) -> acc + v)"
+    return (a.join(b, F.col("id_b") == F.col("id_a") + 1)
+            .withColumn("dist2_orig",
+                        F.expr(sq.format(a="_va", b="_vb")))
+            .withColumn("dist2_proj",
+                        F.expr(sq.format(a="_ya", b="_yb")))
+            .withColumn("ratio_e6", F.expr(
+                f"CASE WHEN dist2_orig > 0 THEN"
+                f" dist2_proj * {scale_num} div dist2_orig"
+                " ELSE NULL END"))
+            .select("id_a", "id_b", "dist2_orig", "dist2_proj",
+                    "ratio_e6")
+            .orderBy("id_a"))

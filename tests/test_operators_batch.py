@@ -1978,3 +1978,45 @@ class TestHllDistinct:
         merged = hll_report(h1.unionByName(h2), "s", "e").collect()[0]
         assert got.s_scaled == merged.s_scaled
         assert got.hll_est == merged.hll_est
+
+
+class TestJlProjection:
+    def test_expectation_identity_and_concentration(self, spark, sf_dir):
+        """For ±1 signs E[‖Δy‖²] = k·‖Δx‖² exactly — check the
+        measured ratios center near 1e6 (JL concentration at k=16 has
+        RSE ≈ 35%, so the MEAN over pairs must land well inside one
+        RSE) and every field satisfies the exact identity chain."""
+        from kafka_connect_streams_spark import queries as Q
+        rows = Q.q_jl_projection(spark, sf_dir).collect()
+        assert rows, "probe pairs must exist at every SF"
+        ratios = []
+        for r in rows:
+            assert r.id_b == r.id_a + 1
+            assert r.dist2_orig > 0 and r.dist2_proj >= 0
+            assert r.ratio_e6 == r.dist2_proj * 62500 // r.dist2_orig
+            ratios.append(r.ratio_e6)
+        mean = sum(ratios) / len(ratios)
+        assert 650_000 < mean < 1_350_000, ratios
+
+    def test_projection_matches_manual_weights(self, spark):
+        """One hand-built vector: y_p must equal the driver-side
+        hashlib weight fold — the same md5 family the oracle and
+        hyperplane_signatures use."""
+        from kafka_connect_streams_spark.operators.similarity import (
+            _plane_weights, jl_projection)
+        vec = [0.5, -0.25, 0.125, -0.0625]
+        rows = [(0, vec), (1, [v / 2 for v in vec])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = jl_projection(df, "vec_id", "embedding",
+                            out_dims=4, pair_stride=1).collect()[0]
+        qa = [round(v * 10000) for v in vec]
+        qb = [round(v / 2 * 10000) for v in vec]
+        d2o = sum((a - b) ** 2 for a, b in zip(qa, qb))
+        d2p = 0
+        for p in range(4):
+            w = _plane_weights(p, 4)
+            ya = sum(wi * x for wi, x in zip(w, qa))
+            yb = sum(wi * x for wi, x in zip(w, qb))
+            d2p += (ya - yb) ** 2
+        assert got.dist2_orig == d2o and got.dist2_proj == d2p
+        assert got.ratio_e6 == d2p * 250000 // d2o

@@ -626,3 +626,15 @@ def test_hll_distinct_bounded_and_mapside(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_jl_projection_shuffle_free_projection(spark, sf_dir):
+    """The projection itself must be pure scan work: the only
+    exchanges are the probe-pair equi-join and the final orderBy —
+    no Generate (per-dim explode), no cartesian product."""
+    import re
+    df = Q.q_jl_projection(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
