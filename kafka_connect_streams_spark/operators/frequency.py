@@ -332,18 +332,20 @@ def hll_report(df: DataFrame, set_col: str, elem_col: str) -> DataFrame:
     branch — that needs ln; callers below ~2.5·m distincts should read
     ``within_4rse`` before trusting it).
 
-    Scale shape: one distinct pass, one (set, register) max aggregate
-    (≤ 256 rows per set), one per-set fold. The exact count is the
-    EVAL side; production drops it and keeps the sketch-only plan.
+    Scale shape: the SKETCH path never deduplicates and never
+    materializes — max() absorbs duplicates, so the register build is
+    one map-side-combined (set, register) aggregate over the raw scan
+    (≤ 256 rows per set regardless of corpus size; no corpus-wide
+    distinct shuffle, no checkpoint — exactly the streaming_hll shape).
+    Only the EVAL side pays for a distinct pass to get the true count;
+    production drops it and keeps the sketch-only plan.
     """
     m = 256
-    hashed = (df.select(F.col(set_col).cast("string").alias("s"),
-                        F.col(elem_col).cast("string").alias("e"))
-              .where(F.col("s").isNotNull() & F.col("e").isNotNull())
-              .distinct()
-              .withColumn("h", _hll_hash60(F.col("e")))
-              .localCheckpoint(eager=True))
-    regs = hll_registers_from_hashed(hashed)
+    base = (df.select(F.col(set_col).cast("string").alias("s"),
+                      F.col(elem_col).cast("string").alias("e"))
+            .where(F.col("s").isNotNull() & F.col("e").isNotNull()))
+    regs = hll_registers_from_hashed(
+        base.withColumn("h", _hll_hash60(F.col("e"))).drop("e"))
     per_set = (regs.groupBy("s")
                .agg(F.count("*").alias("v_registers"),
                     F.sum(F.expr(
@@ -352,7 +354,8 @@ def hll_report(df: DataFrame, set_col: str, elem_col: str) -> DataFrame:
                .withColumn("s_scaled", F.expr(
                    f"_sp + ({m} - v_registers)"
                    " * cast(9007199254740992 as bigint)")))
-    exact = hashed.groupBy("s").agg(F.count("*").alias("n_true"))
+    exact = (base.distinct()
+             .groupBy("s").agg(F.count("*").alias("n_true")))
     return (per_set.join(exact, "s")
             .withColumn("hll_est", F.lit(_HLL_NUM_256)
                         / F.col("s_scaled").cast("double"))

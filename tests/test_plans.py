@@ -616,16 +616,19 @@ def test_rrf_fusion_takeordered_and_linear_probe(spark, sf_dir):
 
 
 def test_hll_distinct_bounded_and_mapside(spark, sf_dir):
-    """The register table must build with a map-side partial max (the
-    per-set payload is ≤ 256 rows regardless of corpus size), from a
-    single scan, with no cartesian product anywhere."""
+    """The SKETCH path must be a map-side partial max over the raw
+    scan — no corpus-wide distinct, no checkpoint (max absorbs
+    duplicates; the per-set payload is ≤ 256 rows regardless of corpus
+    size). Two scans total (sketch + the distinct EVAL side), both
+    pruned to the two needed columns, no cartesian product."""
     import re
     df = Q.q_hll_distinct(spark, sf_dir)
     plan = physical_plan(df)
     assert has_partial_aggregate(df), plan
     assert "CartesianProduct" not in plan, plan
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
-    assert "ExistingRDD" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    cols = scan_read_schema(df)
+    assert "l_partkey" not in cols and "l_extendedprice" not in cols, cols
 
 
 def test_jl_projection_shuffle_free_projection(spark, sf_dir):
