@@ -3559,9 +3559,14 @@ def q_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_streams_spark.operators.layout import (
         grouped_exact_quantiles)
     t = load_tables(spark, sf_dir)
-    o = t["orders"].select(
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("v"))
+    # NULL values are excluded on BOTH sides (the SQL-standard
+    # percentile semantics): Spark windows sort NULLs first and DuckDB
+    # last, so without the guard the engines would diverge the day the
+    # data gains a NULL price.
+    o = (t["orders"]
+         .where(F.col("o_totalprice").isNotNull())
+         .select(F.col("o_orderpriority").alias("priority"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("v")))
     out = grouped_exact_quantiles(o, "priority", "v")
     return out.withColumn("value", F.col("value").cast("double"))
 
@@ -6001,7 +6006,8 @@ ORACLE: dict[str, str] = {
         WITH s AS (
             SELECT o_orderpriority AS priority,
                    CAST(o_totalprice AS DECIMAL(18,2)) AS v
-            FROM orders),
+            FROM orders
+            WHERE o_totalprice IS NOT NULL),
         r AS (
             SELECT priority, v,
                    row_number() OVER (PARTITION BY priority
