@@ -19,7 +19,9 @@ Determinism/scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_connect_streams_spark.operators.parallel import fan_out
@@ -742,8 +744,44 @@ def _order_preserving_rank(df: DataFrame, key_col: str, id_col: str,
                     (F.col("_off") + F.col("_pos") - 1).alias("_r")))
 
 
+def _ascii_fold(col: Column) -> Column:
+    """Strip non-ASCII code points from a blocking key. Derived SNM
+    keys built from ``reverse`` or ``length`` must be engine-portable:
+    Spark reverses CODE POINTS while DuckDB reverses GRAPHEME CLUSTERS,
+    so ``reverse('e' + U+0301)`` differs between engines and a
+    combining character anywhere in the corpus silently reorders the
+    reverse pass (r8 ADVICE). Folding to pure ASCII first makes
+    code points == graphemes == bytes, so every derived-key function
+    agrees everywhere; the VERIFY step still runs on the original
+    text. Java regex and RE2 both treat ``[^\\x00-\\x7F]`` as
+    a code-point class, so the fold itself is portable too."""
+    return F.regexp_replace(col, r"[^\x00-\x7F]", "")
+
+
+#: Hernandez-Stolfo multi-pass blocking keys, each a function of the
+#: normalized (lowercased) text.  ``fwd`` sorts by the text itself;
+#: ``rev`` by the reverse of the ASCII-folded text (catches dups that
+#: diverge in their first characters); ``init_len`` by first character
+#: + zero-padded length + text (the paper's "different key per pass"
+#: prescription — groups same-initial, similar-length records that
+#: neither lexicographic pass places adjacently).  Every derived key
+#: folds to ASCII first so reverse/length are engine-portable (see
+#: :func:`_ascii_fold`).
+SNM_PASS_KEYS: "dict[str, Callable[[Column], Column]]" = {
+    "fwd": lambda k: k,
+    "rev": lambda k: F.reverse(_ascii_fold(k)),
+    "init_len": lambda k: F.concat(
+        F.substring(_ascii_fold(k), 1, 1),
+        F.lpad(F.length(_ascii_fold(k)).cast("string"), 6, "0"),
+        _ascii_fold(k)),
+}
+
+
 def sorted_neighborhood_pairs(df: DataFrame, text_col: str, id_col: str,
-                              window: int = 8) -> DataFrame:
+                              window: int = 8,
+                              pass_names: "tuple[str, ...]" = ("fwd",
+                                                               "rev"),
+                              ) -> DataFrame:
     """Sorted-neighborhood record linkage (Hernandez & Stolfo,
     SIGMOD'95): sort records by a blocking key, compare each record
     only with the ``window`` records that follow it in sort order —
@@ -755,9 +793,13 @@ def sorted_neighborhood_pairs(df: DataFrame, text_col: str, id_col: str,
     long prefixes/suffixes).
 
     Multi-pass, as the paper prescribes (a single key misses dups that
-    diverge in their first characters): pass 1 sorts by the normalized
-    text, pass 2 by its reverse, and pairs are unioned with a per-pair
-    pass count. Distributed shape: global ranks come from the
+    diverge in their first characters): ``pass_names`` selects from
+    :data:`SNM_PASS_KEYS` (default ``fwd`` = normalized text, ``rev`` =
+    reverse of the ASCII-folded text; ``init_len`` adds a third
+    first-char+length key), and pairs are unioned with a per-pair
+    pass count. Derived keys ASCII-fold before reverse/length so both
+    engines order identically even with combining characters (see
+    :func:`_ascii_fold`). Distributed shape: global ranks come from the
     order-preserving two-pass ranking (no single-partition sort),
     checkpoint-pinned per pass because both join legs read it; banded
     pairing joins on ``floor(rank / window)`` blocks — the left side is
@@ -776,8 +818,8 @@ def sorted_neighborhood_pairs(df: DataFrame, text_col: str, id_col: str,
     base = df.select(F.col(id_col), key.alias("_key"))
     par = df.sparkSession.sparkContext.defaultParallelism
     passes = []
-    for pname, kcol in (("fwd", F.col("_key")),
-                        ("rev", F.reverse(F.col("_key")))):
+    for pname in pass_names:
+        kcol = SNM_PASS_KEYS[pname](F.col("_key"))
         ranked = _order_preserving_rank(
             base.select(id_col, kcol.alias("_pk")), "_pk", id_col
         ).localCheckpoint(eager=False)
@@ -795,7 +837,10 @@ def sorted_neighborhood_pairs(df: DataFrame, text_col: str, id_col: str,
                  .select(F.least("_ia", "_ib").alias("id_a"),
                          F.greatest("_ia", "_ib").alias("id_b")))
         passes.append(pairs.withColumn("_pass", F.lit(pname)))
-    cand = (passes[0].unionByName(passes[1])
+    cand = passes[0]
+    for p in passes[1:]:
+        cand = cand.unionByName(p)
+    cand = (cand
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_passes"))
             .repartition(par))

@@ -3297,12 +3297,16 @@ def _hard_negative_candidates(emb: DataFrame) -> DataFrame:
     multiprobe their own bucket plus every Hamming-distance-1 bucket
     (one bit flipped per plane) — both standard LSH recall levers, and
     both fan out ONLY the 1% anchor side (×tables×(planes+1)) and the
-    two-long signature rows (×tables), never the vectors. The anchor
-    probe table is broadcast, so the corpus-side signature scan joins
-    map-side with no shuffle of the candidate leg; the cross-table union
-    dedups with one (q_id, c_id) distinct — the same 100 TB shape as
-    q_embedding_decontamination (eval-side broadcast) and the
-    MinHash-LSH band machinery (per-band buckets, unioned candidates)."""
+    two-long signature rows (×tables), never the vectors. The
+    probe-candidate join carries NO strategy hint: the probe side is
+    ~0.36 rows per corpus row, so a forced broadcast grows linearly
+    with the corpus and breaks past the broadcast limit at 100 TB —
+    AQE picks broadcast at small scale and a partitioned hash join
+    beyond it (the plan pin asserts cartesian-free, not
+    broadcast-present; r8 ADVICE). The cross-table union dedups with
+    one (q_id, c_id) distinct — the same 100 TB shape as the
+    MinHash-LSH band machinery (per-band buckets, unioned
+    candidates)."""
     from kafka_connect_streams_spark.operators.similarity import (
         hyperplane_signatures_multi)
     sig = hyperplane_signatures_multi(emb, "id", "embedding",
@@ -3313,7 +3317,7 @@ def _hard_negative_candidates(emb: DataFrame) -> DataFrame:
                   *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("bigint"))
                     for p in range(_HN_PLANES)])).alias("bucket")))
     cand = sig.select(F.col("id").alias("c_id"), "tbl", "bucket")
-    return (F.broadcast(probes).join(cand, ["tbl", "bucket"])
+    return (probes.join(cand, ["tbl", "bucket"])
             .filter(F.col("q_id") != F.col("c_id"))
             .select("q_id", "c_id").distinct())
 
@@ -3541,6 +3545,26 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return sorted_neighborhood_pairs(t["documents"], "text", "doc_id",
                                      window=8)
+
+
+def q_snm_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-pass sorted-neighborhood linkage — the Hernandez-Stolfo
+    multi-pass prescription in full: the ``fwd``/``rev`` passes of
+    ``sorted_neighborhood`` plus an ``init_len`` pass whose key is
+    first-character + zero-padded length + text, grouping same-initial
+    similar-length records that neither lexicographic order places
+    adjacently. ``n_passes`` now ranges 1..3, so the result both adds
+    pairs (those only the third order finds) and re-scores shared ones.
+    All derived keys ASCII-fold before reverse/length so ordering is
+    engine-portable (operators/dedup.py SNM_PASS_KEYS); same banded
+    block join + thresholded Levenshtein verify as the 2-pass form."""
+    from kafka_connect_streams_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+    t = load_tables(spark, sf_dir)
+    return sorted_neighborhood_pairs(t["documents"], "text", "doc_id",
+                                     window=8,
+                                     pass_names=("fwd", "rev",
+                                                 "init_len"))
 
 
 def q_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3778,6 +3802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci": q_bootstrap_ci,
     "copurchase_pairs": q_copurchase_pairs,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "snm_multikey": q_snm_multikey,
     "quantile_exact": q_quantile_exact,
     "kcore": q_kcore,
     "rrf_fusion": q_rrf_fusion,
@@ -5976,7 +6001,9 @@ ORACLE: dict[str, str] = {
             FROM d),
         rv AS (
             SELECT doc_id,
-                   row_number() OVER (ORDER BY reverse(k), doc_id) - 1 AS r
+                   row_number() OVER (
+                       ORDER BY reverse(regexp_replace(
+                           k, '[^\\x00-\\x7f]', '', 'g')), doc_id) - 1 AS r
             FROM d),
         u AS (
             SELECT least(a.doc_id, b.doc_id) AS id_a,
@@ -5986,6 +6013,57 @@ ORACLE: dict[str, str] = {
             SELECT least(a.doc_id, b.doc_id),
                    greatest(a.doc_id, b.doc_id)
             FROM rv a JOIN rv b ON b.r > a.r AND b.r <= a.r + 8),
+        cand AS (
+            SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_passes
+            FROM u GROUP BY id_a, id_b),
+        scored AS (
+            SELECT c.id_a, c.id_b, c.n_passes,
+                   CAST(levenshtein(da.t, db.t) AS BIGINT) AS edit_distance,
+                   CAST(greatest(length(da.t), length(db.t)) AS BIGINT)
+                       AS max_len
+            FROM cand c JOIN d da ON da.doc_id = c.id_a
+                        JOIN d db ON db.doc_id = c.id_b)
+        SELECT id_a, id_b, n_passes, edit_distance, max_len
+        FROM scored
+        WHERE edit_distance * 5 <= max_len
+    """,
+    "snm_multikey": """
+        WITH d AS (
+            SELECT doc_id, lower(coalesce(text, '')) AS k,
+                   regexp_replace(lower(coalesce(text, '')),
+                                  '[^\\x00-\\x7f]', '', 'g') AS fk,
+                   coalesce(text, '') AS t
+            FROM documents),
+        fwd AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY k, doc_id) - 1 AS r
+            FROM d),
+        rv AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY reverse(fk), doc_id) - 1
+                       AS r
+            FROM d),
+        il AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY substring(fk, 1, 1)
+                                || lpad(cast(length(fk) AS VARCHAR),
+                                        6, '0')
+                                || fk,
+                                doc_id) - 1 AS r
+            FROM d),
+        u AS (
+            SELECT least(a.doc_id, b.doc_id) AS id_a,
+                   greatest(a.doc_id, b.doc_id) AS id_b
+            FROM fwd a JOIN fwd b ON b.r > a.r AND b.r <= a.r + 8
+            UNION ALL
+            SELECT least(a.doc_id, b.doc_id),
+                   greatest(a.doc_id, b.doc_id)
+            FROM rv a JOIN rv b ON b.r > a.r AND b.r <= a.r + 8
+            UNION ALL
+            SELECT least(a.doc_id, b.doc_id),
+                   greatest(a.doc_id, b.doc_id)
+            FROM il a JOIN il b ON b.r > a.r AND b.r <= a.r + 8),
         cand AS (
             SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_passes
             FROM u GROUP BY id_a, id_b),

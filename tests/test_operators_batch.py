@@ -1832,6 +1832,42 @@ class TestSortedNeighborhood:
         assert (20, 21) not in kept
         assert all(d >= 0 for d in kept.values())
 
+    def test_non_ascii_combining_chars_match_duckdb_oracle(self, spark):
+        """Engine portability with combining characters (r8 ADVICE):
+        Spark's ``reverse`` walks code points while DuckDB's walks
+        grapheme clusters, so the pre-fix reverse key ordered
+        'cafe\\u0301'-style texts differently per engine. Derived SNM
+        keys now ASCII-fold first (SNM_PASS_KEYS), so the 3-pass pair
+        set must match the registered DuckDB oracle bit-for-bit on a
+        corpus where every text carries a combining accent. Edit
+        DIFFS between texts are ASCII-only so the levenshtein verify
+        agrees too (DuckDB's levenshtein is byte-level, Spark's
+        code-point-level — they only diverge when the edited
+        characters themselves are multi-byte)."""
+        import duckdb
+
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.operators.dedup import (
+            sorted_neighborhood_pairs)
+        acc = "e\u0301"  # decomposed: e + COMBINING ACUTE (2 code points)
+        rows = [(i, f"{chr(97 + i % 7)}{chr(97 + (i * 5) % 11)} "
+                 f"fill{acc}r row {i} tail caf{acc} {i * 13}")
+                for i in range(24)]
+        rows += [(100, f"aa the shared suffix caf{acc} never changes"),
+                 (101, f"zz the shared suffix caf{acc} never changes")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b, r.n_passes, r.edit_distance, r.max_len)
+               for r in sorted_neighborhood_pairs(
+                   df, "text", "doc_id", window=8,
+                   pass_names=("fwd", "rev", "init_len")).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = {tuple(r) for r in
+                con.execute(Q.ORACLE["snm_multikey"]).fetchall()}
+        assert got == want
+        assert any(p[:2] == (100, 101) for p in got)
+
 
 class TestQuantileExact:
     def test_equals_naive_window_selection(self, spark, sf_dir):

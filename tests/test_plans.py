@@ -494,12 +494,15 @@ def test_hard_negatives_bucketed_no_cartesian(spark, sf_dir):
     """Hard-negative candidate generation must be LSH-bucket-local
     (round-7 verdict: the crossJoin anchors × corpus shape grows
     quadratically with the corpus) — no cartesian/nested-loop pair
-    build, and the anchor probe table rides in as a broadcast."""
+    build. The probe-candidate join deliberately carries NO broadcast
+    hint (r8 ADVICE: the probe side is ~0.36 rows/corpus row, so a
+    forced broadcast is linear in corpus size); AQE/Catalyst may still
+    choose broadcast at this scale, so the pin is equi-join-only, not
+    broadcast-present."""
     df = Q.q_hard_negatives(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert has_broadcast_join(df), plan
 
 
 def test_global_index_rank_stage_is_bucket_parallel(spark, sf_dir):

@@ -50,18 +50,20 @@ def test_grouped_exact_quantiles_matches_sorted_selection(spark, rows,
                 min_size=2, max_size=16, unique=True))
 def test_sorted_neighborhood_pairing_matches_bruteforce(spark, texts):
     """The banded block join must produce EXACTLY the pairs within
-    `window` positions of each other in (key, id) sort order, for both
-    the forward and reversed passes — compared against the quadratic
-    definition, before the distance filter (window large enough that
-    the verify keeps identical-enough short strings out on its own)."""
+    `window` positions of each other in (key, id) sort order, for all
+    three pass keys (fwd / rev / init_len) — compared against the
+    quadratic definition, before the distance filter (window large
+    enough that the verify keeps identical-enough short strings out on
+    its own)."""
     from kafka_connect_streams_spark.operators.dedup import (
         sorted_neighborhood_pairs)
     w = 3
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.id_a, r.id_b, r.n_passes)
-           for r in sorted_neighborhood_pairs(df, "text", "doc_id",
-                                              window=w).collect()}
+           for r in sorted_neighborhood_pairs(
+               df, "text", "doc_id", window=w,
+               pass_names=("fwd", "rev", "init_len")).collect()}
 
     def band_pairs(key):
         order = sorted(rows, key=lambda r: (key(r[1]), r[0]))
@@ -74,8 +76,10 @@ def test_sorted_neighborhood_pairing_matches_bruteforce(spark, texts):
 
     fwd = band_pairs(lambda t: t.lower())
     rev = band_pairs(lambda t: t.lower()[::-1])
+    il = band_pairs(lambda t: t.lower()[:1]
+                    + str(len(t)).rjust(6, "0") + t.lower())
     want = set()
-    for p in fwd | rev:
+    for p in fwd | rev | il:
         ta, tb = texts[p[0]], texts[p[1]]
 
         def lev(a, b):
@@ -92,5 +96,6 @@ def test_sorted_neighborhood_pairing_matches_bruteforce(spark, texts):
             return d(len(a), len(b))
 
         if lev(ta, tb) * 5 <= max(len(ta), len(tb)):
-            want.add((p[0], p[1], (p in fwd) + (p in rev)))
+            want.add((p[0], p[1],
+                      (p in fwd) + (p in rev) + (p in il)))
     assert got == want
