@@ -120,6 +120,64 @@ def bpe_merges(spark: SparkSession, df: DataFrame, text_col: str,
     return spark.createDataFrame(out, MERGE_SCHEMA)
 
 
+def bpe_encode(df: DataFrame, text_col: str, id_col: str,
+               merges: "list[tuple[str, str]]") -> DataFrame:
+    """Corpus-scale tokenizer APPLY: encode every document with a
+    learned merge table, emitting ``(id, n_tokens, token_ids)`` — the
+    materialization a training pipeline actually allocates by (real
+    token counts, not the \\W+ proxy tokenizer_fertility budgets with).
+
+    Fully in-row, zero shuffles: the merge table is inlined as an array
+    literal and applied as an ``aggregate`` fold over each word's
+    symbol array — the fold's accumulator is a bound lambda variable,
+    so each merge round evaluates the previous round's result ONCE
+    (nesting the rounds textually instead would re-evaluate the inner
+    expression ~4× per level). Each fold step is the same
+    per-position merge as training's ``_apply_merge`` (no-self-merge
+    variant ⇒ positions never overlap ⇒ pure per-position logic).
+    Token ids are the repo's md5-affine 48-bit hash, computed in-row.
+
+    Scale note: this shape is O(merges × word_len) per word, the right
+    trade for learned-loop merge counts (the whole document pass stays
+    map-only — no explode, no join, no reassembly shuffle). At
+    production vocabularies (~50k merges) you'd instead encode the
+    DISTINCT-word table once with the training loop's checkpointed
+    per-round apply (``syms`` after round R IS the encoded vocab) and
+    map the corpus through it as a broadcast join — same semantics,
+    one broadcast instead of a 50k-element fold."""
+    if merges:
+        lits = ", ".join(
+            "named_struct('a', '{}', 'b', '{}')".format(
+                a.replace("'", "\\'"), b.replace("'", "\\'"))
+            for a, b in merges)
+        enc = f"""aggregate(array({lits}),
+            regexp_extract_all(w, '.', 0),
+            (s, m) -> filter(transform(sequence(1, size(s)), i -> CASE
+                WHEN element_at(s, i) = m.a
+                     AND try_element_at(s, i + 1) = m.b
+                    THEN concat(m.a, m.b)
+                WHEN i > 1 AND element_at(s, i) = m.b
+                     AND (CASE WHEN i > 1
+                          THEN element_at(s, i - 1) END) = m.a
+                    THEN CAST(NULL AS STRING)
+                ELSE element_at(s, i) END),
+              x -> x IS NOT NULL))"""
+    else:
+        enc = "regexp_extract_all(w, '.', 0)"
+    toks = F.expr(f"""
+        flatten(transform(
+            filter(split(lower(coalesce({text_col}, '')), '\\\\W+'),
+                   w -> length(w) > 0),
+            w -> {enc}))""")
+    return (df.select(F.col(id_col), toks.alias("_toks"))
+            .select(
+                F.col(id_col),
+                F.size("_toks").cast("bigint").alias("n_tokens"),
+                F.expr("transform(_toks, t -> cast(conv(substring("
+                       "md5(t), 1, 12), 16, 10) as bigint))")
+                .alias("token_ids")))
+
+
 def bpe_round_sql(r: int) -> str:
     """One unrolled training round as SQL CTEs (DuckDB dialect) — the
     oracle twin of `_pair_counts` + argmax + `_apply_merge`. ``syms0``

@@ -3023,6 +3023,28 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(spark, t["documents"], "text", "doc_id", rounds=3)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at corpus scale (operators/bpe.py bpe_encode):
+    train 3 BPE merges on the corpus word-frequency table, then encode
+    EVERY document with them in-row — (doc_id, n_tokens, token_ids),
+    the real-token-count materialization a training pipeline allocates
+    budgets by. The learned merge table is inlined as a literal and
+    applied as an aggregate fold per word (each round's symbol array is
+    a bound lambda variable, evaluated once), so the encode pass is
+    map-only: no explode, no join, no shuffle touches the corpus.
+    Token ids are the repo's md5-affine 48-bit hash. The oracle unrolls
+    the same 3 training rounds (bpe_round_sql), whose round-R symbol
+    table IS the encoded vocabulary, and maps documents through it."""
+    from kafka_connect_streams_spark.operators.bpe import (bpe_encode,
+                                                           bpe_merges)
+    t = load_tables(spark, sf_dir)
+    mt = bpe_merges(spark, t["documents"], "text", "doc_id",
+                    rounds=3).collect()
+    merges = [(r.lhs, r.rhs)
+              for r in sorted(mt, key=lambda r: r.round)]
+    return bpe_encode(t["documents"], "text", "doc_id", merges)
+
+
 def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ/dbt-style data-quality constraint audit in one report:
     primary-key uniqueness, referential integrity (left-anti semi
@@ -3883,6 +3905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semijoin": q_bloom_semijoin,
     "inverted_index": q_inverted_index,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "scd2_history": q_scd2_history,
 }
 
@@ -8155,6 +8178,43 @@ ORACLE: dict[str, str] = {
         UNION ALL SELECT * FROM stat2
         UNION ALL SELECT * FROM stat3
         ORDER BY round
+    """,
+    # the round-3 symbol table from the unrolled training CTEs IS the
+    # encoded vocabulary; documents map through it word-by-word with
+    # order preserved (list(... ORDER BY wpos) + flatten)
+    "bpe_encode": f"""
+        WITH wf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(string_split_regex(
+                    lower(coalesce(text, '')), '\\W+')) AS word
+                FROM documents)
+            WHERE length(word) > 0 GROUP BY word),
+        syms0 AS (SELECT word, cnt,
+                         regexp_extract_all(word, '.') AS s
+                  FROM wf),
+        {bpe_round_sql(1)},
+        {bpe_round_sql(2)},
+        {bpe_round_sql(3)},
+        docs AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\\W+'),
+                       w -> length(w) > 0) AS wl
+            FROM documents),
+        w AS (
+            SELECT doc_id, wl[i] AS word, i AS wpos
+            FROM docs, UNNEST(range(1, len(wl) + 1)) AS t(i)),
+        enc AS (
+            SELECT w.doc_id,
+                   flatten(list(v.s ORDER BY w.wpos)) AS toks
+            FROM w JOIN syms3 v ON v.word = w.word
+            GROUP BY w.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(len(e.toks), 0) AS BIGINT) AS n_tokens,
+               coalesce(list_transform(e.toks,
+                   t -> ('0x' || substr(md5(t), 1, 12))::BIGINT),
+                   CAST([] AS BIGINT[])) AS token_ids
+        FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
     """,
     "constraint_report": """
         SELECT * FROM (

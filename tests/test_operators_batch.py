@@ -1163,6 +1163,91 @@ class TestBpeMerges:
         assert got == want and len(got) == 3
 
 
+class TestBpeEncode:
+    @staticmethod
+    def _py_encode(text, merges):
+        """Python reference encoder: \\W+ split, per-word sequential
+        greedy merge application (equivalent to the per-position form
+        because lhs ≠ rhs forbids overlaps), md5-affine 48-bit ids."""
+        import hashlib
+        import re
+        toks = []
+        for w in re.split(r"\W+", (text or "").lower()):
+            if not w:
+                continue
+            s = list(w)
+            for a, b in merges:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                s = ns
+            toks.extend(s)
+        ids = [int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+               for t in toks]
+        return len(toks), ids
+
+    def test_matches_python_reference(self, spark):
+        """Chained merges (a learned token feeding a later merge),
+        NULL/empty docs, and the id hashing all match the Python
+        encoder exactly."""
+        from kafka_connect_streams_spark.operators.bpe import bpe_encode
+        merges = [("t", "h"), ("th", "e"), ("a", "t")]
+        docs = [(0, "the cat sat on the mat"), (1, "that hat thee"),
+                (2, None), (3, ""), (4, "a"), (5, "atthe  that!")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, list(r.token_ids))
+               for r in bpe_encode(df, "text", "doc_id",
+                                   merges).collect()}
+        want = {i: self._py_encode(t, merges) for i, t in docs}
+        assert got == want
+        assert got[2] == (0, [])  # NULL text ≡ empty doc
+
+    def test_matches_python_reference_random(self, spark):
+        """Hypothesis leg: arbitrary merge tables (lhs ≠ rhs, including
+        multi-char tokens produced by earlier merges) over random
+        corpora — the in-row fold ≡ the sequential greedy encoder."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from kafka_connect_streams_spark.operators.bpe import bpe_encode
+
+        WORD = st.text(alphabet="abc", min_size=1, max_size=6)
+        DOC = st.lists(WORD, min_size=0, max_size=5).map(" ".join)
+        TOK = st.text(alphabet="abc", min_size=1, max_size=2)
+        MERGE = st.tuples(TOK, TOK).filter(lambda p: p[0] != p[1])
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(st.lists(DOC, min_size=1, max_size=4),
+               st.lists(MERGE, min_size=0, max_size=3))
+        def run(docs, merges):
+            # let earlier merges feed later ones, as training would
+            chain = []
+            for a, b in merges:
+                chain.append((a, b))
+                if len(chain) >= 2:
+                    prev = chain[-2]
+                    if prev[0] + prev[1] != b:
+                        chain[-1] = (prev[0] + prev[1], b)
+            chain = [(a, b) for a, b in chain if a != b]
+            df = spark.createDataFrame(
+                [(i, d) for i, d in enumerate(docs)],
+                "doc_id long, text string")
+            got = {r.doc_id: (r.n_tokens, list(r.token_ids))
+                   for r in bpe_encode(df, "text", "doc_id",
+                                       chain).collect()}
+            want = {i: self._py_encode(d, chain)
+                    for i, d in enumerate(docs)}
+            assert got == want, (docs, chain)
+
+        run()
+
+
 class TestZorderCrossEngine:
     def test_zorder_key_matches_generated_sql_bit_for_bit(self, spark):
         """The Spark Column builder and the SQL-text generator must stay

@@ -560,6 +560,21 @@ def test_copurchase_pairs_in_row_expansion_topk(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
 
 
+def test_bpe_encode_pass_is_map_only(spark, sf_dir):
+    """The tokenizer APPLY must never shuffle the corpus: after the
+    training collects, the encode plan is Scan → Project — merges ride
+    as an inlined array literal folded per word, no explode, no join,
+    no Exchange (the map-only shape that makes the 100 TB encode pass
+    embarrassingly parallel)."""
+    import re
+    df = Q.q_bpe_encode(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
 def test_sorted_neighborhood_verify_runs_wide(spark, sf_dir):
     """The Levenshtein verify must run behind the explicit round-robin
     repartition (candidate shuffles are byte-tiny, so AQE would
