@@ -366,3 +366,71 @@ def hll_report(df: DataFrame, set_col: str, elem_col: str) -> DataFrame:
             .select(F.col("s").alias("set_key"), "n_true", "v_registers",
                     "s_scaled", "hll_est", "within_4rse")
             .orderBy("set_key"))
+
+
+# -- mergeable quantile sketch ----------------------------------------------
+
+
+def quantile_sketch(df: DataFrame, group_col: str, value_col,
+                    width: int) -> DataFrame:
+    """The MERGEABLE quantile sketch the family was missing next to
+    MG/CMS/KMV/HLL: a deterministic fixed-width histogram
+    ``(g, bucket, c)`` with ``bucket = value div width`` over integer
+    value units. Counts form a commutative monoid — 1000 executors
+    sketch their shards independently and a coordinator ADDS the
+    tables (exactly HLL's register-max story, with + instead of max) —
+    and the same expression is a native streaming aggregation
+    (streaming/state.py streaming_quantile_sketch). Deterministic by
+    construction (no KLL coin flips), so the DuckDB oracle matches
+    bit-for-bit and merge order can never change an answer.
+
+    The price of determinism is a VALUE-domain error bound instead of
+    KLL's rank bound: any quantile lands inside one bucket, so the
+    estimate interval is the bucket's ``[lo, hi]`` and the error is at
+    most ``width - 1`` units — carried in-plan by
+    :func:`quantile_from_sketch` (the hll_report within_4rse
+    precedent). State is bounded by |groups| × (domain / width);
+    size ``width`` to the precision the consumer needs, not to the
+    data volume — the sketch never grows with row count.
+
+    ``value_col`` must already be integer units (e.g. cents); rows
+    with NULL value are excluded on both engines (repo NULL policy)."""
+    v = F.col(value_col).cast("bigint") if isinstance(value_col, str) \
+        else value_col.cast("bigint")
+    return (df.where(v.isNotNull())
+            .select(F.col(group_col).alias("g"), v.alias("_v"))
+            .select("g", F.expr(f"_v div {int(width)}").alias("bucket"))
+            .groupBy("g", "bucket").agg(F.count("*").alias("c")))
+
+
+def quantile_from_sketch(sketch: DataFrame, width: int,
+                         pcts: "tuple[int, ...]" = (25, 50, 75, 90, 99),
+                         ) -> DataFrame:
+    """Fold quantile estimates out of a histogram sketch: per group,
+    the rank ``ceil(n·pct/100)`` (integer ``(n·pct + 99) div 100`` —
+    the quantile_exact arithmetic) lands in the first bucket whose
+    cumulative count reaches it; the answer is that bucket's value
+    interval ``[est_lo, est_hi]`` plus the in-plan ``err_bound``
+    (``width − 1`` — the worst case, attained when the true value sits
+    at the far end of the bucket). Everything here runs on the
+    |groups|×|buckets|-row sketch, never the corpus; the per-group
+    cumulative window is over bucket counts only (the accepted
+    global_index offsets shape)."""
+    from pyspark.sql.window import Window
+    w = int(width)
+    cum = (sketch.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("g").orderBy("bucket")
+                               .rowsBetween(Window.unboundedPreceding,
+                                            0)))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("g"))))
+    pct = F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct")
+    picked = (cum.select("g", "bucket", "cum", "n", pct)
+              .where(F.col("cum")
+                     >= F.expr("(n * pct + 99) div 100"))
+              .groupBy("g", "pct", "n")
+              .agg(F.min("bucket").alias("bucket")))
+    return picked.select(
+        "g", F.col("pct").cast("bigint").alias("pct"), "n",
+        (F.col("bucket") * w).alias("est_lo"),
+        (F.col("bucket") * w + w - 1).alias("est_hi"),
+        F.lit(w - 1).cast("bigint").alias("err_bound"))

@@ -3617,6 +3617,35 @@ def q_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value", F.col("value").cast("double"))
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE per-priority quantile sketch (operators/frequency.py
+    quantile_sketch): the deterministic fixed-width histogram whose
+    (g, bucket) counts ADD across executors/batches — the quantile
+    member of the MG/CMS/KMV/HLL mergeable-sketch family, with a
+    streaming mirror (streaming/state.py streaming_quantile_sketch)
+    that is cell-identical by construction. Estimates fold from the
+    |groups|×|buckets|-row sketch alone (quantile_from_sketch): for
+    each pct the rank (n·pct+99) div 100 lands in one bucket, emitted
+    as the [est_lo, est_hi] value interval with the in-plan err_bound
+    = width−1 cents (the hll_report within_4rse precedent: the
+    accuracy contract rides with the answer). Values are exact integer
+    cents via DECIMAL — no float division anywhere. Unlike
+    quantile_exact's two-pass selection this never rescans the corpus:
+    one aggregation, then sketch-only algebra."""
+    from kafka_connect_streams_spark.operators.frequency import (
+        quantile_from_sketch, quantile_sketch)
+    t = load_tables(spark, sf_dir)
+    o = (t["orders"]
+         .where(F.col("o_totalprice").isNotNull())
+         .select(F.col("o_orderpriority").alias("priority"),
+                 F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100"
+                        " as bigint)").alias("cents")))
+    sk = quantile_sketch(o, "priority", "cents", width=50000)
+    return (quantile_from_sketch(sk, width=50000)
+            .select(F.col("g").alias("priority"), "pct", "n",
+                    "est_lo", "est_hi", "err_bound"))
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-core of the part co-order graph (operators/graph.py kcore):
     the maximal subgraph where every part co-occurs with ≥ 16 others —
@@ -3825,6 +3854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_pairs": q_copurchase_pairs,
     "sorted_neighborhood": q_sorted_neighborhood,
     "snm_multikey": q_snm_multikey,
+    "quantile_sketch": q_quantile_sketch,
     "quantile_exact": q_quantile_exact,
     "kcore": q_kcore,
     "rrf_fusion": q_rrf_fusion,
@@ -6119,6 +6149,35 @@ ORACLE: dict[str, str] = {
         SELECT r.priority, CAST(p.pct AS BIGINT) AS pct,
                CAST(r.v AS DOUBLE) AS value
         FROM r JOIN p ON r.rk = (r.n * p.pct + 99) // 100
+    """,
+    "quantile_sketch": """
+        WITH s AS (
+            SELECT o_orderpriority AS g,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS v
+            FROM orders
+            WHERE o_totalprice IS NOT NULL),
+        sk AS (
+            SELECT g, v // 50000 AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM s GROUP BY 1, 2),
+        cum AS (
+            SELECT g, bucket, c,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY bucket)
+                        AS BIGINT) AS cum,
+                   CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM sk),
+        p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct),
+        picked AS (
+            SELECT cum.g, CAST(p.pct AS BIGINT) AS pct, cum.n,
+                   min(cum.bucket) AS bucket
+            FROM cum JOIN p ON cum.cum >= (cum.n * p.pct + 99) // 100
+            GROUP BY cum.g, p.pct, cum.n)
+        SELECT g AS priority, pct, n,
+               bucket * 50000 AS est_lo,
+               bucket * 50000 + 49999 AS est_hi,
+               CAST(49999 AS BIGINT) AS err_bound
+        FROM picked
     """,
     "kcore": f"""
         WITH li AS (

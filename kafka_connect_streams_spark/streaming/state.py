@@ -750,3 +750,26 @@ def streaming_hll(df: DataFrame, set_col: str, elem_col: str) -> DataFrame:
               .withColumn("h", _hll_hash60(F.col("e")))
               .drop("e"))
     return hll_registers_from_hashed(hashed)
+
+
+def streaming_quantile_sketch(df: DataFrame, group_col: str,
+                              value_col, width: int) -> DataFrame:
+    """Streaming mergeable quantile sketch — the same NATIVE streaming
+    aggregation insight as streaming_hll/streaming_cms, applied to
+    quantiles: the fixed-width histogram's (g, bucket) count is a
+    plain streaming groupBy in update/complete mode, so the unbounded
+    "percentile over an endless stream" that would need ever-growing
+    sorted state becomes a bounded |groups| × (domain/width)-key
+    aggregation. No custom state store, no watermark, state bounded
+    forever; a consumer folds estimates with the SAME
+    quantile_from_sketch as batch, so a batch-built and stream-built
+    sketch over the same data are cell-identical (pinned in tests).
+
+    One honest difference from the max-fold sketches: counts ADD, so
+    re-delivered rows double-count — replay safety comes from
+    Structured Streaming's checkpointed exactly-once source offsets
+    (the wordcount/running_count precedent), not from the algebra
+    absorbing duplicates the way HLL's max() does."""
+    from kafka_connect_streams_spark.operators.frequency import (
+        quantile_sketch)
+    return quantile_sketch(df, group_col, value_col, width)

@@ -2000,6 +2000,47 @@ class TestQuantileExact:
         assert all(got[("b", p)] == 5 for p in (25, 50, 75, 90, 99))
 
 
+class TestQuantileSketch:
+    def test_interval_brackets_exact_quantile(self, spark, sf_dir):
+        """The error-bound contract: for every (group, pct) the exact
+        percentile_disc value must land inside the sketch's
+        [est_lo, est_hi] interval, and the interval must be exactly
+        err_bound wide."""
+        from kafka_connect_streams_spark import queries as Q
+        exact = {(r.priority, r.pct): int(round(r.value * 100))
+                 for r in Q.q_quantile_exact(spark, sf_dir).collect()}
+        sk = Q.q_quantile_sketch(spark, sf_dir).collect()
+        assert {(r.priority, r.pct) for r in sk} == set(exact)
+        for r in sk:
+            v = exact[(r.priority, r.pct)]
+            assert r.est_lo <= v <= r.est_hi, (r, v)
+            assert r.est_hi - r.est_lo == r.err_bound == 49999
+
+    def test_sketch_is_mergeable(self, spark, sf_dir):
+        """The monoid law the 1000-executor story depends on: the
+        sketch of a union equals the bucket-wise SUM of the shards'
+        sketches — so per-shard sketches fold to the same answer as
+        one global pass, for any split."""
+        from kafka_connect_streams_spark.operators.frequency import (
+            quantile_sketch)
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .where(F.col("o_totalprice").isNotNull())
+             .select(F.col("o_orderpriority").alias("priority"),
+                     F.expr("cast(cast(o_totalprice as decimal(18,2))"
+                            " * 100 as bigint)").alias("cents")))
+        whole = {(r.g, r.bucket): r.c for r in
+                 quantile_sketch(o, "priority", "cents",
+                                 width=50000).collect()}
+        shards = [o.where(F.col("cents") % 3 == i) for i in range(3)]
+        merged: dict = {}
+        for sh in shards:
+            for r in quantile_sketch(sh, "priority", "cents",
+                                     width=50000).collect():
+                merged[(r.g, r.bucket)] = \
+                    merged.get((r.g, r.bucket), 0) + r.c
+        assert merged == whole
+
+
 class TestKcore:
     def test_multi_round_peeling(self, spark):
         """A K5 clique with a pendant chain: the chain peels one node

@@ -919,3 +919,96 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         q.stop()
     assert got == batch
     assert len(got) <= 3 * 256  # bounded: ≤ m registers per set, forever
+
+
+def test_streaming_quantile_sketch_matches_batch(spark, tmp_path):
+    """The stream-built histogram sketch must be cell-identical to the
+    batch sketch over the same corpus (shared bucket arithmetic), the
+    key space must stay bounded by |groups| x |buckets| regardless of
+    row count, and folding estimates from the stream-built sketch must
+    give the SAME answers as from the batch one — the mergeable-sketch
+    contract, quantile edition."""
+    from kafka_connect_streams_spark.operators.frequency import (
+        quantile_from_sketch, quantile_sketch)
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_quantile_sketch)
+
+    o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+         .where(F.col("o_totalprice").isNotNull())
+         .select(F.col("o_orderpriority").alias("g"),
+                 F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100"
+                        " as bigint)").alias("v")))
+    batch = {(r.g, r.bucket): r.c for r in
+             quantile_sketch(o, "g", "v", width=50000).collect()}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    o.coalesce(2).write.json(str(src / "a"))
+    stream = (spark.readStream.schema("g string, v long")
+              .json(str(src / "*")))
+    q = (streaming_quantile_sketch(stream, "g", "v", width=50000)
+         .writeStream.format("memory").queryName("sqsk")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.g, r.bucket): r.c for r in
+               spark.sql("SELECT * FROM sqsk").collect()}
+    finally:
+        q.stop()
+    assert got == batch
+    est_stream = {(r.g, r.pct): (r.n, r.est_lo, r.est_hi) for r in
+                  quantile_from_sketch(spark.sql("SELECT * FROM sqsk"),
+                                       width=50000).collect()}
+    est_batch = {(r.g, r.pct): (r.n, r.est_lo, r.est_hi) for r in
+                 quantile_from_sketch(
+                     quantile_sketch(o, "g", "v", width=50000),
+                     width=50000).collect()}
+    assert est_stream == est_batch
+
+
+def test_streaming_quantile_sketch_survives_restart(spark, tmp_path):
+    """Bucket counts accumulated before a restart keep counting after
+    it (state restores from the checkpoint, not from replaying the
+    stream): 10 pre-restart + 7 post-restart rows in the same bucket
+    must emit c=17 after the restarted batch."""
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_quantile_sketch)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def start():
+        stream = (spark.readStream.schema("g string, v long")
+                  .json(str(src)))
+        sk = streaming_quantile_sketch(stream, "g", "v", width=100)
+        return (sk.writeStream
+                .foreachBatch(lambda df, eid: df.write.mode("append")
+                              .parquet(str(out)))
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start())
+
+    with open(src / "a.json", "w") as f:
+        for _ in range(10):
+            f.write(json.dumps({"g": "x", "v": 250}) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(src / "b.json", "w") as f:
+        for _ in range(7):
+            f.write(json.dumps({"g": "x", "v": 270}) + "\n")
+        f.write(json.dumps({"g": "y", "v": 50}) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    latest = {}
+    for r in spark.read.parquet(str(out)).collect():
+        latest[(r.g, r.bucket)] = max(r.c,
+                                      latest.get((r.g, r.bucket), 0))
+    assert latest[("x", 2)] == 17, latest   # restored 10 + new 7
+    assert latest[("y", 0)] == 1, latest
