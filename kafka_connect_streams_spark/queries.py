@@ -3739,6 +3739,70 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_projection(t["embeddings"], "vec_id", "embedding")
 
 
+def q_jl_then_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL payoff, measured on the DECISION it buys (round-8/9
+    verdict order): run the embedding_neardup decision (cosine ≥ 0.35)
+    twice over the SAME LSH candidate pairs — once on the 64-d
+    quantized vectors (ground truth, identical to embedding_neardup's
+    decision set) and once on their 16-d JL projections — and report
+    one row of candidate/true/JL-positive counts with integer-e6
+    recall and precision. This turns the operator-table's "shrinks
+    every downstream pairwise shuffle ~4-fold" claim into a quality
+    number: what fraction of true near-dups survive when the pairwise
+    stage pays a quarter of the bytes (the byte ratio itself is
+    measured in tests/test_plans.py by differencing the two plans'
+    shuffled vector widths). All scoring is in-row over exact int64
+    dots/norms; the 16-d vectors reuse hyperplane_signatures' md5 ±1
+    family, so the oracle reproduces both spaces bit-for-bit."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        _cosine, _dot, _hyperplane_proj, _quantized, _vec_dims,
+        hyperplane_signatures)
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"),
+                                 "embedding")
+    dims = _vec_dims(emb, "embedding")
+    proj = emb.select(
+        "id", _quantized(F.col("embedding")).alias("_v")).select(
+        "id", "_v",
+        F.array(*[_hyperplane_proj(p, dims) for p in range(16)])
+        .alias("_y"))
+    sig = hyperplane_signatures(emb, "id", "embedding", planes=8)
+    pairs = (sig.select(F.col("id").alias("id_a"), "bucket")
+             .join(sig.select(F.col("id").alias("id_b"), "bucket"),
+                   "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    va = proj.select(F.col("id").alias("id_a"),
+                     F.col("_v").alias("_va"), F.col("_y").alias("_ya"))
+    vb = proj.select(F.col("id").alias("id_b"),
+                     F.col("_v").alias("_vb"), F.col("_y").alias("_yb"))
+    # NaN guard: a zero-norm side makes the cosine NaN, and the engines
+    # disagree on NaN >= x (Spark false, DuckDB orders NaN high) — the
+    # explicit norm > 0 conjunct keeps the flag engine-portable.
+    def flag(a, b):
+        na, nb = _dot(F.col(a), F.col(a)), _dot(F.col(b), F.col(b))
+        return ((na > 0) & (nb > 0)
+                & (_cosine(_dot(F.col(a), F.col(b)), na, nb) >= 0.35))
+    scored = (pairs.join(va, "id_a").join(vb, "id_b")
+              .withColumn("t64", flag("_va", "_vb"))
+              .withColumn("t16", flag("_ya", "_yb")))
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return (scored.agg(
+        F.count("*").alias("n_cand"),
+        F.sum(F.when(F.col("t64"), one).otherwise(zero)).alias("n_true"),
+        F.sum(F.when(F.col("t16"), one).otherwise(zero)).alias("n_jl"),
+        F.sum(F.when(F.col("t64") & F.col("t16"), one)
+              .otherwise(zero)).alias("hits"))
+        .select("n_cand", "n_true", "n_jl", "hits",
+                F.expr("CASE WHEN n_true > 0 THEN"
+                       " hits * 1000000 div n_true END")
+                .alias("recall_e6"),
+                F.expr("CASE WHEN n_jl > 0 THEN"
+                       " hits * 1000000 div n_jl END")
+                .alias("precision_e6")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3860,6 +3924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_fusion": q_rrf_fusion,
     "hll_distinct": q_hll_distinct,
     "jl_projection": q_jl_projection,
+    "jl_then_neardup": q_jl_then_neardup,
     "packing_efficiency": q_packing_efficiency,
     "doc_chunking": q_doc_chunking,
     "chunk_dedup": q_chunk_dedup,
@@ -6336,6 +6401,87 @@ ORACLE: dict[str, str] = {
                               AS BIGINT)
                     ELSE CAST(NULL AS BIGINT) END AS ratio_e6
         FROM do2 o JOIN dp2 p USING (id_a)
+    """,
+    # the embedding_neardup candidate/scoring CTEs + jl_projection's
+    # 16-plane projection, composed: both decisions per candidate pair,
+    # folded to one recall/precision row
+    "jl_then_neardup": """
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (
+            SELECT id, d,
+                   CAST(floor(CAST(embedding[d+1] AS DOUBLE)
+                              * 10000.0 + 0.5) AS BIGINT) AS x
+            FROM emb CROSS JOIN dims),
+        p8 AS (SELECT unnest(generate_series(0, 7)) AS p),
+        proj8 AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR
+                                || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS proj
+            FROM comp CROSS JOIN p8 GROUP BY id, p),
+        bucket AS (
+            SELECT id,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj8 GROUP BY id),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b
+                  FROM bucket a JOIN bucket b USING (bucket)
+                  WHERE a.id < b.id),
+        p16 AS (SELECT unnest(generate_series(0, 15)) AS p),
+        y AS (
+            SELECT id, p,
+                   CAST(sum(CASE WHEN ('0x' || substr(md5(p::VARCHAR
+                                || ':' || d::VARCHAR), 1, 1))::INT % 2 = 1
+                            THEN x ELSE -x END) AS BIGINT) AS y
+            FROM comp CROSS JOIN p16 GROUP BY id, p),
+        s64 AS (
+            SELECT p.id_a, p.id_b,
+                   CAST(sum(da.x * db.x) AS BIGINT) AS dot,
+                   CAST(sum(da.x * da.x) AS BIGINT) AS na,
+                   CAST(sum(db.x * db.x) AS BIGINT) AS nb
+            FROM pairs p
+            JOIN comp da ON da.id = p.id_a
+            JOIN comp db ON db.id = p.id_b AND db.d = da.d
+            GROUP BY p.id_a, p.id_b),
+        s16 AS (
+            SELECT p.id_a, p.id_b,
+                   CAST(sum(ya.y * yb.y) AS BIGINT) AS dot,
+                   CAST(sum(ya.y * ya.y) AS BIGINT) AS na,
+                   CAST(sum(yb.y * yb.y) AS BIGINT) AS nb
+            FROM pairs p
+            JOIN y ya ON ya.id = p.id_a
+            JOIN y yb ON yb.id = p.id_b AND yb.p = ya.p
+            GROUP BY p.id_a, p.id_b),
+        flags AS (
+            SELECT s64.id_a,
+                   s64.na > 0 AND s64.nb > 0
+                   AND CAST(s64.dot AS DOUBLE)
+                       / sqrt(CAST(s64.na AS DOUBLE)
+                              * CAST(s64.nb AS DOUBLE)) >= 0.35 AS t64,
+                   s16.na > 0 AND s16.nb > 0
+                   AND CAST(s16.dot AS DOUBLE)
+                       / sqrt(CAST(s16.na AS DOUBLE)
+                              * CAST(s16.nb AS DOUBLE)) >= 0.35 AS t16
+            FROM s64 JOIN s16 ON s16.id_a = s64.id_a
+                             AND s16.id_b = s64.id_b),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_cand,
+                   CAST(sum(CASE WHEN t64 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true,
+                   CAST(sum(CASE WHEN t16 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_jl,
+                   CAST(sum(CASE WHEN t64 AND t16 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits
+            FROM flags)
+        SELECT n_cand, n_true, n_jl, hits,
+               CASE WHEN n_true > 0
+                    THEN CAST(hits * 1000000 // n_true AS BIGINT) END
+                   AS recall_e6,
+               CASE WHEN n_jl > 0
+                    THEN CAST(hits * 1000000 // n_jl AS BIGINT) END
+                   AS precision_e6
+        FROM agg
     """,
     "packing_efficiency": """
         WITH toks AS (
