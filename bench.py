@@ -115,8 +115,6 @@ HEADLINE = [
     "vocab_concentration",
     "cosine_pair_topk",
     "scd2_asof",
-    "rollup_merge",
-    "attribution",
     "zonemap_prune",
     "cdc_materialize",
     "hard_negatives",
@@ -128,7 +126,6 @@ HEADLINE = [
     "lsh_tuning",
     "bootstrap_ci",
     "copurchase_pairs",
-    "sorted_neighborhood",
     "quantile_exact",
     "kcore",
     "rrf_fusion",
@@ -136,8 +133,23 @@ HEADLINE = [
     # bloom_semijoin 0.401 s in r7 rotated out to hold the line budget
     # — non-equi broadcast and runtime-filter shapes stay plan-pinned
     # and scorecarded via EXTRA.)
-    "hll_distinct",
-    "jl_projection",
+    # round 10: the five additions — SNM third pass, the mergeable
+    # histogram quantile sketch (vs quantile_exact's two-pass
+    # selection), the JL decision-recall eval, and the map-only corpus
+    # tokenizer apply + real-token fertility fold. To hold the
+    # worst-case 1800-char line guard, FIVE entries rotated out:
+    # sorted_neighborhood (r9 1.45 s — snm_multikey runs a strict
+    # superset of its pair work), jl_projection (0.61 s — subsumed by
+    # jl_then_neardup's projection + decision eval), and the three
+    # thin stable wrappers attribution (0.205 s), rollup_merge
+    # (0.271 s) and hll_distinct (0.355 s; the sketch family keeps
+    # heavy_hitters/cms_frequency/kmv_set_ops/quantile_sketch and the
+    # streaming-HLL parity tests).
+    "snm_multikey",
+    "quantile_sketch",
+    "jl_then_neardup",
+    "bpe_encode",
+    "bpe_fertility",
 ]
 
 

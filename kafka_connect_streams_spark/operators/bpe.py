@@ -121,7 +121,8 @@ def bpe_merges(spark: SparkSession, df: DataFrame, text_col: str,
 
 
 def bpe_encode(df: DataFrame, text_col: str, id_col: str,
-               merges: "list[tuple[str, str]]") -> DataFrame:
+               merges: "list[tuple[str, str]]",
+               keep: "tuple[str, ...]" = ()) -> DataFrame:
     """Corpus-scale tokenizer APPLY: encode every document with a
     learned merge table, emitting ``(id, n_tokens, token_ids)`` — the
     materialization a training pipeline actually allocates by (real
@@ -144,7 +145,13 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
     DISTINCT-word table once with the training loop's checkpointed
     per-round apply (``syms`` after round R IS the encoded vocab) and
     map the corpus through it as a broadcast join — same semantics,
-    one broadcast instead of a 50k-element fold."""
+    one broadcast instead of a 50k-element fold.
+
+    ``keep`` passes extra columns of ``df`` through unchanged, so a
+    downstream fold (per-language fertility, per-source budgets) rides
+    the SAME map-only pass instead of re-scanning the corpus and
+    re-joining by id — at scale that's the difference between zero and
+    one corpus shuffle."""
     if merges:
         lits = ", ".join(
             "named_struct('a', '{}', 'b', '{}')".format(
@@ -169,9 +176,10 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
             filter(split(lower(coalesce({text_col}, '')), '\\\\W+'),
                    w -> length(w) > 0),
             w -> {enc}))""")
-    return (df.select(F.col(id_col), toks.alias("_toks"))
+    kept = [F.col(c) for c in keep]
+    return (df.select(F.col(id_col), *kept, toks.alias("_toks"))
             .select(
-                F.col(id_col),
+                F.col(id_col), *kept,
                 F.size("_toks").cast("bigint").alias("n_tokens"),
                 F.expr("transform(_toks, t -> cast(conv(substring("
                        "md5(t), 1, 12), 16, 10) as bigint))")

@@ -2377,6 +2377,35 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("chars_per_token_e9")))
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-token fertility per language: the tokenizer_fertility
+    diagnostic recomputed with the trained tokenizer's ACTUAL token
+    counts (bpe_encode applies the 3 learned merges in-row) instead of
+    the \\W+/BPE-ish proxy — the number a training pipeline actually
+    allocates context and compute by. Per language: docs, characters,
+    real BPE tokens, and chars-per-token (e6 fixed point, NULL for a
+    tokenless language). The encode pass is the same map-only
+    Scan → Project as bpe_encode; the fertility fold is one O(langs)
+    groupBy — scan-speed at 100 TB."""
+    from kafka_connect_streams_spark.operators.bpe import (bpe_encode,
+                                                           bpe_merges)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    mt = bpe_merges(spark, docs, "text", "doc_id", rounds=3).collect()
+    merges = [(r.lhs, r.rhs)
+              for r in sorted(mt, key=lambda r: r.round)]
+    enc = bpe_encode(docs, "text", "doc_id", merges,
+                     keep=("lang", "n_chars"))
+    return (enc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .select("lang", "n_docs", "total_chars", "total_tokens",
+                    F.expr("CASE WHEN total_tokens > 0 THEN"
+                           " (total_chars * 1000000) div total_tokens"
+                           " END").alias("chars_per_token_e6")))
+
+
 def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: per near-dup cluster, KEEP the
     highest-quality document (ties → lowest doc_id) instead of the
@@ -4001,54 +4030,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "bpe_fertility": q_bpe_fertility,
     "scd2_history": q_scd2_history,
 }
 
-#: ROUND-8 WINDOW — the 50 names the driver hashes this round, per
-#: VERDICT r7 "Next round" #3 and the queue written at the end of round
-#: 7: (a) the last three r03-era rows (registry positions 50-52 last
-#: round, queued first); (b) everything round 8 adds or touches
-#: (hard_negatives rewritten bucketed + its new recall eval,
-#: cosine_pair_topk's DECIMAL ranking key on both engines, block_dedup
-#: restructured around the shape knob + the new fp_rejoin variant);
-#: (c) the stalest greens oldest-first — the full 31-entry r04 battery,
-#: then the r05 head mix_weights, with the ten round-8 additions —
-#: global_index (two-pass distributed ranking), lsh_tuning (banding
-#: parameter sweep), bootstrap_ci (Poisson bootstrap),
-#: copurchase_pairs (market-basket 2-itemsets), sorted_neighborhood
-#: (Hernandez-Stolfo SNM linkage), quantile_exact (two-pass histogram
-#: selection), kcore (unrolled degree peeling), rrf_fusion
-#: (hybrid-retrieval rank fusion), hll_distinct (HyperLogLog
-#: count-distinct sketch) and jl_projection (±1 random projection +
-#: distance-preservation eval) — taking the final slots that
-#: chunk_dedup, tokenizer_fertility, training_order,
-#: packing_efficiency, doc_chunking, important_parts, conditional_agg,
-#: null_handling, linestatus_priority and sequence_packing (r05/r06
-#: greens, unchanged this round) ceded.
+#: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
+#: VERDICT r9 "Next round" #1 (the rotation ordered in r8 and never
+#: executed in the zero-commit round 9): (a) ALL 32 queries whose
+#: latest driver row still dates to r05 — four rounds stale, the
+#: oldest cohort in the registry — queued first; (b) the five round-10
+#: additions (snm_multikey 3-pass Hernandez-Stolfo linkage,
+#: quantile_sketch mergeable histogram percentiles, jl_then_neardup
+#: JL-decision recall eval, bpe_encode corpus tokenizer apply,
+#: bpe_fertility real-token fertility);
+#: (c) everything round 10 touched: sorted_neighborhood (oracle
+#: rev-key now ASCII-folds — engine-portable reverse) and
+#: hard_negatives / hard_negatives_recall (forced probe broadcast
+#: dropped); (d) the remaining 10 slots from the r06 cohort in
+#: registry order (curation_pipeline ceded its slot to bpe_fertility;
+#: its r06 row stays inside the zero-older-than-r06 criterion).
+#: After this round no latest row is older than r06.
 #: All 50 were locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
-_R8_WINDOW = [
-    "approx_distinct", "interval_join", "grouping_sets",
-    "hard_negatives", "hard_negatives_recall", "cosine_pair_topk",
-    "block_dedup", "block_dedup_fp",
-    "moving_avg", "time_range_frame", "ntile_buckets", "listagg",
-    "shipping_priority", "range_join", "funnel", "cohort_retention",
-    "hash_split", "percent_rank_cume", "user_journeys", "unpivot",
-    "data_profile", "approx_quantile", "market_share", "promo_revenue",
-    "returned_items", "disjunctive_predicates", "idle_customers",
-    "ann_recall", "skew_salted_agg", "stratified_sample",
-    "pii_redaction", "histogram", "large_orders", "ann_auto_recall",
-    "ann_topk_cosine", "ann_lsh_cosine", "ann_ivf_cosine",
-    "embedding_neardup", "embedding_dedup_clusters",
-    "mix_weights",
-    "global_index", "lsh_tuning",
-    "bootstrap_ci", "copurchase_pairs", "sorted_neighborhood",
-    "quantile_exact", "kcore", "rrf_fusion", "hll_distinct",
-    "jl_projection",
+_R10_WINDOW = [
+    "important_parts", "conditional_agg", "null_handling",
+    "linestatus_priority", "sequence_packing", "training_order",
+    "packing_efficiency", "doc_chunking", "chunk_dedup",
+    "tokenizer_fertility", "ann_pq_adc", "ann_pq_recall",
+    "ann_pq_trained_recall", "ann_ivfpq", "transition_matrix",
+    "rolling_active_users", "join_skew_report", "local_supplier_volume",
+    "forecast_revenue", "nation_volume_shipping", "product_profit",
+    "customer_distribution", "top_supplier", "supplier_part_counts",
+    "waiting_suppliers", "token_budget_sample",
+    "embedding_decontamination", "min_cost_supplier",
+    "dominant_suppliers", "semantic_dedup", "exact_k_sample",
+    "winsorize",
+    "snm_multikey", "quantile_sketch", "jl_then_neardup", "bpe_encode",
+    "bpe_fertility",
+    "sorted_neighborhood", "hard_negatives", "hard_negatives_recall",
+    "dsir_importance", "resample_gapfill", "anomaly_zscore",
+    "pps_sample", "pagerank_types", "decayed_counts",
+    "dedup_ngram_jaccard", "audio_segments", "bigram_topk",
+    "boilerplate_removal",
 ]
-assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
-QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)}}
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)}}
 
 def _kcore_round_sql(i: int, k: int = 16) -> str:
     """One unrolled k-core peel round as oracle CTEs (the bpe_round_sql
@@ -8420,6 +8447,50 @@ ORACLE: dict[str, str] = {
                    t -> ('0x' || substr(md5(t), 1, 12))::BIGINT),
                    CAST([] AS BIGINT[])) AS token_ids
         FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+    """,
+    # bpe_encode's CTE chain folded per language instead of emitted
+    # per document
+    "bpe_fertility": f"""
+        WITH wf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(string_split_regex(
+                    lower(coalesce(text, '')), '\\W+')) AS word
+                FROM documents)
+            WHERE length(word) > 0 GROUP BY word),
+        syms0 AS (SELECT word, cnt,
+                         regexp_extract_all(word, '.') AS s
+                  FROM wf),
+        {bpe_round_sql(1)},
+        {bpe_round_sql(2)},
+        {bpe_round_sql(3)},
+        docs AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\\W+'),
+                       w -> length(w) > 0) AS wl
+            FROM documents),
+        w AS (
+            SELECT doc_id, wl[i] AS word
+            FROM docs, UNNEST(range(1, len(wl) + 1)) AS t(i)),
+        per_doc AS (
+            SELECT w.doc_id,
+                   CAST(sum(len(v.s)) AS BIGINT) AS n_tokens
+            FROM w JOIN syms3 v ON v.word = w.word
+            GROUP BY w.doc_id),
+        folded AS (
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(coalesce(p.n_tokens, 0)) AS BIGINT)
+                       AS total_tokens
+            FROM documents d LEFT JOIN per_doc p
+                ON p.doc_id = d.doc_id
+            GROUP BY d.lang)
+        SELECT lang, n_docs, total_chars, total_tokens,
+               CASE WHEN total_tokens > 0
+                    THEN CAST(total_chars * 1000000 // total_tokens
+                              AS BIGINT) END AS chars_per_token_e6
+        FROM folded
     """,
     "constraint_report": """
         SELECT * FROM (

@@ -575,6 +575,20 @@ def test_bpe_encode_pass_is_map_only(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
+def test_bpe_fertility_single_scan_no_join(spark, sf_dir):
+    """The real-token fertility fold must ride the SAME map-only encode
+    pass (bpe_encode keep= pass-through), not re-scan the corpus and
+    re-join by id: one pruned scan, one O(langs) aggregation shuffle,
+    no join anywhere."""
+    import re
+    df = Q.q_bpe_fertility(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+    assert has_partial_aggregate(df), plan
+
+
 def test_sorted_neighborhood_verify_runs_wide(spark, sf_dir):
     """The Levenshtein verify must run behind the explicit round-robin
     repartition (candidate shuffles are byte-tiny, so AQE would
