@@ -1628,6 +1628,44 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shuffle_bucket", "pos"))
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning order: each document gets a difficulty decile
+    (by n_chars, the stand-in for a loss/complexity signal) and a
+    deterministic position within (difficulty, shard) — easy-to-hard
+    scheduling a trainer consumes shard by shard. Decile boundaries are
+    EXACT percentile_disc values from grouped_exact_quantiles (two tiny
+    passes, never a corpus sort) collected as 9 scalars and inlined as
+    constant comparisons — the difficulty expression constant-folds and
+    the n_chars IsNotNull guard pushes into the parquet scan
+    (plan-pinned). Ordering is the training_order idiom: md5-sharded so
+    the per-(difficulty, shard) row_number windows each sort ~1/320th
+    of the corpus — 320 parallel sorts, no global one. The oracle
+    re-derives the same boundaries with the naive corpus-wide
+    rank/count window and must match bit-for-bit."""
+    from kafka_connect_streams_spark.operators.layout import (
+        grouped_exact_quantiles)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("n_chars").isNotNull())
+    lens = docs.select(F.lit(1).alias("g"),
+                       F.col("n_chars").cast("bigint").alias("v"))
+    bounds = sorted(
+        int(r["value"])
+        for r in grouped_exact_quantiles(
+            lens, "g", "v",
+            pcts=(10, 20, 30, 40, 50, 60, 70, 80, 90)).collect())
+    # empty corpus → no boundaries → every document (none) is decile 0
+    diff = sum((F.col("n_chars") > F.lit(b)).cast("int") for b in bounds) \
+        if bounds else F.lit(0).cast("int")
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id", diff.alias("difficulty"), h.alias("_h"),
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 32)
+        .alias("shard"))
+    w = Window.partitionBy("difficulty", "shard").orderBy("_h", "doc_id")
+    return (keyed.withColumn("pos", F.row_number().over(w))
+            .select("doc_id", "difficulty", "shard", "pos"))
+
+
 def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global sample indices 0..N-1 in deterministic permuted
     order — training_order's (bucket, pos) made globally contiguous,
@@ -2406,6 +2444,80 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " END").alias("chars_per_token_e6")))
 
 
+def q_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by REAL token counts: sequence_packing's
+    bucketed first-fit assignment driven by the trained tokenizer's
+    actual per-document token counts (bpe_encode) instead of the
+    whitespace proxy — so a pack's token budget is the budget the
+    trainer's context window actually enforces. Same scale shape as
+    sequence_packing: md5-bucketed sequential chunking, embarrassingly
+    parallel, one corpus shuffle. Catalyst prunes bpe_encode's
+    token_ids column entirely (plan-pinned: the md5-affine id
+    transform never runs), so the packing pass costs one pruned scan +
+    the encode fold + one window — and because the window hash-
+    partitions by bucket, the (bucket, seq) rollup reuses that
+    partitioning: ONE exchange total."""
+    from kafka_connect_streams_spark.operators.bpe import (bpe_encode,
+                                                           bpe_merges)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    mt = bpe_merges(spark, docs, "text", "doc_id", rounds=3).collect()
+    merges = [(r.lhs, r.rhs)
+              for r in sorted(mt, key=lambda r: r.round)]
+    enc = bpe_encode(docs, "text", "doc_id", merges)
+    budget = 4096
+    toks = enc.select(
+        "doc_id", F.col("n_tokens").alias("n_tok"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("int") % 32).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    packed = toks.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "doc_id", "n_tok", "bucket",
+        F.floor((F.col("cum") - F.col("n_tok")) / budget).cast("int")
+        .alias("seq"))
+    return (packed.groupBy("bucket", "seq")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("pack_tokens"))
+            .withColumn("bucket", F.col("bucket").cast("int")))
+
+
+def q_bpe_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer generalization eval: train the merge table on the
+    80% md5 hash split (hash_split's bucket convention), encode the
+    WHOLE corpus with it, and compare real-token fertility
+    (chars-per-token) on train vs holdout — the gap is the number that
+    says whether a tokenizer trained on yesterday's corpus still
+    compresses tomorrow's. Holdout-only words the training never saw
+    still encode (the merge fold applies per-position over the
+    character base — no vocab lookup to miss), which is exactly the
+    property the eval exercises; the oracle therefore applies the
+    train-derived merges to the FULL corpus vocabulary via a separate
+    apply-only CTE chain (_bpe_apply_sql). Same map-only encode +
+    O(splits) fold shape as bpe_fertility — scan-speed at 100 TB."""
+    from kafka_connect_streams_spark.operators.bpe import (bpe_encode,
+                                                           bpe_merges)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("int") % 100)
+    tagged = docs.withColumn(
+        "split", F.when(b < 80, "train").otherwise("holdout"))
+    train = tagged.where(F.col("split") == "train")
+    mt = bpe_merges(spark, train, "text", "doc_id", rounds=3).collect()
+    merges = [(r.lhs, r.rhs)
+              for r in sorted(mt, key=lambda r: r.round)]
+    enc = bpe_encode(tagged, "text", "doc_id", merges,
+                     keep=("split", "n_chars"))
+    return (enc.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .select("split", "n_docs", "total_chars", "total_tokens",
+                    F.expr("CASE WHEN total_tokens > 0 THEN"
+                           " (total_chars * 1000000) div total_tokens"
+                           " END").alias("chars_per_token_e6")))
+
+
 def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: per near-dup cluster, KEEP the
     highest-quality document (ties → lowest doc_id) instead of the
@@ -2629,6 +2741,60 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     vecs = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
     return semantic_dedup(vecs, n_centroids=16, threshold=0.4)
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity-preserving) sampling: assign every
+    embedding to its trained k-means cluster, then keep an equal quota
+    per cluster in deterministic md5 order — the DataComp/SemDeDup-style
+    curation move that stops a dominant mode from eating the whole
+    sample budget. Training is kmeans_coarse_centroids (3 deterministic
+    Lloyd rounds, O(n_lists) driver rows/round); assignment is an
+    in-row argmin over the broadcast centroid matrix — no centroid
+    join.
+
+    The per-cluster top-quota NEVER sorts a cluster: the md5 order is
+    bin-segmented by the hash's first byte (prefix-monotone, so
+    (bin, h) order IS h order — the token_budget_sample idiom), a tiny
+    (cluster, bin) count table finds each bin's prior offset, bins
+    whose offset already exceeds the quota are dropped by a broadcast
+    semi-filter BEFORE any shuffle, and the row_number window runs only
+    over the few surviving head bins. The corpus-sized assignment
+    materializes once (skinny localCheckpoint: id/list/hash/bin — the
+    fat vector column is dropped), so the embedding scan and the argmin
+    run exactly once. Oracle runs the naive per-cluster window over the
+    same unrolled Lloyd rounds."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        _coarse_assign, _quantized, kmeans_coarse_centroids)
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    coarse = kmeans_coarse_centroids(emb, n_lists=8, iters=3)
+    if not coarse:
+        return spark.createDataFrame(
+            [], "list int, vec_id bigint, rank_in_list int")
+    quota = 8
+    h = F.md5(F.col("id").cast("string"))
+    base = (emb.select(
+                "id",
+                _coarse_assign(_quantized(F.col("embedding")), coarse)[0]["j"]
+                .alias("list"),
+                h.alias("_h"),
+                (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 256)
+                .alias("_bin"))
+            .localCheckpoint(eager=False))
+    per_bin = base.groupBy("list", "_bin").agg(F.count("*").alias("_c"))
+    wb = Window.partitionBy("list").orderBy("_bin")
+    prior = (per_bin
+             .withColumn("_off", F.sum("_c").over(wb) - F.col("_c"))
+             .filter(F.col("_off") < quota)
+             .select("list", "_bin", "_off"))
+    wd = Window.partitionBy("list", "_bin").orderBy("_h", "id")
+    return (base.join(F.broadcast(prior), ["list", "_bin"])
+            .withColumn("_r", (F.col("_off") + F.row_number().over(wd))
+                        .cast("int"))
+            .filter(F.col("_r") <= quota)
+            .select("list", F.col("id").alias("vec_id"),
+                    F.col("_r").alias("rank_in_list")))
 
 
 def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3510,25 +3676,54 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders the replicate means (a 32-row window): ranks 2 and 31 of 32
     bound the ~94% percentile CI."""
     t = load_tables(spark, sf_dir)
-    o = t["orders"].select(
+    # r10 rewrite (found by the bench's switch to full evaluation —
+    # count() had pruned the whole weight ladder, hiding a 10.7 s/sf0.1
+    # true cost): one md5 PER (row, replicate) was 32 digests/row, and
+    # the ×32 explode amplified every corpus row before the partial
+    # aggregate. Now 8 digests/row each yield FOUR 30-bit replicate
+    # hashes (8-hex slices div 4), digests/hashes/weights are flat
+    # column expressions (whole-stage-codegen'd with subexpression
+    # elimination — measured faster than the lambda/HOF form, which
+    # runs interpreted), prices ride as exact bigint CENTS (decimal
+    # multiply was the other hotspot; at >1e15-cent corpus mass move
+    # the product sums to DECIMAL(38,0)), and all 32 replicates
+    # aggregate IN-ROW as 64 map-side partial sums — zero row
+    # amplification. Measured 10.7 s → 5.1 s at sf0.1.
+    # all expression trees build as parsed SQL strings — the PQ-family
+    # lesson: ~500 chained Py4J constructor calls cost ~2 s of DRIVER
+    # plan-build per run (measured 7.5 → 5.5 s fresh-plan at sf0.1)
+    o = t["orders"].selectExpr(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("_p"))
-    rep = (o.select("o_orderkey", "_p",
-                    F.explode(F.sequence(F.lit(1), F.lit(32))).alias("_b"))
-           .select("o_orderkey", "_p",
-                   F.col("_b").cast("bigint").alias("b")))
-    h30 = F.expr(
-        "cast(conv(substring(md5(concat(cast(o_orderkey as string), ':',"
-        " cast(b as string))), 1, 12), 16, 10) as bigint) div 262144")
-    wt = F.lit(8)
-    for k in range(len(_POISSON_CUM_E30) - 1, -1, -1):
-        wt = F.when(h30 < _POISSON_CUM_E30[k], F.lit(k)).otherwise(wt)
-    agg = (rep.withColumn("_w", wt.cast("decimal(10,0)"))
-           .groupBy("b")
-           .agg(F.sum(F.col("_w")).cast("bigint").alias("n_eff"),
-                F.sum(F.col("_w") * F.col("_p")).alias("_wp")))
-    est = agg.withColumn("est_mean",
-                         F.col("_wp").cast("double") / F.col("n_eff"))
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        " as _pc")
+    s1 = ["_pc"] + [
+        f"md5(concat(cast(o_orderkey as string), ':{i}')) AS _d{i}"
+        for i in range(8)]
+    s2 = ["_pc"] + [
+        f"cast(conv(substring(_d{(b - 1) // 4}, {1 + 8 * ((b - 1) % 4)},"
+        f" 8), 16, 10) as bigint) div 4 AS _h{b}"
+        for b in range(1, 33)]
+
+    def _ladder(b: int) -> str:
+        s = "CASE"
+        for k, c in enumerate(_POISSON_CUM_E30):
+            s += f" WHEN _h{b} < {c} THEN {k}"
+        return s + f" ELSE 8 END AS _w{b}"
+
+    stage = (o.selectExpr(*s1).selectExpr(*s2)
+             .selectExpr("_pc", *[_ladder(b) for b in range(1, 33)]))
+    aggs = []
+    for b in range(1, 33):
+        aggs.append(F.expr(f"sum(_w{b}) AS _n{b}"))
+        aggs.append(F.expr(f"sum(_w{b} * _pc) AS _wp{b}"))
+    row = stage.agg(*aggs)
+    structs = ", ".join(
+        f"struct(cast({b} as bigint) AS b, _n{b} AS n_eff,"
+        f" cast(_wp{b} as double) / 100.0 / _n{b} AS est_mean)"
+        for b in range(1, 33))
+    est = (row.selectExpr(f"explode(array({structs})) AS _s")
+           .select("_s.*")
+           .where(F.col("n_eff").isNotNull()))
     w32 = Window.orderBy("est_mean", "b")
     return (est.withColumn("ci_rank",
                            F.row_number().over(w32).cast("bigint"))
@@ -4031,6 +4226,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "bpe_fertility": q_bpe_fertility,
+    "bpe_packing": q_bpe_packing,
+    "bpe_generalization": q_bpe_generalization,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "curriculum_order": q_curriculum_order,
     "scd2_history": q_scd2_history,
 }
 
@@ -4046,9 +4245,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: (c) everything round 10 touched: sorted_neighborhood (oracle
 #: rev-key now ASCII-folds — engine-portable reverse) and
 #: hard_negatives / hard_negatives_recall (forced probe broadcast
-#: dropped); (d) the remaining 10 slots from the r06 cohort in
-#: registry order (curation_pipeline ceded its slot to bpe_fertility;
-#: its r06 row stays inside the zero-older-than-r06 criterion).
+#: dropped); (d) the later round-10 addition batches (bpe_packing
+#: real-token sequence packing, cluster_balanced_sample k-means
+#: quota sampling, curriculum_order difficulty-decile scheduling,
+#: bpe_generalization train/holdout tokenizer gap) plus bootstrap_ci,
+#: whose weights were re-derived this round (8 digests/row, in-row
+#: replicate aggregation — oracle changed in lockstep);
+#: (e) the remaining 5 slots from the r06 cohort in registry order
+#: (curation_pipeline, audio_segments, bigram_topk,
+#: boilerplate_removal and dedup_ngram_jaccard ceded their slots to
+#: the additions; their r06 rows stay inside the
+#: zero-older-than-r06 criterion).
 #: After this round no latest row is older than r06.
 #: All 50 were locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
@@ -4068,10 +4275,10 @@ _R10_WINDOW = [
     "snm_multikey", "quantile_sketch", "jl_then_neardup", "bpe_encode",
     "bpe_fertility",
     "sorted_neighborhood", "hard_negatives", "hard_negatives_recall",
+    "bpe_packing", "cluster_balanced_sample", "curriculum_order",
+    "bpe_generalization", "bootstrap_ci",
     "dsir_importance", "resample_gapfill", "anomaly_zscore",
-    "pps_sample", "pagerank_types", "decayed_counts",
-    "dedup_ngram_jaccard", "audio_segments", "bigram_topk",
-    "boilerplate_removal",
+    "pps_sample", "pagerank_types",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
@@ -4096,6 +4303,53 @@ def _kcore_round_sql(i: int, k: int = 16) -> str:
             SELECT c.a, c.b FROM e{p} c
             JOIN k{i} ka ON ka.node = c.a
             JOIN k{i} kb ON kb.node = c.b)"""
+
+
+def _bpe_apply_sql(r: int) -> str:
+    """Apply the train chain's ``best{r}`` merge to the FULL-corpus
+    ``vocab{r-1}`` — bpe_round_sql's encode half without the pair
+    counting, so holdout words the training never saw still encode
+    through the merge table (the bpe_encode per-position fold
+    semantics)."""
+    p = r - 1
+    return f"""vocab{r} AS (
+            SELECT word,
+                   list_filter(list_transform(range(1, len(s) + 1),
+                       i -> CASE
+                           WHEN s[i] = m.a AND i < len(s)
+                                AND s[i + 1] = m.b THEN m.a || m.b
+                           WHEN i > 1 AND s[i - 1] = m.a
+                                AND s[i] = m.b THEN NULL
+                           ELSE s[i] END),
+                       x -> x IS NOT NULL) AS s
+            FROM vocab{p} CROSS JOIN best{r} m)"""
+
+
+def _lloyd_round_sql(i: int) -> str:
+    """One unrolled full-vector Lloyd round as oracle CTEs — the same
+    text the ann_ivf_trained_recall oracle spells out inline (assign ALL
+    vectors by exact int64 L2 with ties → lowest list id, recenter to
+    the floor-average, an empty list keeps its previous centroid), as a
+    generator so new trained-cluster oracles share one proven form."""
+    p = f"cent{i - 1}"
+    return f"""dist{i} AS (
+            SELECT v.id, c.j,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN {p} c USING (d) GROUP BY v.id, c.j),
+        asg{i} AS (
+            SELECT id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM dist{i}) x WHERE rn = 1),
+        sums{i} AS (
+            SELECT a.j, v.d, CAST(sum(v.x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM asg{i} a JOIN comp v USING (id) GROUP BY a.j, v.d),
+        cent{i} AS (
+            SELECT p.j, p.d,
+                   coalesce(CAST(floor(s.sx / CAST(s.n AS DOUBLE)) AS BIGINT),
+                            p.x) AS x
+            FROM {p} p LEFT JOIN sums{i} s ON s.j = p.j AND s.d = p.d)"""
 
 
 ORACLE: dict[str, str] = {
@@ -6079,19 +6333,23 @@ ORACLE: dict[str, str] = {
     "bootstrap_ci": """
         WITH base AS (
             SELECT o_orderkey AS okey,
-                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS pc
             FROM orders),
         reps AS (
-            SELECT okey, p, b
+            SELECT okey, pc, b
             FROM base, (SELECT unnest(range(1, 33)) AS b)),
         h AS (
-            SELECT b, p,
+            -- r10: replicate b reads 30 bits from slice (b-1)%4 of
+            -- digest md5(okey:(b-1)//4) — 8 digests/row, 4 slices each
+            SELECT b, pc,
                    ('0x' || substr(md5(CAST(okey AS VARCHAR) || ':'
-                                       || CAST(b AS VARCHAR)), 1, 12))
-                       ::BIGINT // 262144 AS h30
+                                       || CAST((b - 1) // 4 AS VARCHAR)),
+                                   1 + 8 * ((b - 1) % 4), 8))
+                       ::BIGINT // 4 AS h30
             FROM reps),
         w AS (
-            SELECT b, p,
+            SELECT b, pc,
                    CASE WHEN h30 < 395007542 THEN 0
                         WHEN h30 < 790015084 THEN 1
                         WHEN h30 < 987518855 THEN 2
@@ -6104,13 +6362,13 @@ ORACLE: dict[str, str] = {
             FROM h),
         agg AS (
             SELECT b, CAST(sum(wt) AS BIGINT) AS n_eff,
-                   sum(CAST(wt AS DECIMAL(10,0)) * p) AS wp
+                   CAST(sum(wt * pc) AS BIGINT) AS wp
             FROM w GROUP BY b)
         SELECT b, n_eff,
-               CAST(wp AS DOUBLE) / n_eff AS est_mean,
+               CAST(wp AS DOUBLE) / 100.0 / n_eff AS est_mean,
                CAST(row_number() OVER (
-                   ORDER BY CAST(wp AS DOUBLE) / n_eff, b) AS BIGINT)
-                   AS ci_rank
+                   ORDER BY CAST(wp AS DOUBLE) / 100.0 / n_eff, b)
+                   AS BIGINT) AS ci_rank
         FROM agg
     """,
     "copurchase_pairs": """
@@ -8491,6 +8749,172 @@ ORACLE: dict[str, str] = {
                     THEN CAST(total_chars * 1000000 // total_tokens
                               AS BIGINT) END AS chars_per_token_e6
         FROM folded
+    """,
+    # bpe_encode's per-doc token counts driving sequence_packing's
+    # bucketed window
+    "bpe_packing": f"""
+        WITH wf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(string_split_regex(
+                    lower(coalesce(text, '')), '\\W+')) AS word
+                FROM documents)
+            WHERE length(word) > 0 GROUP BY word),
+        syms0 AS (SELECT word, cnt,
+                         regexp_extract_all(word, '.') AS s
+                  FROM wf),
+        {bpe_round_sql(1)},
+        {bpe_round_sql(2)},
+        {bpe_round_sql(3)},
+        docs AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\\W+'),
+                       w -> length(w) > 0) AS wl
+            FROM documents),
+        w AS (
+            SELECT doc_id, wl[i] AS word
+            FROM docs, UNNEST(range(1, len(wl) + 1)) AS t(i)),
+        per_doc AS (
+            SELECT w.doc_id,
+                   CAST(sum(len(v.s)) AS BIGINT) AS n_tokens
+            FROM w JOIN syms3 v ON v.word = w.word
+            GROUP BY w.doc_id),
+        toks AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tok,
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+                     % 32 AS bucket
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id),
+        packed AS (
+            SELECT doc_id, n_tok, bucket,
+                   CAST(floor((sum(n_tok) OVER (PARTITION BY bucket
+                                                ORDER BY doc_id) - n_tok)
+                              / 4096) AS INTEGER) AS seq
+            FROM toks)
+        SELECT CAST(bucket AS INTEGER) AS bucket, seq,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY bucket, seq
+    """,
+    # merges trained on the 80% hash split (bpe_round_sql chain over
+    # train-only word frequencies), applied to the FULL corpus vocab
+    # via the apply-only chain, folded per split
+    "bpe_generalization": f"""
+        WITH wf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(string_split_regex(
+                    lower(coalesce(text, '')), '\\W+')) AS word
+                FROM documents
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 4))::INT % 100 < 80)
+            WHERE length(word) > 0 GROUP BY word),
+        syms0 AS (SELECT word, cnt,
+                         regexp_extract_all(word, '.') AS s
+                  FROM wf),
+        {bpe_round_sql(1)},
+        {bpe_round_sql(2)},
+        {bpe_round_sql(3)},
+        docs AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 4))::INT % 100 < 80
+                        THEN 'train' ELSE 'holdout' END AS split,
+                   list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\\W+'),
+                       w -> length(w) > 0) AS wl
+            FROM documents),
+        vocab0 AS (
+            SELECT word, regexp_extract_all(word, '.') AS s FROM (
+                SELECT DISTINCT wl[i] AS word
+                FROM docs, UNNEST(range(1, len(wl) + 1)) AS t(i)) v),
+        {_bpe_apply_sql(1)},
+        {_bpe_apply_sql(2)},
+        {_bpe_apply_sql(3)},
+        w AS (
+            SELECT doc_id, wl[i] AS word
+            FROM docs, UNNEST(range(1, len(wl) + 1)) AS t(i)),
+        per_doc AS (
+            SELECT w.doc_id,
+                   CAST(sum(len(v.s)) AS BIGINT) AS n_tokens
+            FROM w JOIN vocab3 v ON v.word = w.word
+            GROUP BY w.doc_id),
+        folded AS (
+            SELECT d.split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(coalesce(p.n_tokens, 0)) AS BIGINT)
+                       AS total_tokens
+            FROM docs d LEFT JOIN per_doc p
+                ON p.doc_id = d.doc_id
+            GROUP BY d.split)
+        SELECT split, n_docs, total_chars, total_tokens,
+               CASE WHEN total_tokens > 0
+                    THEN CAST(total_chars * 1000000 // total_tokens
+                              AS BIGINT) END AS chars_per_token_e6
+        FROM folded
+    """,
+    # naive per-cluster window over the same unrolled Lloyd rounds the
+    # ann_ivf_trained_recall oracle runs
+    "cluster_balanced_sample": f"""
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        samp AS (
+            SELECT id, rn - 1 AS j FROM (
+                SELECT id, row_number() OVER (
+                    ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) AS rn
+                FROM emb) s
+            WHERE rn <= 8),
+        cent0 AS (SELECT s.j, c.d, c.x FROM samp s JOIN comp c USING (id)),
+        {_lloyd_round_sql(1)},
+        {_lloyd_round_sql(2)},
+        {_lloyd_round_sql(3)},
+        distf AS (
+            SELECT v.id, c.j,
+                   CAST(sum((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dd
+            FROM comp v JOIN cent3 c USING (d) GROUP BY v.id, c.j),
+        asgf AS (
+            SELECT id, j FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                                                 ORDER BY dd, j) AS rn
+                FROM distf) x WHERE rn = 1),
+        ranked AS (
+            SELECT j, id,
+                   row_number() OVER (PARTITION BY j
+                       ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+            FROM asgf)
+        SELECT CAST(j AS INTEGER) AS list, id AS vec_id,
+               CAST(rn AS INTEGER) AS rank_in_list
+        FROM ranked WHERE rn <= 8
+    """,
+    # exact percentile_disc decile bounds (quantile_exact's rank/count
+    # convention, single group) + the training_order shard idiom
+    "curriculum_order": """
+        WITH s AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+            FROM documents WHERE n_chars IS NOT NULL),
+        r AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rk,
+                   count(*) OVER () AS n
+            FROM s),
+        p AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS pct),
+        bounds AS (
+            SELECT p.pct, r.v AS b
+            FROM r JOIN p ON r.rk = (r.n * p.pct + 99) // 100),
+        keyed AS (
+            SELECT s.doc_id,
+                   (SELECT CAST(count(*) AS INTEGER) FROM bounds
+                    WHERE s.v > bounds.b) AS difficulty,
+                   md5(CAST(s.doc_id AS VARCHAR)) AS h,
+                   ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2))::INT
+                     % 32 AS shard
+            FROM s)
+        SELECT doc_id, difficulty, CAST(shard AS INTEGER) AS shard,
+               CAST(row_number() OVER (PARTITION BY difficulty, shard
+                                       ORDER BY h, doc_id) AS INTEGER) AS pos
+        FROM keyed
     """,
     "constraint_report": """
         SELECT * FROM (

@@ -23,8 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 COUNT_SCHEMA = StructType([
     StructField("key", StringType()),
@@ -773,3 +773,68 @@ def streaming_quantile_sketch(df: DataFrame, group_col: str,
     from kafka_connect_streams_spark.operators.frequency import (
         quantile_sketch)
     return quantile_sketch(df, group_col, value_col, width)
+
+
+QUOTA_SCHEMA = StructType([
+    StructField("list", IntegerType()),
+    StructField("vec_id", LongType()),
+    StructField("rank_in_list", IntegerType()),
+])
+_QUOTA_STATE = StructType([
+    StructField("hs", ArrayType(StringType())),
+    StructField("ids", ArrayType(LongType())),
+])
+
+
+def streaming_cluster_quota(df: DataFrame, coarse: list,
+                            quota: int = 8) -> DataFrame:
+    """Streaming form of the cluster-balanced quota sample
+    (queries.q_cluster_balanced_sample): the curation sampler running ON
+    the ingest stream instead of over a finished corpus.
+
+    Each arriving embedding is assigned to its coarse cluster in-row
+    (argmin over the broadcast pre-trained centroid matrix — training
+    stays a batch concern; the stream only applies the codebook, the
+    topk_cosine_ivf_inrow seam), and each cluster keeps the ``quota``
+    smallest ``(md5(id), id)`` members seen so far. Min-k over a set is
+    idempotent and order-insensitive, so state is |clusters| × quota
+    FOREVER and re-delivered rows are absorbed for free (the
+    streaming_hll replay story — no dedup pass needed under
+    at-least-once sources). Per trigger each cluster emits its current
+    members with ranks (update mode); once the stream drains, the
+    emission is row-identical to the batch operator over the same rows
+    (pinned in tests), so a consumer can cut over from the batch sample
+    to the live one with no schema or semantics change.
+    """
+    from kafka_connect_streams_spark.operators.similarity import (
+        _coarse_assign, _quantized)
+    assigned = df.select(
+        F.col("id"),
+        _coarse_assign(_quantized(F.col("embedding")), coarse)[0]["j"]
+        .alias("list"),
+        F.md5(F.col("id").cast("string")).alias("h"))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            members = set(zip(state.get[0], (int(i) for i in state.get[1])))
+        else:
+            members = set()
+        for pdf in batches:
+            for h, i in zip(pdf["h"], pdf["id"]):
+                members.add((str(h), int(i)))
+        top = sorted(members)[:quota]
+        state.update(([t[0] for t in top], [t[1] for t in top]))
+        yield pd.DataFrame({
+            "list": [int(key[0])] * len(top),
+            "vec_id": [t[1] for t in top],
+            "rank_in_list": list(range(1, len(top) + 1)),
+        })
+
+    return (assigned.groupBy("list")
+            .applyInPandasWithState(
+                update,
+                outputStructType=QUOTA_SCHEMA,
+                stateStructType=_QUOTA_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

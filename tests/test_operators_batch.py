@@ -2182,3 +2182,187 @@ class TestJlProjection:
             d2p += (ya - yb) ** 2
         assert got.dist2_orig == d2o and got.dist2_proj == d2p
         assert got.ratio_e6 == d2p * 250000 // d2o
+
+
+class TestBpePacking:
+    def test_matches_sequential_packing_of_real_tokens(self, spark, sf_dir):
+        """The bucketed window assignment must equal the naive
+        sequential walk: per bucket, docs in doc_id order accumulate
+        REAL bpe_encode token counts, and a doc's pack is
+        floor(prior_cum / budget) — recomputed in plain Python from
+        bpe_encode's own output."""
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+        from kafka_connect_streams_spark.operators.bpe import (bpe_encode,
+                                                               bpe_merges)
+        got = {(r.bucket, r.seq): (r.n_docs, r.pack_tokens)
+               for r in Q.q_bpe_packing(spark, sf_dir).collect()}
+        docs = load_tables(spark, sf_dir)["documents"]
+        mt = bpe_merges(spark, docs, "text", "doc_id", rounds=3).collect()
+        merges = [(r.lhs, r.rhs) for r in sorted(mt, key=lambda r: r.round)]
+        enc = bpe_encode(docs, "text", "doc_id", merges).collect()
+        import hashlib
+        from collections import defaultdict
+        per_bucket = defaultdict(list)
+        for r in enc:
+            b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4],
+                    16) % 32
+            per_bucket[b].append((r.doc_id, r.n_tokens))
+        want: dict = {}
+        for b, rows in per_bucket.items():
+            cum = 0
+            for _, n in sorted(rows):
+                seq = cum // 4096
+                nd, pt = want.get((b, seq), (0, 0))
+                want[(b, seq)] = (nd + 1, pt + n)
+                cum += n
+        assert got == want
+
+    def test_conserves_every_token(self, spark, sf_dir):
+        """No token is lost or double-counted: the packs' token mass
+        equals the corpus encode's token mass."""
+        from kafka_connect_streams_spark import queries as Q
+        packs = Q.q_bpe_packing(spark, sf_dir).agg(
+            F.sum("pack_tokens").alias("t"), F.sum("n_docs").alias("d")
+        ).collect()[0]
+        enc = Q.q_bpe_encode(spark, sf_dir).agg(
+            F.sum("n_tokens").alias("t"), F.count("*").alias("d")
+        ).collect()[0]
+        assert packs.t == enc.t and packs.d == enc.d
+
+
+class TestClusterBalancedSample:
+    def test_equals_naive_per_cluster_head(self, spark, sf_dir):
+        """The bin-offset semi-filter must reproduce the naive
+        per-cluster md5-order head exactly: same members, same ranks,
+        recomputed in plain Python from the assignment itself."""
+        import hashlib
+
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+        from kafka_connect_streams_spark.operators.similarity import (
+            _coarse_assign, _quantized, kmeans_coarse_centroids)
+        got = {(r.list, r.vec_id): r.rank_in_list
+               for r in Q.q_cluster_balanced_sample(spark, sf_dir).collect()}
+        emb = (load_tables(spark, sf_dir)["embeddings"]
+               .select(F.col("vec_id").alias("id"), "embedding"))
+        coarse = kmeans_coarse_centroids(emb, n_lists=8, iters=3)
+        asg = emb.select(
+            "id",
+            _coarse_assign(_quantized(F.col("embedding")), coarse)[0]["j"]
+            .alias("list")).collect()
+        from collections import defaultdict
+        by_list = defaultdict(list)
+        for r in asg:
+            by_list[r.list].append(
+                (hashlib.md5(str(r.id).encode()).hexdigest(), r.id))
+        want = {}
+        for lst, rows in by_list.items():
+            for rank, (_, vid) in enumerate(sorted(rows)[:8], start=1):
+                want[(lst, vid)] = rank
+        assert got == want
+
+    def test_quota_and_rank_contract(self, spark, sf_dir):
+        """At most 8 rows per cluster, ranks contiguous from 1."""
+        from collections import defaultdict
+
+        from kafka_connect_streams_spark import queries as Q
+        rows = Q.q_cluster_balanced_sample(spark, sf_dir).collect()
+        ranks = defaultdict(list)
+        for r in rows:
+            ranks[r.list].append(r.rank_in_list)
+        for lst, rs in ranks.items():
+            assert sorted(rs) == list(range(1, len(rs) + 1)), (lst, rs)
+            assert len(rs) <= 8
+
+
+class TestCurriculumOrder:
+    def test_difficulty_is_exact_decile_bucket(self, spark, sf_dir):
+        """Every document's difficulty must equal the count of exact
+        percentile_disc decile bounds (ceil-rank convention) strictly
+        below its n_chars — bounds recomputed by a plain Python sort."""
+        import math
+
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.catalog import load_tables
+        docs = {r.doc_id: r.n_chars
+                for r in load_tables(spark, sf_dir)["documents"]
+                .where(F.col("n_chars").isNotNull()).collect()}
+        vals = sorted(docs.values())
+        n = len(vals)
+        bounds = [vals[math.ceil(n * p / 100) - 1]
+                  for p in range(10, 100, 10)]
+        out = Q.q_curriculum_order(spark, sf_dir).collect()
+        assert len(out) == n
+        for r in out:
+            assert r.difficulty == sum(
+                1 for b in bounds if docs[r.doc_id] > b), r
+
+    def test_pos_contiguous_and_hash_ordered(self, spark, sf_dir):
+        """Within every (difficulty, shard): positions are 1..n and
+        follow (md5(doc_id), doc_id) order."""
+        import hashlib
+        from collections import defaultdict
+
+        from kafka_connect_streams_spark import queries as Q
+        groups = defaultdict(list)
+        for r in Q.q_curriculum_order(spark, sf_dir).collect():
+            groups[(r.difficulty, r.shard)].append(r)
+        for key, rows in groups.items():
+            rows.sort(key=lambda r: r.pos)
+            assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+            hashes = [(hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+                       r.doc_id) for r in rows]
+            assert hashes == sorted(hashes), key
+
+
+class TestBpeGeneralization:
+    def test_holdout_unseen_words_still_encode(self, spark):
+        """The eval's load-bearing property: words that appear ONLY in
+        the holdout split (the training never saw them) still encode
+        through the train-derived merge table, and the per-split folds
+        equal the Python reference encoder run with those merges."""
+        import hashlib
+        import re
+
+        from kafka_connect_streams_spark.operators.bpe import (bpe_encode,
+                                                                bpe_merges)
+        docs = [(i, t) for i, t in enumerate(
+            ["the cat the hat", "the thin thing", "then the lathe",
+             "that theft tithe", "bathe the moth", "myth of the month",
+             "zq zq vex", "the fox with zeal", "jumble quartz",
+             "the depth of the", "wobble xylem", "the theme the"])]
+        split = {i: ("train" if int(hashlib.md5(str(i).encode())
+                                    .hexdigest()[:4], 16) % 100 < 80
+                     else "holdout") for i, _ in docs}
+        assert set(split.values()) == {"train", "holdout"}
+        train_words = {w for i, t in docs if split[i] == "train"
+                       for w in re.split(r"\W+", t.lower()) if w}
+        hold_words = {w for i, t in docs if split[i] == "holdout"
+                      for w in re.split(r"\W+", t.lower()) if w}
+        assert hold_words - train_words  # the eval's raison d'être
+
+        df = spark.createDataFrame(docs, "doc_id long, text string") \
+                  .withColumn("n_chars", F.length("text"))
+        train_df = df.where(
+            (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 4), 16, 10).cast("int") % 100) < 80)
+        mt = bpe_merges(spark, train_df, "text", "doc_id",
+                        rounds=3).collect()
+        merges = [(r.lhs, r.rhs)
+                  for r in sorted(mt, key=lambda r: r.round)]
+        enc = {r.doc_id: r.n_tokens for r in
+               bpe_encode(df, "text", "doc_id", merges).collect()}
+
+        want: dict = {}
+        for i, t in docs:
+            n, _ = TestBpeEncode._py_encode(t, merges)
+            s = split[i]
+            d, c, tok = want.get(s, (0, 0, 0))
+            want[s] = (d + 1, c + len(t), tok + n)
+        got = {}
+        for s in ("train", "holdout"):
+            ids = [i for i, _ in docs if split[i] == s]
+            got[s] = (len(ids), sum(len(t) for i, t in docs if i in ids),
+                      sum(enc[i] for i in ids))
+        assert got == want

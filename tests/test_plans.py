@@ -531,18 +531,26 @@ def test_cosine_pair_topk_prunes_and_takes_ordered(spark, sf_dir):
 
 
 def test_bootstrap_ci_partial_agg_and_pruned_scan(spark, sf_dir):
-    """The ×32 replicate fan-out must collapse map-side (partial
-    aggregate between the explode and the 32-group shuffle — the
-    explode never materializes), the scan reads only the key and the
-    metric, and the only single-partition stage is the 32-row rank
-    window."""
+    """All 32 replicates aggregate IN-ROW as 64 map-side partial sums
+    (r10 rewrite: zero row amplification — the only Generate is the
+    32-struct reshape AFTER the single-row aggregate, never a corpus
+    explode), the scan reads only the key and the metric, and the
+    weight expressions are flat columns (codegen + subexpression
+    elimination), not interpreted lambdas."""
     import re
     df = Q.q_bootstrap_ci(spark, sf_dir)
     plan = physical_plan(df)
     assert has_partial_aggregate(df), plan
     cols = scan_read_schema(df)
     assert "o_orderdate" not in cols and "o_custkey" not in cols, cols
-    assert len(re.findall(r"SinglePartition", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # the reshape Generate sits above the aggregate, so the plan's
+    # Generate id must be SMALLER (closer to the root) than the first
+    # HashAggregate id in formatted numbering
+    gen = [int(m) for m in re.findall(r"\((\d+)\) Generate", plan)]
+    agg = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert len(gen) == 1 and agg and gen[0] > max(agg), plan
+    assert "lambdafunction" not in plan, plan
 
 
 def test_copurchase_pairs_in_row_expansion_topk(spark, sf_dir):
@@ -587,6 +595,73 @@ def test_bpe_fertility_single_scan_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert shuffle_count(df) == 1, plan
     assert has_partial_aggregate(df), plan
+
+
+def test_bpe_packing_prunes_token_ids_one_exchange(spark, sf_dir):
+    """Real-token packing must (a) never compute bpe_encode's token_ids
+    column — only n_tokens is consumed, so Catalyst must prune the
+    md5-affine id transform (its signature is the 12-char md5 slice) —
+    and (b) reuse the window's bucket partitioning for the
+    (bucket, seq) rollup: one scan, ONE exchange, no join."""
+    import re
+    df = Q.q_bpe_packing(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+    assert ", 1, 12" not in plan, plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_bpe_generalization_single_scan_no_join(spark, sf_dir):
+    """The split-fold rides the same map-only encode as bpe_fertility
+    (split + n_chars pass through via keep=): one pruned scan, one
+    O(splits) aggregation shuffle, no join, token_ids pruned."""
+    import re
+    df = Q.q_bpe_generalization(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+    assert ", 1, 12" not in plan, plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_cluster_balanced_sample_never_sorts_a_cluster(spark, sf_dir):
+    """The per-cluster quota must come from the bin-offset semi-filter,
+    not a per-cluster sort: the corpus-sized assignment reads ONCE from
+    the skinny checkpoint (no parquet re-scan of the fat embedding
+    column in the final plan), head bins arrive via broadcast join (no
+    shuffled join, no cartesian), and every window is partitioned."""
+    import re
+    df = Q.q_cluster_balanced_sample(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan, plan        # rides the checkpoint
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # every window spec names partition columns (never a global window)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "ASC" in spec or "DESC" in spec, plan
+    for args in re.findall(r"Arguments: \[sum[^\n]*\], \[([^\]]*)\],",
+                           plan):
+        assert args.strip(), plan
+
+
+def test_curriculum_order_constant_folds_bounds(spark, sf_dir):
+    """Decile boundaries must be inlined literals (constant-folded
+    comparisons — the filter-pushdown-friendly form), the n_chars
+    IsNotNull guard must reach the parquet scan, and positions come
+    from (difficulty, shard)-partitioned windows: one scan, one
+    shuffle, no join in the ordering pass."""
+    import re
+    df = Q.q_curriculum_order(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+    assert has_pushed_filter(df, "n_chars"), plan
+    assert re.search(r"n_chars#\d+L? > \d+", plan), plan
 
 
 def test_sorted_neighborhood_verify_runs_wide(spark, sf_dir):

@@ -1012,3 +1012,111 @@ def test_streaming_quantile_sketch_survives_restart(spark, tmp_path):
                                       latest.get((r.g, r.bucket), 0))
     assert latest[("x", 2)] == 17, latest   # restored 10 + new 7
     assert latest[("y", 0)] == 1, latest
+
+
+def test_streaming_cluster_quota_matches_batch_even_under_replay(
+        spark, tmp_path):
+    """The stream-built per-cluster quota sample must be row-identical
+    to the batch operator over the same corpus (same pre-trained
+    codebook, same min-k membership and ranks), and a FULL replay of
+    the source must change nothing — min-k over a set absorbs
+    re-deliveries, the streaming_hll story."""
+    from kafka_connect_streams_spark import queries as Q
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_cluster_quota)
+    from kafka_connect_streams_spark.operators.similarity import (
+        kmeans_coarse_centroids)
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {(r.list, r.vec_id): r.rank_in_list
+             for r in Q.q_cluster_balanced_sample(spark, sf_dir).collect()}
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select(F.col("vec_id").alias("id"), "embedding"))
+    coarse = kmeans_coarse_centroids(emb, n_lists=8, iters=3)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    emb.coalesce(2).write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema("id long, embedding array<float>")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = (streaming_cluster_quota(stream, coarse, quota=8)
+         .writeStream.format("memory").queryName("scq")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        # at-least-once: replay the whole corpus, drain again
+        emb.coalesce(1).write.mode("append").parquet(str(src / "a"))
+        q.processAllAvailable()
+        got = {(r.list, r.vec_id): r.rank_in_list
+               for r in spark.sql(
+                   "SELECT DISTINCT * FROM scq").collect()}
+    finally:
+        q.stop()
+    assert got == batch
+
+
+def test_streaming_cluster_quota_survives_restart(spark, tmp_path):
+    """Members admitted before a restart keep their seats after it
+    (state restores from the checkpoint): the post-restart membership
+    is the min-k over BOTH phases' ids."""
+    import hashlib
+
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_cluster_quota)
+
+    coarse = [[0, 0], [10000, 10000]]
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def start():
+        stream = (spark.readStream.schema("id long, embedding array<float>")
+                  .json(str(src)))
+        return (streaming_cluster_quota(stream, coarse, quota=2)
+                .writeStream
+                .foreachBatch(lambda df, eid: df
+                              .withColumn("_restarted",
+                                          F.lit(eid >= 1))
+                              .write.mode("append").parquet(str(out)))
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start())
+
+    def row(i, near):
+        v = [0.0001 * i, 0.0] if near == 0 else [1.0, 1.0 - 0.0001 * i]
+        return json.dumps({"id": i, "embedding": v})
+
+    with open(src / "a.json", "w") as f:
+        for i in (1, 2, 3):
+            f.write(row(i, 0) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(src / "b.json", "w") as f:
+        for i in (4, 5):
+            f.write(row(i, 0) + "\n")
+        f.write(row(6, 1) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want0 = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                   for i in (1, 2, 3, 4, 5))[:2]
+    # judge by the POST-RESTART emission only — the pre-restart epoch
+    # legitimately wrote different (partial-knowledge) ranks for the
+    # same members, and parquet read order is arbitrary
+    rows = [r for r in spark.read.parquet(str(out)).collect()
+            if r._restarted]
+    final0 = {r.vec_id: r.rank_in_list for r in rows if r.list == 0}
+    # the post-restart membership is exactly the min-k over BOTH phases
+    assert final0 == {vid: rank
+                      for rank, (_, vid) in enumerate(want0, start=1)}, \
+        (rows, want0)
+    assert any(r.list == 1 and r.vec_id == 6 and r.rank_in_list == 1
+               for r in rows)
