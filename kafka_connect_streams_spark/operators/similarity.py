@@ -813,3 +813,36 @@ def jl_projection(df: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b", "dist2_orig", "dist2_proj",
                     "ratio_e6")
             .orderBy("id_a"))
+
+
+def label_prototypes(vectors: DataFrame,
+                     label_col: str = "label") -> tuple[list, dict]:
+    """Per-label prototype vectors: the floor-average of each label's
+    quantized embeddings — class centroids for prototype-based curation
+    (compactness reports, mislabel detection, prototype selection).
+
+    Same exactness contract as :func:`kmeans_coarse_centroids`'s
+    recenter step (int64 dimension sums, truncating division mirrored by
+    the oracle's ``floor(sx / CAST(n AS DOUBLE))``), but grouped by an
+    EXISTING label instead of a learned assignment. Scale shape: ONE
+    map-side-combined shuffle of (label, 64 sums) — O(|labels|) rows
+    back to the driver regardless of corpus size — and the returned
+    matrix broadcasts into in-row expressions downstream (no centroid
+    join ever).
+
+    Returns ``(sorted_labels, {label: prototype_vector})``.
+    """
+    first = vectors.select("embedding").limit(1).collect()
+    if not first:
+        return [], {}
+    dim = len(first[0][0])
+    vq = (vectors.where(F.col(label_col).isNotNull())
+          .select(F.col(label_col).cast("int").alias("_l"),
+                  _quantized(F.col("embedding")).alias("_v")))
+    sums = vq.groupBy("_l").agg(
+        F.expr("count(*) AS _n"),
+        *[F.expr(f"sum(_v[{d}]) AS _s{d}") for d in range(dim)]).collect()
+    protos = {int(r["_l"]): [int(r[f"_s{d}"]) // int(r["_n"])
+                             for d in range(dim)]
+              for r in sums}
+    return sorted(protos), protos

@@ -1628,6 +1628,95 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shuffle_bucket", "pos"))
 
 
+def q_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype compactness report: each label's class
+    centroid (operators/similarity.py label_prototypes — int64
+    floor-average, the kmeans recenter convention) and how tightly its
+    members hug it: member count, mean and min cosine-to-own-prototype
+    (e6 fixed point — per-row cosines are doubles over identical ints,
+    floored to integers BEFORE the sum so the aggregate is
+    order-insensitive). The curation read: a low mean flags a diffuse
+    or mislabeled class; min pinpoints the worst member. Scale shape:
+    one bounded (label × dim) training shuffle, then ONE map-only scan
+    scoring against the broadcast prototype matrix (no centroid join)
+    and an O(|labels|) aggregate."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        _cosine, _dot, _lit_matrix, _quantized, label_prototypes)
+    t = load_tables(spark, sf_dir)
+    emb = (t["embeddings"]
+           .where(F.col("label").isNotNull())
+           .select(F.col("label").cast("int").alias("label"), "embedding"))
+    labels, protos = label_prototypes(emb)
+    if not labels:
+        return spark.createDataFrame(
+            [], "label int, n_members bigint, mean_cos_e6 bigint,"
+                " min_cos_e6 bigint")
+    mat = _lit_matrix([protos[lb] for lb in labels])
+    pn_sql = "array(" + ",".join(
+        f"{sum(v * v for v in protos[lb])}L" for lb in labels) + ")"
+    pos_sql = ("element_at(map(" + ",".join(
+        f"{lb}, {i}" for i, lb in enumerate(labels)) + "), label)")
+    scored = (emb.select("label", _quantized(F.col("embedding")).alias("_v"))
+              .withColumn("_pos", F.expr(pos_sql))
+              .withColumn("_c", F.element_at(mat, F.col("_pos") + 1))
+              .withColumn("_pn", F.element_at(F.expr(pn_sql),
+                                              F.col("_pos") + 1))
+              .withColumn("_cos", _cosine(_dot(F.col("_v"), F.col("_c")),
+                                          _dot(F.col("_v"), F.col("_v")),
+                                          F.col("_pn")))
+              .withColumn("_cos_e6", F.expr(
+                  "cast(floor(_cos * 1000000) as bigint)")))
+    return (scored.groupBy("label")
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("_cos_e6").alias("_se6"),
+                 F.min("_cos_e6").alias("min_cos_e6"))
+            .select("label", "n_members",
+                    F.expr("_se6 div n_members").alias("mean_cos_e6"),
+                    "min_cos_e6"))
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel / odd-one-out detection as a prototype confusion
+    matrix: every embedding scores against ALL label prototypes in-row
+    (argmax cosine, ties → lowest label — the _coarse_assign idiom with
+    cosine instead of L2) and the output counts members per
+    (own label, nearest prototype's label). Off-diagonal mass is the
+    label-noise signal a curation pipeline routes to re-annotation.
+    Scale shape: prototype training is one bounded shuffle; scoring is
+    ONE map-only scan against the broadcast matrix; the matrix
+    aggregate is O(|labels|²) keys."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        _cosine, _dot, _lit_matrix, _quantized, label_prototypes)
+    t = load_tables(spark, sf_dir)
+    emb = (t["embeddings"]
+           .where(F.col("label").isNotNull())
+           .select(F.col("label").cast("int").alias("label"), "embedding"))
+    labels, protos = label_prototypes(emb)
+    if not labels:
+        return spark.createDataFrame(
+            [], "label int, nearest_label int, n_members bigint")
+    mat = _lit_matrix([protos[lb] for lb in labels])
+    pn_sql = "array(" + ",".join(
+        f"{sum(v * v for v in protos[lb])}L" for lb in labels) + ")"
+    lab_sql = "array(" + ",".join(str(lb) for lb in labels) + ")"
+    qv = _quantized(F.col("embedding"))
+    darr = F.transform(
+        mat,
+        lambda c, j: F.struct(
+            (-_cosine(_dot(F.col("_v"), c),
+                      _dot(F.col("_v"), F.col("_v")),
+                      F.element_at(F.expr(pn_sql),
+                                   (j + 1).cast("int")))).alias("negcos"),
+            j.cast("int").alias("p")))
+    scored = (emb.select("label", qv.alias("_v"))
+              .withColumn("_pos", F.array_sort(darr)[0]["p"])
+              .withColumn("nearest_label",
+                          F.element_at(F.expr(lab_sql),
+                                       F.col("_pos") + 1)))
+    return (scored.groupBy("label", "nearest_label")
+            .agg(F.count("*").alias("n_members")))
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning order: each document gets a difficulty decile
     (by n_chars, the stand-in for a loss/complexity signal) and a
@@ -3556,7 +3645,11 @@ def _hard_negative_rank(emb: DataFrame, pairs: DataFrame,
 
     q = side(F.col("id") % 100 == 0, "q_id", "q_label", "_qv", "qn")
     c = side(None, "c_id", "c_label", "_cv", "cn")
-    scored = (pairs.join(F.broadcast(q), "q_id").join(c, "c_id")
+    # no broadcast hint on the anchor side: 1% of the corpus WITH
+    # vectors grows linearly and breaks any broadcast limit at 100 TB —
+    # AQE picks broadcast at small scale, partitioned hash join beyond
+    # (the same reasoning that removed the probe-join hint, r8 ADVICE)
+    scored = (pairs.join(q, "q_id").join(c, "c_id")
               .filter(F.col("q_label") != F.col("c_label"))
               .withColumn("cosine", _cosine(
                   _dot(F.col("_qv"), F.col("_cv")),
@@ -4230,6 +4323,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_generalization": q_bpe_generalization,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "curriculum_order": q_curriculum_order,
+    "embedding_prototypes": q_embedding_prototypes,
+    "label_noise": q_label_noise,
     "scd2_history": q_scd2_history,
 }
 
@@ -4248,14 +4343,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: dropped); (d) the later round-10 addition batches (bpe_packing
 #: real-token sequence packing, cluster_balanced_sample k-means
 #: quota sampling, curriculum_order difficulty-decile scheduling,
-#: bpe_generalization train/holdout tokenizer gap) plus bootstrap_ci,
-#: whose weights were re-derived this round (8 digests/row, in-row
-#: replicate aggregation — oracle changed in lockstep);
-#: (e) the remaining 5 slots from the r06 cohort in registry order
-#: (curation_pipeline, audio_segments, bigram_topk,
-#: boilerplate_removal and dedup_ngram_jaccard ceded their slots to
-#: the additions; their r06 rows stay inside the
-#: zero-older-than-r06 criterion).
+#: bpe_generalization train/holdout tokenizer gap, embedding_prototypes
+#: per-label compactness, label_noise prototype confusion matrix) plus
+#: bootstrap_ci, whose weights were re-derived this round
+#: (8 digests/row, in-row replicate aggregation — oracle changed in
+#: lockstep); (e) the remaining 3 slots from the r06 cohort in
+#: registry order (curation_pipeline, audio_segments, bigram_topk,
+#: boilerplate_removal, dedup_ngram_jaccard, pps_sample and
+#: pagerank_types ceded their slots to the additions; their r06 rows
+#: stay inside the zero-older-than-r06 criterion).
 #: After this round no latest row is older than r06.
 #: All 50 were locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
@@ -4277,8 +4373,8 @@ _R10_WINDOW = [
     "sorted_neighborhood", "hard_negatives", "hard_negatives_recall",
     "bpe_packing", "cluster_balanced_sample", "curriculum_order",
     "bpe_generalization", "bootstrap_ci",
+    "embedding_prototypes", "label_noise",
     "dsir_importance", "resample_gapfill", "anomaly_zscore",
-    "pps_sample", "pagerank_types",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
@@ -8852,6 +8948,89 @@ ORACLE: dict[str, str] = {
                     THEN CAST(total_chars * 1000000 // total_tokens
                               AS BIGINT) END AS chars_per_token_e6
         FROM folded
+    """,
+    # per-label floor-average centroids (the kmeans recenter
+    # convention), own-prototype cosine floored to e6 BEFORE the sum
+    "embedding_prototypes": """
+        WITH emb AS (SELECT vec_id AS id, CAST(label AS INTEGER) AS label,
+                            embedding
+                     FROM embeddings WHERE label IS NOT NULL),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, label, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        sums AS (
+            SELECT label, d, CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM comp GROUP BY label, d),
+        cent AS (
+            SELECT label, d,
+                   CAST(floor(sx / CAST(n AS DOUBLE)) AS BIGINT) AS cx
+            FROM sums),
+        pn AS (SELECT label, CAST(sum(cx * cx) AS BIGINT) AS pn
+               FROM cent GROUP BY label),
+        dots AS (
+            SELECT v.id, v.label,
+                   CAST(sum(v.x * c.cx) AS BIGINT) AS dot,
+                   CAST(sum(v.x * v.x) AS BIGINT) AS nv
+            FROM comp v JOIN cent c ON c.label = v.label AND c.d = v.d
+            GROUP BY v.id, v.label),
+        cosr AS (
+            SELECT d.label,
+                   CAST(floor(CAST(d.dot AS DOUBLE)
+                              / sqrt(CAST(d.nv AS DOUBLE)
+                                     * CAST(p.pn AS DOUBLE))
+                              * 1000000) AS BIGINT) AS cos_e6
+            FROM dots d JOIN pn p USING (label))
+        SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(cos_e6) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS mean_cos_e6,
+               CAST(min(cos_e6) AS BIGINT) AS min_cos_e6
+        FROM cosr GROUP BY label
+    """,
+    # every member scored against ALL prototypes; argmax cosine with
+    # ties -> lowest label, counted per (own, nearest)
+    "label_noise": """
+        WITH emb AS (SELECT vec_id AS id, CAST(label AS INTEGER) AS label,
+                            embedding
+                     FROM embeddings WHERE label IS NOT NULL),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, label, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        sums AS (
+            SELECT label, d, CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM comp GROUP BY label, d),
+        cent AS (
+            SELECT label, d,
+                   CAST(floor(sx / CAST(n AS DOUBLE)) AS BIGINT) AS cx
+            FROM sums),
+        pn AS (SELECT label, CAST(sum(cx * cx) AS BIGINT) AS pn
+               FROM cent GROUP BY label),
+        nv AS (SELECT id, CAST(sum(x * x) AS BIGINT) AS nv
+               FROM comp GROUP BY id),
+        alldots AS (
+            SELECT v.id, v.label AS own, c.label AS plabel,
+                   CAST(sum(v.x * c.cx) AS BIGINT) AS dot
+            FROM comp v JOIN cent c ON c.d = v.d
+            GROUP BY v.id, v.label, c.label),
+        coss AS (
+            SELECT a.id, a.own, a.plabel,
+                   CAST(a.dot AS DOUBLE)
+                       / sqrt(CAST(n.nv AS DOUBLE)
+                              * CAST(p.pn AS DOUBLE)) AS cosv
+            FROM alldots a JOIN nv n ON n.id = a.id
+            JOIN pn p ON p.label = a.plabel),
+        arg AS (
+            SELECT id, own, plabel FROM (
+                SELECT id, own, plabel,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY cosv DESC, plabel) AS rn
+                FROM coss) x WHERE rn = 1)
+        SELECT own AS label, plabel AS nearest_label,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM arg GROUP BY own, plabel
     """,
     # naive per-cluster window over the same unrolled Lloyd rounds the
     # ann_ivf_trained_recall oracle runs

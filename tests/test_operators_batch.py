@@ -2366,3 +2366,94 @@ class TestBpeGeneralization:
             got[s] = (len(ids), sum(len(t) for i, t in docs if i in ids),
                       sum(enc[i] for i in ids))
         assert got == want
+
+
+class TestEmbeddingPrototypes:
+    @staticmethod
+    def _py_protos(rows):
+        """Python reference: quantize, per-label floor-average."""
+        import math
+        from collections import defaultdict
+        acc: dict = defaultdict(lambda: None)
+        cnt: dict = defaultdict(int)
+        for lb, vec in rows:
+            q = [math.floor(float(x) * 10000.0 + 0.5) for x in vec]
+            if acc[lb] is None:
+                acc[lb] = [0] * len(q)
+            acc[lb] = [a + b for a, b in zip(acc[lb], q)]
+            cnt[lb] += 1
+        return {lb: [math.floor(s / cnt[lb]) for s in acc[lb]]
+                for lb in acc}
+
+    def test_prototype_is_floor_average(self, spark, sf_dir):
+        from kafka_connect_streams_spark.operators.similarity import (
+            label_prototypes)
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .where(F.col("label").isNotNull())
+               .select(F.col("label").cast("int").alias("label"),
+                       "embedding"))
+        labels, protos = label_prototypes(emb, "label")
+        rows = [(r.label, list(r.embedding)) for r in emb.collect()]
+        want = self._py_protos(rows)
+        assert labels == sorted(want)
+        assert protos == want
+
+    def test_compactness_matches_python_cosines(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        from kafka_connect_streams_spark import queries as Q
+        got = {r.label: (r.n_members, r.mean_cos_e6, r.min_cos_e6)
+               for r in Q.q_embedding_prototypes(spark, sf_dir).collect()}
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .where(F.col("label").isNotNull())
+               .select(F.col("label").cast("int").alias("label"),
+                       "embedding"))
+        rows = [(r.label, list(r.embedding)) for r in emb.collect()]
+        protos = self._py_protos(rows)
+        e6 = defaultdict(list)
+        for lb, vec in rows:
+            q = [math.floor(float(x) * 10000.0 + 0.5) for x in vec]
+            c = protos[lb]
+            dot = sum(a * b for a, b in zip(q, c))
+            nv = sum(a * a for a in q)
+            pn = sum(a * a for a in c)
+            e6[lb].append(math.floor(dot / math.sqrt(nv * pn) * 1000000))
+        # mean uses TRUNCATING integer division on both engines
+        # (Spark div == DuckDB //), so mirror truncation, not floor
+        want = {}
+        for lb, v in e6.items():
+            s = sum(v)
+            trunc = s // len(v) if s >= 0 else -((-s) // len(v))
+            want[lb] = (len(v), trunc, min(v))
+        assert got == want
+
+
+class TestLabelNoise:
+    def test_nearest_matches_python_argmax(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        from kafka_connect_streams_spark import queries as Q
+        got = {(r.label, r.nearest_label): r.n_members
+               for r in Q.q_label_noise(spark, sf_dir).collect()}
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .where(F.col("label").isNotNull())
+               .select(F.col("label").cast("int").alias("label"),
+                       "embedding"))
+        rows = [(r.label, list(r.embedding)) for r in emb.collect()]
+        protos = TestEmbeddingPrototypes._py_protos(rows)
+        labels = sorted(protos)
+        pns = {lb: sum(a * a for a in protos[lb]) for lb in labels}
+        want: dict = defaultdict(int)
+        for lb, vec in rows:
+            q = [math.floor(float(x) * 10000.0 + 0.5) for x in vec]
+            nv = sum(a * a for a in q)
+            best = max(
+                labels,
+                key=lambda p: (sum(a * b for a, b in zip(q, protos[p]))
+                               / math.sqrt(nv * pns[p]), -p))
+            want[(lb, best)] += 1
+        assert got == dict(want)
+        # every member is counted exactly once
+        assert sum(got.values()) == len(rows)

@@ -494,11 +494,12 @@ def test_hard_negatives_bucketed_no_cartesian(spark, sf_dir):
     """Hard-negative candidate generation must be LSH-bucket-local
     (round-7 verdict: the crossJoin anchors × corpus shape grows
     quadratically with the corpus) — no cartesian/nested-loop pair
-    build. The probe-candidate join deliberately carries NO broadcast
-    hint (r8 ADVICE: the probe side is ~0.36 rows/corpus row, so a
-    forced broadcast is linear in corpus size); AQE/Catalyst may still
-    choose broadcast at this scale, so the pin is equi-join-only, not
-    broadcast-present."""
+    build. NEITHER the probe-candidate join NOR the anchor-vector
+    rescore join carries a broadcast hint (r8 ADVICE + r10: probe side
+    ~0.36 rows/corpus row, anchor side 1% of the corpus WITH vectors —
+    both grow linearly, so a forced broadcast breaks past any limit at
+    100 TB); AQE/Catalyst may still choose broadcast at this scale, so
+    the pin is equi-join-only, not broadcast-present."""
     df = Q.q_hard_negatives(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
@@ -625,6 +626,21 @@ def test_bpe_generalization_single_scan_no_join(spark, sf_dir):
     assert shuffle_count(df) == 1, plan
     assert ", 1, 12" not in plan, plan
     assert has_partial_aggregate(df), plan
+
+
+def test_label_noise_scores_in_row_no_join(spark, sf_dir):
+    """Prototype scoring must be an in-row argmax over the broadcast
+    literal matrix — never a centroid join: the scoring plan is one
+    pruned scan, zero joins, one O(|labels|²) aggregation shuffle.
+    Same contract for the compactness report."""
+    import re
+    for fn in (Q.q_label_noise, Q.q_embedding_prototypes):
+        df = fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "Join" not in plan, plan
+        assert shuffle_count(df) == 1, plan
+        assert has_partial_aggregate(df), plan
 
 
 def test_cluster_balanced_sample_never_sorts_a_cluster(spark, sf_dir):
