@@ -1413,6 +1413,46 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("bucket", F.col("bucket").cast("int")))
 
 
+def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-FILL sequence packing: unlike sequence_packing (documents
+    never split, packs over/under-fill), every pack here is exactly
+    2048 tokens — documents SPLIT across pack boundaries and the output
+    is the (pack, document, token-span) manifest a fixed-context
+    trainer actually loads: for each document and each pack it
+    intersects, the in-document start offset and span length. Pure
+    arithmetic over the same bucketed running sum (a doc spanning
+    packs floor(prior/B)..floor((prior+n-1)/B) explodes into that
+    bounded range — total spans ≤ docs + total_tokens/B, never a
+    corpus blow-up), so the plan stays one scan + ONE bucket shuffle,
+    embarrassingly parallel across the 32 md5 buckets."""
+    t = load_tables(spark, sf_dir)
+    budget = 2048
+    toks = t["documents"].select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                        lambda x: F.length(x) > 0)).cast("bigint")
+        .alias("n_tok"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("int") % 32).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = (toks.where(F.col("n_tok") > 0)
+           .withColumn("cum", F.sum("n_tok").over(w))
+           .withColumn("prior", F.col("cum") - F.col("n_tok")))
+    spans = (cum.select(
+        "doc_id", "bucket", "n_tok", "prior",
+        F.explode(F.sequence(
+            F.expr(f"prior div {budget}"),
+            F.expr(f"(cum - 1) div {budget}"))).alias("seq")))
+    return (spans.select(
+        F.col("bucket"),
+        F.col("seq").cast("int").alias("seq"),
+        "doc_id",
+        F.expr(f"greatest(0L, seq * {budget} - prior)").alias("start_tok"),
+        (F.expr(f"least(n_tok, (seq + 1) * {budget} - prior)")
+         - F.expr(f"greatest(0L, seq * {budget} - prior)"))
+        .alias("n_tok_in_pack")))
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the skew-prone event stream:
     (event_type, salt) partial counts/sums → final combine. The result is
@@ -4325,6 +4365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order": q_curriculum_order,
     "embedding_prototypes": q_embedding_prototypes,
     "label_noise": q_label_noise,
+    "pack_spans": q_pack_spans,
     "scd2_history": q_scd2_history,
 }
 
@@ -4344,14 +4385,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: real-token sequence packing, cluster_balanced_sample k-means
 #: quota sampling, curriculum_order difficulty-decile scheduling,
 #: bpe_generalization train/holdout tokenizer gap, embedding_prototypes
-#: per-label compactness, label_noise prototype confusion matrix) plus
-#: bootstrap_ci, whose weights were re-derived this round
-#: (8 digests/row, in-row replicate aggregation — oracle changed in
-#: lockstep); (e) the remaining 3 slots from the r06 cohort in
-#: registry order (curation_pipeline, audio_segments, bigram_topk,
-#: boilerplate_removal, dedup_ngram_jaccard, pps_sample and
-#: pagerank_types ceded their slots to the additions; their r06 rows
-#: stay inside the zero-older-than-r06 criterion).
+#: per-label compactness, label_noise prototype confusion matrix,
+#: pack_spans exact-fill split packing) plus bootstrap_ci, whose
+#: weights were re-derived this round (8 digests/row, in-row replicate
+#: aggregation — oracle changed in lockstep); (e) the remaining
+#: 2 slots from the r06 cohort in registry order (curation_pipeline,
+#: audio_segments, bigram_topk, boilerplate_removal,
+#: dedup_ngram_jaccard, pps_sample, pagerank_types and anomaly_zscore
+#: ceded their slots to the additions; their r06 rows stay inside the
+#: zero-older-than-r06 criterion).
 #: After this round no latest row is older than r06.
 #: All 50 were locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
@@ -4373,8 +4415,8 @@ _R10_WINDOW = [
     "sorted_neighborhood", "hard_negatives", "hard_negatives_recall",
     "bpe_packing", "cluster_balanced_sample", "curriculum_order",
     "bpe_generalization", "bootstrap_ci",
-    "embedding_prototypes", "label_noise",
-    "dsir_importance", "resample_gapfill", "anomaly_zscore",
+    "embedding_prototypes", "label_noise", "pack_spans",
+    "dsir_importance", "resample_gapfill",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
@@ -8948,6 +8990,33 @@ ORACLE: dict[str, str] = {
                     THEN CAST(total_chars * 1000000 // total_tokens
                               AS BIGINT) END AS chars_per_token_e6
         FROM folded
+    """,
+    # exact-fill packing: every doc explodes into the bounded range of
+    # packs it intersects; spans are pure window arithmetic
+    "pack_spans": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> length(x) > 0)) AS BIGINT) AS n_tok,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                     % 32 AS bucket
+            FROM documents),
+        cum AS (
+            SELECT doc_id, bucket, n_tok,
+                   CAST(sum(n_tok) OVER (PARTITION BY bucket
+                                         ORDER BY doc_id) AS BIGINT) AS cum
+            FROM toks WHERE n_tok > 0),
+        spans AS (
+            SELECT doc_id, bucket, n_tok, cum - n_tok AS prior, s.seq
+            FROM cum, UNNEST(generate_series((cum - n_tok) // 2048,
+                                             (cum - 1) // 2048)) AS s(seq))
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(seq AS INTEGER) AS seq, doc_id,
+               CAST(greatest(0, seq * 2048 - prior) AS BIGINT) AS start_tok,
+               CAST(least(n_tok, (seq + 1) * 2048 - prior)
+                    - greatest(0, seq * 2048 - prior) AS BIGINT)
+                   AS n_tok_in_pack
+        FROM spans
     """,
     # per-label floor-average centroids (the kmeans recenter
     # convention), own-prototype cosine floored to e6 BEFORE the sum

@@ -2457,3 +2457,44 @@ class TestLabelNoise:
         assert got == dict(want)
         # every member is counted exactly once
         assert sum(got.values()) == len(rows)
+
+
+class TestPackSpans:
+    def test_spans_reconstruct_docs_and_fill_packs_exactly(
+            self, spark, sf_dir):
+        """The exact-fill contract: per document the spans are
+        contiguous from token 0 and sum to its token count; per
+        (bucket, pack) the spans sum to exactly 2048 tokens for every
+        pack except each bucket's last."""
+        from collections import defaultdict
+
+        from kafka_connect_streams_spark import queries as Q
+        rows = Q.q_pack_spans(spark, sf_dir).collect()
+        per_doc = defaultdict(list)
+        per_pack = defaultdict(int)
+        for r in rows:
+            per_doc[r.doc_id].append((r.start_tok, r.n_tok_in_pack))
+            per_pack[(r.bucket, r.seq)] += r.n_tok_in_pack
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id",
+                        F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                                        lambda x: F.length(x) > 0))
+                        .cast("bigint").alias("n_tok")).collect())
+        want_tok = {r.doc_id: r.n_tok for r in docs if r.n_tok > 0}
+        assert set(per_doc) == set(want_tok)
+        for did, spans in per_doc.items():
+            spans.sort()
+            assert spans[0][0] == 0
+            pos = 0
+            for start, n in spans:
+                assert start == pos and n > 0, (did, spans)
+                pos += n
+            assert pos == want_tok[did], (did, spans)
+        last_per_bucket = {}
+        for (b, s) in per_pack:
+            last_per_bucket[b] = max(last_per_bucket.get(b, -1), s)
+        for (b, s), tot in per_pack.items():
+            if s < last_per_bucket[b]:
+                assert tot == 2048, (b, s, tot)
+            else:
+                assert 0 < tot <= 2048, (b, s, tot)

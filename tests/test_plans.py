@@ -628,6 +628,18 @@ def test_bpe_generalization_single_scan_no_join(spark, sf_dir):
     assert has_partial_aggregate(df), plan
 
 
+def test_pack_spans_single_bucket_shuffle(spark, sf_dir):
+    """Exact-fill packing must stay one scan + ONE bucket shuffle: the
+    doc→packs explode is bounded arithmetic over the running sum (total
+    spans ≤ docs + tokens/budget), never a join or a second pass."""
+    import re
+    df = Q.q_pack_spans(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+
+
 def test_label_noise_scores_in_row_no_join(spark, sf_dir):
     """Prototype scoring must be an in-row argmax over the broadcast
     literal matrix — never a centroid join: the scoring plan is one
