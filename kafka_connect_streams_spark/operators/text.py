@@ -338,33 +338,57 @@ def repetition_signals(df: DataFrame, text_col: str,
     catch boilerplate/spam (MassiveText-style filters): distinct-token
     ratio, most-frequent-token share, duplicate-bigram fraction.
 
-    Bigram metrics are pure in-row array expressions; the top-token share
-    needs a per-(doc, token) count, which is one shuffle of (id, token)
-    pairs followed by a per-doc aggregate. Ratios are exact e9 fixed-point
-    integers (``floor(num·1e9/den)`` via integral division) so the numbers
-    hash identically on any engine — the cross-engine lesson from the
-    ROUND(double) failures.
+    EVERY signal is an in-row array expression — the operator is
+    map-only (one pruned scan, zero shuffles, zero joins; plan-pinned).
+    r10 rewrite, measured 6.2 s → <1 s at sf0.1, two findings:
+    (1) the tokenize cascade MUST bind to a projected column (`_toks`)
+    before anything indexes it — referencing the raw `_tok_array(...)`
+    expression inside the per-position bigram lambda re-tokenized the
+    document at EVERY position, O(len²) per doc (the inlining trap's
+    transform-lambda form; binding measured 11× on the bigram pass
+    alone — CollapseProject keeps the boundary because the reference
+    is non-cheap and multiply-used); (2) the top-token count folds
+    in-row as the max RUN of the SORTED token array (max multiplicity
+    ≡ max sorted run), replacing the corpus-wide (id, token) explode +
+    two-level groupBy — at 100 TB that shuffle was the only shuffle in
+    the operator. The empty-doc filter uses the cheap precursor
+    predicate (`text rlike '\\w'` ⟺ toks nonempty), never
+    `size(_toks) > 0`, so the pushed scan filter stays trivial.
+    Ratios are exact e9 fixed-point integers (``floor(num·1e9/den)``
+    via integral division) so the numbers hash identically on any
+    engine — the cross-engine lesson from the ROUND(double) failures.
     """
-    toks = _tok_array(text_col)
+    base = (df.where(F.coalesce(F.col(text_col), F.lit(""))
+                     .rlike("\\w"))
+            .select(F.col(id_col), _tok_array(text_col).alias("_toks")))
+    tb = F.col("_toks")
     # bigrams with the shingles() short-doc convention: a 1-token doc yields
     # its single token as one "bigram" (sequence floor at 0)
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
-    inrow = (df.select(
+        F.sequence(F.lit(0), F.greatest(F.size(tb) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(tb, i + 1, 2), " "))
+    top_cnt = F.expr(
+        "aggregate(array_sort(_toks),"
+        " named_struct('prev', cast(null as string),"
+        "              'run', cast(0 as bigint),"
+        "              'best', cast(0 as bigint)),"
+        " (a, t) -> named_struct("
+        "   'prev', t,"
+        "   'run', IF(a.prev IS NOT NULL AND t = a.prev,"
+        "             a.run + 1, cast(1 as bigint)),"
+        "   'best', greatest(a.best,"
+        "     IF(a.prev IS NOT NULL AND t = a.prev,"
+        "        a.run + 1, cast(1 as bigint)))),"
+        " a -> a.best)")
+    per_doc = base.select(
         F.col(id_col),
+        F.size(tb).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tb)).cast("bigint").alias("n_distinct"),
+        top_cnt.alias("top_cnt"),
         F.size(bigrams).alias("n_bigrams"),
-        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams")))
-    tok_rows = df.select(
-        F.col(id_col), F.explode(toks).alias("token"))
-    per_tok = tok_rows.groupBy(id_col, "token").agg(
-        F.count("*").alias("c"))
-    per_doc = per_tok.groupBy(id_col).agg(
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_cnt"))
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"))
     e9 = "CAST(1000000000 AS BIGINT)"
-    return (per_doc.join(inrow, id_col)
+    return (per_doc
             .select(
                 F.col(id_col), "n_tokens", "n_distinct",
                 F.expr(f"(n_distinct * {e9}) DIV n_tokens")
@@ -636,9 +660,23 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                "(acc, tk) -> acc + length(tk))").alias("_chars"),
         F.size(F.array_distinct(F.col("toks"))).cast("bigint")
          .alias("n_distinct"),
-        F.expr("CASE WHEN size(toks) > 0 THEN array_max(transform("
-               "array_distinct(toks), d -> size(filter(toks, t -> t = d)))) "
-               "ELSE 0 END").cast("bigint").alias("_top"),
+        # max multiplicity as the max RUN of the sorted array — the
+        # distinct × filter form was O(n_distinct · len) per row
+        # (quadratic on long docs); the sorted-run fold is O(n log n)
+        # and value-identical (repetition_signals r10 finding)
+        F.expr(
+            "aggregate(array_sort(toks),"
+            " named_struct('prev', cast(null as string),"
+            "              'run', cast(0 as bigint),"
+            "              'best', cast(0 as bigint)),"
+            " (a, t) -> named_struct("
+            "   'prev', t,"
+            "   'run', IF(a.prev IS NOT NULL AND t = a.prev,"
+            "             a.run + 1, cast(1 as bigint)),"
+            "   'best', greatest(a.best,"
+            "     IF(a.prev IS NOT NULL AND t = a.prev,"
+            "        a.run + 1, cast(1 as bigint)))),"
+            " a -> a.best)").cast("bigint").alias("_top"),
         F.expr("transform(sequence(0, greatest(size(toks) - 2, 0)), "
                "i -> array_join(slice(toks, i + 1, 2), ' '))").alias("_bg"))
     e9 = "CAST(1000000000 AS BIGINT)"

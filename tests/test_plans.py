@@ -628,6 +628,22 @@ def test_bpe_generalization_single_scan_no_join(spark, sf_dir):
     assert has_partial_aggregate(df), plan
 
 
+def test_text_repetition_is_map_only(spark, sf_dir):
+    """r10 rewrite: every repetition signal folds in-row — one pruned
+    scan, ZERO shuffles, no join, no explode. The former (id, token)
+    explode + two-level groupBy was the operator's only shuffle, and
+    the unbound tokenize expression re-evaluated inside the bigram
+    lambda (O(len²) per doc) — binding `_toks` first measured 11× on
+    the bigram pass, 7× on the operator."""
+    import re
+    df = Q.q_text_repetition(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 0, plan
+    assert "Generate" not in plan, plan
+
+
 def test_pack_spans_single_bucket_shuffle(spark, sf_dir):
     """Exact-fill packing must stay one scan + ONE bucket shuffle: the
     doc→packs explode is bounded arithmetic over the running sum (total
