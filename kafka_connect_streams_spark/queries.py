@@ -1740,15 +1740,18 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sum(v * v for v in protos[lb])}L" for lb in labels) + ")"
     lab_sql = "array(" + ",".join(str(lb) for lb in labels) + ")"
     qv = _quantized(F.col("embedding"))
+    # the self-norm binds ONCE before the argmax — inside the lambda it
+    # would recompute per matrix row (the text_repetition binding lesson)
     darr = F.transform(
         mat,
         lambda c, j: F.struct(
             (-_cosine(_dot(F.col("_v"), c),
-                      _dot(F.col("_v"), F.col("_v")),
+                      F.col("_nv"),
                       F.element_at(F.expr(pn_sql),
                                    (j + 1).cast("int")))).alias("negcos"),
             j.cast("int").alias("p")))
     scored = (emb.select("label", qv.alias("_v"))
+              .withColumn("_nv", _dot(F.col("_v"), F.col("_v")))
               .withColumn("_pos", F.array_sort(darr)[0]["p"])
               .withColumn("nearest_label",
                           F.element_at(F.expr(lab_sql),
