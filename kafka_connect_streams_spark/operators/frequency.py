@@ -393,8 +393,16 @@ def quantile_sketch(df: DataFrame, group_col: str, value_col,
     size ``width`` to the precision the consumer needs, not to the
     data volume — the sketch never grows with row count.
 
-    ``value_col`` must already be integer units (e.g. cents); rows
-    with NULL value are excluded on both engines (repo NULL policy)."""
+    ``value_col`` must already be NON-NEGATIVE integer units (e.g.
+    cents): bucketing uses truncating ``div``, so a negative value
+    would land in a bucket whose ``[lo, hi] = [bucket·width,
+    bucket·width + width − 1]`` interval does not contain it (bucket 0
+    would span ``(−width, width)``) and :func:`quantile_from_sketch`'s
+    ``err_bound`` contract would not hold. For signed domains, shift
+    by a known lower bound before sketching (exact, reversible) rather
+    than floor-dividing — a floor-div variant would also change the
+    DuckDB twin. Rows with NULL value are excluded on both engines
+    (repo NULL policy)."""
     v = F.col(value_col).cast("bigint") if isinstance(value_col, str) \
         else value_col.cast("bigint")
     return (df.where(v.isNotNull())

@@ -816,7 +816,8 @@ def jl_projection(df: DataFrame, id_col: str, vec_col: str,
 
 
 def label_prototypes(vectors: DataFrame,
-                     label_col: str = "label") -> tuple[list, dict]:
+                     label_col: str = "label",
+                     vec_col: str = "embedding") -> tuple[list, dict]:
     """Per-label prototype vectors: the floor-average of each label's
     quantized embeddings — class centroids for prototype-based curation
     (compactness reports, mislabel detection, prototype selection).
@@ -832,13 +833,15 @@ def label_prototypes(vectors: DataFrame,
 
     Returns ``(sorted_labels, {label: prototype_vector})``.
     """
-    first = vectors.select("embedding").limit(1).collect()
-    if not first:
+    # _vec_dims skips NULL/empty sample rows and honors vec_col — the
+    # hand-rolled limit-1 probe here raised TypeError on a NULL first
+    # embedding and hard-coded the column name (r10 ADVICE)
+    dim = _vec_dims(vectors, vec_col)
+    if dim == 0:
         return [], {}
-    dim = len(first[0][0])
     vq = (vectors.where(F.col(label_col).isNotNull())
           .select(F.col(label_col).cast("int").alias("_l"),
-                  _quantized(F.col("embedding")).alias("_v")))
+                  _quantized(F.col(vec_col)).alias("_v")))
     sums = vq.groupBy("_l").agg(
         F.expr("count(*) AS _n"),
         *[F.expr(f"sum(_v[{d}]) AS _s{d}") for d in range(dim)]).collect()

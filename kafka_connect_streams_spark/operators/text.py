@@ -262,6 +262,75 @@ def bm25_term_topk(df: DataFrame, text_col: str, id_col: str,
                     "score", F.col("rnk").cast("int").alias("rnk")))
 
 
+def bm25_multiterm(df: DataFrame, text_col: str, id_col: str,
+                   n_terms: int = 4, k: int = 25) -> DataFrame:
+    """Multi-term Okapi BM25 query scoring: the full retrieval shape —
+    per-document score = Σ over matched query terms of idf(t)·tfsat(t,d)
+    with k1=1.2, b=0.75 length normalization — as one corpus-wide top-k.
+    bm25_term_topk ranks docs WITHIN one term (idf rank-neutral there);
+    a real query has several terms, so idf weighting between terms now
+    decides the ranking and must be cross-engine exact.
+
+    Fixed-point discipline (hash-exact, no float-reduction order):
+
+    - ``tfsat_e9 = floor(1e9 · 20·tf·L / (20·tf·L + 6·L + 18·dl·N))``,
+      the bm25_term_topk integer rational; the single IEEE division and
+      multiply of identical int64-derived doubles is correctly rounded
+      on every engine, so the floor is bit-identical. int64/2^53 bound:
+      20·tf·L < 2^53 (tf·L < 4.5e14) — rescale L to per-million beyond.
+    - ``idf_e6 = floor(1e6 · ln((2N+2)/(2·df+1)))``, i.e. the Robertson
+      idf ln((N+1)/(df+0.5)) with the argument kept an exact int64
+      ratio. ln is evaluated on ≤ ``n_terms`` DISTINCT inputs total
+      (never per row), so the only cross-engine libm exposure is
+      ``n_terms`` floor boundaries at e6 granularity (~1e-9 straddle
+      odds per term on this data; the gate verifies at every SF).
+    - ``score_fp = Σ idf_e6 · tfsat_e9`` is a BIGINT sum — associative
+      and order-insensitive, so Spark's nondeterministic aggregation
+      order cannot flip a rank the way a double Σ could. Bound:
+      n_terms · 2e7 · 1e9 ≪ 2^63.
+
+    The "query" is self-contained: the ``n_terms`` highest-df terms
+    (ties → lexicographic). Scale shape: postings filter through the
+    BROADCAST query-term table (never a corpus-wide term shuffle), one
+    (doc)-keyed shuffle joins doc lengths, one small groupBy sums the
+    matched terms, and the global top-k is TakeOrderedAndProject — no
+    corpus sort. Ref parity: retrieval scoring the reference delegates
+    to ksql UDAFs; modeled on Robertson & Zaragoza 2009 (BM25).
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(_tok_array(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n_docs"),
+                    F.sum("dl").alias("l_total"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("docfreq"))
+    qterms = (docfreq.orderBy(F.col("docfreq").desc(), "term")
+              .limit(n_terms)
+              .crossJoin(F.broadcast(corpus))
+              .withColumn("idf_e6", F.expr(
+                  "cast(floor(1e6 * ln((2 * n_docs + 2) / "
+                  "cast(2 * docfreq + 1 as double))) as bigint)")))
+    cand = (tf.join(F.broadcast(qterms.select("term", "idf_e6")), "term")
+            .join(dl, id_col))
+    num = (F.col("tf") * F.lit(20)
+           * F.col("l_total")).cast("double")
+    den = (F.col("tf") * F.lit(20) * F.col("l_total")
+           + F.lit(6) * F.col("l_total")
+           + F.lit(18) * F.col("dl") * F.col("n_docs")).cast("double")
+    scored = (cand.crossJoin(F.broadcast(corpus))
+              .withColumn("tfsat_e9", F.floor(
+                  num / den * F.lit(1e9)).cast("bigint"))
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_terms_hit"),
+                   F.max("dl").alias("dl"),
+                   F.sum(F.col("idf_e6") * F.col("tfsat_e9"))
+                   .alias("score_fp")))
+    return (scored
+            .orderBy(F.col("score_fp").desc(), F.col(id_col))
+            .limit(k)
+            .select(F.col(id_col), "n_terms_hit", "dl", "score_fp"))
+
+
 def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
                       rates: dict[str, int], default_rate: int = 100) -> DataFrame:
     """Deterministic per-stratum downsampling: keep a row iff its md5-derived
@@ -848,6 +917,104 @@ def block_dedup(df: DataFrame, text_col: str, id_col: str,
             lambda t: F.length(t) > 0)).cast("bigint")
         .alias("kept_tokens"),
         F.md5(F.coalesce(F.col("_ktext"), F.lit(""))).alias("kept_fp"))
+
+
+def block_dedup_rolling(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 8) -> DataFrame:
+    """Rolling-window exact-substring dedup — the stride-1 upgrade of
+    :func:`block_dedup` that closes its boundary blind spot: fixed
+    ``size``-token blocks miss any shared span shorter than two blocks
+    that straddles a block boundary, while fingerprinting EVERY
+    overlapping ``k``-token window guarantees that any span of ≥ k
+    tokens shared with an earlier position (corpus order: doc_id, pos)
+    is detected — the detection guarantee of Lee et al.'s
+    suffix-array exact-substring pass at window granularity, via
+    fingerprints instead of a suffix array.
+
+    Semantics: window w at position p is a DUPLICATE iff its k-gram
+    fingerprint occurred at an earlier (doc_id, pos); every token
+    covered by a duplicate window is removed, and each document is
+    rebuilt from the surviving tokens in order. Within-document
+    repetition dedups the same way (first occurrence survives).
+
+    Scale shape (the fp_rejoin discipline): windows explode to
+    ``(id, pos, 16-byte fp)`` ONLY — text never rides the
+    first-occurrence window shuffle; duplicate positions aggregate to
+    one bounded array per doc; a second corpus scan re-joins the token
+    array by id and the reconstruction is IN-ROW: merge the sorted
+    duplicate positions into disjoint covered intervals (one O(|dups|)
+    fold), take the complement gaps, and slice the token array per gap
+    (O(n) total, never O(n·|dups|) per-token exists probes). Stride-1
+    windows are ~n rows/doc vs n/size for block_dedup — the price of
+    the guarantee; both shuffles carry fixed-width rows.
+    """
+    toks = _tok_array(text_col)
+    d = (df.select(F.col(id_col), toks.alias("_toks"))
+         .withColumn("_n", F.size("_toks"))
+         .filter(F.col("_n") > 0))
+    # fingerprint every stride-1 window; docs shorter than k have none
+    wins = (d.filter(F.col("_n") >= k)
+            .select(F.col(id_col), "_toks",
+                    F.explode(F.sequence(
+                        F.lit(0).cast("bigint"),
+                        (F.col("_n") - k).cast("bigint"))).alias("pos"))
+            .select(F.col(id_col), "pos",
+                    F.md5(F.array_join(
+                        F.slice(F.col("_toks"),
+                                (F.col("pos") + 1).cast("int"), k),
+                        " ")).alias("_wfp")))
+    w = Window.partitionBy("_wfp").orderBy(id_col, "pos")
+    dups = (wins.withColumn("_rn", F.row_number().over(w))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum((F.col("_rn") > 1).cast("bigint"))
+                 .alias("dup_windows"),
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("_rn") > 1, F.col("pos"))))
+                 .alias("_dp")))
+    joined = (d.join(dups, id_col, "left")
+              .select(F.col(id_col), "_toks", "_n",
+                      F.coalesce("n_windows", F.lit(0).cast("bigint"))
+                      .alias("n_windows"),
+                      F.coalesce("dup_windows", F.lit(0).cast("bigint"))
+                      .alias("dup_windows"),
+                      F.coalesce("_dp", F.expr(
+                          "cast(array() as array<bigint>)"))
+                      .alias("_dp")))
+    # in-row interval merge: sorted duplicate starts fold into disjoint
+    # covered spans [lo, hi); complement gaps slice the token array
+    merged = F.expr(f"""aggregate(_dp,
+        cast(array() as array<struct<lo: bigint, hi: bigint>>),
+        (acc, p) -> CASE
+            WHEN size(acc) > 0 AND p <= element_at(acc, -1).hi
+                THEN concat(slice(acc, 1, size(acc) - 1),
+                            array(named_struct(
+                                'lo', element_at(acc, -1).lo,
+                                'hi', greatest(element_at(acc, -1).hi,
+                                               p + {k}))))
+            ELSE concat(acc, array(named_struct('lo', p,
+                                                'hi', p + {k})))
+        END)""")
+    covered = joined.withColumn("_iv", merged)
+    gaps = F.expr("""filter(zip_with(
+        concat(array(cast(0 as bigint)), transform(_iv, x -> x.hi)),
+        concat(transform(_iv, x -> x.lo), array(cast(_n as bigint))),
+        (s, e) -> named_struct('s', s, 'e', e)),
+        g -> g.e > g.s)""")
+    ktext = F.expr("""array_join(flatten(transform(_gaps,
+        g -> slice(_toks, cast(g.s + 1 as int),
+                   cast(g.e - g.s as int)))), ' ')""")
+    return (covered.withColumn("_gaps", gaps)
+            .withColumn("_ktext", ktext)
+            .select(
+                F.col(id_col), "n_windows", "dup_windows",
+                F.size(F.filter(
+                    F.split(F.coalesce(F.col("_ktext"), F.lit("")),
+                            r"\s+"),
+                    lambda t: F.length(t) > 0)).cast("bigint")
+                .alias("kept_tokens"),
+                F.md5(F.coalesce(F.col("_ktext"), F.lit("")))
+                .alias("kept_fp")))
 
 
 def vocab_concentration(df: DataFrame, text_col: str,

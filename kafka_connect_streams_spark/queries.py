@@ -1696,14 +1696,21 @@ def q_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sum(v * v for v in protos[lb])}L" for lb in labels) + ")"
     pos_sql = ("element_at(map(" + ",".join(
         f"{lb}, {i}" for i, lb in enumerate(labels)) + "), label)")
+    # zero-norm guard (r10 ADVICE): an all-zero prototype (pn=0) or
+    # member (nv=0) makes the cosine NaN, and the engines disagree on
+    # NaN ordering/floor — define cos := 0 for degenerate norms, the
+    # jl_then_neardup flag() convention, mirrored in the oracle.
     scored = (emb.select("label", _quantized(F.col("embedding")).alias("_v"))
               .withColumn("_pos", F.expr(pos_sql))
               .withColumn("_c", F.element_at(mat, F.col("_pos") + 1))
               .withColumn("_pn", F.element_at(F.expr(pn_sql),
                                               F.col("_pos") + 1))
-              .withColumn("_cos", _cosine(_dot(F.col("_v"), F.col("_c")),
-                                          _dot(F.col("_v"), F.col("_v")),
-                                          F.col("_pn")))
+              .withColumn("_nv", _dot(F.col("_v"), F.col("_v")))
+              .withColumn("_cos", F.when(
+                  (F.col("_pn") > 0) & (F.col("_nv") > 0),
+                  _cosine(_dot(F.col("_v"), F.col("_c")),
+                          F.col("_nv"), F.col("_pn")))
+                  .otherwise(F.lit(0.0)))
               .withColumn("_cos_e6", F.expr(
                   "cast(floor(_cos * 1000000) as bigint)")))
     return (scored.groupBy("label")
@@ -1741,14 +1748,21 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab_sql = "array(" + ",".join(str(lb) for lb in labels) + ")"
     qv = _quantized(F.col("embedding"))
     # the self-norm binds ONCE before the argmax — inside the lambda it
-    # would recompute per matrix row (the text_repetition binding lesson)
+    # would recompute per matrix row (the text_repetition binding lesson).
+    # Zero-norm guard (r10 ADVICE): pn=0 or nv=0 would make negcos NaN
+    # and the engines disagree on NaN sort order — define cos := 0 for
+    # degenerate norms, mirrored in the oracle.
     darr = F.transform(
         mat,
         lambda c, j: F.struct(
-            (-_cosine(_dot(F.col("_v"), c),
-                      F.col("_nv"),
-                      F.element_at(F.expr(pn_sql),
-                                   (j + 1).cast("int")))).alias("negcos"),
+            (-F.when(
+                (F.element_at(F.expr(pn_sql), (j + 1).cast("int")) > 0)
+                & (F.col("_nv") > 0),
+                _cosine(_dot(F.col("_v"), c),
+                        F.col("_nv"),
+                        F.element_at(F.expr(pn_sql),
+                                     (j + 1).cast("int"))))
+             .otherwise(F.lit(0.0))).alias("negcos"),
             j.cast("int").alias("p")))
     scored = (emb.select("label", qv.alias("_v"))
               .withColumn("_nv", _dot(F.col("_v"), F.col("_v")))
@@ -3361,7 +3375,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only: no explode, no join, no shuffle touches the corpus.
     Token ids are the repo's md5-affine 48-bit hash. The oracle unrolls
     the same 3 training rounds (bpe_round_sql), whose round-R symbol
-    table IS the encoded vocabulary, and maps documents through it."""
+    table IS the encoded vocabulary, and maps documents through it.
+
+    Driver contract (r10 red row): the registered query must emit only
+    SCALAR columns — the driver's pandas canonicalizer sort_values all
+    columns and list cells are unhashable. So the array API's
+    ``token_ids`` is serialized to ``ids_md5 = md5(comma-joined ids)``
+    here; empty/NULL-text documents hash the empty string on BOTH
+    engines (Spark array_join([])='' vs DuckDB array_to_string([])=NULL
+    — the oracle coalesces; pinned by a fixture test)."""
     from kafka_connect_streams_spark.operators.bpe import (bpe_encode,
                                                            bpe_merges)
     t = load_tables(spark, sf_dir)
@@ -3369,7 +3391,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rounds=3).collect()
     merges = [(r.lhs, r.rhs)
               for r in sorted(mt, key=lambda r: r.round)]
-    return bpe_encode(t["documents"], "text", "doc_id", merges)
+    enc = bpe_encode(t["documents"], "text", "doc_id", merges)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.md5(F.expr("array_join(transform(token_ids, "
+                     "t -> cast(t as string)), ',')")).alias("ids_md5"))
 
 
 def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3451,6 +3477,35 @@ def q_block_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return block_dedup(t["documents"], "text", "doc_id", size=8,
                        shape="fp_rejoin")
+
+
+def q_block_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window exact-substring dedup (operators/text.py
+    block_dedup_rolling): stride-1 8-token window fingerprints close
+    block_dedup's boundary blind spot — any shared span of ≥ 8 tokens
+    is guaranteed caught, including spans shorter than two blocks that
+    straddle a block boundary (a planted-straddle property test pins
+    the case block_dedup provably misses). Duplicate-covered tokens are
+    removed via an in-row interval merge + gap slicing; output per doc:
+    window counts, surviving token count, md5 of the rebuilt text."""
+    from kafka_connect_streams_spark.operators.text import (
+        block_dedup_rolling)
+    t = load_tables(spark, sf_dir)
+    return block_dedup_rolling(t["documents"], "text", "doc_id", k=8)
+
+
+def q_bm25_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term Okapi BM25 retrieval (operators/text.py
+    bm25_multiterm): corpus-wide top-25 documents for a 4-term query
+    (the 4 highest-df terms), score = Σ idf_e6·tfsat_e9 per matched
+    term — BIGINT fixed point, so the cross-term sum is
+    order-insensitive and hash-exact (bm25_term_topk's single-term
+    ranking never exercises idf weighting BETWEEN terms; this does).
+    Query terms broadcast; global top-k is TakeOrderedAndProject."""
+    from kafka_connect_streams_spark.operators.text import bm25_multiterm
+    t = load_tables(spark, sf_dir)
+    return bm25_multiterm(t["documents"], "text", "doc_id",
+                          n_terms=4, k=25)
 
 
 def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4370,6 +4425,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_noise": q_label_noise,
     "pack_spans": q_pack_spans,
     "scd2_history": q_scd2_history,
+    "block_dedup_rolling": q_block_dedup_rolling,
+    "bm25_multiterm": q_bm25_multiterm,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4421,9 +4478,43 @@ _R10_WINDOW = [
     "embedding_prototypes", "label_noise", "pack_spans",
     "dsir_importance", "resample_gapfill",
 ]
-assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
-QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)}}
+
+#: ROUND-11 WINDOW — the 50 names the driver hashes this round, per
+#: VERDICT r10 "Next round" #3: (a) every query whose code changed this
+#: round leads — bpe_encode (r10's one red row: token_ids array
+#: serialized to the scalar ids_md5, oracle mirrored),
+#: text_repetition + gopher_rules (rewritten r10 AFTER the window was
+#: set — their r06 driver rows predate the bound-_toks / sorted-run
+#: rewrites), label_noise + embedding_prototypes (zero-norm cosine
+#: guard, r10 ADVICE), and the two round-11 additions
+#: block_dedup_rolling (stride-1 exact-substring dedup closing
+#: block_dedup's boundary blind spot) and bm25_multiterm (multi-term
+#: Okapi top-k in BIGINT fixed point); (b) the remaining 43 slots from
+#: the r06 cohort in registry order. bpe_merges and scd2_history cede
+#: their slots to the two additions and lead the r12 window — after
+#: this round no other latest row is older than r07.
+#: All 50 locally hash-green via tools/check.py at sf0.01 AND sf0.1
+#: before commit; the driver row is the bar.
+_R11_WINDOW = [
+    "bpe_encode", "text_repetition", "gopher_rules", "label_noise",
+    "embedding_prototypes", "block_dedup_rolling", "bm25_multiterm",
+    "anomaly_zscore", "pps_sample", "pagerank_types", "decayed_counts",
+    "dedup_ngram_jaccard", "audio_segments", "bigram_topk",
+    "boilerplate_removal", "curation_pipeline", "decontamination",
+    "decontamination_minhash", "decontamination_ngram",
+    "dedup_cluster_sizes", "dedup_clusters", "dedup_edit_distance",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_recall", "dedup_simhash",
+    "flatmap_rekey", "frame_sampling", "incremental_dedup",
+    "jaccard_prefix_join", "multimodal_decode", "regex_functions",
+    "text_fingerprint", "text_language_id", "text_quality",
+    "text_tokens", "tfidf_topk", "winnowing_dedup", "wordcount",
+    "ann_ivf_trained_recall", "bm25_term_topk", "leakage_safe_split",
+    "heavy_hitters", "cms_frequency", "triangle_census", "zorder_layout",
+    "skyline", "kmv_set_ops", "bloom_semijoin", "inverted_index",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)}}
 
 def _kcore_round_sql(i: int, k: int = 16) -> str:
     """One unrolled k-core peel round as oracle CTEs (the bpe_round_sql
@@ -8842,9 +8933,9 @@ ORACLE: dict[str, str] = {
             GROUP BY w.doc_id)
         SELECT d.doc_id,
                CAST(coalesce(len(e.toks), 0) AS BIGINT) AS n_tokens,
-               coalesce(list_transform(e.toks,
-                   t -> ('0x' || substr(md5(t), 1, 12))::BIGINT),
-                   CAST([] AS BIGINT[])) AS token_ids
+               md5(coalesce(array_to_string(list_transform(e.toks,
+                   t -> CAST(('0x' || substr(md5(t), 1, 12))::BIGINT
+                             AS VARCHAR)), ','), '')) AS ids_md5
         FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
     """,
     # bpe_encode's CTE chain folded per language instead of emitted
@@ -9048,10 +9139,14 @@ ORACLE: dict[str, str] = {
             FROM comp v JOIN cent c ON c.label = v.label AND c.d = v.d
             GROUP BY v.id, v.label),
         cosr AS (
+            -- zero-norm guard: cos := 0 when pn=0 or nv=0 (Spark twin
+            -- uses the same convention; NaN handling differs per engine)
             SELECT d.label,
-                   CAST(floor(CAST(d.dot AS DOUBLE)
-                              / sqrt(CAST(d.nv AS DOUBLE)
-                                     * CAST(p.pn AS DOUBLE))
+                   CAST(floor(CASE WHEN d.nv > 0 AND p.pn > 0
+                              THEN CAST(d.dot AS DOUBLE)
+                                   / sqrt(CAST(d.nv AS DOUBLE)
+                                          * CAST(p.pn AS DOUBLE))
+                              ELSE 0.0 END
                               * 1000000) AS BIGINT) AS cos_e6
             FROM dots d JOIN pn p USING (label))
         SELECT label, CAST(count(*) AS BIGINT) AS n_members,
@@ -9088,10 +9183,14 @@ ORACLE: dict[str, str] = {
             FROM comp v JOIN cent c ON c.d = v.d
             GROUP BY v.id, v.label, c.label),
         coss AS (
+            -- zero-norm guard: cos := 0 when pn=0 or nv=0 (Spark twin
+            -- uses the same convention; NaN ordering differs per engine)
             SELECT a.id, a.own, a.plabel,
-                   CAST(a.dot AS DOUBLE)
-                       / sqrt(CAST(n.nv AS DOUBLE)
-                              * CAST(p.pn AS DOUBLE)) AS cosv
+                   CASE WHEN n.nv > 0 AND p.pn > 0
+                        THEN CAST(a.dot AS DOUBLE)
+                             / sqrt(CAST(n.nv AS DOUBLE)
+                                    * CAST(p.pn AS DOUBLE))
+                        ELSE 0.0 END AS cosv
             FROM alldots a JOIN nv n ON n.id = a.id
             JOIN pn p ON p.label = a.plabel),
         arg AS (
@@ -9262,6 +9361,106 @@ ORACLE: dict[str, str] = {
                    x -> length(x) > 0)) AS BIGINT) AS kept_tokens,
                md5(coalesce(r.ktext, '')) AS kept_fp
         FROM nb n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
+    """,
+    # naive relational twin of the in-row interval-merge rebuild: a
+    # token survives iff NO duplicate window position covers it
+    "block_dedup_rolling": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '\\W+'),
+                               x -> length(x) > 0) AS tk
+            FROM documents),
+        d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+              FROM toks WHERE len(tk) > 0),
+        wins AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(
+                       tk[CAST(i + 1 AS BIGINT)
+                          : CAST(i + 8 AS BIGINT)], ' ')) AS wfp
+            FROM d, UNNEST(range(n - 8 + 1)) AS t(i)
+            WHERE n >= 8),
+        rk AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY wfp
+                                      ORDER BY doc_id, pos) AS rn
+            FROM wins),
+        stats AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_windows
+            FROM rk GROUP BY doc_id),
+        dup AS (SELECT doc_id, pos FROM rk WHERE rn > 1),
+        tokens AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS ti,
+                   tk[CAST(i + 1 AS BIGINT)] AS tok
+            FROM d, UNNEST(range(n)) AS t(i)),
+        kept AS (
+            SELECT t.doc_id, t.ti, t.tok
+            FROM tokens t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dup u
+                WHERE u.doc_id = t.doc_id
+                  AND u.pos BETWEEN t.ti - 7 AND t.ti)),
+        ktext AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY ti) AS kt
+            FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(s.dup_windows, 0) AS BIGINT) AS dup_windows,
+               CAST(len(list_filter(
+                   string_split_regex(coalesce(k.kt, ''), '\\s+'),
+                   x -> length(x) > 0)) AS BIGINT) AS kept_tokens,
+               md5(coalesce(k.kt, '')) AS kept_fp
+        FROM d LEFT JOIN stats s ON s.doc_id = d.doc_id
+        LEFT JOIN ktext k ON k.doc_id = d.doc_id
+    """,
+    # BIGINT fixed-point Σ idf_e6·tfsat_e9 over the broadcast 4-term
+    # query — the float ops are one division + one multiply on
+    # identical int64-derived doubles (correctly rounded everywhere)
+    # plus ln on 4 distinct per-TERM inputs, floored at e6
+    "bm25_multiterm": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '\\W+'),
+                       x -> length(x) > 0)) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM toks GROUP BY doc_id),
+        corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(dl) AS BIGINT) AS l_total
+                   FROM dl),
+        docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS docfreq
+                    FROM tf GROUP BY term),
+        qterms AS (
+            SELECT term,
+                   CAST(floor(1e6 * ln((2 * n_docs + 2)
+                       / CAST(2 * docfreq + 1 AS DOUBLE))) AS BIGINT)
+                       AS idf_e6
+            FROM (SELECT term, docfreq FROM docfreq
+                  ORDER BY docfreq DESC, term LIMIT 4)
+            CROSS JOIN corpus),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_terms_hit,
+                   CAST(max(d.dl) AS BIGINT) AS dl,
+                   CAST(sum(q.idf_e6 * CAST(floor(
+                       CAST(t.tf * 20 * c.l_total AS DOUBLE)
+                       / CAST(t.tf * 20 * c.l_total + 6 * c.l_total
+                              + 18 * d.dl * c.n_docs AS DOUBLE)
+                       * 1000000000.0) AS BIGINT)) AS BIGINT)
+                       AS score_fp
+            FROM tf t JOIN qterms q USING (term)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN corpus c
+            GROUP BY t.doc_id)
+        SELECT doc_id, n_terms_hit, dl, score_fp
+        FROM scored ORDER BY score_fp DESC, doc_id LIMIT 25
     """,
     "vocab_concentration": """
         WITH per_tok AS (

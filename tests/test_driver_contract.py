@@ -103,13 +103,64 @@ def test_every_query_tolerates_empty_tables(spark, tmp_path):
     for t in tables:
         (spark.read.parquet(f"{src}/{t}.parquet").limit(0)
          .write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet")))
+    from tools.check import nonscalar_cols
+
     failures = []
+    nonscalar = []
     for name, fn in Q.QUERIES.items():
         try:
-            fn(spark, str(tmp_path)).collect()
+            df = fn(spark, str(tmp_path))
+            # driver-contract mirror (round-10 bpe_encode red row): the
+            # driver's pandas sort_values canonicalizer cannot sort
+            # array/map/struct cells — every registered output schema
+            # must be scalar-only
+            bad = nonscalar_cols(df.schema)
+            if bad:
+                nonscalar.append((name, bad))
+            df.collect()
         except Exception as exc:  # noqa: BLE001 — collecting all failures
             failures.append((name, str(exc).splitlines()[0][:120]))
     assert not failures, failures
+    assert not nonscalar, (
+        "registered queries with driver-unsortable output columns: "
+        f"{nonscalar}")
+
+
+def test_gate_rejects_nonscalar_output_schema(spark):
+    """tools/check.py must refuse (locally) any query whose Spark output
+    schema contains array/map/struct columns — the exact class of red
+    the driver produced for bpe_encode in round 10 while the local gate
+    passed. A synthetic array-output frame is the rejection fixture."""
+    from tools.check import nonscalar_cols
+
+    df = spark.range(1).selectExpr(
+        "id", "array(1, 2) AS ids", "map('a', 1) AS m",
+        "named_struct('x', 1) AS s", "cast(id as string) AS ok")
+    assert nonscalar_cols(df.schema) == ["ids", "m", "s"]
+    assert nonscalar_cols(df.select("id", "ok").schema) == []
+
+
+def test_empty_array_join_convention_matches_duckdb(spark):
+    """Pin the bpe_encode serialization convention cross-engine: Spark
+    ``array_join([], ',')`` is '' while DuckDB ``array_to_string([],
+    ',')`` is NULL — the oracle MUST coalesce to '' so empty/NULL-text
+    documents hash identically (md5('') on both sides)."""
+    import duckdb
+
+    s = spark.sql(
+        "SELECT array_join(transform(array(), t -> cast(t as string)), "
+        "',') AS j, md5(array_join(cast(array() as array<string>), ',')) "
+        "AS h").collect()[0]
+    assert s.j == ""
+    con = duckdb.connect()
+    raw, fixed, h = con.execute(
+        "SELECT array_to_string(CAST([] AS VARCHAR[]), ','), "
+        "coalesce(array_to_string(CAST([] AS VARCHAR[]), ','), ''), "
+        "md5(coalesce(array_to_string(CAST([] AS VARCHAR[]), ','), ''))"
+    ).fetchone()
+    assert raw is None, "DuckDB changed empty array_to_string semantics"
+    assert fixed == ""
+    assert h == s.h
 
 
 def test_doc_counts_match_registry():

@@ -448,3 +448,128 @@ def test_simhash_matches_python_reference(spark, docs):
            for r in simhash(df, "text", "doc_id", bits=16).collect()}
     for i, text in enumerate(docs):
         assert got[i] == _simhash_reference(text), text
+
+
+def _rolling_reference(docs: list[str], k: int) -> dict:
+    """Sequential rolling-window exact-substring dedup: first occurrence
+    in (doc_id, pos) order wins; tokens covered by any later-occurrence
+    window are removed."""
+    seen: set[str] = set()
+    out = {}
+    for did, text in enumerate(docs):
+        toks = [t for t in re.split(r"\W+", (text or "").lower()) if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        nwin = max(n - k + 1, 0)
+        dup_pos = []
+        for p in range(nwin):
+            fp = " ".join(toks[p:p + k])
+            if fp in seen:
+                dup_pos.append(p)
+            else:
+                seen.add(fp)
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + k))
+        kept = [toks[i] for i in range(n) if i not in covered]
+        out[did] = (nwin, len(dup_pos), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
+                         min_size=0, max_size=14).map(" ".join),
+                min_size=1, max_size=5))
+def test_block_dedup_rolling_matches_python_reference(spark, docs):
+    """k=3 over a 3-word alphabet forces dense window collisions —
+    within-doc repetition, cross-doc spans, and full-coverage docs."""
+    import hashlib
+
+    from kafka_connect_streams_spark.operators.text import (
+        block_dedup_rolling)
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_windows, r.dup_windows, r.kept_tokens, r.kept_fp)
+           for r in block_dedup_rolling(df, "text", "doc_id", k=3).collect()}
+    want = _rolling_reference(docs, k=3)
+    assert set(got) == set(want)
+    for did, (nw, dw, kt, ktext) in want.items():
+        fp = hashlib.md5(ktext.encode()).hexdigest()
+        assert got[did] == (nw, dw, kt, fp), (docs[did], got[did], want[did])
+
+
+def test_rolling_catches_straddling_duplicate_block_dedup_misses(spark):
+    """The guarantee the operator exists for: a 10-token span shared
+    between two docs, block-aligned in doc a but straddling doc b's
+    8-token block boundary. block_dedup removes NOTHING from b (no
+    complete aligned block matches); rolling (k=8, stride 1) detects
+    the 3 shared 8-windows and removes the whole span."""
+    from kafka_connect_streams_spark.operators.text import (
+        block_dedup, block_dedup_rolling)
+    span = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [("a", span + " alpha beta"),
+         ("b", "xx yy " + span + " zz")],
+        "doc_id string, text string")
+    blk = {r.doc_id: r.kept_tokens
+           for r in block_dedup(df, "text", "doc_id", size=8).collect()}
+    rol = {r.doc_id: r.kept_tokens
+           for r in block_dedup_rolling(df, "text", "doc_id", k=8).collect()}
+    assert blk["b"] == 13, "straddling span must escape fixed blocks"
+    assert rol["b"] == 3, "rolling must remove the shared 10-token span"
+    assert rol["a"] == 12 and blk["a"] == 12, "first occurrence survives"
+
+
+def _bm25_multiterm_reference(docs: list[str], n_terms: int, k: int):
+    import math
+    toks = {i: [t for t in re.split(r"\W+", (d or "").lower()) if t]
+            for i, d in enumerate(docs)}
+    toks = {i: t for i, t in toks.items() if t}
+    if not toks:
+        return []
+    n_docs = len(toks)
+    l_total = sum(len(t) for t in toks.values())
+    df_: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df_[term] = df_.get(term, 0) + 1
+    qterms = sorted(df_, key=lambda t: (-df_[t], t))[:n_terms]
+    idf = {t: math.floor(1e6 * math.log((2 * n_docs + 2)
+                                        / (2 * df_[t] + 1)))
+           for t in qterms}
+    scored = []
+    for i, t in toks.items():
+        dl = len(t)
+        hit = [q for q in qterms if q in t]
+        if not hit:
+            continue
+        score = 0
+        for q in hit:
+            tf = t.count(q)
+            num = 20 * tf * l_total
+            den = num + 6 * l_total + 18 * dl * n_docs
+            score += idf[q] * math.floor(num / den * 1e9)
+        scored.append((i, len(hit), dl, score))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return scored[:k]
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(WORD, min_size=0, max_size=12).map(" ".join),
+                min_size=1, max_size=6))
+def test_bm25_multiterm_matches_python_reference(spark, docs):
+    """Pins the fixed-point contract end to end: idf_e6 flooring,
+    tfsat_e9 as a single IEEE division, and the order-insensitive
+    BIGINT Σ — against a sequential Python scorer."""
+    from kafka_connect_streams_spark.operators.text import bm25_multiterm
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = [(r.doc_id, r.n_terms_hit, r.dl, r.score_fp)
+           for r in bm25_multiterm(df, "text", "doc_id",
+                                   n_terms=3, k=4).collect()]
+    assert got == _bm25_multiterm_reference(docs, n_terms=3, k=4), docs

@@ -73,6 +73,14 @@ def _pandas_rows(df, cols: list[str], dtypes: dict[str, str]) -> list[tuple]:
     return out
 
 
+def nonscalar_cols(schema) -> list[str]:
+    """Top-level array/map/struct columns in a Spark schema — the types
+    the driver's pandas `sort_values` canonicalizer cannot sort
+    (unhashable list/dict cells). Registered queries must emit none."""
+    return [f.name for f in schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")]
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
@@ -108,6 +116,18 @@ def main() -> int:
             # .collect() (None) vs pandas (NaN) was a false asymmetry here
             sdtypes = {f.name: f.dataType.simpleString().upper()
                        for f in sdf.schema.fields}
+            # hard gate (mirror of the HUGEINT DESCRIBE probe, on the SPARK
+            # side): the driver canonicalizes via pandas sort_values over ALL
+            # columns, and list/dict cells are unhashable -> TypeError before
+            # any comparison runs (bpe_encode, round 10). Refuse non-scalar
+            # output schemas locally so they cannot pass here and crash there.
+            bad = nonscalar_cols(sdf.schema)
+            if bad:
+                print(f"FAIL  {name}: Spark output has non-scalar column(s) "
+                      f"{bad} — the driver's pandas sort_values cannot sort "
+                      f"array/map/struct cells; serialize to a scalar")
+                failed.append(name)
+                continue
             srows = _pandas_rows(sdf.toPandas(), scols, sdtypes)
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
