@@ -838,3 +838,88 @@ def streaming_cluster_quota(df: DataFrame, coarse: list,
                 stateStructType=_QUOTA_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+BUDGET_SCHEMA = StructType([
+    StructField("stratum", StringType()),
+    StructField("id", LongType()),
+    StructField("n_tok", LongType()),
+    StructField("cum_tok", LongType()),
+])
+_BUDGET_STATE = StructType([
+    StructField("hs", ArrayType(StringType())),
+    StructField("ids", ArrayType(LongType())),
+    StructField("toks", ArrayType(LongType())),
+])
+
+
+def streaming_token_budget(df: DataFrame, text_col: str, id_col: str,
+                           stratum_col: str, budget: int) -> DataFrame:
+    """Streaming form of the per-stratum token-budget sample
+    (operators/text.py token_budget_sample): "take ~N tokens per
+    source" enforced ON the ingest stream — the last batch-only
+    curation stage without a streaming mirror (r10 verdict #6).
+
+    Identical decision rule as batch: walk the stratum's documents in
+    ``(md5(id), id)`` order, keep rows whose running token sum (over
+    ALL docs in that order, kept or not, same as the batch window)
+    stays ≤ ``budget``. Token counts are nonnegative, so prefix sums
+    only GROW as more documents arrive — a document once past the
+    budget at its hash position can never re-enter, which makes the
+    kept PREFIX itself sufficient state: |state| per stratum is at most
+    ``budget`` token-bearing documents (each kept doc past the first
+    consumes ≥ 1 token) plus any zero-token documents inside the kept
+    prefix — bounded by the budget, never by stream length. Membership
+    is a set keyed by (hash, id, n_tok), so at-least-once re-delivery
+    is absorbed for free (the streaming_hll / cluster-quota replay
+    story): a replayed kept doc is already present; a replayed evicted
+    doc re-inserts, re-trims, and changes nothing. Once the stream
+    drains, the final per-stratum emission is row-identical to the
+    batch operator over the same rows — cum_tok included — so a
+    consumer cuts over with no schema or semantics change (pinned in
+    tests, with a checkpoint-restart leg).
+
+    NULL text is out of contract here (mirror the batch NULL policy
+    upstream); tokenization is the batch expression verbatim.
+    """
+    n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                            lambda x: F.length(x) > 0)).cast("bigint")
+    base = df.select(
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.col(id_col).cast("long").alias("id"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+        n_tok.alias("n_tok"))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, ids, toks = state.get
+            members = set(zip(hs, (int(i) for i in ids),
+                              (int(t) for t in toks)))
+        else:
+            members = set()
+        for pdf in batches:
+            for h, i, t in zip(pdf["h"], pdf["id"], pdf["n_tok"]):
+                members.add((str(h), int(i), int(t)))
+        kept, cum = [], 0
+        for h, i, t in sorted(members):
+            cum += t
+            if cum > budget:
+                break          # prefix sums only grow: evicted is final
+            kept.append((h, i, t, cum))
+        state.update(([k[0] for k in kept], [k[1] for k in kept],
+                      [k[2] for k in kept]))
+        yield pd.DataFrame({
+            "stratum": [key[0]] * len(kept),
+            "id": [k[1] for k in kept],
+            "n_tok": [k[2] for k in kept],
+            "cum_tok": [k[3] for k in kept],
+        })
+
+    return (base.groupBy("stratum")
+            .applyInPandasWithState(
+                update,
+                outputStructType=BUDGET_SCHEMA,
+                stateStructType=_BUDGET_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

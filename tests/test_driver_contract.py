@@ -181,3 +181,23 @@ def test_doc_counts_match_registry():
                 r"close-out numbers: (\d+) registered queries"):
         m = re.search(pat, survey)
         assert m and int(m.group(1)) == n, (pat, m and m.group(1), n)
+
+
+def test_compare_bench_refuses_cross_mode():
+    """BENCH_r01–r09 are count-mode (Catalyst pruned unused columns);
+    r10+ are noop-mode (full evaluation). tools/compare_bench.py must
+    refuse a comparison crossing the boundary (exit 2) unless
+    explicitly forced — a raw r09-vs-r10 ratio measures the force-mode
+    switch, not performance."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.compare_bench import bench_round, main
+
+    assert bench_round("BENCH_r09.json") == 9
+    assert bench_round("/x/BENCH_r10.json") == 10
+    assert bench_round("raw_line.json") is None
+    assert main(["/root/repo/BENCH_r09.json",
+                 "/root/repo/BENCH_r10.json"]) == 2
+    assert main(["/root/repo/BENCH_r10.json",
+                 "/root/repo/BENCH_r10.json"]) == 0

@@ -1120,3 +1120,119 @@ def test_streaming_cluster_quota_survives_restart(spark, tmp_path):
         (rows, want0)
     assert any(r.list == 1 and r.vec_id == 6 and r.rank_in_list == 1
                for r in rows)
+
+
+def test_streaming_token_budget_matches_batch_even_under_replay(
+        spark, tmp_path):
+    """The stream-enforced per-source token budget must be row-identical
+    (cum_tok included) to batch token_budget_sample over the same
+    corpus, and a FULL replay of the source must change nothing — the
+    kept prefix is a set keyed by (hash, id, n_tok), so at-least-once
+    re-delivery is absorbed. Judged per the update-mode idiom: each
+    stratum's FINAL-epoch emission only (earlier epochs legitimately
+    carry partial-knowledge cum sums)."""
+    from kafka_connect_streams_spark.operators.text import (
+        token_budget_sample)
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_token_budget)
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {(r.source, r.doc_id): (r.n_tok, r.cum_tok)
+             for r in token_budget_sample(
+                 docs, "text", "doc_id", "source", budget=700).collect()}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(2).write.parquet(str(src / "a"))
+    out = tmp_path / "out"
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = (streaming_token_budget(stream, "text", "doc_id",
+                                "source", budget=700)
+         .writeStream
+         .foreachBatch(lambda df, eid: df.withColumn("eid", F.lit(eid))
+                       .write.mode("append").parquet(str(out)))
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        # at-least-once: replay the whole corpus, drain again
+        docs.coalesce(1).write.mode("append").parquet(str(src / "a"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(out)).collect()
+    last = {}
+    for r in rows:
+        last.setdefault(r.stratum, 0)
+        last[r.stratum] = max(last[r.stratum], r.eid)
+    got = {(r.stratum, r.id): (r.n_tok, r.cum_tok)
+           for r in rows if r.eid == last[r.stratum]}
+    assert got == batch
+
+
+def test_streaming_token_budget_survives_restart(spark, tmp_path):
+    """Budget decisions made before a restart restore from the
+    checkpoint: a post-restart doc with an earlier hash position must
+    push a pre-restart doc past the budget, and the final emission is
+    the budget prefix over BOTH phases' documents."""
+    import hashlib
+
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_token_budget)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def start():
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, source string")
+                  .json(str(src)))
+        return (streaming_token_budget(stream, "text", "doc_id",
+                                       "source", budget=6)
+                .writeStream
+                .foreachBatch(lambda df, eid: df
+                              .withColumn("eid", F.lit(eid))
+                              .write.mode("append").parquet(str(out)))
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start())
+
+    def row(i, words):
+        return json.dumps({"doc_id": i, "text": " ".join(["w"] * words),
+                           "source": "s"})
+
+    with open(src / "a.json", "w") as f:
+        for i in (1, 2, 3, 4):
+            f.write(row(i, 2) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(src / "b.json", "w") as f:
+        for i in (5, 6):
+            f.write(row(i, 2) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # sequential reference over all six docs in (md5(id), id) order
+    order = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                   for i in (1, 2, 3, 4, 5, 6))
+    want, cum = {}, 0
+    for h, i in order:
+        cum += 2
+        if cum > 6:
+            break
+        want[i] = cum
+    rows = spark.read.parquet(str(out)).collect()
+    final_eid = max(r.eid for r in rows)
+    got = {r.id: r.cum_tok for r in rows if r.eid == final_eid}
+    assert got == want, (got, want, order)
