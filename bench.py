@@ -17,8 +17,9 @@ timings on a shared session swing ±30-50% (round-2/3 comparison of
 byte-identical code), which made the old one-shot bench unusable for
 regression detection.
 
-Each query is forced with a count() action so the timing covers the full
-plan execution without driver-side collect overhead dominating.
+Each query is forced through the noop sink (see ``_force``) so the timing
+covers FULL plan evaluation — every output column materialized — without
+driver-side collect overhead dominating.
 """
 
 from __future__ import annotations
@@ -59,9 +60,7 @@ HEADLINE = [
     "ann_ivfpq",
     "training_pipeline",
     "data_profile",
-    "market_share",
     "ann_recall",
-    "large_orders",
     "decontamination_minhash",
     # (cross_source_duplicates 0.364 s, scd2_history 0.373 s,
     # chunk_dedup 0.505 s, user_journeys 0.482 s and product_profit
@@ -122,10 +121,7 @@ HEADLINE = [
     "global_index",
     "lsh_tuning",
     "bootstrap_ci",
-    "copurchase_pairs",
-    "quantile_exact",
     "kcore",
-    "rrf_fusion",
     # (hll_distinct joins the sketch group; range_join 0.348 s and
     # bloom_semijoin 0.401 s in r7 rotated out to hold the line budget
     # — non-equi broadcast and runtime-filter shapes stay plan-pinned
@@ -160,6 +156,24 @@ HEADLINE = [
     "bpe_packing",
     "cluster_balanced_sample",
     "curriculum_order",
+    # round 11: the four additions — stride-1 rolling exact-substring
+    # dedup (block_dedup's boundary-blind-spot fix, a heavier shape
+    # worth timing), multi-term Okapi BM25 top-k, the in-row greedy
+    # MMR rerank, and the cross-doc n-gram novelty curve. To hold the
+    # worst-case 1800-char guard (64 entries would render 1898), FIVE
+    # shape-redundant entries rotated out: large_orders (thin filter —
+    # shipping_priority/data_profile keep the scan-filter shape),
+    # market_share (join-agg — nation_volume_shipping/
+    # local_supplier_volume keep it), copurchase_pairs (pair join —
+    # dedup_minhash_lsh/jl_then_neardup keep pair shapes), rrf_fusion
+    # (rank fusion — bm25_multiterm + mmr_diversify now carry the
+    # retrieval family), and quantile_exact (the sketch-vs-exact A/B
+    # has its r10 driver artifacts; quantile_sketch stays). All five
+    # keep PLANS.md scorecards via tools/audit_plans.py EXTRA.
+    "block_dedup_rolling",
+    "bm25_multiterm",
+    "mmr_diversify",
+    "ngram_novelty",
 ]
 
 

@@ -842,10 +842,101 @@ def label_prototypes(vectors: DataFrame,
     vq = (vectors.where(F.col(label_col).isNotNull())
           .select(F.col(label_col).cast("int").alias("_l"),
                   _quantized(F.col(vec_col)).alias("_v")))
+    # try_element_at: a NULL/empty/short embedding contributes NULL
+    # components (sum skips them) instead of ArrayIndexOutOfBounds-ing
+    # the whole aggregate
     sums = vq.groupBy("_l").agg(
         F.expr("count(*) AS _n"),
-        *[F.expr(f"sum(_v[{d}]) AS _s{d}") for d in range(dim)]).collect()
+        *[F.expr(f"sum(try_element_at(_v, {d + 1})) AS _s{d}")
+          for d in range(dim)]).collect()
     protos = {int(r["_l"]): [int(r[f"_s{d}"]) // int(r["_n"])
                              for d in range(dim)]
               for r in sums}
     return sorted(protos), protos
+
+
+def mmr_diversify(queries: DataFrame, candidates: DataFrame, k: int = 5,
+                  n_cand: int = 25, lam_pct: int = 70,
+                  max_pairs: int = MAX_BRUTE_PAIRS,
+                  allow_full_scan: bool = False) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): per query, greedily pick ``k`` of the ``n_cand``
+    most-relevant candidates, each round maximizing
+    ``λ·rel − (1−λ)·max-sim-to-already-selected`` — the rerank step
+    that stops a retrieval/dedup pipeline returning k near-copies.
+
+    Fixed-point discipline: relevance and pairwise similarity are both
+    ``floor(1e6·cosine)`` BIGINTs (zero-norm → 0, the repo convention),
+    λ is integer percent, so every round's argmax compares integers
+    with ties → lowest candidate id — bit-reproducible in the unrolled
+    SQL oracle.
+
+    Scale shape: the candidate stage here is the brute-force eval
+    harness (guarded by ``max_pairs``, the topk_cosine discipline —
+    production swaps it for topk_cosine_ivf/lsh); everything after is
+    bounded by construction: candidates collect to ONE row per query
+    (n_cand structs) and the whole greedy — pairwise sims included —
+    runs IN-ROW over that array (O(k·n_cand·(k+dim)) per query, no
+    joins, no per-round shuffles, no driver loop).
+    """
+    if not allow_full_scan:
+        nq, nc = queries.count(), candidates.count()
+        if nq * nc > max_pairs:
+            raise ValueError(
+                f"mmr_diversify's candidate stage would score {nq}×{nc} ="
+                f" {nq * nc:,} pairs (> max_pairs={max_pairs:,}). Feed it"
+                " an ANN candidate set or pass allow_full_scan=True.")
+    q = _qvecs(queries, "id", "embedding", "q_id", "_qv", "qn")
+    c = _qvecs(candidates, "id", "embedding", "c_id", "_cv", "cn")
+    rel = (q.crossJoin(c)
+           .filter(F.col("q_id") != F.col("c_id"))
+           .withColumn("dot", _dot(F.col("_qv"), F.col("_cv")))
+           .withColumn("rel_e6", F.expr(
+               "CASE WHEN qn > 0 AND cn > 0 THEN cast(floor("
+               "cast(dot as double) / sqrt(cast(qn as double)"
+               " * cast(cn as double)) * 1e6) as bigint)"
+               " ELSE cast(0 as bigint) END")))
+    w = Window.partitionBy("q_id").orderBy(F.col("rel_e6").desc(), "c_id")
+    cand = (rel.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_cand))
+    grouped = cand.groupBy("q_id").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("_rn").cast("int").alias("rn"),
+            F.col("c_id").cast("bigint").alias("cid"),
+            F.col("rel_e6"),
+            F.col("_cv").alias("vec"),
+            F.col("cn")))).alias("_cands"))
+    el = "element_at(_cands, {})"
+    sim = f"""CASE WHEN {el.format('i')}.cn > 0
+                    AND {el.format('s')}.cn > 0
+        THEN cast(floor(cast(aggregate(zip_with({el.format('i')}.vec,
+                 {el.format('s')}.vec, (x, y) -> x * y),
+                 cast(0 as bigint), (a, v) -> a + v) as double)
+             / sqrt(cast({el.format('i')}.cn as double)
+                    * cast({el.format('s')}.cn as double))
+             * 1e6) as bigint)
+        ELSE cast(0 as bigint) END"""
+    greedy = f"""aggregate(sequence(2, {k}), array(1),
+        (sel, r) -> CASE WHEN r > size(_cands) THEN sel
+          ELSE concat(sel, array(element_at(array_sort(filter(
+            transform(sequence(1, size(_cands)), i ->
+              CASE WHEN array_contains(sel, i)
+                THEN cast(NULL as
+                     struct<negmmr: bigint, cid: bigint, idx: int>)
+                ELSE named_struct(
+                  'negmmr', -({lam_pct} * {el.format('i')}.rel_e6
+                     - {100 - lam_pct}
+                       * array_max(transform(sel, s -> {sim}))),
+                  'cid', {el.format('i')}.cid,
+                  'idx', i) END),
+            x -> x IS NOT NULL)), 1).idx)) END)"""
+    out = f"""transform({greedy}, sidx ->
+        named_struct('c_id', element_at(_cands, sidx).cid,
+                     'rel_e6', element_at(_cands, sidx).rel_e6))"""
+    return (grouped
+            .filter(F.size("_cands") > 0)
+            .select("q_id", F.posexplode(F.expr(out)))
+            .select(F.col("q_id"),
+                    (F.col("pos") + 1).cast("int").alias("round"),
+                    F.col("col.c_id").alias("c_id"),
+                    F.col("col.rel_e6").alias("rel_e6")))

@@ -290,17 +290,23 @@ def bm25_multiterm(df: DataFrame, text_col: str, id_col: str,
       n_terms · 2e7 · 1e9 ≪ 2^63.
 
     The "query" is self-contained: the ``n_terms`` highest-df terms
-    (ties → lexicographic). Scale shape: postings filter through the
-    BROADCAST query-term table (never a corpus-wide term shuffle), one
-    (doc)-keyed shuffle joins doc lengths, one small groupBy sums the
-    matched terms, and the global top-k is TakeOrderedAndProject — no
-    corpus sort. Ref parity: retrieval scoring the reference delegates
-    to ksql UDAFs; modeled on Robertson & Zaragoza 2009 (BM25).
+    (ties → lexicographic). Scale shape: the corpus is scanned and
+    exploded ONCE — the (doc, term) tf table is localCheckpoint-pinned
+    (multi-consumer subtree: dl, df, corpus totals and the postings
+    probe all read it, and without the pin Catalyst re-expands the
+    parquet scan + explode per consumer — measured 5 scans → 1) and
+    doc length is Σtf, not a second tokenize. Postings filter through
+    the BROADCAST query-term table (never a corpus-wide term shuffle),
+    one (doc)-keyed shuffle joins doc lengths, one small groupBy sums
+    the matched terms, and the global top-k is TakeOrderedAndProject —
+    no corpus sort. Ref parity: retrieval scoring the reference
+    delegates to ksql UDAFs; modeled on Robertson & Zaragoza 2009.
     """
     toks = df.select(F.col(id_col),
                      F.explode(_tok_array(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = (toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=False))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     corpus = dl.agg(F.count("*").alias("n_docs"),
                     F.sum("dl").alias("l_total"))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("docfreq"))
@@ -329,6 +335,37 @@ def bm25_multiterm(df: DataFrame, text_col: str, id_col: str,
             .orderBy(F.col("score_fp").desc(), F.col(id_col))
             .limit(k)
             .select(F.col(id_col), "n_terms_hit", "dl", "score_fp"))
+
+
+def ngram_novelty(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty against the rest of the corpus: what
+    fraction of a document's distinct n-grams FIRST occur in it
+    (attribution by lowest doc_id)? The dataset-redundancy growth curve
+    a curation pipeline watches while scaling a source — text_repetition
+    measures WITHIN-doc repetition, chunk_dedup detects shared chunks;
+    this quantifies each document's marginal n-gram contribution.
+
+    Scale shape: distinct (doc, gram) shingles fingerprint to md5 IN-ROW
+    before any shuffle (16-byte fixed-width rows, never gram text — the
+    exact_dedup digest discipline), first-occurrence is one min-window
+    over the gram-hash partition, and the per-doc aggregate is the third
+    and last shuffle. novelty_e6 is integer fixed point (truncating div
+    on non-negative counts, engine-exact). Documents with zero shingles
+    (empty/NULL text) emit no row, matching the shingles() convention.
+    """
+    from kafka_connect_streams_spark.operators.dedup import shingles
+    sh = (shingles(df, text_col, id_col, n=n)
+          .select(F.col(id_col), F.md5("shingle").alias("_gfp")))
+    w = Window.partitionBy("_gfp")
+    per = sh.withColumn("_first", F.min(id_col).over(w))
+    return (per.groupBy(id_col)
+            .agg(F.count("*").alias("n_distinct_grams"),
+                 F.sum((F.col("_first") == F.col(id_col)).cast("bigint"))
+                 .alias("novel_grams"))
+            .select(F.col(id_col), "n_distinct_grams", "novel_grams",
+                    F.expr("novel_grams * 1000000 div n_distinct_grams")
+                    .alias("novelty_e6")))
 
 
 def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,

@@ -3508,6 +3508,36 @@ def q_bm25_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_terms=4, k=25)
 
 
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/similarity.py
+    mmr_diversify): per query (vec_id % 100 == 0), greedily select 5 of
+    the 25 most-cosine-relevant candidates maximizing λ·rel −
+    (1−λ)·max-sim-to-selected (λ=0.7) — the rerank that stops top-k
+    returning near-copies. All comparisons are e6 fixed-point BIGINTs
+    (zero-norm → 0), the greedy runs IN-ROW over one collected
+    candidate array per query, and the oracle unrolls the 4 greedy
+    rounds relationally (_mmr_round_sql)."""
+    from kafka_connect_streams_spark.operators.similarity import (
+        mmr_diversify)
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    is_q = F.col("id") % 100 == 0
+    return mmr_diversify(emb.filter(is_q), emb.filter(~is_q),
+                         k=5, n_cand=25, lam_pct=70)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (operators/text.py ngram_novelty):
+    fraction of each doc's distinct n-grams whose FIRST corpus
+    occurrence (lowest doc_id) is in that doc — the marginal-
+    contribution curve a curation pipeline watches while scaling a
+    source (text_repetition is within-doc; this is cross-doc).
+    Gram fingerprints are md5'd in-row before any shuffle."""
+    from kafka_connect_streams_spark.operators.text import ngram_novelty
+    t = load_tables(spark, sf_dir)
+    return ngram_novelty(t["documents"], "text", "doc_id", n=3)
+
+
 def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary-concentration report: type-token ratio,
     hapax-legomena share, top-10 token mass — the corpus-health
@@ -4427,6 +4457,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "block_dedup_rolling": q_block_dedup_rolling,
     "bm25_multiterm": q_bm25_multiterm,
+    "mmr_diversify": q_mmr_diversify,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4489,15 +4521,19 @@ _R10_WINDOW = [
 #: guard, r10 ADVICE), and the two round-11 additions
 #: block_dedup_rolling (stride-1 exact-substring dedup closing
 #: block_dedup's boundary blind spot) and bm25_multiterm (multi-term
-#: Okapi top-k in BIGINT fixed point); (b) the remaining 43 slots from
-#: the r06 cohort in registry order. bpe_merges and scd2_history cede
-#: their slots to the two additions and lead the r12 window — after
-#: this round no other latest row is older than r07.
+#: Okapi top-k in BIGINT fixed point), mmr_diversify (greedy MMR
+#: rerank, 4 rounds unrolled in the oracle) and ngram_novelty
+#: (cross-doc first-occurrence n-gram contribution); (b) the remaining
+#: 41 slots from the r06 cohort in registry order. bpe_merges,
+#: scd2_history, bloom_semijoin and inverted_index cede their slots to
+#: the four additions and lead the r12 window — after this round no
+#: other latest row is older than r07.
 #: All 50 locally hash-green via tools/check.py at sf0.01 AND sf0.1
 #: before commit; the driver row is the bar.
 _R11_WINDOW = [
     "bpe_encode", "text_repetition", "gopher_rules", "label_noise",
     "embedding_prototypes", "block_dedup_rolling", "bm25_multiterm",
+    "mmr_diversify", "ngram_novelty",
     "anomaly_zscore", "pps_sample", "pagerank_types", "decayed_counts",
     "dedup_ngram_jaccard", "audio_segments", "bigram_topk",
     "boilerplate_removal", "curation_pipeline", "decontamination",
@@ -4510,7 +4546,7 @@ _R11_WINDOW = [
     "text_tokens", "tfidf_topk", "winnowing_dedup", "wordcount",
     "ann_ivf_trained_recall", "bm25_term_topk", "leakage_safe_split",
     "heavy_hitters", "cms_frequency", "triangle_census", "zorder_layout",
-    "skyline", "kmv_set_ops", "bloom_semijoin", "inverted_index",
+    "skyline", "kmv_set_ops",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -4555,6 +4591,37 @@ def _bpe_apply_sql(r: int) -> str:
                            ELSE s[i] END),
                        x -> x IS NOT NULL) AS s
             FROM vocab{p} CROSS JOIN best{r} m)"""
+
+
+def _mmr_round_sql(r: int, lam_pct: int = 70) -> str:
+    """One unrolled MMR greedy round as oracle CTEs (the bpe/lloyd
+    unroll precedent): among candidates not yet in ``sel{r-1}``, pick
+    per query the argmax of ``λ·rel_e6 − (1−λ)·max sim_e6 to the
+    selected set`` (integer percent λ, ties → lowest c_id). Requires
+    ``cand`` (q_id, c_id, rel_e6, rn) and ``simt`` (q_id, ca, cb,
+    sim_e6); every sel CTE is MATERIALIZED (multi-reference expansion
+    trap)."""
+    p = r - 1
+    return f"""pick{r} AS MATERIALIZED (
+            SELECT q_id, c_id, {r} AS round FROM (
+                SELECT c.q_id, c.c_id,
+                       row_number() OVER (PARTITION BY c.q_id
+                           ORDER BY ({lam_pct} * c.rel_e6
+                                     - {100 - lam_pct} * m.maxsim) DESC,
+                                    c.c_id) AS pr
+                FROM cand c
+                JOIN (SELECT t.q_id, t.ca AS c_id,
+                             max(t.sim_e6) AS maxsim
+                      FROM simt t JOIN sel{p} s
+                        ON s.q_id = t.q_id AND s.c_id = t.cb
+                      GROUP BY t.q_id, t.ca) m
+                  ON m.q_id = c.q_id AND m.c_id = c.c_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel{p} s
+                                  WHERE s.q_id = c.q_id
+                                    AND s.c_id = c.c_id)) z
+            WHERE pr = 1),
+        sel{r} AS MATERIALIZED (
+            SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{r})"""
 
 
 def _lloyd_round_sql(i: int) -> str:
@@ -9461,6 +9528,97 @@ ORACLE: dict[str, str] = {
             GROUP BY t.doc_id)
         SELECT doc_id, n_terms_hit, dl, score_fp
         FROM scored ORDER BY score_fp DESC, doc_id LIMIT 25
+    """,
+    # the 4 greedy rounds unrolled relationally (_mmr_round_sql);
+    # candidate + pairwise-sim tables are bounded (25/query)
+    "mmr_diversify": f"""
+        WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        comp AS (SELECT id, d,
+                        CAST(floor(CAST(embedding[d+1] AS DOUBLE)
+                             * 10000.0 + 0.5) AS BIGINT) AS x
+                 FROM emb CROSS JOIN dims),
+        nrm AS (SELECT id, CAST(sum(x * x) AS BIGINT) AS n2
+                FROM comp GROUP BY id),
+        qd AS (
+            SELECT q.id AS q_id, c.id AS c_id,
+                   CAST(sum(q.x * c.x) AS BIGINT) AS dot
+            FROM comp q JOIN comp c ON q.d = c.d
+            WHERE q.id % 100 = 0 AND c.id % 100 <> 0
+            GROUP BY q.id, c.id),
+        rel AS (
+            SELECT q_id, c_id,
+                   CASE WHEN nq.n2 > 0 AND nc.n2 > 0
+                        THEN CAST(floor(CAST(dot AS DOUBLE)
+                             / sqrt(CAST(nq.n2 AS DOUBLE)
+                                    * CAST(nc.n2 AS DOUBLE))
+                             * 1e6) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS rel_e6
+            FROM qd JOIN nrm nq ON nq.id = qd.q_id
+            JOIN nrm nc ON nc.id = qd.c_id),
+        cand AS MATERIALIZED (
+            SELECT q_id, c_id, rel_e6, rn FROM (
+                SELECT q_id, c_id, rel_e6,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY rel_e6 DESC, c_id) AS rn
+                FROM rel) z WHERE rn <= 25),
+        cd AS (SELECT cand.q_id, cand.c_id, comp.d, comp.x
+               FROM cand JOIN comp ON comp.id = cand.c_id),
+        sdot AS (
+            SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+                   CAST(sum(a.x * b.x) AS BIGINT) AS dot
+            FROM cd a JOIN cd b
+              ON a.q_id = b.q_id AND a.d = b.d AND a.c_id <> b.c_id
+            GROUP BY a.q_id, a.c_id, b.c_id),
+        simt AS MATERIALIZED (
+            SELECT s.q_id, s.ca, s.cb,
+                   CASE WHEN na.n2 > 0 AND nb.n2 > 0
+                        THEN CAST(floor(CAST(s.dot AS DOUBLE)
+                             / sqrt(CAST(na.n2 AS DOUBLE)
+                                    * CAST(nb.n2 AS DOUBLE))
+                             * 1e6) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS sim_e6
+            FROM sdot s JOIN nrm na ON na.id = s.ca
+            JOIN nrm nb ON nb.id = s.cb),
+        sel1 AS MATERIALIZED (
+            SELECT q_id, c_id, 1 AS round FROM cand WHERE rn = 1),
+        {_mmr_round_sql(2)},
+        {_mmr_round_sql(3)},
+        {_mmr_round_sql(4)},
+        {_mmr_round_sql(5)}
+        SELECT s.q_id, CAST(s.round AS INTEGER) AS round, s.c_id,
+               r.rel_e6
+        FROM sel5 s JOIN cand r
+          ON r.q_id = s.q_id AND r.c_id = s.c_id
+    """,
+    # first-occurrence attribution by lowest doc_id over md5'd 3-grams
+    "ngram_novelty": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, md5(shingle) AS gfp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> array_to_string(toks[i+1:i+3], ' ')))
+                           AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        firsts AS (SELECT gfp, min(doc_id) AS first_doc
+                   FROM sh GROUP BY gfp)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+               CAST(CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                    // CAST(count(*) AS BIGINT) AS BIGINT) AS novelty_e6
+        FROM sh s JOIN firsts f USING (gfp)
+        GROUP BY s.doc_id
     """,
     "vocab_concentration": """
         WITH per_tok AS (

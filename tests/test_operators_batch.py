@@ -2498,3 +2498,58 @@ class TestPackSpans:
                 assert tot == 2048, (b, s, tot)
             else:
                 assert 0 < tot <= 2048, (b, s, tot)
+
+
+class TestLabelPrototypesEdges:
+    def test_null_first_embedding_and_custom_vec_col(self, spark):
+        """r10 ADVICE: the dim probe must skip NULL/empty sampled rows
+        (the old limit-1 collect raised TypeError on a NULL first
+        embedding) and honor a non-default vector column name."""
+        from kafka_connect_streams_spark.operators.similarity import (
+            label_prototypes)
+        df = spark.createDataFrame(
+            [(None, 0), ([1.0, 2.0], 0), ([3.0, 4.0], 1), ([], 1)],
+            "vec array<float>, label int")
+        labels, protos = label_prototypes(df, "label", vec_col="vec")
+        assert labels == [0, 1]
+        # NULL/empty vecs contribute NULL components (sum skips them)
+        # but still count as members — the oracle's comp CTE divides by
+        # count(*) per label, so floor(30000/2), floor(40000/2)
+        assert protos[1] == [15000, 20000]
+        assert protos[0] == [10000 // 2, 20000 // 2]
+
+    def test_all_null_vectors_yield_empty(self, spark):
+        from kafka_connect_streams_spark.operators.similarity import (
+            label_prototypes)
+        df = spark.createDataFrame(
+            [(None, 0)], "vec array<float>, label int")
+        assert label_prototypes(df, "label", vec_col="vec") == ([], {})
+
+
+def test_zero_norm_prototype_scores_cos_zero(spark, tmp_path):
+    """r10 ADVICE: an all-zero prototype or member must score cos := 0
+    (not NaN) in both prototype queries — engines disagree on NaN
+    ordering/floor, so the guard is the portability fix."""
+    from kafka_connect_streams_spark import queries as Q
+
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        (spark.read.parquet(f"{src}/{t}.parquet").limit(0)
+         .write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet")))
+    zero = [0.0] * 64
+    one = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(1, zero, 0), (2, zero, 0), (3, one, 1), (4, one, 1)],
+        "vec_id long, embedding array<float>, label int")
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    comp = {r.label: (r.mean_cos_e6, r.min_cos_e6)
+            for r in Q.q_embedding_prototypes(
+                spark, str(tmp_path)).collect()}
+    assert comp[0] == (0, 0), comp          # zero-norm label: cos := 0
+    assert comp[1] == (1000000, 1000000)
+    noise = {(r.label, r.nearest_label): r.n_members
+             for r in Q.q_label_noise(spark, str(tmp_path)).collect()}
+    # zero-norm members score 0 against BOTH prototypes -> tie -> the
+    # lowest label wins the argmax for label-0 members
+    assert noise[(0, 0)] == 2 and noise[(1, 1)] == 2, noise

@@ -857,3 +857,66 @@ def test_jl_projection_shrinks_pairwise_shuffle_bytes(spark, sf_dir):
     assert b16 > 0 and b64 > 0, (b64, b16)
     ratio = b64 / b16
     assert ratio > 2.0, (b64, b16, ratio)
+
+
+def test_block_dedup_rolling_shuffles_fingerprints_only(spark, sf_dir):
+    """The stride-1 window shuffle carries ONLY (id, pos, 16-byte fp) —
+    window text never rides an exchange (the fp_rejoin discipline):
+    two shuffles total (first-occurrence window + per-doc dup-position
+    aggregate; the token re-join broadcasts at fixture SF) and two
+    corpus scans (fingerprint pass + in-row rebuild)."""
+    import re
+    df = Q.QUERIES["block_dedup_rolling"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert shuffle_count(df) <= 3, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    # exactly one Generate: the stride-1 position explode
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_bm25_multiterm_single_corpus_pass_broadcast_terms(spark, sf_dir):
+    """The corpus is tokenized ONCE: the tf postings table is
+    localCheckpoint-pinned, so the final plan has ZERO parquet
+    re-scans and zero Generates (the explode ran in the one
+    materialization job); the query-term probe is a broadcast join
+    and the global top-k is TakeOrderedAndProject, never a corpus
+    sort."""
+    import re
+    df = Q.QUERIES["bm25_multiterm"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert has_broadcast_join(df), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_diversify_greedy_is_in_row(spark, sf_dir):
+    """After the guarded candidate stage, the whole greedy — pairwise
+    sims included — runs in-row over one collected array per query: no
+    per-round shuffles or joins (one window + groupBy exchange pair at
+    most), one Generate (the final selection posexplode). The
+    BroadcastNestedLoopJoin is the documented eval-harness candidate
+    stage (queries side broadcast), never a cartesian."""
+    import re
+    df = Q.QUERIES["mmr_diversify"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert shuffle_count(df) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0, plan
+
+
+def test_ngram_novelty_hashes_grams_before_shuffle(spark, sf_dir):
+    """Gram text never crosses the wire: shingles md5 in-row and only
+    16-byte fingerprints reach the distinct/window/agg exchanges —
+    three shuffles, one corpus scan, one Generate (the shingle
+    explode)."""
+    import re
+    df = Q.QUERIES["ngram_novelty"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert shuffle_count(df) <= 3, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    # the shingle string column must not appear past the md5 projection
+    assert len(re.findall(r"Exchange hashpartitioning\(shingle", plan)) == 0, plan

@@ -99,3 +99,108 @@ def test_sorted_neighborhood_pairing_matches_bruteforce(spark, texts):
             want.add((p[0], p[1],
                       (p in fwd) + (p in rev) + (p in il)))
     assert got == want
+
+
+def _mmr_reference(qvecs, cvecs, k, n_cand, lam):
+    """Sequential MMR over quantized int vectors — floor-e6 cosine,
+    integer-percent λ, ties → lowest candidate id."""
+    import math
+
+    def quant(v):
+        return [math.floor(x * 10000.0 + 0.5) for x in v]
+
+    def cos_e6(a, b):
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        if na == 0 or nb == 0:
+            return 0
+        d = sum(x * y for x, y in zip(a, b))
+        return math.floor(d / math.sqrt(na * nb) * 1e6)
+
+    out = []
+    cq = {i: quant(v) for i, v in cvecs.items()}
+    for qid, qv in sorted(qvecs.items()):
+        qq = quant(qv)
+        rel = sorted(((cos_e6(qq, cv), cid) for cid, cv in cq.items()),
+                     key=lambda t: (-t[0], t[1]))[:n_cand]
+        if not rel:
+            continue
+        sel = [rel[0]]
+        pool = rel[1:]
+        while len(sel) < k and pool:
+            best = None
+            for r, cid in pool:
+                ms = max(cos_e6(cq[cid], cq[sid]) for _, sid in sel)
+                mmr = lam * r - (100 - lam) * ms
+                if best is None or (-mmr, cid) < best[0]:
+                    best = ((-mmr, cid), (r, cid))
+            sel.append(best[1])
+            pool = [p for p in pool if p[1] != best[1][1]]
+        out.extend((qid, rnd + 1, cid, r)
+                   for rnd, (r, cid) in enumerate(sel))
+    return sorted(out)
+
+
+VEC = st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                         allow_nan=False, width=32),
+               min_size=4, max_size=4)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(VEC, min_size=2, max_size=10))
+def test_mmr_diversify_matches_python_reference(spark, vecs):
+    """Pins the greedy MMR contract end to end — e6-floor cosine,
+    integer λ=70 mix, argmax ties → lowest id — including zero vectors
+    and fewer-candidates-than-k pools."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_streams_spark.operators.similarity import (
+        mmr_diversify)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    q = df.filter(F.col("id") % 3 == 0)
+    c = df.filter(F.col("id") % 3 != 0)
+    got = sorted((r.q_id, r.round, r.c_id, r.rel_e6)
+                 for r in mmr_diversify(q, c, k=3, n_cand=4,
+                                        lam_pct=70).collect())
+    qvecs = {i: v for i, v in rows if i % 3 == 0}
+    cvecs = {i: v for i, v in rows if i % 3 != 0}
+    assert got == _mmr_reference(qvecs, cvecs, k=3, n_cand=4, lam=70), rows
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "dd"]),
+                         min_size=0, max_size=8).map(" ".join),
+                min_size=1, max_size=5))
+def test_ngram_novelty_matches_python_reference(spark, docs):
+    """First-occurrence attribution by lowest doc_id over distinct
+    3-grams, with the shingles() short-doc convention (a doc shorter
+    than n yields its full text as one gram)."""
+    import re
+
+    from kafka_connect_streams_spark.operators.text import ngram_novelty
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_distinct_grams, r.novel_grams, r.novelty_e6)
+           for r in ngram_novelty(df, "text", "doc_id", n=3).collect()}
+    grams = {}
+    for i, text in enumerate(docs):
+        toks = [t for t in re.split(r"\W+", text.lower()) if t]
+        gs = {" ".join(toks[j:j + 3])
+              for j in range(max(len(toks) - 2, 1))}
+        gs = {g for g in gs if g}
+        if gs:
+            grams[i] = gs
+    first = {}
+    for i in sorted(grams):
+        for g in grams[i]:
+            first.setdefault(g, i)
+    want = {}
+    for i, gs in grams.items():
+        novel = sum(1 for g in gs if first[g] == i)
+        want[i] = (len(gs), novel, novel * 10**6 // len(gs))
+    assert got == want, docs
