@@ -1236,3 +1236,66 @@ def test_streaming_token_budget_survives_restart(spark, tmp_path):
     final_eid = max(r.eid for r in rows)
     got = {r.id: r.cum_tok for r in rows if r.eid == final_eid}
     assert got == want, (got, want, order)
+
+
+def test_streaming_decontaminate_matches_batch_decision(spark, tmp_path):
+    """The stream-side per-training-row flag must be the exact transpose
+    of the batch decision: train row t is contaminated iff some eval
+    vector shares t's hyperplane bucket with quantized cosine >= 0.4
+    (floor-e6 >= 400000 is the same predicate — 0.4e6 is an integer).
+    Stateless: append mode, no watermark, no state store; a full replay
+    re-emits identical flags."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_streams_spark.operators.similarity import (
+        _cosine, _dot, _qvecs, hyperplane_signatures)
+    from kafka_connect_streams_spark.streaming.filters import (
+        streaming_decontaminate)
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"), "embedding"))
+    is_eval = F.col("id") % 50 == 0
+    ev_df, tr_df = vecs.filter(is_eval), vecs.filter(~is_eval)
+
+    # batch truth, per TRAIN row: bucket-local exact cosine >= 0.4
+    sig = hyperplane_signatures(vecs, "id", "embedding", planes=8)
+    e = sig.filter(is_eval).select(F.col("id").alias("id_e"), "bucket")
+    t = sig.filter(~is_eval).select(F.col("id").alias("id_t"), "bucket")
+    cand = F.broadcast(e).join(t, "bucket").select("id_e", "id_t")
+    ve = _qvecs(ev_df, "id", "embedding", "id_e", "_ve", "ne")
+    vt = _qvecs(tr_df, "id", "embedding", "id_t", "_vt", "nt")
+    pairs = (cand.join(F.broadcast(ve), "id_e").join(vt, "id_t")
+             .withColumn("cosine", _cosine(_dot(F.col("_ve"),
+                                                F.col("_vt")),
+                                           F.col("ne"), F.col("nt"))))
+    want_flagged = {r.id_t for r in pairs
+                    .filter(F.col("cosine") >= 0.4)
+                    .select("id_t").distinct().collect()}
+    n_train = tr_df.count()
+
+    src = tmp_path / "in"
+    src.mkdir()
+    tr_df.coalesce(2).write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema("id long, embedding array<float>")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = (streaming_decontaminate(stream, ev_df, planes=8)
+         .writeStream.format("memory").queryName("sdec")
+         .outputMode("append").start())     # stateless: append, no watermark
+    try:
+        q.processAllAvailable()
+        # at-least-once: full replay re-emits identical flags
+        tr_df.coalesce(1).write.mode("append").parquet(str(src / "a"))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT DISTINCT id, contaminated, "
+                         "n_eval_candidates FROM sdec").collect()
+    finally:
+        q.stop()
+    got = {r.id: r.contaminated for r in rows}
+    assert len(got) == len(rows) == n_train, "replay must change nothing"
+    assert {i for i, c in got.items() if c} == want_flagged
+    # candidate counts are bucket-local, never |eval|
+    n_eval = ev_df.count()
+    assert all(r.n_eval_candidates <= n_eval for r in rows)
