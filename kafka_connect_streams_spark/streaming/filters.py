@@ -94,3 +94,82 @@ def streaming_decontaminate(train: DataFrame, eval_df: DataFrame,
                .withColumn("max_cos_e6", F.lit(0).cast("bigint"))
                .withColumn("contaminated", F.lit(False)))
     return out.drop("_v", "_nv")
+
+
+def streaming_decontaminate_ngram(train: DataFrame, eval_df: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  n: int = 5,
+                                  m_bits: int = 65536,
+                                  n_hashes: int = 3) -> DataFrame:
+    """N-gram benchmark decontamination ON the ingest stream — the
+    published-eval method (q_decontamination_ngram) transposed to the
+    training side: every arriving document counts how many of its word
+    ``n``-grams appear ANYWHERE in the bounded eval suite, entirely
+    in-row.
+
+    Two-tier membership, exact output: each gram's 48-bit md5 hash
+    first probes a Bloom BITMAP of the eval suite's gram set
+    (``m_bits`` bits packed into ``m_bits/64`` bigint words inlined as
+    one literal — O(1) per probe via word-index + shift, the
+    runtime-bloom-filter trick made explicit), and only Bloom HITS pay
+    the exact ``array_contains`` scan of the sorted eval-hash literal —
+    so the common all-clean row costs ``grams × n_hashes`` constant
+    probes and the final count is EXACT (the Bloom is a fast path,
+    never the answer; hash family = the CMS md5-affine rows, same as
+    membership.bloom_positions). Stateless: append mode, no watermark,
+    no state store; replays re-emit identical flags.
+
+    The eval-suite gram set is bounded (benchmark suites), so both
+    literals are O(|eval grams|) constants — the label_prototypes
+    broadcast-literal discipline. At very large suites, raise
+    ``m_bits`` (fp rate only affects the fast-path hit rate, never
+    correctness).
+    """
+    from kafka_connect_streams_spark.operators.dedup import (_gram_array,
+                                                             shingles)
+    ev = (shingles(eval_df, text_col, id_col, n=n)
+          .select(F.expr("cast(conv(substring(md5(shingle), 1, 12), 16, 10)"
+                         " as bigint)").alias("h"))
+          .distinct().collect())
+    fps = sorted({int(r.h) for r in ev})
+    base = train.withColumn(
+        "_sg_toks",
+        F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         r"\W+"),
+                 lambda t: F.length(t) > 0))
+    gexpr = _gram_array("_sg_toks", n)
+    if not fps:
+        return (base
+                .withColumn("n_grams", F.size(gexpr).cast("bigint"))
+                .withColumn("n_contaminated", F.lit(0).cast("bigint"))
+                .withColumn("contaminated", F.lit(False))
+                .drop("_sg_toks"))
+    words = [0] * ((m_bits + 63) // 64)
+    for h in fps:
+        for r in range(n_hashes):
+            a, b = 2 * r + 1, 104729 * (r + 1)
+            pos = ((h * a + b) % 2147483647) % m_bits
+            words[pos >> 6] |= 1 << (pos & 63)
+    # pack to SIGNED int64 for the literal (Python ints > 2^63-1 won't
+    # parse as bigint literals)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bm = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    ev_lit = "array(" + ", ".join(f"{h}L" for h in fps) + ")"
+    probes = " AND ".join(
+        f"(shiftright(element_at({bm}, cast("
+        f"(((h * {2 * r + 1} + {104729 * (r + 1)}) % 2147483647)"
+        f" % {m_bits}) div 64 as int) + 1), "
+        f"cast((((h * {2 * r + 1} + {104729 * (r + 1)})"
+        f" % 2147483647) % {m_bits}) % 64 as int)) & 1) = 1"
+        for r in range(n_hashes))
+    hits = f"""size(filter(
+        transform(_grams, g -> cast(conv(substring(md5(g), 1, 12), 16, 10)
+                                    as bigint)),
+        h -> ({probes}) AND array_contains({ev_lit}, h)))"""
+    return (base
+            .withColumn("_grams", gexpr)
+            .withColumn("n_grams", F.size("_grams").cast("bigint"))
+            .withColumn("n_contaminated", F.expr(hits).cast("bigint"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0)
+            .drop("_sg_toks", "_grams"))

@@ -1299,3 +1299,93 @@ def test_streaming_decontaminate_matches_batch_decision(spark, tmp_path):
     # candidate counts are bucket-local, never |eval|
     n_eval = ev_df.count()
     assert all(r.n_eval_candidates <= n_eval for r in rows)
+
+
+def test_streaming_decontaminate_ngram_matches_batch_decision(spark,
+                                                              tmp_path):
+    """Per-training-row n-gram contamination counts on the stream must
+    equal the exact transpose of the batch shingle logic: for train doc
+    t, n_contaminated = |distinct 5-grams of t that occur in any eval
+    doc| — computed in the test with the batch shingles operator. The
+    Bloom bitmap is a fast path only; the output is exact."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_streams_spark.operators.dedup import shingles
+    from kafka_connect_streams_spark.streaming.filters import (
+        streaming_decontaminate_ngram)
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = F.col("doc_id") % 50 == 0
+    ev_df, tr_df = docs.filter(is_eval), docs.filter(~is_eval)
+
+    sh = shingles(docs, "text", "doc_id", n=5)
+    ev_sh = (sh.join(ev_df.select("doc_id"), "doc_id", "left_semi")
+             .select("shingle").distinct())
+    want = {r.doc_id: r.n
+            for r in sh.join(tr_df.select("doc_id"), "doc_id", "left_semi")
+            .join(ev_sh, "shingle", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    tr_df.coalesce(2).write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = (streaming_decontaminate_ngram(stream, ev_df, "text", "doc_id")
+         .writeStream.format("memory").queryName("sngram")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT DISTINCT doc_id, n_grams, "
+                         "n_contaminated, contaminated "
+                         "FROM sngram").collect()
+    finally:
+        q.stop()
+    got = {r.doc_id: r.n_contaminated for r in rows if r.n_contaminated}
+    assert got == want
+    flagged = {r.doc_id for r in rows if r.contaminated}
+    assert flagged == set(want)
+    assert len(rows) == tr_df.count()
+
+
+def test_projection_curation_ops_are_stream_transparent(spark, tmp_path):
+    """The narrow curation surface — quality scoring, language id,
+    Gopher rules, repetition signals — is built from pure projections,
+    so the SAME operator functions run unchanged on a streaming
+    DataFrame (append mode, no watermark, no state) and emit rows
+    identical to the batch run over the same files. This is the design
+    dividend of keeping filters/scorers shuffle-free: stream adoption
+    is free, per operator, with no streaming twin to maintain."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_streams_spark.operators.text import (
+        gopher_rules, language_id, quality_score, repetition_signals)
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(2).write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    for i, op in enumerate([quality_score, language_id, gopher_rules,
+                            repetition_signals]):
+        batch = {tuple(r) for r in op(docs, "text", "doc_id").collect()}
+        name = f"stp{i}"
+        q = (op(stream, "text", "doc_id")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = {tuple(r)
+                   for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        finally:
+            q.stop()
+        assert got == batch, op.__name__
