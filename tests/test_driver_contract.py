@@ -201,3 +201,30 @@ def test_compare_bench_refuses_cross_mode():
                  "/root/repo/BENCH_r10.json"]) == 2
     assert main(["/root/repo/BENCH_r10.json",
                  "/root/repo/BENCH_r10.json"]) == 0
+
+
+def test_no_oracle_emits_nonscalar_columns():
+    """Symmetric mirror of the Spark-side probe: DESCRIBE every oracle
+    and fail on LIST/STRUCT/MAP output columns — a DuckDB list cell
+    crashes the driver's pandas sort_values exactly like a Spark array
+    did in round 10."""
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+        bad = [d[0] for d in desc
+               if "[]" in str(d[1]) or
+               str(d[1]).upper().startswith(("STRUCT", "MAP"))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"serialize these oracle columns to scalars "
+        f"(driver sort_values trap): {offenders}")
+    # the probe itself must reject a synthetic list column
+    got = con.execute("DESCRIBE SELECT [1, 2] AS xs, 1 AS ok").fetchall()
+    assert any("[]" in str(d[1]) for d in got)

@@ -147,6 +147,18 @@ def main() -> int:
                       f"{huge} — CAST to BIGINT (driver pandas-fetch trap)")
                 failed.append(name)
                 continue
+            # symmetric non-scalar probe for the ORACLE side: a DuckDB
+            # LIST/STRUCT/MAP output column reaches the driver's pandas
+            # sort_values as unhashable cells exactly like a Spark array
+            nonscalar = [d[0] for d in desc
+                         if "[]" in str(d[1]) or
+                         str(d[1]).upper().startswith(("STRUCT", "MAP"))]
+            if nonscalar:
+                print(f"FAIL  {name}: oracle has non-scalar output "
+                      f"column(s) {nonscalar} — serialize to a scalar "
+                      f"(driver sort_values trap)")
+                failed.append(name)
+                continue
             dtypes = {d[0]: str(d[1]).upper() for d in desc}
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
