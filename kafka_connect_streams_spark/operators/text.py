@@ -346,19 +346,27 @@ def ngram_novelty(df: DataFrame, text_col: str, id_col: str,
     measures WITHIN-doc repetition, chunk_dedup detects shared chunks;
     this quantifies each document's marginal n-gram contribution.
 
-    Scale shape: distinct (doc, gram) shingles fingerprint to md5 IN-ROW
-    before any shuffle (16-byte fixed-width rows, never gram text — the
-    exact_dedup digest discipline), first-occurrence is one min-window
-    over the gram-hash partition, and the per-doc aggregate is the third
-    and last shuffle. novelty_e6 is integer fixed point (truncating div
-    on non-negative counts, engine-exact). Documents with zero shingles
-    (empty/NULL text) emit no row, matching the shingles() convention.
+    Scale shape: distinct (doc, gram) shingles fingerprint to xxhash64
+    IN-ROW before any shuffle (8-byte fixed-width rows, never gram text —
+    the exact_dedup digest discipline); first-occurrence is a
+    ``groupBy(gram).min(doc_id)`` — NOT a min-window — because a hot
+    gram (a stopword trigram in half the corpus) must not pin all its
+    rows to one reducer: the aggregate partial-combines map-side to one
+    row per gram, and the join back is AQE-skew-splittable, neither of
+    which a window over the gram partition allows. The per-doc
+    aggregate is the last shuffle. novelty_e6 is integer fixed point
+    (truncating div on non-negative counts, engine-exact). Documents
+    with zero shingles (empty/NULL text) emit no row, matching the
+    shingles() convention.
     """
     from kafka_connect_streams_spark.operators.dedup import shingles
+    # xxhash64, not md5: the gram fingerprint is plan-internal (grouping
+    # only, never emitted), so engine-matching digests aren't needed and
+    # the cheaper hash halves the per-gram map cost
     sh = (shingles(df, text_col, id_col, n=n)
-          .select(F.col(id_col), F.md5("shingle").alias("_gfp")))
-    w = Window.partitionBy("_gfp")
-    per = sh.withColumn("_first", F.min(id_col).over(w))
+          .select(F.col(id_col), F.xxhash64("shingle").alias("_gfp")))
+    firsts = sh.groupBy("_gfp").agg(F.min(id_col).alias("_first"))
+    per = sh.join(firsts, "_gfp")
     return (per.groupBy(id_col)
             .agg(F.count("*").alias("n_distinct_grams"),
                  F.sum((F.col("_first") == F.col(id_col)).cast("bigint"))
@@ -975,15 +983,21 @@ def block_dedup_rolling(df: DataFrame, text_col: str, id_col: str,
     repetition dedups the same way (first occurrence survives).
 
     Scale shape (the fp_rejoin discipline): windows explode to
-    ``(id, pos, 16-byte fp)`` ONLY — text never rides the
-    first-occurrence window shuffle; duplicate positions aggregate to
-    one bounded array per doc; a second corpus scan re-joins the token
-    array by id and the reconstruction is IN-ROW: merge the sorted
-    duplicate positions into disjoint covered intervals (one O(|dups|)
-    fold), take the complement gaps, and slice the token array per gap
-    (O(n) total, never O(n·|dups|) per-token exists probes). Stride-1
-    windows are ~n rows/doc vs n/size for block_dedup — the price of
-    the guarantee; both shuffles carry fixed-width rows.
+    ``(id, pos, 8-byte xxhash64 fp)`` ONLY — text never rides a shuffle.
+    First-occurrence is ``groupBy(fp).min(struct(id, pos))`` — NOT a
+    row_number window — because a hot fingerprint (a boilerplate
+    8-gram in millions of docs) must not pin all its rows to one
+    reducer: the min partial-combines map-side to one row per fp and
+    the duplicate test is an AQE-skew-splittable join back, neither of
+    which a window over the fp partition allows. Duplicate positions
+    then aggregate to one bounded array per doc; a second corpus scan
+    re-joins the token array by id and the reconstruction is IN-ROW:
+    merge the sorted duplicate positions into disjoint covered
+    intervals (one O(|dups|) fold), take the complement gaps, and
+    slice the token array per gap (O(n) total, never O(n·|dups|)
+    per-token exists probes). Stride-1 windows are ~n rows/doc vs
+    n/size for block_dedup — the price of the guarantee; every shuffle
+    carries fixed-width rows.
     """
     toks = _tok_array(text_col)
     d = (df.select(F.col(id_col), toks.alias("_toks"))
@@ -996,18 +1010,30 @@ def block_dedup_rolling(df: DataFrame, text_col: str, id_col: str,
                         F.lit(0).cast("bigint"),
                         (F.col("_n") - k).cast("bigint"))).alias("pos"))
             .select(F.col(id_col), "pos",
-                    F.md5(F.array_join(
+                    # xxhash64, not md5: the fingerprint is PLAN-INTERNAL
+                    # (it only defines the grouping; it never reaches the
+                    # output), so the engines don't need matching digests —
+                    # and it's ~2× cheaper over the stride-1 fan-out. 64-bit
+                    # collisions at 1e9 windows: ~1e-2 birthday pairs, each
+                    # only ever UNDER-keeping a token — acceptable for a
+                    # dedup pass; swap back to md5 for exactness-critical use
+                    F.xxhash64(F.array_join(
                         F.slice(F.col("_toks"),
                                 (F.col("pos") + 1).cast("int"), k),
                         " ")).alias("_wfp")))
-    w = Window.partitionBy("_wfp").orderBy(id_col, "pos")
-    dups = (wins.withColumn("_rn", F.row_number().over(w))
-            .groupBy(id_col)
+    firsts = wins.groupBy("_wfp").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("_f"))
+    dec = (wins.join(firsts, "_wfp")
+           .withColumn("_dup",
+                       ~((F.col(id_col) == F.col("_f.i"))
+                         & (F.col("pos") == F.col("_f.p")))))
+    dups = (dec.groupBy(id_col)
             .agg(F.count("*").alias("n_windows"),
-                 F.sum((F.col("_rn") > 1).cast("bigint"))
+                 F.sum(F.col("_dup").cast("bigint"))
                  .alias("dup_windows"),
                  F.array_sort(F.collect_list(
-                     F.when(F.col("_rn") > 1, F.col("pos"))))
+                     F.when(F.col("_dup"), F.col("pos"))))
                  .alias("_dp")))
     joined = (d.join(dups, id_col, "left")
               .select(F.col(id_col), "_toks", "_n",
