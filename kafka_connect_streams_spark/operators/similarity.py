@@ -916,7 +916,13 @@ def mmr_diversify(queries: DataFrame, candidates: DataFrame, k: int = 5,
                     * cast({el.format('s')}.cn as double))
              * 1e6) as bigint)
         ELSE cast(0 as bigint) END"""
-    greedy = f"""aggregate(sequence(2, {k}), array(1),
+    if k < 1:
+        raise ValueError(f"mmr_diversify needs k >= 1, got {k}")
+    # k=1 guard: Spark's sequence(2, 1) auto-steps DOWN to [2, 1] — it
+    # would run phantom greedy rounds instead of none
+    rounds = f"sequence(2, {k})" if k > 1 else \
+        "cast(array() as array<int>)"
+    greedy = f"""aggregate({rounds}, array(1),
         (sel, r) -> CASE WHEN r > size(_cands) THEN sel
           ELSE concat(sel, array(element_at(array_sort(filter(
             transform(sequence(1, size(_cands)), i ->

@@ -204,3 +204,25 @@ def test_ngram_novelty_matches_python_reference(spark, docs):
         novel = sum(1 for g in gs if first[g] == i)
         want[i] = (len(gs), novel, novel * 10**6 // len(gs))
     assert got == want, docs
+
+
+def test_mmr_k1_returns_top_relevance_only(spark):
+    """k=1 edge: Spark's sequence(2, 1) auto-steps DOWN ([2, 1]) and
+    would run phantom greedy rounds; the guard makes k=1 exactly the
+    relevance argmax and k=0 a ValueError."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_streams_spark.operators.similarity import (
+        mmr_diversify)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "id long, embedding array<float>")
+    q = df.filter(F.col("id") == 0)
+    c = df.filter(F.col("id") != 0)
+    got = [(r.round, r.c_id)
+           for r in mmr_diversify(q, c, k=1, n_cand=3).collect()]
+    assert got == [(1, 1)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        mmr_diversify(q, c, k=0)
