@@ -173,3 +173,98 @@ def streaming_decontaminate_ngram(train: DataFrame, eval_df: DataFrame,
             .withColumn("n_contaminated", F.expr(hits).cast("bigint"))
             .withColumn("contaminated", F.col("n_contaminated") > 0)
             .drop("_sg_toks", "_grams"))
+
+
+def streaming_decontaminate_fingerprint(train: DataFrame,
+                                        eval_df: DataFrame,
+                                        text_col: str = "text",
+                                        id_col: str = "doc_id",
+                                        k: int = 16, bands: int = 4,
+                                        rows: int = 4,
+                                        n: int = 3) -> DataFrame:
+    """Exact + MinHash-LSH decontamination ON the ingest stream — the
+    remaining two legs of the batch family (q_decontamination /
+    q_decontamination_minhash) transposed to the training side, so all
+    four modes (exact, n-gram, MinHash, embedding) now run as stateless
+    per-row stream filters.
+
+    Per arriving document, entirely in-row:
+
+    - ``contaminated_exact``: its canonical token-set fingerprint
+      (operators/text.fingerprint convention) is in the eval suite's
+      fingerprint set — inlined as one sorted literal array.
+    - ``near_contaminated``: any of its ``bands`` MinHash band keys
+      lands in the eval suite's band buckets. The signature is the
+      dedup machinery's exact arithmetic (48-bit md5 gram hash; seed s
+      = (h·(2s+1) + s·GOLD) mod P) folded in-row: ``sig[s] =
+      array_min`` over the gram hashes (min over duplicates == min
+      over distinct, so no per-doc distinct pass is needed), band key
+      = md5 of the band's slots in seed order — byte-identical to
+      banded_signatures, so a bucket collision here IS the batch
+      operator's collision.
+
+    Documents with zero shingles have no signature (the batch
+    convention: no sh rows → never banded) → ``near`` is false.
+    Stateless append-mode projection; replay-stable by construction.
+    Eval suites are bounded → both literals are O(|eval|) constants
+    (the label_prototypes broadcast-literal discipline).
+    """
+    from kafka_connect_streams_spark.operators.dedup import (
+        MINHASH_GOLD, MINHASH_P, banded_signatures,
+        minhash_signatures_wide, shingles)
+    from kafka_connect_streams_spark.operators.text import fingerprint
+
+    ev_fp = sorted({r.fingerprint for r in
+                    fingerprint(eval_df, text_col, id_col)
+                    .select("fingerprint").collect()})
+    ev_banded = (banded_signatures(
+        minhash_signatures_wide(
+            shingles(eval_df, text_col, id_col, n=n), id_col, k=k),
+        id_col, bands=bands, rows=rows)
+        .select("band", "band_key").distinct().collect())
+    by_band: dict[int, list[str]] = {}
+    for r in ev_banded:
+        by_band.setdefault(int(r.band), []).append(r.band_key)
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+        lambda t: F.length(t) > 0)
+    grams_sql = """filter(transform(
+        sequence(1, greatest(size(_toks) - {nm1}, 1)),
+        i -> concat_ws(' ', {probes})), g -> length(g) > 0)""".format(
+        nm1=n - 1,
+        probes=", ".join(f"try_element_at(_toks, i + {j})"
+                         for j in range(n)))
+    hs = f"""transform({grams_sql},
+        g -> cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)
+             % {MINHASH_P}L)"""
+    sig = "array(" + ", ".join(
+        f"array_min(transform(_hs, h -> (h * {2 * s + 1}L"
+        f" + {s}L * {MINHASH_GOLD}L) % {MINHASH_P}L))"
+        for s in range(k)) + ")"
+
+    def band_key(b: int) -> str:
+        parts = ", ".join(f"cast(element_at(_sig, {b * rows + r + 1})"
+                          " as string)" for r in range(rows))
+        return f"md5(concat_ws(',', {parts}))"
+
+    near_terms = []
+    for b in range(bands):
+        keys = by_band.get(b, [])
+        if not keys:
+            continue
+        lit = "array(" + ", ".join(f"'{x}'" for x in sorted(keys)) + ")"
+        near_terms.append(f"array_contains({lit}, {band_key(b)})")
+    near = ("(size(_hs) > 0 AND (" + " OR ".join(near_terms) + "))"
+            if near_terms else "false")
+    exact = ("array_contains(array(" +
+             ", ".join(f"'{x}'" for x in ev_fp) +
+             "), md5(array_join(array_sort(array_distinct(_toks)), ' ')))"
+             if ev_fp else "false")
+    return (train
+            .withColumn("_toks", toks)
+            .withColumn("_hs", F.expr(hs))
+            .withColumn("_sig", F.expr(sig))
+            .withColumn("contaminated_exact", F.expr(exact))
+            .withColumn("near_contaminated", F.expr(near))
+            .drop("_toks", "_hs", "_sig"))

@@ -1389,3 +1389,64 @@ def test_projection_curation_ops_are_stream_transparent(spark, tmp_path):
         finally:
             q.stop()
         assert got == batch, op.__name__
+
+
+def test_streaming_decontaminate_fingerprint_matches_batch(spark,
+                                                           tmp_path):
+    """The exact and MinHash-LSH stream-side flags must be the precise
+    transposes of the batch decisions: train doc t is exact-contaminated
+    iff its canonical fingerprint appears in the eval set, and
+    near-contaminated iff any of its 4 band keys lands in an eval band
+    bucket — both truths recomputed in-test with the batch operators."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_streams_spark.operators.dedup import (
+        banded_signatures, minhash_signatures_wide, shingles)
+    from kafka_connect_streams_spark.operators.text import fingerprint
+    from kafka_connect_streams_spark.streaming.filters import (
+        streaming_decontaminate_fingerprint)
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = F.col("doc_id") % 50 == 0
+    ev_df, tr_df = docs.filter(is_eval), docs.filter(~is_eval)
+
+    fp = fingerprint(docs, "text", "doc_id").select("doc_id",
+                                                    "fingerprint")
+    ev_fps = {r.fingerprint
+              for r in fp.filter(is_eval).collect()}
+    want_exact = {r.doc_id for r in fp.filter(~is_eval).collect()
+                  if r.fingerprint in ev_fps}
+    banded = banded_signatures(
+        minhash_signatures_wide(shingles(docs, "text", "doc_id", n=3),
+                                "doc_id", k=16),
+        "doc_id", bands=4, rows=4)
+    ev_buckets = {(r.band, r.band_key)
+                  for r in banded.filter(is_eval).collect()}
+    want_near = {r.doc_id for r in banded.filter(~is_eval).collect()
+                 if (r.band, r.band_key) in ev_buckets}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    tr_df.coalesce(2).write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = (streaming_decontaminate_fingerprint(stream, ev_df,
+                                             "text", "doc_id")
+         .writeStream.format("memory").queryName("sfpd")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id, contaminated_exact, "
+                         "near_contaminated FROM sfpd").collect()
+    finally:
+        q.stop()
+    assert len(rows) == tr_df.count()
+    assert {r.doc_id for r in rows if r.contaminated_exact} == want_exact
+    assert {r.doc_id for r in rows if r.near_contaminated} == want_near
+    # note: exact ⊄ near in general — exact matches the canonical token
+    # SET (order/repetition-insensitive), while MinHash shingles are
+    # sequence-sensitive, so a reordered duplicate can be exact-only
