@@ -138,7 +138,9 @@ def streaming_decontaminate_ngram(train: DataFrame, eval_df: DataFrame,
         F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                          r"\W+"),
                  lambda t: F.length(t) > 0))
-    gexpr = _gram_array("_sg_toks", n)
+    # DISTINCT grams — the batch shingles() convention: a doc repeating
+    # one n-gram contributes it once to both n_grams and the hit count
+    gexpr = F.array_distinct(_gram_array("_sg_toks", n))
     if not fps:
         return (base
                 .withColumn("n_grams", F.size(gexpr).cast("bigint"))

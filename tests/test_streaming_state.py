@@ -1450,3 +1450,92 @@ def test_streaming_decontaminate_fingerprint_matches_batch(spark,
     # note: exact ⊄ near in general — exact matches the canonical token
     # SET (order/repetition-insensitive), while MinHash shingles are
     # sequence-sensitive, so a reordered duplicate can be exact-only
+
+
+import pytest  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_W = st.sampled_from(["a", "b", "c", "dd", "eee"])
+_DOC = st.lists(_W, min_size=0, max_size=10).map(" ".join)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_DOC, min_size=2, max_size=8))
+def test_streaming_ngram_filter_matches_python_reference(spark, docs):
+    """The stream-side n-gram filter is a stateless projection, so it
+    property-tests on a batch frame: per-train-doc contaminated-gram
+    counts must equal a pure-Python first-principles computation
+    (distinct n-grams of the doc ∩ the union of eval docs' n-grams),
+    across dense-collision corpora incl. empty docs and tiny pools —
+    proving the Bloom fast path never changes the exact answer."""
+    import re
+
+    from kafka_connect_streams_spark.streaming.filters import (
+        streaming_decontaminate_ngram)
+
+    def gramset(text, n=3):
+        toks = [t for t in re.split(r"\W+", text.lower()) if t]
+        gs = {" ".join(toks[j:j + n])
+              for j in range(max(len(toks) - n + 1, 1))}
+        return {g for g in gs if g}
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    ev = df.filter(F.col("doc_id") % 2 == 0)
+    tr = df.filter(F.col("doc_id") % 2 == 1)
+    ev_grams = set().union(*(gramset(d) for i, d in enumerate(docs)
+                             if i % 2 == 0)) if docs else set()
+    got = {r.doc_id: (r.n_grams, r.n_contaminated, r.contaminated)
+           for r in streaming_decontaminate_ngram(
+               tr, ev, "text", "doc_id", n=3).collect()}
+    for i, d in enumerate(docs):
+        if i % 2 == 0:
+            continue
+        gs = gramset(d)
+        hit = len(gs & ev_grams)
+        assert got[i] == (len(gs), hit, hit > 0), (d, got[i])
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_DOC, min_size=2, max_size=8))
+def test_streaming_fingerprint_filter_matches_batch_machinery(spark,
+                                                              docs):
+    """The in-row MinHash fold (array_min over seed-transformed gram
+    hashes) must produce band keys byte-identical to the batch
+    banded_signatures path, and the exact leg must match canonical
+    fingerprints — across random corpora incl. reordered duplicates
+    and zero-shingle docs."""
+    from kafka_connect_streams_spark.operators.dedup import (
+        banded_signatures, minhash_signatures_wide, shingles)
+    from kafka_connect_streams_spark.operators.text import fingerprint
+    from kafka_connect_streams_spark.streaming.filters import (
+        streaming_decontaminate_fingerprint)
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    ev = df.filter(F.col("doc_id") % 2 == 0)
+    tr = df.filter(F.col("doc_id") % 2 == 1)
+    fp = fingerprint(df, "text", "doc_id").select("doc_id", "fingerprint")
+    ev_fps = {r.fingerprint for r in
+              fp.filter(F.col("doc_id") % 2 == 0).collect()}
+    want_exact = {r.doc_id for r in
+                  fp.filter(F.col("doc_id") % 2 == 1).collect()
+                  if r.fingerprint in ev_fps}
+    banded = banded_signatures(
+        minhash_signatures_wide(shingles(df, "text", "doc_id", n=3),
+                                "doc_id", k=16),
+        "doc_id", bands=4, rows=4)
+    ev_b = {(r.band, r.band_key) for r in
+            banded.filter(F.col("doc_id") % 2 == 0).collect()}
+    want_near = {r.doc_id for r in
+                 banded.filter(F.col("doc_id") % 2 == 1).collect()
+                 if (r.band, r.band_key) in ev_b}
+    out = streaming_decontaminate_fingerprint(tr, ev, "text",
+                                              "doc_id").collect()
+    assert {r.doc_id for r in out if r.contaminated_exact} == want_exact
+    assert {r.doc_id for r in out if r.near_contaminated} == want_near
