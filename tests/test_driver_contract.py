@@ -228,3 +228,39 @@ def test_no_oracle_emits_nonscalar_columns():
     # the probe itself must reject a synthetic list column
     got = con.execute("DESCRIBE SELECT [1, 2] AS xs, 1 AS ok").fetchall()
     assert any("[]" in str(d[1]) for d in got)
+
+
+def test_bm25_idf_floor_margins_are_wide_at_all_sfs():
+    """bm25_multiterm's only cross-engine libm exposure is
+    floor(1e6·ln(x)) on the <=4 per-term idf inputs. A 1-ULP
+    Java-vs-libm ln difference (~2e-9 at e6 scale) can only flip the
+    floor if the value sits that close to an integer — verify the
+    actual margins at every SF are >= 1e-3, six orders of magnitude of
+    headroom, so the hash can never go red from ln rounding."""
+    import math
+
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet'")
+        rows = con.execute("""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(coalesce(text, '')),
+                                              '\\W+'),
+                           x -> length(x) > 0)) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                   ORDER BY df DESC, term LIMIT 4)
+            SELECT df.df, n.n_docs FROM df CROSS JOIN n
+        """).fetchall()
+        assert rows, sf
+        for dfv, n_docs in rows:
+            x = 1e6 * math.log((2 * n_docs + 2) / (2 * dfv + 1))
+            frac = x - math.floor(x)
+            margin = min(frac, 1.0 - frac)
+            assert margin > 1e-3, (sf, dfv, n_docs, x, margin)
