@@ -63,6 +63,18 @@ KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "topk": lambda c, k: F.slice(F.sort_array(F.collect_list(c), asc=False), 1, k),
     "topkdistinct": lambda c, k: F.slice(
         F.sort_array(F.collect_set(c), asc=False), 1, k),
+    # KSQL HISTOGRAM(col) -> map<value, count>: a UDAF with map state in
+    # ksql; here an in-row count fold over the group's collected values
+    # (stays JVM-side). Fine for KSQL-typical low-cardinality columns;
+    # for high-cardinality counting use a two-level groupBy instead.
+    "histogram": lambda c: F.aggregate(
+        F.sort_array(F.collect_list(c.cast("string"))),
+        F.expr("cast(map() as map<string, bigint>)"),
+        lambda m, x: F.map_concat(
+            F.map_filter(m, lambda k, _: k != x),
+            F.create_map(
+                x, F.coalesce(F.element_at(m, x),
+                              F.lit(0).cast("bigint")) + 1))),
     "count": F.count,
     "sum": F.sum,
     "min": F.min,

@@ -65,6 +65,22 @@ class TestRegistry:
                      ).collect()[0].t
         assert got == [5, 3]
 
+    def test_histogram_aggregate(self, spark):
+        """KSQL HISTOGRAM(col): per-group value -> count map (ksql 5.1
+        function reference); here an in-row count fold, incl. the
+        empty-group and grouped forms."""
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("a", "x"), ("b", "z")], "g string, v string")
+        got = {r.g: r.h for r in
+               df.groupBy("g")
+               .agg(KSQL_FUNCTIONS["histogram"](F.col("v")).alias("h"))
+               .collect()}
+        assert got == {"a": {"x": 2, "y": 1}, "b": {"z": 1}}
+        empty = (df.filter("g = 'nope'")
+                 .agg(KSQL_FUNCTIONS["histogram"](F.col("v")).alias("h"))
+                 .collect()[0].h)
+        assert empty == {}
+
 
 class TestSqlRewrite:
     def test_rewrites_only_function_calls(self):
