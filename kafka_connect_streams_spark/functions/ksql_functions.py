@@ -22,6 +22,19 @@ from pyspark.sql import functions as F
 
 # -- programmatic registry ---------------------------------------------------
 
+
+def _mask_all(c: Column) -> Column:
+    """ksql MASK char classes: upper→X, lower→x, digit→n."""
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, "[A-Z]", "X"), "[a-z]", "x"),
+        "[0-9]", "n")
+
+
+def _headlen(c: Column, n: int) -> Column:
+    """Chars before the last-n tail (0 when the string is shorter)."""
+    return F.greatest(F.length(c) - F.lit(n), F.lit(0))
+
+
 KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # string
     "lcase": F.lower,
@@ -32,10 +45,32 @@ KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "len": F.length,
     "initcap": F.initcap,
     "replace": lambda c, find, repl: F.replace(c, F.lit(find), F.lit(repl)),
-    "mask": lambda c: F.regexp_replace(
-        F.regexp_replace(F.regexp_replace(c, "[A-Z]", "X"), "[a-z]", "x"),
-        "[0-9]", "n"),
+    "mask": lambda c: _mask_all(c),
+    # MASK_KEEP_LEFT / MASK_KEEP_RIGHT / MASK_LEFT / MASK_RIGHT: mask all
+    # but (or only) the first/last n chars — the ksql PII-mask family.
+    # F.substr takes Column positions, so the split point follows the
+    # row's own length (short strings mask correctly).
+    "mask_keep_left": lambda c, n: F.concat(
+        F.substr(c, F.lit(1), F.lit(n)),
+        _mask_all(F.substr(c, F.lit(n + 1), F.length(c)))),
+    "mask_keep_right": lambda c, n: F.concat(
+        _mask_all(F.substr(c, F.lit(1), _headlen(c, n))),
+        F.substr(c, _headlen(c, n) + 1, F.length(c))),
+    "mask_left": lambda c, n: F.concat(
+        _mask_all(F.substr(c, F.lit(1), F.lit(n))),
+        F.substr(c, F.lit(n + 1), F.length(c))),
+    "mask_right": lambda c, n: F.concat(
+        F.substr(c, F.lit(1), _headlen(c, n)),
+        _mask_all(F.substr(c, _headlen(c, n) + 1, F.length(c)))),
     "split": lambda c, sep: F.split(c, re.escape(sep)),
+    # GEO_DISTANCE(lat1, lon1, lat2, lon2[, unit]) — haversine on a
+    # spherical earth (ksql's formula; unit 'km' default or 'miles').
+    # Double trig: fine for the API surface; not oracle-hashed.
+    "geo_distance": lambda la1, lo1, la2, lo2, unit="km": (
+        F.lit(6371.0 if unit == "km" else 3959.0) * 2 * F.asin(F.sqrt(
+            F.pow(F.sin((F.radians(la2) - F.radians(la1)) / 2), 2)
+            + F.cos(F.radians(la1)) * F.cos(F.radians(la2))
+            * F.pow(F.sin((F.radians(lo2) - F.radians(lo1)) / 2), 2)))),
     # json (path must be a Python string — get_json_object takes a literal)
     "extractjsonfield": lambda c, path: F.get_json_object(c, path),
     # numeric

@@ -98,3 +98,46 @@ class TestSqlRewrite:
                 "WITH (kafka_topic='x', key='id')")
         row = ctx.sql("SELECT UCASE(itemid) AS u, LEN(itemid) AS n FROM s").collect()[0]
         assert (row.u, row.n) == ("ITEM_1", 6)
+
+
+class TestMaskAndGeo:
+    def test_mask_family(self, spark):
+        """ksql 5.1 PII-mask family: MASK_KEEP_LEFT/RIGHT keep n chars
+        clear, MASK_LEFT/RIGHT mask only n chars; short strings mask by
+        their own length (Column-valued split points)."""
+        from kafka_connect_streams_spark.functions.ksql_functions import (
+            KSQL_FUNCTIONS as KF)
+        df = spark.createDataFrame([("Ab1-xy",), ("Z9",)], "s string")
+        c = F.col("s")
+        got = df.select(
+            KF["mask"](c).alias("m"),
+            KF["mask_keep_left"](c, 2).alias("kl"),
+            KF["mask_keep_right"](c, 2).alias("kr"),
+            KF["mask_left"](c, 2).alias("ml"),
+            KF["mask_right"](c, 2).alias("mr")).collect()
+        assert (got[0].m, got[0].kl, got[0].kr, got[0].ml, got[0].mr) == (
+            "Xxn-xx", "Abn-xx", "Xxn-xy", "Xx1-xy", "Ab1-xx")
+        # 2-char string: keep-left 2 keeps everything; mask-right 2
+        # masks everything
+        assert (got[1].kl, got[1].kr, got[1].ml, got[1].mr) == (
+            "Z9", "Z9", "Xn", "Xn")
+
+    def test_geo_distance(self, spark):
+        """Haversine sanity: Paris->London ~343-344 km, ~213-214 miles;
+        zero distance for identical points."""
+        from kafka_connect_streams_spark.functions.ksql_functions import (
+            KSQL_FUNCTIONS as KF)
+        df = spark.createDataFrame(
+            [(48.8566, 2.3522, 51.5074, -0.1278)],
+            "la1 double, lo1 double, la2 double, lo2 double")
+        km, mi, zero = df.select(
+            KF["geo_distance"](F.col("la1"), F.col("lo1"),
+                               F.col("la2"), F.col("lo2")).alias("km"),
+            KF["geo_distance"](F.col("la1"), F.col("lo1"),
+                               F.col("la2"), F.col("lo2"),
+                               "miles").alias("mi"),
+            KF["geo_distance"](F.col("la1"), F.col("lo1"),
+                               F.col("la1"), F.col("lo1")).alias("z"),
+        ).collect()[0]
+        assert 340 < km < 348 and 211 < mi < 216
+        assert zero == 0.0
