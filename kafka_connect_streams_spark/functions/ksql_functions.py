@@ -80,6 +80,16 @@ KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "round": F.round,
     "sign": F.signum,
     "sqrt": F.sqrt,
+    # RANDOM() — nondeterministic by definition (seeded per-partition
+    # RNG); present for surface parity, excluded from every oracle path
+    # (the repo's reproducible-sampling ops use md5 hashes instead)
+    "random": F.rand,
+    # date (KSQL DATE = int days since epoch)
+    "stringtodate": lambda c, fmt: F.datediff(
+        F.to_date(c, _java_to_spark_fmt(fmt)), F.lit("1970-01-01")),
+    "datetostring": lambda c, fmt: F.date_format(
+        F.date_add(F.lit("1970-01-01"), c.cast("int")),
+        _java_to_spark_fmt(fmt)),
     # null handling
     "ifnull": F.coalesce,
     "coalesce": F.coalesce,
@@ -114,6 +124,8 @@ KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
 }
 
 

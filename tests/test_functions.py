@@ -141,3 +141,23 @@ class TestMaskAndGeo:
         ).collect()[0]
         assert 340 < km < 348 and 211 < mi < 216
         assert zero == 0.0
+
+    def test_date_functions_roundtrip(self, spark):
+        """KSQL DATE = int days since epoch: STRINGTODATE/DATETOSTRING
+        roundtrip, plus RANDOM/COLLECT_* presence (ksql 5.1 list)."""
+        from kafka_connect_streams_spark.functions.ksql_functions import (
+            KSQL_FUNCTIONS as KF)
+        days, back = spark.range(1).select(
+            KF["stringtodate"](F.lit("2023-11-14"),
+                               "yyyy-MM-dd").alias("d"),
+            KF["datetostring"](F.lit(19675), "yyyy-MM-dd").alias("s"),
+        ).collect()[0]
+        assert days == 19675 and back == "2023-11-14"
+        r = spark.range(1).select(KF["random"]().alias("r")).collect()[0].r
+        assert 0.0 <= r < 1.0
+        df = spark.createDataFrame([(1,), (2,), (1,)], "v int")
+        got = df.agg(
+            F.sort_array(KF["collect_list"](F.col("v"))).alias("l"),
+            F.sort_array(KF["collect_set"](F.col("v"))).alias("s"),
+        ).collect()[0]
+        assert got.l == [1, 1, 2] and got.s == [1, 2]
