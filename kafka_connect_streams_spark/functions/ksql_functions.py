@@ -23,11 +23,60 @@ from pyspark.sql import functions as F
 # -- programmatic registry ---------------------------------------------------
 
 
-def _mask_all(c: Column) -> Column:
-    """ksql MASK char classes: upper→X, lower→x, digit→n."""
-    return F.regexp_replace(
-        F.regexp_replace(F.regexp_replace(c, "[A-Z]", "X"), "[a-z]", "x"),
-        "[0-9]", "n")
+def _mask_all(c: Column, upper: str | None = "X", lower: str | None = "x",
+              digit: str | None = "n", other: str | None = "-") -> Column:
+    """ksql 5.1 MASK char classes: upper→'X', lower→'x', digit→'n',
+    everything else→'-' (r11 ADVICE: the 'other' class was previously
+    left unmasked). The four optional arguments are ksql's custom
+    single-char masks; passing ``None`` leaves that class unmasked.
+
+    Each class is first replaced with a private-use sentinel and the
+    sentinels translated to the mask chars at the end, so an
+    alphanumeric CUSTOM mask char (e.g. upper→'a') is never re-masked
+    by a later class pass. Input text containing U+E000–U+E003 (private
+    use area) would collide with the sentinels — not a real-text risk.
+    """
+    s = "\ue000\ue001\ue002\ue003"
+    # the 'other' class excludes the alnum classes explicitly so that a
+    # class disabled via None survives instead of falling into 'other'
+    classes = [("[A-Z]", upper, s[0]), ("[a-z]", lower, s[1]),
+               ("[0-9]", digit, s[2]),
+               (f"[^{s[0]}{s[1]}{s[2]}A-Za-z0-9]", other, s[3])]
+    out, frm, to = c, "", ""
+    for pat, mask, sent in classes:
+        if mask is None:
+            continue
+        if not isinstance(mask, str) or len(mask) != 1:
+            raise ValueError(
+                f"MASK replacement must be a single character, got {mask!r}")
+        out = F.regexp_replace(out, pat, sent)
+        frm += sent
+        to += mask
+    return F.translate(out, frm, to) if frm else out
+
+
+#: ksql GEO_DISTANCE unit aliases (case-insensitive) → earth radius
+_GEO_RADIUS = {"km": 6371.0, "kilometers": 6371.0, "kilometres": 6371.0,
+               "mi": 3959.0, "miles": 3959.0}
+
+
+def _geo_distance(la1: Column, lo1: Column, la2: Column, lo2: Column,
+                  unit: str = "km") -> Column:
+    """GEO_DISTANCE(lat1, lon1, lat2, lon2[, unit]) — haversine on a
+    spherical earth (ksql's formula). Unit aliases are case-insensitive
+    (km/kilometers/mi/miles, the ksql alias set); anything else raises
+    (r11 ADVICE: 'KM' silently returned miles before). Double trig:
+    fine for the API surface; oracle use goes through fixed-point floor.
+    """
+    key = unit.lower() if isinstance(unit, str) else unit
+    if key not in _GEO_RADIUS:
+        raise ValueError(
+            f"GEO_DISTANCE unit must be one of {sorted(_GEO_RADIUS)}"
+            f" (case-insensitive), got {unit!r}")
+    return F.lit(_GEO_RADIUS[key]) * 2 * F.asin(F.sqrt(
+        F.pow(F.sin((F.radians(la2) - F.radians(la1)) / 2), 2)
+        + F.cos(F.radians(la1)) * F.cos(F.radians(la2))
+        * F.pow(F.sin((F.radians(lo2) - F.radians(lo1)) / 2), 2)))
 
 
 def _headlen(c: Column, n: int) -> Column:
@@ -45,7 +94,7 @@ KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "len": F.length,
     "initcap": F.initcap,
     "replace": lambda c, find, repl: F.replace(c, F.lit(find), F.lit(repl)),
-    "mask": lambda c: _mask_all(c),
+    "mask": _mask_all,
     # MASK_KEEP_LEFT / MASK_KEEP_RIGHT / MASK_LEFT / MASK_RIGHT: mask all
     # but (or only) the first/last n chars — the ksql PII-mask family.
     # F.substr takes Column positions, so the split point follows the
@@ -63,14 +112,7 @@ KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
         F.substr(c, F.lit(1), _headlen(c, n)),
         _mask_all(F.substr(c, _headlen(c, n) + 1, F.length(c)))),
     "split": lambda c, sep: F.split(c, re.escape(sep)),
-    # GEO_DISTANCE(lat1, lon1, lat2, lon2[, unit]) — haversine on a
-    # spherical earth (ksql's formula; unit 'km' default or 'miles').
-    # Double trig: fine for the API surface; not oracle-hashed.
-    "geo_distance": lambda la1, lo1, la2, lo2, unit="km": (
-        F.lit(6371.0 if unit == "km" else 3959.0) * 2 * F.asin(F.sqrt(
-            F.pow(F.sin((F.radians(la2) - F.radians(la1)) / 2), 2)
-            + F.cos(F.radians(la1)) * F.cos(F.radians(la2))
-            * F.pow(F.sin((F.radians(lo2) - F.radians(lo1)) / 2), 2)))),
+    "geo_distance": _geo_distance,
     # json (path must be a Python string — get_json_object takes a literal)
     "extractjsonfield": lambda c, path: F.get_json_object(c, path),
     # numeric

@@ -849,9 +849,14 @@ def label_prototypes(vectors: DataFrame,
         F.expr("count(*) AS _n"),
         *[F.expr(f"sum(try_element_at(_v, {d + 1})) AS _s{d}")
           for d in range(dim)]).collect()
+    # a label whose rows ALL have NULL/empty embeddings reaches here with
+    # every sum NULL (try_element_at + sum-skips-nulls) — skip it instead
+    # of TypeError-ing the comprehension (r11 ADVICE); prototype-less
+    # labels simply don't participate in downstream cosine scoring
     protos = {int(r["_l"]): [int(r[f"_s{d}"]) // int(r["_n"])
                              for d in range(dim)]
-              for r in sums}
+              for r in sums
+              if all(r[f"_s{d}"] is not None for d in range(dim))}
     return sorted(protos), protos
 
 

@@ -3532,7 +3532,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence (lowest doc_id) is in that doc — the marginal-
     contribution curve a curation pipeline watches while scaling a
     source (text_repetition is within-doc; this is cross-doc).
-    Gram fingerprints are md5'd in-row before any shuffle."""
+    Gram fingerprints are xxhash64'd in-row before any shuffle (a
+    plan-internal fingerprint — it only defines the grouping and never
+    reaches the output, so no cross-engine digest is needed; the oracle
+    groups by the gram text via md5, an equivalent partition)."""
     from kafka_connect_streams_spark.operators.text import ngram_novelty
     t = load_tables(spark, sf_dir)
     return ngram_novelty(t["documents"], "text", "doc_id", n=3)

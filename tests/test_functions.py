@@ -122,6 +122,51 @@ class TestMaskAndGeo:
         assert (got[1].kl, got[1].kr, got[1].ml, got[1].mr) == (
             "Z9", "Z9", "Xn", "Xn")
 
+    def test_mask_other_chars_and_custom_masks(self, spark):
+        """r11 ADVICE: ksql 5.1 MASK replaces non-alphanumeric 'other'
+        chars with '-' (the old fixture only used '-' itself, hiding the
+        gap) — '@', space and '#' must all mask. Custom per-class mask
+        chars are the ksql optional arguments; an ALPHANUMERIC custom
+        mask char must not be re-masked by a later class pass, and a
+        None class stays clear without falling into 'other'."""
+        from kafka_connect_streams_spark.functions.ksql_functions import (
+            KSQL_FUNCTIONS as KF)
+        df = spark.createDataFrame([("Ab 1@c#D",)], "s string")
+        c = F.col("s")
+        got = df.select(
+            KF["mask"](c).alias("m"),
+            KF["mask"](c, "A", "z", "9", "_").alias("custom"),
+            KF["mask"](c, None, "x", "n", "-").alias("keep_upper"),
+            KF["mask_keep_left"](c, 3).alias("kl")).collect()[0]
+        assert got.m == "Xx-n-x-X"
+        assert got.custom == "Az_9_z_A"       # 'A'/'z'/'9' never re-masked
+        assert got.keep_upper == "Ax-n-x-D"   # uppers survive, not '-'
+        assert got.kl == "Ab n-x-X"  # keeps "Ab ", masks "1@c#D"
+        import pytest
+        with pytest.raises(ValueError, match="single character"):
+            df.select(KF["mask"](c, "XX").alias("bad"))
+
+    def test_geo_distance_unit_aliases(self, spark):
+        """r11 ADVICE: unit handling is case-insensitive over the ksql
+        alias set (km/kilometers/mi/miles) and raises on anything else
+        ('KM' silently returned miles before)."""
+        import pytest
+        from kafka_connect_streams_spark.functions.ksql_functions import (
+            KSQL_FUNCTIONS as KF)
+        df = spark.createDataFrame(
+            [(48.8566, 2.3522, 51.5074, -0.1278)],
+            "la1 double, lo1 double, la2 double, lo2 double")
+        args = (F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2"))
+        row = df.select(
+            KF["geo_distance"](*args, "KM").alias("km_upper"),
+            KF["geo_distance"](*args, "kilometers").alias("km_long"),
+            KF["geo_distance"](*args, "Miles").alias("mi_mixed"),
+            KF["geo_distance"](*args, "MI").alias("mi_short")).collect()[0]
+        assert 340 < row.km_upper < 348 and row.km_upper == row.km_long
+        assert 211 < row.mi_mixed < 216 and row.mi_mixed == row.mi_short
+        with pytest.raises(ValueError, match="GEO_DISTANCE unit"):
+            df.select(KF["geo_distance"](*args, "parsecs"))
+
     def test_geo_distance(self, spark):
         """Haversine sanity: Paris->London ~343-344 km, ~213-214 miles;
         zero distance for identical points."""

@@ -2525,6 +2525,20 @@ class TestLabelPrototypesEdges:
             [(None, 0)], "vec array<float>, label int")
         assert label_prototypes(df, "label", vec_col="vec") == ([], {})
 
+    def test_mixed_null_label_is_skipped_not_crashed(self, spark):
+        """r11 ADVICE: one label whose rows are ALL NULL/empty next to a
+        label with data used to TypeError (int(None)) — the NULL-sum
+        group row still reached the comprehension. It must be skipped;
+        the data-bearing label keeps its prototype."""
+        from kafka_connect_streams_spark.operators.similarity import (
+            label_prototypes)
+        df = spark.createDataFrame(
+            [(None, 0), ([], 0), ([1.0, 2.0], 1)],
+            "vec array<float>, label int")
+        labels, protos = label_prototypes(df, "label", vec_col="vec")
+        assert labels == [1]
+        assert protos == {1: [10000, 20000]}
+
 
 def test_zero_norm_prototype_scores_cos_zero(spark, tmp_path):
     """r10 ADVICE: an all-zero prototype or member must score cos := 0
