@@ -6,21 +6,25 @@ split → per-split corpus stats, as ONE declarative plan:
 - every per-doc feature (quality ratios, fingerprints, token counts, split
   bucket) is computed in a single projection over the scan — no self-joins
   between feature "tables";
-- each dedup stage is a window-min over a hash partition (shuffle each, the
-  unavoidable minimum), keeping the lexicographically-first doc_id so
-  retries/replays pick the same survivor;
+- each dedup stage is ``groupBy(fp).min(struct(id, features...))`` — the
+  min-id row survives whole, selected by the struct's leading unique id
+  field, so retries/replays pick the same survivor. The min is map-side
+  partial-aggregatable: a hot fingerprint (a boilerplate document shared
+  by millions of rows) collapses to one row per map task BEFORE the
+  shuffle — unlike the min-over-window form this replaces (r11→r12
+  migration), which pinned every row of a hot fingerprint partition to
+  one reducer and could not partial-aggregate;
 - the final rollup aggregates integers and min/max of doubles only —
   order-independent, so the result is bit-stable under any partitioning.
 
-At 100 TB: 2 hash shuffles (dedup windows) + 1 agg shuffle over ~6 rows.
-No Python, no collect, no iteration.
+At 100 TB: 2 partial-aggregated hash shuffles (dedup stages) + 1 agg
+shuffle over ~6 rows. No Python, no collect, no iteration, no joins.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from kafka_connect_streams_spark.operators.text import (BPE_TOKEN_RE,
                                                         STOPWORDS, _tok_array,
@@ -56,14 +60,22 @@ def training_pipeline(df: DataFrame, text_col: str, id_col: str,
         _split_bucket(id_col).alias("bucket"),
     ).filter(F.col("quality") >= min_quality)
 
-    # window-min keeps the smallest id per fingerprint — deterministic
-    # survivor selection (same on every retry/replay), one shuffle per stage
-    survives_exact = F.col(id_col) == F.min(id_col).over(
-        Window.partitionBy("exact_fp"))
-    deduped1 = feats.withColumn("keep", survives_exact).filter("keep")
-    survives_near = F.col(id_col) == F.min(id_col).over(
-        Window.partitionBy("neardup_fp"))
-    deduped = deduped1.withColumn("keep2", survives_near).filter("keep2")
+    # groupBy-min keeps the smallest-id ROW per fingerprint (the struct's
+    # leading field is the unique id, so lexicographic min == min-id row):
+    # deterministic survivor selection (same on every retry/replay), one
+    # partial-aggregatable shuffle per stage, skew-immune by construction
+    def _min_id_row(d: DataFrame, fp_col: str) -> DataFrame:
+        # id_col leads the struct so the min is driven by the unique id
+        rest = [id_col] + [c for c in d.columns
+                           if c not in (fp_col, id_col)]
+        return (d.groupBy(fp_col)
+                .agg(F.min(F.struct(*[F.col(c) for c in rest]))
+                     .alias("_s"))
+                .select(*[F.col(f"_s.{c}").alias(c) for c in rest],
+                        F.col(fp_col)))
+
+    deduped1 = _min_id_row(feats, "exact_fp")
+    deduped = _min_id_row(deduped1, "neardup_fp")
 
     split = (F.when(F.col("bucket") < train, "train")
              .when(F.col("bucket") < train + valid, "valid")

@@ -885,21 +885,33 @@ def block_dedup(df: DataFrame, text_col: str, id_col: str,
     token count, and the md5 of the reconstructed text (not the text
     itself, so the verified output stays narrow).
 
+    First-occurrence-wins is a partial-aggregatable
+    ``groupBy(fp).min(struct(id, block_id))`` plus an
+    AQE-skew-splittable join back — NOT a row_number window over the
+    fingerprint partition (the r11→r12 migration to
+    :func:`block_dedup_rolling`'s discipline): a window over a
+    corpus-cardinality fingerprint cannot partial-aggregate and AQE
+    cannot skew-split it, so at 100× a hot boilerplate block
+    fingerprint (millions of docs sharing a header) would serialize on
+    one reducer. The min collapses map-side to one row per fingerprint;
+    the duplicate test is an equi-join AQE can split. The decision
+    (first occurrence by (doc_id, block_id) order) is provably
+    identical to the old window's ``row_number() == 1``.
+
     Scale shape, selected by ``shape``:
 
-    - ``"inline"`` (default): ONE corpus scan and two shuffles —
-      first-occurrence-wins is one row_number window keyed by the
-      16-byte block fingerprint (block text rides along so nothing
-      re-derives), then one per-doc aggregate rebuilds survivors via a
-      sorted collect_list bounded by tokens-per-doc. Block text
-      shuffles twice.
-    - ``"fp_rejoin"`` (extreme scale): the window shuffle carries ONLY
+    - ``"inline"`` (default): block text rides on the decision leg, so
+      the rebuild is one per-doc aggregate over a sorted collect_list
+      bounded by tokens-per-doc — block text shuffles (the join + the
+      rebuild), and the fingerprint subtree is evaluated twice (the
+      min leg + the probe leg: the rescan-over-materialize choice — a
+      linear shuffle-free explode beats caching a corpus-scale block
+      table).
+    - ``"fp_rejoin"`` (extreme scale): the decision legs carry ONLY
       (doc, block_id, fp) — never block text; surviving block ids
-      aggregate to one array per doc, and a second corpus scan re-joins
+      aggregate to one array per doc, and a final corpus scan re-joins
       the doc's token array by id, rebuilding survivors in-row. Text
-      crosses the wire exactly once (the id join); the tradeoff is the
-      second scan, which at 100 TB is far cheaper than a corpus-wide
-      text shuffle. The decision (first occurrence by fingerprint) and
+      crosses the wire exactly once (the id join). The decision and
       every output column are identical between shapes.
     """
     if shape not in ("inline", "fp_rejoin"):
@@ -915,37 +927,50 @@ def block_dedup(df: DataFrame, text_col: str, id_col: str,
                         F.explode(F.sequence(F.lit(0).cast("bigint"),
                                              n_blocks - 1))
                         .alias("block_id"))
-    w = Window.partitionBy("_bfp").orderBy(id_col, "block_id")
+
+    def _firsts(blocks: DataFrame) -> DataFrame:
+        """min(struct(id, block_id)) per fingerprint — map-side
+        partial-aggregatable first occurrence (lexicographic struct
+        order == the old window's orderBy(id, block_id))."""
+        return blocks.groupBy("_bfp").agg(
+            F.min(F.struct(F.col(id_col).alias("i"),
+                           F.col("block_id").alias("b"))).alias("_f"))
+
+    def _decide(blocks: DataFrame) -> DataFrame:
+        return (blocks.join(_firsts(blocks.select(id_col, "block_id",
+                                                  "_bfp")), "_bfp")
+                .withColumn("_keep",
+                            (F.col(id_col) == F.col("_f.i"))
+                            & (F.col("block_id") == F.col("_f.b"))))
+
     if shape == "inline":
         blocks = (exploded
                   .select(F.col(id_col), "block_id",
                           F.array_join(block, " ").alias("_btext"))
                   .withColumn("_bfp", F.md5("_btext")))
-        ranked = blocks.withColumn("_rn", F.row_number().over(w))
-        rebuilt = (ranked.groupBy(id_col)
+        rebuilt = (_decide(blocks).groupBy(id_col)
                    .agg(F.count("*").alias("n_blocks"),
-                        F.sum((F.col("_rn") == 1).cast("bigint"))
+                        F.sum(F.col("_keep").cast("bigint"))
                         .alias("kept_blocks"),
                         F.array_join(
                             F.transform(
                                 F.array_sort(F.collect_list(
-                                    F.when(F.col("_rn") == 1,
+                                    F.when(F.col("_keep"),
                                            F.struct("block_id",
                                                     "_btext")))),
                                 lambda s: s["_btext"]), " ")
                         .alias("_ktext")))
     else:
-        # fingerprint in-row, DROP the text before the window shuffle
+        # fingerprint in-row, DROP the text before any shuffle
         fps = exploded.select(
             F.col(id_col), "block_id",
             F.md5(F.array_join(block, " ")).alias("_bfp"))
-        dec = fps.withColumn("_rn", F.row_number().over(w))
-        per_doc = (dec.groupBy(id_col)
+        per_doc = (_decide(fps).groupBy(id_col)
                    .agg(F.count("*").alias("n_blocks"),
-                        F.sum((F.col("_rn") == 1).cast("bigint"))
+                        F.sum(F.col("_keep").cast("bigint"))
                         .alias("kept_blocks"),
                         F.array_sort(F.collect_list(
-                            F.when(F.col("_rn") == 1, F.col("block_id"))))
+                            F.when(F.col("_keep"), F.col("block_id"))))
                         .alias("_kept_ids")))
         rebuilt = (d.join(per_doc, id_col)
                    .select(F.col(id_col), "n_blocks", "kept_blocks",

@@ -458,26 +458,58 @@ def test_inverted_index_delta_coding_is_in_row(spark, sf_dir):
     assert shuffle_count(df) <= 3, plan
 
 
-def test_block_dedup_one_scan_two_shuffles(spark, sf_dir):
-    """Block dedup must be one corpus scan (blocks are never re-derived)
-    and two exchanges: the fingerprint window and the per-doc rebuild."""
+def test_block_dedup_first_occurrence_is_aggregate_not_window(spark,
+                                                              sf_dir):
+    """First-occurrence-wins must be a partial-aggregatable
+    groupBy(fp).min(struct(id, block_id)) + AQE-skew-splittable join —
+    never a row_number window over the corpus-cardinality block
+    fingerprint (the r12 migration to block_dedup_rolling's discipline:
+    a window over the fingerprint cannot partial-aggregate and AQE
+    cannot skew-split it, so one hot boilerplate block would pin
+    millions of rows to a single reducer at 100×). The price is the
+    fingerprint subtree evaluated twice (2 corpus scans — the
+    rescan-over-materialize choice)."""
     import re
     df = Q.q_block_dedup(spark, sf_dir)
     plan = physical_plan(df)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
-    assert shuffle_count(df) <= 2, plan
+    assert "row_number" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert shuffle_count(df) <= 4, plan
+    assert has_partial_aggregate(df), plan
 
 
-def test_block_dedup_fp_rejoin_window_never_shuffles_text(spark, sf_dir):
+def test_block_dedup_fp_rejoin_never_shuffles_text(spark, sf_dir):
     """The extreme-scale shape: no block-text column exists anywhere in
     the plan (fingerprints are computed in-row and only (doc, block_id,
-    fp) reaches the first-occurrence window); the rebuild re-joins the
-    corpus by id, so text crosses the wire exactly once."""
+    fp) reaches the first-occurrence aggregate + probe join); the
+    rebuild re-joins the corpus by id, so text crosses the wire exactly
+    once. First-occurrence is the same aggregate-not-window shape as
+    the inline form (3 scans: min leg, probe leg, rebuild leg)."""
     import re
     df = Q.q_block_dedup_fp(spark, sf_dir)
     plan = physical_plan(df)
     assert "_btext" not in plan, plan
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "row_number" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_training_pipeline_dedup_is_aggregate_only(spark, sf_dir):
+    """Both dedup stages must be groupBy(fp).min(struct(id, row)) —
+    ONE corpus scan, zero windows, zero joins (the surviving row rides
+    inside the min struct, so there is no decision-then-rejoin): the
+    skew-immune form of first-occurrence-wins (r12 migration from two
+    min-over-fingerprint windows)."""
+    import re
+    df = Q.q_training_pipeline(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"Join", plan)) == 0, plan
+    assert shuffle_count(df) <= 3, plan
+    assert has_partial_aggregate(df), plan
 
 
 def test_vocab_concentration_partial_agg_no_text_after_explode(spark,
@@ -911,6 +943,35 @@ def test_mmr_diversify_greedy_is_in_row(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0, plan
+
+
+def test_no_window_partitioned_by_corpus_fingerprint_registry_wide(
+        spark, sf_dir):
+    """The r11 verdict's audit, pinned as a test: NO registered query
+    may plan a Window partitioned by a corpus-cardinality fingerprint
+    column (repo naming convention: columns ending in ``fp`` — _bfp,
+    _wfp, exact_fp, neardup_fp, ...). A window over a fingerprint
+    partition cannot partial-aggregate and AQE cannot skew-split it, so
+    one hot fingerprint (a boilerplate block shared by millions of
+    docs) serializes on a single reducer at 100×. First-occurrence-wins
+    must be groupBy(fp).min(struct(id, ...)) — plus an
+    AQE-skew-splittable join back when non-survivors are needed — the
+    block_dedup_rolling shape, migrated into block_dedup/_fp and
+    training_pipeline in r12. Plan-build only (no execution)."""
+    import re
+    offenders = []
+    for name, fn in Q.QUERIES.items():
+        df = fn(spark, sf_dir)
+        plan = physical_plan(df)
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+            # partition columns precede the first ASC/DESC-marked sort key
+            part = re.split(r"\b(?:ASC|DESC)\b", spec)[0]
+            hits = [h for h in re.findall(r"(\w*fp)#\d+", part)]
+            if hits:
+                offenders.append((name, sorted(set(hits))))
+    assert not offenders, (
+        "queries planning a Window over a fingerprint partition "
+        f"(skew-unsafe at 100×): {offenders}")
 
 
 def test_ngram_novelty_hashes_grams_before_shuffle(spark, sf_dir):
