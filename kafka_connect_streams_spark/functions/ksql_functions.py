@@ -196,10 +196,156 @@ _FUNC_CALL = re.compile(
     re.IGNORECASE)
 
 
+def _mask_sql(c: str) -> str:
+    """The Spark SQL spelling of ksql MASK with DEFAULT mask chars.
+
+    Plain nesting is safe for the defaults because each pass's mask char
+    ('X', 'x', 'n') belongs only to an already-processed class: the
+    upper pass runs first, the 'n' introduced by the digit pass is never
+    re-examined (regexp_replace does not rescan its replacements), and
+    the final 'other' pass excludes all alphanumerics.
+    """
+    return ("regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            f"{c}, '[A-Z]', 'X'), '[a-z]', 'x'), '[0-9]', 'n'),"
+            " '[^A-Za-z0-9]', '-')")
+
+
+def _geo_sql(args: list[str]) -> str:
+    la1, lo1, la2, lo2 = args[:4]
+    unit = args[4].strip().strip("'\"").lower() if len(args) > 4 else "km"
+    if unit not in _GEO_RADIUS:
+        raise ValueError(
+            f"GEO_DISTANCE unit must be one of {sorted(_GEO_RADIUS)}"
+            f" (case-insensitive), got {unit!r}")
+    return (f"({_GEO_RADIUS[unit]} * 2 * asin(sqrt("
+            f"pow(sin((radians({la2}) - radians({la1})) / 2), 2)"
+            f" + cos(radians({la1})) * cos(radians({la2}))"
+            f" * pow(sin((radians({lo2}) - radians({lo1})) / 2), 2))))")
+
+
+def _tail(c: str, head: str) -> str:
+    """substring past a Column-valued head length (1-based)."""
+    return f"substring({c}, {head} + 1)"
+
+
+def _headlen_sql(c: str, n: str) -> str:
+    return f"greatest(length({c}) - ({n}), 0)"
+
+
+#: KSQL call → Spark SQL expression template. Arg strings are spliced
+#: verbatim, so nested KSQL calls inside arguments are expanded by the
+#: fixpoint loop in :func:`_expand_calls`. Templates must not emit any
+#: name present in this dict (or the loop would never converge).
+_SQL_EXPANSIONS: dict[str, Callable[[list[str]], str]] = {
+    "mask": lambda a: _mask_sql(a[0]),
+    "mask_keep_left": lambda a: (
+        f"concat(substring({a[0]}, 1, {a[1]}),"
+        f" {_mask_sql(_tail(a[0], f'({a[1]})'))})"),
+    "mask_keep_right": lambda a: (
+        f"concat({_mask_sql(f'substring({a[0]}, 1, {_headlen_sql(a[0], a[1])})')},"
+        f" {_tail(a[0], _headlen_sql(a[0], a[1]))})"),
+    "mask_left": lambda a: (
+        f"concat({_mask_sql(f'substring({a[0]}, 1, {a[1]})')},"
+        f" {_tail(a[0], f'({a[1]})')})"),
+    "mask_right": lambda a: (
+        f"concat(substring({a[0]}, 1, {_headlen_sql(a[0], a[1])}),"
+        f" {_mask_sql(_tail(a[0], _headlen_sql(a[0], a[1])))})"),
+    "geo_distance": _geo_sql,
+    # KSQL DATE = int days since epoch (registry convention above)
+    "stringtodate": lambda a: (
+        f"datediff(to_date({a[0]}, {a[1]}), date'1970-01-01')"),
+    "datetostring": lambda a: (
+        f"date_format(date_add(date'1970-01-01', cast({a[0]} as int)),"
+        f" {a[1]})"),
+    # aggregates
+    "topk": lambda a: (
+        f"slice(sort_array(collect_list({a[0]}), false), 1, {a[1]})"),
+    "topkdistinct": lambda a: (
+        f"slice(sort_array(collect_set({a[0]}), false), 1, {a[1]})"),
+    "histogram": lambda a: (
+        f"aggregate(sort_array(collect_list(cast({a[0]} as string))),"
+        " cast(map() as map<string, bigint>),"
+        " (m, x) -> map_concat(map_filter(m, (k, v) -> k != x),"
+        " map(x, coalesce(element_at(m, x), cast(0 as bigint)) + 1)))"),
+}
+
+_EXPAND_CALL = re.compile(
+    r"\b(" + "|".join(sorted(_SQL_EXPANSIONS, key=len, reverse=True))
+    + r")\s*\(", re.IGNORECASE)
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument text on TOP-LEVEL commas (paren- and
+    quote-aware, so nested calls and string literals survive intact)."""
+    args: list[str] = []
+    cur: list[str] = []
+    depth, quote = 0, None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _expand_calls(sql: str) -> str:
+    """Expand KSQL-only function calls into Spark SQL expressions.
+
+    Finds the next expandable call, scans its balanced-paren argument
+    list (quote-aware), splices in the template, and repeats to a
+    fixpoint — so nested and repeated calls all expand. Templates keep
+    argument text verbatim; inner KSQL calls expand on a later pass.
+    """
+    while True:
+        m = _EXPAND_CALL.search(sql)
+        if m is None:
+            return sql
+        depth, i, quote = 1, m.end(), None
+        while depth and i < len(sql):
+            ch = sql[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(
+                f"unbalanced parentheses in {m.group(1)}(... call")
+        args = _split_args(sql[m.end():i - 1])
+        sql = (sql[:m.start()]
+               + _SQL_EXPANSIONS[m.group(1).lower()](args) + sql[i:])
+
+
 def rewrite_ksql_sql(sql: str) -> str:
     """Rewrite KSQL function spellings to Spark SQL equivalents.
 
-    Only touches identifiers immediately followed by '(' so column names
-    that happen to collide (e.g. a column called ``len``) survive.
+    Two passes: KSQL-only functions (MASK family, GEO_DISTANCE,
+    STRINGTODATE/DATETOSTRING, TOPK/TOPKDISTINCT/HISTOGRAM) expand into
+    Spark SQL expression templates; simple renames (UCASE→upper, ...)
+    substitute in place. Only identifiers immediately followed by '('
+    are touched, so column names that happen to collide (e.g. a column
+    called ``len``) survive.
     """
+    sql = _expand_calls(sql)
     return _FUNC_CALL.sub(lambda m: _SQL_RENAMES[m.group(1).lower()] + "(", sql)

@@ -3541,6 +3541,83 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(t["documents"], "text", "doc_id", n=3)
 
 
+def q_ksql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KSQL 5.1 rewriter surface under the oracle gate
+    (functions/ksql_functions.py rewrite_ksql_sql; the functions belong
+    to the ksql 5.1.0 engine the reference embeds, pom.xml:55-59).
+    Fifteen ksql spellings — the MASK family incl. the '-' 'other'
+    class (r11 ADVICE), GEO_DISTANCE (haversine with a case-insensitive
+    unit alias), a STRINGTODATE/DATETOSTRING roundtrip,
+    SUBSTRING/LEN/UCASE/LCASE/CONCAT/IFNULL/NULLIF, and the
+    TOPK/HISTOGRAM aggregates — driven THROUGH the SQL front end
+    (KsqlContext.sql → rewrite_ksql_sql → spark.sql), never the
+    DataFrame registry, so the rewrite templates themselves are what
+    the hash verifies. Determinism conventions: GEO_DISTANCE floors to
+    0.1-km units (the only float-trig column; the worst nonzero
+    floor-boundary margin across all SFs is ~2.4e-5 grid units vs a
+    cross-engine libm-vs-JVM trig deviation of ~2e-8 — 1000× headroom,
+    margin-pinned in test_driver_contract); TOPK/HISTOGRAM arrays/maps
+    serialize to sorted CSV strings (the scalar-gate convention) before
+    the final broadcast join of the 5-row group table. Scale shape: one
+    pruned scan per leg, one O(|priorities|) aggregation shuffle,
+    broadcast join back."""
+    from kafka_connect_streams_spark.sql.ksql import KsqlContext
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("ksqlfn_orders")
+    ctx = KsqlContext(spark, resolver=lambda name: t["orders"])
+    grouped = ctx.sql("""
+        SELECT o_orderpriority AS grp,
+               COUNT(*) AS n_rows,
+               TOPK(o_orderkey % 97, 3) AS top_mod,
+               HISTOGRAM(LCASE(o_orderstatus)) AS hist
+        FROM ksqlfn_orders
+        WHERE o_orderkey % 29 = 0
+        GROUP BY o_orderpriority""")
+    (grouped.select(
+        "grp", "n_rows",
+        F.array_join(F.transform("top_mod",
+                                 lambda x: x.cast("string")), ",")
+        .alias("top_mod_csv"),
+        F.array_join(F.transform(
+            F.array_sort(F.map_entries("hist")),
+            lambda e: F.concat(e["key"], F.lit("="),
+                               e["value"].cast("string"))), ",")
+        .alias("hist_csv"))
+     .createOrReplaceTempView("ksqlfn_grouped"))
+    return ctx.sql("""
+        SELECT r.id, r.grp, r.masked, r.mkl, r.mkr, r.ml, r.mr,
+               r.status_u, r.prio_len, r.prio_word, r.dstr,
+               CAST(r.days_rt AS BIGINT) AS days_rt, r.geo_dm,
+               r.status_or_open, g.n_rows, g.top_mod_csv, g.hist_csv
+        FROM (SELECT o_orderkey AS id,
+                     o_orderpriority AS grp,
+                     MASK(CONCAT(CONCAT(o_orderpriority, '#'),
+                                 o_orderstatus)) AS masked,
+                     MASK_KEEP_LEFT(o_orderpriority, 3) AS mkl,
+                     MASK_KEEP_RIGHT(o_orderpriority, 4) AS mkr,
+                     MASK_LEFT(o_orderpriority, 2) AS ml,
+                     MASK_RIGHT(o_orderpriority, 2) AS mr,
+                     UCASE(LCASE(o_orderstatus)) AS status_u,
+                     CAST(LEN(o_orderpriority) AS BIGINT) AS prio_len,
+                     SUBSTRING(o_orderpriority, 3, 6) AS prio_word,
+                     DATETOSTRING(CAST(o_orderkey % 20000 AS INT),
+                                  'yyyy-MM-dd') AS dstr,
+                     STRINGTODATE(DATETOSTRING(
+                         CAST(o_orderkey % 20000 AS INT), 'yyyy-MM-dd'),
+                         'yyyy-MM-dd') AS days_rt,
+                     CAST(FLOOR(GEO_DISTANCE(
+                         CAST(o_orderkey % 89 AS DOUBLE),
+                         CAST(o_custkey % 179 AS DOUBLE),
+                         CAST(o_orderkey % 67 AS DOUBLE),
+                         CAST(o_custkey % 131 AS DOUBLE),
+                         'KM') * 10) AS BIGINT) AS geo_dm,
+                     IFNULL(NULLIF(o_orderstatus, 'O'), 'open')
+                         AS status_or_open
+              FROM ksqlfn_orders
+              WHERE o_orderkey % 29 = 0) r
+        JOIN ksqlfn_grouped g ON r.grp = g.grp""")
+
+
 def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary-concentration report: type-token ratio,
     hapax-legomena share, top-10 token mass — the corpus-health
@@ -4462,6 +4539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_multiterm": q_bm25_multiterm,
     "mmr_diversify": q_mmr_diversify,
     "ngram_novelty": q_ngram_novelty,
+    "ksql_functions": q_ksql_functions,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4652,6 +4730,14 @@ def _lloyd_round_sql(i: int) -> str:
                    coalesce(CAST(floor(s.sx / CAST(s.n AS DOUBLE)) AS BIGINT),
                             p.x) AS x
             FROM {p} p LEFT JOIN sums{i} s ON s.j = p.j AND s.d = p.d)"""
+
+
+#: DuckDB spelling of ksql MASK with default classes. The 'g' flag is
+#: load-bearing: DuckDB regexp_replace is first-match-only by default
+#: while Spark's replaces every match.
+_DUCK_MASK = ("regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+              "{c}, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),"
+              " '[0-9]', 'n', 'g'), '[^A-Za-z0-9]', '-', 'g')")
 
 
 ORACLE: dict[str, str] = {
@@ -9622,6 +9708,80 @@ ORACLE: dict[str, str] = {
                     // CAST(count(*) AS BIGINT) AS BIGINT) AS novelty_e6
         FROM sh s JOIN firsts f USING (gfp)
         GROUP BY s.doc_id
+    """,
+    # the ksql MASK char classes in DuckDB spelling ('g' flag: DuckDB
+    # regexp_replace is first-match-only by default, Spark's is global)
+    "ksql_functions": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+            FROM orders WHERE o_orderkey % 29 = 0),
+        r AS (
+            SELECT o_orderkey AS id,
+                   o_orderpriority AS grp,
+                   {_DUCK_MASK.format(
+                       c="(o_orderpriority || '#' || o_orderstatus)")}
+                       AS masked,
+                   substring(o_orderpriority, 1, 3) ||
+                       {_DUCK_MASK.format(
+                           c="substring(o_orderpriority, 4)")} AS mkl,
+                   {_DUCK_MASK.format(
+                       c="substring(o_orderpriority, 1,"
+                         " greatest(length(o_orderpriority) - 4, 0))")}
+                       || substring(o_orderpriority,
+                           greatest(length(o_orderpriority) - 4, 0) + 1)
+                       AS mkr,
+                   {_DUCK_MASK.format(
+                       c="substring(o_orderpriority, 1, 2)")}
+                       || substring(o_orderpriority, 3) AS ml,
+                   substring(o_orderpriority, 1,
+                       greatest(length(o_orderpriority) - 2, 0)) ||
+                       {_DUCK_MASK.format(
+                           c="substring(o_orderpriority,"
+                             " greatest(length(o_orderpriority)"
+                             " - 2, 0) + 1)")} AS mr,
+                   upper(lower(o_orderstatus)) AS status_u,
+                   CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+                   substring(o_orderpriority, 3, 6) AS prio_word,
+                   strftime(DATE '1970-01-01'
+                            + CAST(o_orderkey % 20000 AS INT),
+                            '%Y-%m-%d') AS dstr,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                       CAST(strptime(strftime(DATE '1970-01-01'
+                               + CAST(o_orderkey % 20000 AS INT),
+                               '%Y-%m-%d'), '%Y-%m-%d') AS DATE))
+                       AS BIGINT) AS days_rt,
+                   CAST(FLOOR((6371.0 * 2 * asin(sqrt(
+                       pow(sin((radians(CAST(o_orderkey % 67 AS DOUBLE))
+                           - radians(CAST(o_orderkey % 89 AS DOUBLE)))
+                           / 2), 2)
+                       + cos(radians(CAST(o_orderkey % 89 AS DOUBLE)))
+                       * cos(radians(CAST(o_orderkey % 67 AS DOUBLE)))
+                       * pow(sin((radians(CAST(o_custkey % 131 AS DOUBLE))
+                           - radians(CAST(o_custkey % 179 AS DOUBLE)))
+                           / 2), 2)))) * 10) AS BIGINT) AS geo_dm,
+                   coalesce(nullif(o_orderstatus, 'O'), 'open')
+                       AS status_or_open
+            FROM base),
+        g0 AS (
+            SELECT o_orderpriority AS grp, lower(o_orderstatus) AS st,
+                   count(*) AS c
+            FROM base GROUP BY 1, 2),
+        gh AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n_rows,
+                   string_agg(st || '=' || CAST(c AS VARCHAR),
+                              ',' ORDER BY st) AS hist_csv
+            FROM g0 GROUP BY grp),
+        gt AS (
+            SELECT o_orderpriority AS grp,
+                   array_to_string(list_transform(list_slice(
+                       list_sort(list(o_orderkey % 97), 'DESC'), 1, 3),
+                       x -> CAST(x AS VARCHAR)), ',') AS top_mod_csv
+            FROM base GROUP BY o_orderpriority)
+        SELECT r.id, r.grp, r.masked, r.mkl, r.mkr, r.ml, r.mr,
+               r.status_u, r.prio_len, r.prio_word, r.dstr, r.days_rt,
+               r.geo_dm, r.status_or_open,
+               gh.n_rows, gt.top_mod_csv, gh.hist_csv
+        FROM r JOIN gh ON gh.grp = r.grp JOIN gt ON gt.grp = r.grp
     """,
     "vocab_concentration": """
         WITH per_tok AS (

@@ -264,3 +264,38 @@ def test_bm25_idf_floor_margins_are_wide_at_all_sfs():
             frac = x - math.floor(x)
             margin = min(frac, 1.0 - frac)
             assert margin > 1e-3, (sf, dfv, n_docs, x, margin)
+
+
+def test_ksql_geo_floor_margins_are_wide_at_all_sfs():
+    """ksql_functions' only cross-engine libm exposure is the
+    GEO_DISTANCE haversine floored to 0.1-km units. Spark computes trig
+    via java.lang.Math, DuckDB via libm — last-ulp differences bound
+    the cross-engine deviation near 1e-13 relative (~2e-8 grid units at
+    Earth scale). Verify every distinct coordinate tuple's nonzero
+    distance sits >= 1e-5 grid units from a floor boundary at every SF
+    (identical points give an EXACT 0.0 on both engines — sin/asin of
+    ±0.0 are exact in IEEE — so zero margin there is safe)."""
+    import math
+
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"'/root/testdata/sf{sf}/orders.parquet'")
+        rows = con.execute("""
+            SELECT DISTINCT o_orderkey % 89, o_custkey % 179,
+                   o_orderkey % 67, o_custkey % 131
+            FROM orders WHERE o_orderkey % 29 = 0""").fetchall()
+        assert rows, sf
+        for la1, lo1, la2, lo2 in rows:
+            v = 6371.0 * 2 * math.asin(math.sqrt(
+                math.sin((math.radians(la2) - math.radians(la1)) / 2) ** 2
+                + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+                * math.sin((math.radians(lo2)
+                            - math.radians(lo1)) / 2) ** 2))
+            if v == 0.0:
+                continue
+            x = v * 10
+            frac = x - math.floor(x)
+            margin = min(frac, 1.0 - frac)
+            assert margin > 1e-5, (sf, (la1, lo1, la2, lo2), x, margin)

@@ -90,6 +90,45 @@ class TestSqlRewrite:
         assert "length(name) > 2" in out
         assert ", len FROM" in out  # bare column named len untouched
 
+    def test_expands_ksql_only_functions(self):
+        """KSQL-only spellings (no Spark SQL equivalent by rename)
+        expand into Spark SQL expression templates: nested args survive
+        (balanced-paren scan), inner KSQL calls expand on later passes,
+        and GEO_DISTANCE validates its unit at rewrite time."""
+        import pytest
+
+        out = rewrite_ksql_sql(
+            "SELECT MASK(CONCAT(CONCAT(a, '#'), b)) AS m FROM t")
+        assert "regexp_replace" in out and "'[^A-Za-z0-9]', '-'" in out
+        assert "CONCAT(CONCAT(a, '#'), b)" in out  # args verbatim
+        out = rewrite_ksql_sql(
+            "SELECT STRINGTODATE(DATETOSTRING(CAST(k AS INT),"
+            " 'yyyy-MM-dd'), 'yyyy-MM-dd') FROM t")
+        assert "datediff(to_date(date_format(date_add(" in out.replace(
+            " ", "")[:60] or "datediff" in out and "date_format" in out
+        out = rewrite_ksql_sql("SELECT TOPK(v, 3), HISTOGRAM(s) FROM t")
+        assert "sort_array(collect_list(v), false)" in out
+        assert "map_concat" in out
+        out = rewrite_ksql_sql(
+            "SELECT GEO_DISTANCE(a, b, c, d, 'Miles') FROM t")
+        assert "3959.0" in out and "asin" in out
+        with pytest.raises(ValueError, match="GEO_DISTANCE unit"):
+            rewrite_ksql_sql("SELECT GEO_DISTANCE(a, b, c, d, 'au') FROM t")
+        with pytest.raises(ValueError, match="unbalanced"):
+            rewrite_ksql_sql("SELECT MASK(CONCAT(a, b FROM t")
+
+    def test_mask_expansion_matches_registry_builder(self, spark):
+        """The SQL template and the Column builder must mask
+        identically — including the 'other' class — so the SQL front
+        end and the DataFrame API never diverge."""
+        df = spark.createDataFrame([("Ab 1@c#D-9",)], "s string")
+        df.createOrReplaceTempView("mask_parity_t")
+        via_sql = spark.sql(rewrite_ksql_sql(
+            "SELECT MASK(s) AS m FROM mask_parity_t")).collect()[0].m
+        via_col = df.select(
+            KSQL_FUNCTIONS["mask"](F.col("s")).alias("m")).collect()[0].m
+        assert via_sql == via_col == "Xx-n-x-X-n"
+
     def test_ksql_spellings_run_through_context(self, spark):
         orders = spark.createDataFrame(
             [(1, "item_1")], "id bigint, itemid string")
