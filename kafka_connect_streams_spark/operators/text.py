@@ -990,7 +990,8 @@ def block_dedup(df: DataFrame, text_col: str, id_col: str,
 
 
 def block_dedup_rolling(df: DataFrame, text_col: str, id_col: str,
-                        k: int = 8) -> DataFrame:
+                        k: int = 8,
+                        min_span: int | None = None) -> DataFrame:
     """Rolling-window exact-substring dedup — the stride-1 upgrade of
     :func:`block_dedup` that closes its boundary blind spot: fixed
     ``size``-token blocks miss any shared span shorter than two blocks
@@ -1006,6 +1007,17 @@ def block_dedup_rolling(df: DataFrame, text_col: str, id_col: str,
     covered by a duplicate window is removed, and each document is
     rebuilt from the surviving tokens in order. Within-document
     repetition dedups the same way (first occurrence survives).
+
+    ``min_span`` (default: k — i.e. no extra threshold) is the
+    Lee-et-al. minimum-match-length knob (the paper removes only
+    duplicated substrings of >= 50 tokens): duplicate windows first
+    MERGE into maximal covered intervals (the in-row interval fold),
+    and only merged intervals spanning >= min_span tokens are removed —
+    a short incidental k-gram collision (a common phrase) no longer
+    deletes text, while any shared span of >= max(k, min_span) tokens
+    still merges into a >= min_span interval and is removed in full.
+    Window counts (n_windows/dup_windows) report DETECTION and are
+    threshold-independent; only the kept text changes.
 
     Scale shape (the fp_rejoin discipline): windows explode to
     ``(id, pos, 8-byte xxhash64 fp)`` ONLY — text never rides a shuffle.
@@ -1083,7 +1095,15 @@ def block_dedup_rolling(df: DataFrame, text_col: str, id_col: str,
             ELSE concat(acc, array(named_struct('lo', p,
                                                 'hi', p + {k})))
         END)""")
+    min_span = max(min_span or k, k)
     covered = joined.withColumn("_iv", merged)
+    if min_span > k:
+        # Lee-et-al. minimum match length: drop merged removal
+        # intervals shorter than min_span (an in-row filter over the
+        # already-merged spans — no plan-shape change)
+        covered = covered.withColumn(
+            "_iv", F.filter("_iv",
+                            lambda s: s["hi"] - s["lo"] >= min_span))
     gaps = F.expr("""filter(zip_with(
         concat(array(cast(0 as bigint)), transform(_iv, x -> x.hi)),
         concat(transform(_iv, x -> x.lo), array(cast(_n as bigint))),

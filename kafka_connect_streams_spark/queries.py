@@ -3541,6 +3541,25 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(t["documents"], "text", "doc_id", n=3)
 
 
+def q_block_dedup_minspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact-substring dedup with the Lee-et-al. minimum
+    match length (operators/text.py block_dedup_rolling, min_span=16
+    over k=8 windows; the paper's production setting is 50 tokens):
+    duplicate windows merge into maximal covered intervals and only
+    intervals spanning >= 16 tokens are removed, so an incidental
+    8-gram collision (a common phrase) no longer deletes text while
+    every shared span >= 16 tokens is still removed in full. Same
+    skew-safe plan as block_dedup_rolling — the threshold is one
+    in-row filter over the merged interval array; the oracle merges
+    intervals via gaps-and-islands (break when pos > prev + k) and
+    applies the same length cut."""
+    from kafka_connect_streams_spark.operators.text import (
+        block_dedup_rolling)
+    t = load_tables(spark, sf_dir)
+    return block_dedup_rolling(t["documents"], "text", "doc_id",
+                               k=8, min_span=16)
+
+
 def q_ksql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KSQL 5.1 rewriter surface under the oracle gate
     (functions/ksql_functions.py rewrite_ksql_sql; the functions belong
@@ -4540,6 +4559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_diversify": q_mmr_diversify,
     "ngram_novelty": q_ngram_novelty,
     "ksql_functions": q_ksql_functions,
+    "block_dedup_minspan": q_block_dedup_minspan,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -9708,6 +9728,79 @@ ORACLE: dict[str, str] = {
                     // CAST(count(*) AS BIGINT) AS BIGINT) AS novelty_e6
         FROM sh s JOIN firsts f USING (gfp)
         GROUP BY s.doc_id
+    """,
+    # rolling dedup + Lee-et-al. min match length: duplicate positions
+    # merge via gaps-and-islands (same-width k intervals: island break
+    # when pos > prev_pos + k), only islands spanning >= 16 tokens
+    # remove text
+    "block_dedup_minspan": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '\\W+'),
+                               x -> length(x) > 0) AS tk
+            FROM documents),
+        d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+              FROM toks WHERE len(tk) > 0),
+        wins AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(
+                       tk[CAST(i + 1 AS BIGINT)
+                          : CAST(i + 8 AS BIGINT)], ' ')) AS wfp
+            FROM d, UNNEST(range(n - 8 + 1)) AS t(i)
+            WHERE n >= 8),
+        rk AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY wfp
+                                      ORDER BY doc_id, pos) AS rn
+            FROM wins),
+        stats AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_windows
+            FROM rk GROUP BY doc_id),
+        dup AS (SELECT doc_id, pos FROM rk WHERE rn > 1),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > lag(pos) OVER w + 8
+                        OR lag(pos) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_break
+            FROM dup
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING)
+                       AS island
+            FROM brk),
+        merged AS (
+            SELECT doc_id, min(pos) AS lo, max(pos) + 8 AS hi
+            FROM isl GROUP BY doc_id, island),
+        cut AS (SELECT doc_id, lo, hi FROM merged WHERE hi - lo >= 16),
+        tokens AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS ti,
+                   tk[CAST(i + 1 AS BIGINT)] AS tok
+            FROM d, UNNEST(range(n)) AS t(i)),
+        kept AS (
+            SELECT t.doc_id, t.ti, t.tok
+            FROM tokens t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cut u
+                WHERE u.doc_id = t.doc_id
+                  AND t.ti >= u.lo AND t.ti < u.hi)),
+        ktext AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY ti) AS kt
+            FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(s.dup_windows, 0) AS BIGINT) AS dup_windows,
+               CAST(len(list_filter(
+                   string_split_regex(coalesce(k.kt, ''), '\\s+'),
+                   x -> length(x) > 0)) AS BIGINT) AS kept_tokens,
+               md5(coalesce(k.kt, '')) AS kept_fp
+        FROM d LEFT JOIN stats s ON s.doc_id = d.doc_id
+        LEFT JOIN ktext k ON k.doc_id = d.doc_id
     """,
     # the ksql MASK char classes in DuckDB spelling ('g' flag: DuckDB
     # regexp_replace is first-match-only by default, Spark's is global)

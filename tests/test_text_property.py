@@ -501,6 +501,97 @@ def test_block_dedup_rolling_matches_python_reference(spark, docs):
         assert got[did] == (nw, dw, kt, fp), (docs[did], got[did], want[did])
 
 
+def _rolling_minspan_reference(docs: list[str], k: int,
+                               min_span: int) -> dict:
+    """Sequential reference for the Lee-et-al. minimum match length:
+    duplicate windows merge into maximal covered intervals; only
+    intervals spanning >= min_span tokens remove text."""
+    seen: set[str] = set()
+    out = {}
+    for did, text in enumerate(docs):
+        toks = [t for t in re.split(r"\W+", (text or "").lower()) if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        nwin = max(n - k + 1, 0)
+        dup_pos = []
+        for p in range(nwin):
+            fp = " ".join(toks[p:p + k])
+            if fp in seen:
+                dup_pos.append(p)
+            else:
+                seen.add(fp)
+        # merge [p, p+k) intervals; apply the span threshold
+        intervals = []
+        for p in dup_pos:
+            if intervals and p <= intervals[-1][1]:
+                intervals[-1][1] = max(intervals[-1][1], p + k)
+            else:
+                intervals.append([p, p + k])
+        covered = set()
+        for lo, hi in intervals:
+            if hi - lo >= min_span:
+                covered.update(range(lo, hi))
+        kept = [toks[i] for i in range(n) if i not in covered]
+        out[did] = (nwin, len(dup_pos), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
+                         min_size=0, max_size=16).map(" ".join),
+                min_size=1, max_size=5))
+def test_block_dedup_minspan_matches_python_reference(spark, docs):
+    """k=3, min_span=5 over a 3-word alphabet: dense collisions where
+    some merged islands sit under the threshold (kept) and some over
+    (removed) — pins the merge-then-cut semantics bit-for-bit."""
+    import hashlib
+
+    from kafka_connect_streams_spark.operators.text import (
+        block_dedup_rolling)
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_windows, r.dup_windows, r.kept_tokens, r.kept_fp)
+           for r in block_dedup_rolling(df, "text", "doc_id",
+                                        k=3, min_span=5).collect()}
+    want = _rolling_minspan_reference(docs, k=3, min_span=5)
+    assert set(got) == set(want)
+    for did, (nw, dw, kt, ktext) in want.items():
+        fp = hashlib.md5(ktext.encode()).hexdigest()
+        assert got[did] == (nw, dw, kt, fp), (docs[did], got[did], want[did])
+
+
+def test_minspan_guarantees(spark):
+    """The two sides of the Lee-et-al. threshold contract (k=4,
+    min_span=8): (a) a duplicated span SHORTER than min_span — here 5
+    tokens, one 4-window island of span 5 — is NEVER removed; (b) a
+    shared span of >= min_span tokens is still removed in FULL; and the
+    detection counters (dup_windows) are threshold-independent."""
+    from kafka_connect_streams_spark.operators.text import (
+        block_dedup_rolling)
+    short = "p q r s t"                       # 5 shared tokens < 8
+    long_ = "c1 c2 c3 c4 c5 c6 c7 c8 c9"     # 9 shared tokens >= 8
+    df = spark.createDataFrame(
+        [(0, short + " u0 v0 w0 x0 " + long_),
+         (1, short + " u1 v1 w1 x1 " + long_)],
+        "doc_id long, text string")
+    base = {r.doc_id: r for r in block_dedup_rolling(
+        df, "text", "doc_id", k=4).collect()}
+    cut = {r.doc_id: r for r in block_dedup_rolling(
+        df, "text", "doc_id", k=4, min_span=8).collect()}
+    # doc 0 is the first occurrence: untouched either way (18 tokens)
+    assert base[0].kept_tokens == cut[0].kept_tokens == 18
+    # without the threshold doc 1 loses both shared spans (5 + 9)
+    assert base[1].kept_tokens == 18 - 5 - 9
+    # with min_span=8 only the 9-token span is removed; the 5-token
+    # island (hi - lo = 5 < 8) survives in full
+    assert cut[1].kept_tokens == 18 - 9
+    # detection is threshold-independent
+    assert base[1].dup_windows == cut[1].dup_windows > 0
+
+
 def test_rolling_catches_straddling_duplicate_block_dedup_misses(spark):
     """The guarantee the operator exists for: a 10-token span shared
     between two docs, block-aligned in doc a but straddling doc b's
