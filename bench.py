@@ -174,6 +174,18 @@ HEADLINE = [
     "bm25_multiterm",
     "mmr_diversify",
     "ngram_novelty",
+    # round 12: block_dedup re-admitted (rotated out in r10 as a thin
+    # stable wrapper) so the fingerprint-window → partial-aggregatable-
+    # min migration's cost is MEASURED against its r09 window-shaped
+    # timings — expect ≈ flat at sf0.1 (the win is skew robustness at
+    # 100×, not small-SF speed; the groupBy+join trades the window's
+    # single sort for a second scan). training_pipeline and
+    # block_dedup_fp, the other two migrated queries, were already in
+    # the headline. ksql_functions and block_dedup_minspan keep
+    # PLANS.md scorecards via tools/audit_plans.py EXTRA instead of
+    # headline slots (minspan is block_dedup_rolling + one in-row
+    # filter; ksql_functions is a thin rewriter-driven projection).
+    "block_dedup",
 ]
 
 

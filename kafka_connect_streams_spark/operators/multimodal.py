@@ -169,3 +169,108 @@ def segment_audio(df: DataFrame, window_bytes: int = 96,
                                columns=[f.name for f in SEGMENT_SCHEMA])
 
     return df.select("doc_id", "payload").mapInPandas(expand, SEGMENT_SCHEMA)
+
+
+def payload_simhash(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id", bits: int = 48,
+                    gram_bytes: int = 4, stride: int = 2) -> DataFrame:
+    """Byte-level SimHash fingerprint of an opaque binary payload — the
+    modality-agnostic near-duplicate signal of a multimodal ingest
+    (re-encoded copies, shifted-metadata containers, trailing-junk
+    variants of the same media stream). A REAL perceptual hash (pHash
+    DCT over decoded pixels / chromaprint over decoded audio) plugs in
+    at the decode seam (:func:`decode_image_real`) and feeds the SAME
+    banding/verify machinery downstream; the byte-gram SimHash is the
+    decoder-free stand-in computable in this environment.
+
+    Arithmetic mirrors the text :func:`~..dedup.simhash` conventions
+    exactly (48-bit md5 gram hashes, ±1 bit votes over DISTINCT grams,
+    bit set iff vote sum > 0) so the oracle twin reuses the proven vote
+    SQL — but the fold here is entirely IN-ROW: hex the payload, slide
+    ``gram_bytes``-byte windows every ``stride`` bytes, hash each
+    distinct gram ONCE (bound ``_ghs`` column — the text_repetition
+    inlining lesson), then ``bits`` aggregate folds vote over the bound
+    array. The corpus is scanned once with ZERO shuffles and only the
+    8-byte fingerprint ever reaches an exchange (the band join in
+    :func:`media_neardup`). ``bits`` must be ≤ 62 (the fingerprint
+    lives in a signed bigint).
+    """
+    if not 0 < bits <= 62:
+        raise ValueError(f"bits must be in (0, 62], got {bits}")
+    gb2, st2 = gram_bytes * 2, stride * 2
+    base = df.select(F.col(id_col), F.hex(F.col(payload_col)).alias("_hex"))
+    n_grams = f"greatest((length(_hex) - {gb2}) div {st2} + 1, 1)"
+    # Spark sequence(1, 0) DESCENDS — the greatest(..., 1) floor plus
+    # the length filter below handle payloads shorter than one gram
+    grams = (f"array_distinct(filter(transform(sequence(1, {n_grams}),"
+             f" i -> substring(_hex, (i - 1) * {st2} + 1, {gb2})),"
+             f" g -> length(g) = {gb2}))")
+    hashes = (f"transform({grams}, g -> cast(conv(substring(md5(g), 1,"
+              f" 12), 16, 10) as bigint))")
+    votes = base.withColumn("_ghs", F.expr(hashes))
+    fp = " + ".join(
+        f"(CASE WHEN (aggregate(_ghs, cast(0 as bigint), (acc, h) ->"
+        f" acc + (CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1"
+        f" ELSE -1 END))) > 0 THEN cast({1 << b} as bigint)"
+        f" ELSE cast(0 as bigint) END)"
+        for b in range(bits))
+    return votes.select(F.col(id_col),
+                        F.expr(fp).alias("simhash"),
+                        F.expr("cast(length(_hex) div 2 as bigint)")
+                        .alias("n_bytes"))
+
+
+def media_neardup(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id", bits: int = 48,
+                  bands: int = 4, max_hamming: int = 3,
+                  max_bucket: int = 50) -> DataFrame:
+    """Payload near-duplicate pairs via banded SimHash — the multimodal
+    dedup step: candidates share at least one ``bits/bands``-bit band of
+    their fingerprint, verification is the exact Hamming distance
+    ``bit_count(a ^ b) <= max_hamming`` in-row. Pigeonhole guarantee:
+    with ``max_hamming < bands``, any qualifying pair has a clean shared
+    band, so banding is LOSSLESS for the threshold (the MinHash-LSH
+    argument, made exact by SimHash's bit structure).
+
+    Scale shape: only (id, band, band_key, simhash) rows reach the
+    exchanges — fixed-width, never payload bytes; the stop-bucket cap
+    (``max_bucket``, the ngram_jaccard ``max_doc_freq`` discipline)
+    drops degenerate hot buckets (e.g. the all-zero fingerprint of
+    empty payloads) before the self-join can go quadratic on them, and
+    AQE can skew-split the surviving bucket join.
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = payload_simhash(df, payload_col, id_col, bits=bits)
+    banded = fp.select(
+        F.col(id_col), "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(simhash, cast(band * {band_bits} as int))"
+               f" & {mask}"))
+    # the banded table feeds THREE consumers (bucket cap + both join
+    # legs) — unpinned, each would re-run the bits-fold fingerprint
+    # over the full payload hex (4 corpus scans, measured). Pin the
+    # skinny (id, fp, band, key) table once: the bm25_multiterm
+    # localCheckpoint discipline — materialize ~32 B/row, never payload
+    # bytes, and the final plan has zero payload scans and zero
+    # Generates.
+    banded = banded.localCheckpoint()
+    ok = (banded.groupBy("band", "band_key")
+          .agg(F.count("*").alias("_bc"))
+          .filter(F.col("_bc") <= max_bucket)
+          .select("band", "band_key"))
+    kept = banded.join(ok, ["band", "band_key"])
+    a = kept.select(F.col(id_col).alias("id_a"),
+                    F.col("simhash").alias("_fa"), "band", "band_key")
+    b = kept.select(F.col(id_col).alias("id_b"),
+                    F.col("simhash").alias("_fb"), "band", "band_key")
+    pairs = (a.join(b, ["band", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_fa", "_fb").distinct())
+    return (pairs
+            .withColumn("hamming",
+                        F.expr("cast(bit_count(_fa ^ _fb) as bigint)"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -3541,6 +3541,29 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(t["documents"], "text", "doc_id", n=3)
 
 
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload near-duplicate pairs
+    (operators/multimodal.py payload_simhash + media_neardup): byte-
+    level 48-bit SimHash of each opaque binary payload (gram hashes and
+    ±1 bit votes exactly as the text dedup_simhash — computed entirely
+    IN-ROW over the hexed payload, zero shuffles for the fingerprint),
+    then banded candidate pairs (4 × 12-bit bands; lossless for
+    hamming ≤ 3 by pigeonhole) verified by exact bit_count(a ^ b).
+    The re-encoded-copy / shifted-container detector of a multimodal
+    ingest; a real perceptual hash (pHash/chromaprint) plugs in at the
+    decode seam and reuses the same banding/verify machinery. Only
+    fixed-width (id, band, key, fingerprint) rows reach any exchange;
+    hot degenerate buckets (the all-zero fingerprint of empty
+    payloads) are dropped by the stop-bucket cap before the
+    self-join."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        attach_payload, media_neardup)
+    t = load_tables(spark, sf_dir)
+    payloads = attach_payload(t["documents"], "text", "doc_id")
+    return media_neardup(payloads, "payload", "doc_id",
+                         bits=48, bands=4, max_hamming=3, max_bucket=50)
+
+
 def q_block_dedup_minspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling exact-substring dedup with the Lee-et-al. minimum
     match length (operators/text.py block_dedup_rolling, min_span=16
@@ -4560,6 +4583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "ksql_functions": q_ksql_functions,
     "block_dedup_minspan": q_block_dedup_minspan,
+    "media_neardup": q_media_neardup,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4650,8 +4674,47 @@ _R11_WINDOW = [
     "skyline", "kmv_set_ops",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
-QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)}}
+
+#: ROUND-12 WINDOW — the 50 names the driver hashes this round, per
+#: VERDICT r11 "Next round" #2 (slot arithmetic checked this time:
+#: 4 + 3 + 6 + 37 = 50): (a) the four r06-stale rows lead
+#: (bloom_semijoin, inverted_index, bpe_merges, scd2_history — the r11
+#: window's arithmetic miss); (b) the three round-12 additions
+#: (ksql_functions — the KSQL 5.1 rewriter surface under the oracle
+#: gate; block_dedup_minspan — rolling dedup with the Lee-et-al.
+#: minimum match length; media_neardup — banded byte-SimHash payload
+#: near-dup pairs); (c) every query whose code changed this
+#: round: block_dedup + block_dedup_fp + training_pipeline (the
+#: fingerprint-window → partial-aggregatable-min migration, decisions
+#: provably identical), block_dedup_rolling (min_span parameter,
+#: default path bit-identical), label_noise + embedding_prototypes
+#: (NULL-label group skip, r11 ADVICE); (d) the first 37 of the 46
+#: remaining r07-cohort rows in registry order. having, pivot,
+#: exists_subquery, distinct, multiway_join, asof_join,
+#: correlated_subquery, topn_per_group and percentile_disc cede their
+#: slots and lead the r13 window — after this round no latest row is
+#: older than r07.
+#: All 50 locally hash-green via tools/check.py at sf0.01 AND sf0.1
+#: before commit; the driver row is the bar.
+_R12_WINDOW = [
+    "bloom_semijoin", "inverted_index", "bpe_merges", "scd2_history",
+    "ksql_functions", "block_dedup_minspan", "media_neardup",
+    "block_dedup", "block_dedup_fp", "training_pipeline",
+    "block_dedup_rolling", "label_noise", "embedding_prototypes",
+    "ngram_lm_counts", "phrase_search", "quality_funnel", "source_drift",
+    "lm_doc_score", "cluster_best_doc", "cross_source_duplicates",
+    "linear_quality", "ccnet_buckets", "session_window",
+    "constraint_report", "vocab_concentration", "scd2_asof",
+    "rollup_merge", "attribution", "zonemap_prune", "cdc_materialize",
+    "select_project", "filter", "scalar_functions", "json_extract",
+    "join_inner", "join_left", "join_outer", "agg_pricing",
+    "groupby_stats", "rollup", "window_rank", "window_running", "topk",
+    "set_ops", "tumbling_window", "sliding_window", "cube",
+    "semi_anti_join", "string_functions", "date_functions",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+QUERIES = {**{k: QUERIES[k] for k in _R12_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)}}
 
 def _kcore_round_sql(i: int, k: int = 16) -> str:
     """One unrolled k-core peel round as oracle CTEs (the bpe_round_sql
@@ -9728,6 +9791,57 @@ ORACLE: dict[str, str] = {
                     // CAST(count(*) AS BIGINT) AS BIGINT) AS novelty_e6
         FROM sh s JOIN firsts f USING (gfp)
         GROUP BY s.doc_id
+    """,
+    # byte-level SimHash over hexed payloads (the dedup_simhash vote
+    # SQL, grams = 4-byte windows every 2 bytes), 4 × 12-bit bands,
+    # stop-bucket cap, exact Hamming verify via bit_count(xor)
+    "media_neardup": """
+        WITH pay AS (
+            SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx
+            FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1,
+                               greatest((length(hx) - 8) // 4 + 1, 1)),
+                           i -> substring(hx, (i - 1) * 4 + 1, 8))) AS g
+                FROM pay) u
+            WHERE length(g) = 8),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT AS h
+            FROM grams),
+        bits AS (SELECT unnest(generate_series(0, 47)) AS bit),
+        bitsum AS (
+            SELECT p.doc_id, b.bit,
+                   coalesce(sum(CASE WHEN (h.h >> b.bit) & 1 = 1
+                                     THEN 1 ELSE -1 END), 0) AS s
+            FROM pay p CROSS JOIN bits b
+            LEFT JOIN hashed h ON h.doc_id = p.doc_id
+            GROUP BY p.doc_id, b.bit),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bitsum GROUP BY doc_id),
+        banded AS (
+            SELECT f.doc_id, f.simhash, b.band,
+                   (f.simhash >> (b.band * 12)) & 4095 AS band_key
+            FROM fp f CROSS JOIN
+                 (SELECT unnest(generate_series(0, 3)) AS band) b),
+        ok AS (SELECT band, band_key FROM banded
+               GROUP BY band, band_key HAVING count(*) <= 50),
+        kept AS (SELECT banded.* FROM banded
+                 JOIN ok USING (band, band_key)),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS fa, b.simhash AS fb
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
     """,
     # rolling dedup + Lee-et-al. min match length: duplicate positions
     # merge via gaps-and-islands (same-width k intervals: island break

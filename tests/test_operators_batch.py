@@ -378,6 +378,74 @@ class TestFrameSampling:
             assert again[(r.doc_id, r.frame_idx)] == r.frame_hash
 
 
+class TestMediaNeardup:
+    @staticmethod
+    def _simhash_ref(payload: bytes, bits=48, gram_bytes=4, stride=2):
+        """Sequential mirror of payload_simhash's exact arithmetic."""
+        import hashlib
+        hx = payload.hex().upper()
+        gb2, st2 = gram_bytes * 2, stride * 2
+        grams = {hx[i:i + gb2]
+                 for i in range(0, max(len(hx) - gb2, 0) + 1, st2)
+                 if len(hx[i:i + gb2]) == gb2}
+        fp = 0
+        for b in range(bits):
+            vote = sum(1 if (int(hashlib.md5(g.encode()).hexdigest()[:12],
+                                 16) >> b) & 1 else -1 for g in grams)
+            if vote > 0:
+                fp |= 1 << b
+        return fp
+
+    def test_fingerprint_matches_python_reference(self, spark):
+        from kafka_connect_streams_spark.operators.multimodal import (
+            attach_payload, payload_simhash)
+        docs = [(0, "the quick brown fox jumps over the lazy dog"),
+                (1, "the quick brown fox jumps over the lazy cat"),
+                (2, None), (3, "zz")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.simhash for r in payload_simhash(
+            attach_payload(df, "text", "doc_id")).collect()}
+        for i, text in docs:
+            want = self._simhash_ref((text or "").encode())
+            assert got[i] == want, (i, got[i], want)
+
+    def test_pairs_match_banded_brute_force(self, spark):
+        """Operator pairs == the Python reference's banded-candidate +
+        Hamming-verify walk (cap included): identical payloads pair at
+        hamming 0, NULL-text docs pair on the zero fingerprint, and no
+        pair survives without a shared clean band."""
+        from kafka_connect_streams_spark.operators.multimodal import (
+            attach_payload, media_neardup)
+        texts = {0: "alpha beta gamma delta epsilon zeta eta theta iota",
+                 1: "alpha beta gamma delta epsilon zeta eta theta iota",
+                 2: "completely different content with other words here",
+                 3: None, 4: None,
+                 5: "alpha beta gamma delta epsilon zeta eta theta iotz"}
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = sorted((r.id_a, r.id_b, r.hamming) for r in media_neardup(
+            attach_payload(df, "text", "doc_id"), "payload", "doc_id",
+            bits=48, bands=4, max_hamming=3, max_bucket=50).collect())
+        fps = {i: self._simhash_ref((t or "").encode())
+               for i, t in texts.items()}
+        bands = {}
+        for i, fp in fps.items():
+            for b in range(4):
+                bands.setdefault((b, (fp >> (b * 12)) & 4095,),
+                                 []).append(i)
+        want = set()
+        for members in bands.values():
+            if len(members) > 50:
+                continue
+            for x in members:
+                for y in members:
+                    if x < y and bin(fps[x] ^ fps[y]).count("1") <= 3:
+                        want.add((x, y, bin(fps[x] ^ fps[y]).count("1")))
+        assert got == sorted(want), (got, sorted(want))
+        assert (0, 1, 0) in want            # identical payloads
+        assert (3, 4, 0) in want            # NULL-text pair on fp 0
+
+
 def test_repetition_signals_flag_degenerate_docs(spark):
     """A doc that is one token repeated must score minimal distinct ratio,
     full top-token share, and full duplicate-bigram fraction; a doc of all

@@ -945,6 +945,27 @@ def test_mmr_diversify_greedy_is_in_row(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0, plan
 
 
+def test_media_neardup_fingerprints_in_row_no_cartesian(spark, sf_dir):
+    """The payload SimHash must fold entirely in-row (no gram explode,
+    no per-(doc, bit) rows) and the banded table is localCheckpoint-
+    pinned for its three consumers, so the FINAL plan has zero parquet
+    re-scans and zero Generates (the band explode ran in the one
+    materialization job — the bm25_multiterm discipline). The candidate
+    stage must be the banded equi-join, never a cartesian/nested-loop
+    pair build; payload bytes never reach an exchange (every
+    hashpartitioning key is band/key/id/fingerprint)."""
+    import re
+    df = Q.QUERIES["media_neardup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "payload" not in part and "_hex" not in part, part
+    assert has_partial_aggregate(df), plan
+
+
 def test_no_window_partitioned_by_corpus_fingerprint_registry_wide(
         spark, sf_dir):
     """The r11 verdict's audit, pinned as a test: NO registered query
