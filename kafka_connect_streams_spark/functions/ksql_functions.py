@@ -196,18 +196,60 @@ _FUNC_CALL = re.compile(
     re.IGNORECASE)
 
 
-def _mask_sql(c: str) -> str:
-    """The Spark SQL spelling of ksql MASK with DEFAULT mask chars.
+def _lit_char(s: str) -> str | None:
+    """Parse a MASK custom-char argument: a quoted single-character
+    literal, or NULL (= leave that class unmasked, the ksql contract)."""
+    t = s.strip()
+    if t.upper() == "NULL":
+        return None
+    if len(t) == 3 and t[0] == t[-1] and t[0] in "'\"":
+        return t[1]
+    raise ValueError(
+        "MASK replacement must be a single-character string literal or"
+        f" NULL, got {s!r}")
 
-    Plain nesting is safe for the defaults because each pass's mask char
+
+_DEFAULT_MASKS = ("X", "x", "n", "-")
+
+
+def _mask_sql(c: str, upper: str | None = "X", lower: str | None = "x",
+              digit: str | None = "n", other: str | None = "-") -> str:
+    """The Spark SQL spelling of ksql MASK.
+
+    Default masks use plain nesting — safe because each pass's mask char
     ('X', 'x', 'n') belongs only to an already-processed class: the
     upper pass runs first, the 'n' introduced by the digit pass is never
     re-examined (regexp_replace does not rescan its replacements), and
-    the final 'other' pass excludes all alphanumerics.
+    the final 'other' pass excludes all alphanumerics. CUSTOM masks go
+    through the private-use-sentinel + translate form (the _mask_all
+    Column builder's strategy), so an alphanumeric custom mask char is
+    never re-masked by a later class pass and a None class stays clear.
     """
-    return ("regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-            f"{c}, '[A-Z]', 'X'), '[a-z]', 'x'), '[0-9]', 'n'),"
-            " '[^A-Za-z0-9]', '-')")
+    if (upper, lower, digit, other) == _DEFAULT_MASKS:
+        return ("regexp_replace(regexp_replace(regexp_replace("
+                f"regexp_replace({c}, '[A-Z]', 'X'), '[a-z]', 'x'),"
+                " '[0-9]', 'n'), '[^A-Za-z0-9]', '-')")
+    s = "\ue000\ue001\ue002\ue003"
+    classes = [("[A-Z]", upper, s[0]), ("[a-z]", lower, s[1]),
+               ("[0-9]", digit, s[2]),
+               (f"[^{s[0]}{s[1]}{s[2]}A-Za-z0-9]", other, s[3])]
+    out, frm, to = c, "", ""
+    for pat, mask, sent in classes:
+        if mask is None:
+            continue
+        if not isinstance(mask, str) or len(mask) != 1:
+            raise ValueError(
+                f"MASK replacement must be a single character, got {mask!r}")
+        out = f"regexp_replace({out}, '{pat}', '{sent}')"
+        frm += sent
+        to += mask
+    return f"translate({out}, '{frm}', '{to}')" if frm else out
+
+
+def _mask_customs(args: list[str]) -> tuple[str | None, ...]:
+    """The optional per-class mask chars trailing a MASK-family call."""
+    customs = tuple(_lit_char(x) for x in args)
+    return customs + _DEFAULT_MASKS[len(customs):]
 
 
 def _geo_sql(args: list[str]) -> str:
@@ -232,41 +274,46 @@ def _headlen_sql(c: str, n: str) -> str:
     return f"greatest(length({c}) - ({n}), 0)"
 
 
-#: KSQL call → Spark SQL expression template. Arg strings are spliced
-#: verbatim, so nested KSQL calls inside arguments are expanded by the
-#: fixpoint loop in :func:`_expand_calls`. Templates must not emit any
-#: name present in this dict (or the loop would never converge).
-_SQL_EXPANSIONS: dict[str, Callable[[list[str]], str]] = {
-    "mask": lambda a: _mask_sql(a[0]),
-    "mask_keep_left": lambda a: (
+#: KSQL call → (min_args, max_args, Spark SQL expression template).
+#: Arg strings are spliced verbatim, so nested KSQL calls inside
+#: arguments are expanded by the fixpoint loop in :func:`_expand_calls`.
+#: Templates must not emit any name present in this dict (or the loop
+#: would never converge). The arity bounds produce a clear error
+#: instead of a raw unpack/IndexError on a malformed call, and the
+#: MASK-family templates HONOR ksql's optional custom mask-char
+#: arguments (they were silently dropped before — the SQL front end
+#: and the Column registry must never diverge).
+_SQL_EXPANSIONS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
+    "mask": (1, 5, lambda a: _mask_sql(a[0], *_mask_customs(a[1:]))),
+    "mask_keep_left": (2, 6, lambda a: (
         f"concat(substring({a[0]}, 1, {a[1]}),"
-        f" {_mask_sql(_tail(a[0], f'({a[1]})'))})"),
-    "mask_keep_right": lambda a: (
-        f"concat({_mask_sql(f'substring({a[0]}, 1, {_headlen_sql(a[0], a[1])})')},"
-        f" {_tail(a[0], _headlen_sql(a[0], a[1]))})"),
-    "mask_left": lambda a: (
-        f"concat({_mask_sql(f'substring({a[0]}, 1, {a[1]})')},"
-        f" {_tail(a[0], f'({a[1]})')})"),
-    "mask_right": lambda a: (
+        f" {_mask_sql(_tail(a[0], f'({a[1]})'), *_mask_customs(a[2:]))})")),
+    "mask_keep_right": (2, 6, lambda a: (
+        f"concat({_mask_sql(f'substring({a[0]}, 1, {_headlen_sql(a[0], a[1])})', *_mask_customs(a[2:]))},"
+        f" {_tail(a[0], _headlen_sql(a[0], a[1]))})")),
+    "mask_left": (2, 6, lambda a: (
+        f"concat({_mask_sql(f'substring({a[0]}, 1, {a[1]})', *_mask_customs(a[2:]))},"
+        f" {_tail(a[0], f'({a[1]})')})")),
+    "mask_right": (2, 6, lambda a: (
         f"concat(substring({a[0]}, 1, {_headlen_sql(a[0], a[1])}),"
-        f" {_mask_sql(_tail(a[0], _headlen_sql(a[0], a[1])))})"),
-    "geo_distance": _geo_sql,
+        f" {_mask_sql(_tail(a[0], _headlen_sql(a[0], a[1])), *_mask_customs(a[2:]))})")),
+    "geo_distance": (4, 5, _geo_sql),
     # KSQL DATE = int days since epoch (registry convention above)
-    "stringtodate": lambda a: (
-        f"datediff(to_date({a[0]}, {a[1]}), date'1970-01-01')"),
-    "datetostring": lambda a: (
+    "stringtodate": (2, 2, lambda a: (
+        f"datediff(to_date({a[0]}, {a[1]}), date'1970-01-01')")),
+    "datetostring": (2, 2, lambda a: (
         f"date_format(date_add(date'1970-01-01', cast({a[0]} as int)),"
-        f" {a[1]})"),
+        f" {a[1]})")),
     # aggregates
-    "topk": lambda a: (
-        f"slice(sort_array(collect_list({a[0]}), false), 1, {a[1]})"),
-    "topkdistinct": lambda a: (
-        f"slice(sort_array(collect_set({a[0]}), false), 1, {a[1]})"),
-    "histogram": lambda a: (
+    "topk": (2, 2, lambda a: (
+        f"slice(sort_array(collect_list({a[0]}), false), 1, {a[1]})")),
+    "topkdistinct": (2, 2, lambda a: (
+        f"slice(sort_array(collect_set({a[0]}), false), 1, {a[1]})")),
+    "histogram": (1, 1, lambda a: (
         f"aggregate(sort_array(collect_list(cast({a[0]} as string))),"
         " cast(map() as map<string, bigint>),"
         " (m, x) -> map_concat(map_filter(m, (k, v) -> k != x),"
-        " map(x, coalesce(element_at(m, x), cast(0 as bigint)) + 1)))"),
+        " map(x, coalesce(element_at(m, x), cast(0 as bigint)) + 1)))")),
 }
 
 _EXPAND_CALL = re.compile(
@@ -304,16 +351,46 @@ def _split_args(s: str) -> list[str]:
     return args
 
 
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of string literals (SQL doubled-quote escapes
+    read naturally as adjacent literals — still inside a span)."""
+    spans, quote, start = [], None, 0
+    for i, ch in enumerate(sql):
+        if quote:
+            if ch == quote:
+                spans.append((start, i + 1))
+                quote = None
+        elif ch in "'\"":
+            quote, start = ch, i
+    if quote:
+        spans.append((start, len(sql)))
+    return spans
+
+
+def _search_outside_quotes(pat: re.Pattern, sql: str):
+    """First match of ``pat`` whose start is NOT inside a string
+    literal — a data value mentioning ``mask(``/``topk(`` must never be
+    rewritten (or worse, fail the paren scan)."""
+    spans = _quoted_spans(sql)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None or not any(a <= m.start() < b for a, b in spans):
+            return m
+        pos = m.start() + 1
+
+
 def _expand_calls(sql: str) -> str:
     """Expand KSQL-only function calls into Spark SQL expressions.
 
-    Finds the next expandable call, scans its balanced-paren argument
-    list (quote-aware), splices in the template, and repeats to a
-    fixpoint — so nested and repeated calls all expand. Templates keep
-    argument text verbatim; inner KSQL calls expand on a later pass.
+    Finds the next expandable call OUTSIDE string literals, scans its
+    balanced-paren argument list (quote-aware), validates arity,
+    splices in the template, and repeats to a fixpoint — so nested and
+    repeated calls all expand. Templates keep argument text verbatim;
+    inner KSQL calls expand on a later pass.
     """
     while True:
-        m = _EXPAND_CALL.search(sql)
+        m = _search_outside_quotes(_EXPAND_CALL, sql)
         if m is None:
             return sql
         depth, i, quote = 1, m.end(), None
@@ -332,9 +409,15 @@ def _expand_calls(sql: str) -> str:
         if depth:
             raise ValueError(
                 f"unbalanced parentheses in {m.group(1)}(... call")
+        name = m.group(1).lower()
+        lo, hi, template = _SQL_EXPANSIONS[name]
         args = _split_args(sql[m.end():i - 1])
-        sql = (sql[:m.start()]
-               + _SQL_EXPANSIONS[m.group(1).lower()](args) + sql[i:])
+        if not lo <= len(args) <= hi:
+            bound = str(lo) if lo == hi else f"{lo}-{hi}"
+            raise ValueError(
+                f"{name.upper()} takes {bound} argument(s),"
+                f" got {len(args)}")
+        sql = sql[:m.start()] + template(args) + sql[i:]
 
 
 def rewrite_ksql_sql(sql: str) -> str:
@@ -348,4 +431,11 @@ def rewrite_ksql_sql(sql: str) -> str:
     called ``len``) survive.
     """
     sql = _expand_calls(sql)
-    return _FUNC_CALL.sub(lambda m: _SQL_RENAMES[m.group(1).lower()] + "(", sql)
+    spans = _quoted_spans(sql)
+
+    def sub(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)       # inside a string literal: untouched
+        return _SQL_RENAMES[m.group(1).lower()] + "("
+
+    return _FUNC_CALL.sub(sub, sql)

@@ -239,6 +239,10 @@ def media_neardup(df: DataFrame, payload_col: str = "payload",
     empty payloads) before the self-join can go quadratic on them, and
     AQE can skew-split the surviving bucket join.
     """
+    if bands <= 0 or bits % bands != 0:
+        raise ValueError(
+            f"bands must divide bits evenly, got bits={bits}"
+            f" bands={bands}")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     fp = payload_simhash(df, payload_col, id_col, bits=bits)

@@ -852,11 +852,17 @@ def label_prototypes(vectors: DataFrame,
     # a label whose rows ALL have NULL/empty embeddings reaches here with
     # every sum NULL (try_element_at + sum-skips-nulls) — skip it instead
     # of TypeError-ing the comprehension (r11 ADVICE); prototype-less
-    # labels simply don't participate in downstream cosine scoring
-    protos = {int(r["_l"]): [int(r[f"_s{d}"]) // int(r["_n"])
-                             for d in range(dim)]
-              for r in sums
-              if all(r[f"_s{d}"] is not None for d in range(dim))}
+    # labels simply don't participate in downstream cosine scoring. A
+    # label with SOME data but a dimension that is NULL across all its
+    # rows (shorter vectors than the probed dim — noisy real data) keeps
+    # its prototype with that component zero-filled, NOT dropped.
+    protos = {}
+    for r in sums:
+        vals = [r[f"_s{d}"] for d in range(dim)]
+        if all(v is None for v in vals):
+            continue
+        protos[int(r["_l"])] = [
+            (0 if v is None else int(v)) // int(r["_n"]) for v in vals]
     return sorted(protos), protos
 
 

@@ -119,15 +119,58 @@ class TestSqlRewrite:
 
     def test_mask_expansion_matches_registry_builder(self, spark):
         """The SQL template and the Column builder must mask
-        identically — including the 'other' class — so the SQL front
-        end and the DataFrame API never diverge."""
+        identically — including the 'other' class AND ksql's optional
+        custom mask-char arguments (review finding: the SQL path
+        silently dropped them) — so the SQL front end and the DataFrame
+        API never diverge."""
         df = spark.createDataFrame([("Ab 1@c#D-9",)], "s string")
         df.createOrReplaceTempView("mask_parity_t")
-        via_sql = spark.sql(rewrite_ksql_sql(
-            "SELECT MASK(s) AS m FROM mask_parity_t")).collect()[0].m
-        via_col = df.select(
-            KSQL_FUNCTIONS["mask"](F.col("s")).alias("m")).collect()[0].m
-        assert via_sql == via_col == "Xx-n-x-X-n"
+        row = spark.sql(rewrite_ksql_sql(
+            "SELECT MASK(s) AS m, MASK(s, 'A', 'z', '9', '_') AS c,"
+            " MASK(s, NULL, 'x', 'n', '-') AS ku,"
+            " MASK_KEEP_LEFT(s, 3, 'Q', 'q', '0', '.') AS kl"
+            " FROM mask_parity_t")).collect()[0]
+        col = df.select(
+            KSQL_FUNCTIONS["mask"](F.col("s")).alias("m"),
+            KSQL_FUNCTIONS["mask"](F.col("s"), "A", "z", "9", "_")
+            .alias("c"),
+            KSQL_FUNCTIONS["mask"](F.col("s"), None, "x", "n", "-")
+            .alias("ku")).collect()[0]
+        assert row.m == col.m == "Xx-n-x-X-n"
+        assert row.c == col.c == "Az_9_z_A_9"
+        assert row.ku == col.ku == "Ax-n-x-D-n"
+        assert row.kl == "Ab 0.q.Q.0"   # keeps "Ab ", custom-masks rest
+        import pytest
+        with pytest.raises(ValueError, match="single-character"):
+            rewrite_ksql_sql("SELECT MASK(s, 'XX') FROM t")
+
+    def test_rewriter_leaves_string_literals_alone(self):
+        """Review finding: a data value mentioning mask(/topk(/len( in a
+        string literal must never be rewritten (or fail the paren
+        scan) — only calls OUTSIDE quotes expand."""
+        sql = "SELECT MASK(s) FROM t WHERE note = 'please mask(this) ok'"
+        out = rewrite_ksql_sql(sql)
+        assert "'please mask(this) ok'" in out
+        assert "regexp_replace" in out          # the real call expanded
+        # unbalanced parens INSIDE a literal are data, not an error
+        out = rewrite_ksql_sql("SELECT x FROM t WHERE n = 'mask( open'")
+        assert out == "SELECT x FROM t WHERE n = 'mask( open'"
+        # the rename pass obeys the same rule
+        out = rewrite_ksql_sql("SELECT LEN(s) FROM t WHERE n = 'len(a)'")
+        assert "length(s)" in out and "'len(a)'" in out
+
+    def test_rewriter_validates_arity(self):
+        """Review finding: wrong arg counts must raise a clear message,
+        not a raw unpack/IndexError."""
+        import pytest
+        with pytest.raises(ValueError, match="GEO_DISTANCE takes 4-5"):
+            rewrite_ksql_sql("SELECT GEO_DISTANCE(a, b, c) FROM t")
+        with pytest.raises(ValueError, match="TOPK takes 2"):
+            rewrite_ksql_sql("SELECT TOPK(v) FROM t")
+        with pytest.raises(ValueError, match="MASK_KEEP_LEFT takes 2-6"):
+            rewrite_ksql_sql("SELECT MASK_KEEP_LEFT(s) FROM t")
+        with pytest.raises(ValueError, match="HISTOGRAM takes 1"):
+            rewrite_ksql_sql("SELECT HISTOGRAM(a, b) FROM t")
 
     def test_ksql_spellings_run_through_context(self, spark):
         orders = spark.createDataFrame(

@@ -445,6 +445,21 @@ class TestMediaNeardup:
         assert (0, 1, 0) in want            # identical payloads
         assert (3, 4, 0) in want            # NULL-text pair on fp 0
 
+    def test_bands_must_divide_bits(self, spark):
+        """Review finding: bands that don't divide bits (or exceed
+        them) gave band_bits=0 → every key 0 → silently zero pairs;
+        must raise instead."""
+        import pytest
+
+        from kafka_connect_streams_spark.operators.multimodal import (
+            attach_payload, media_neardup)
+        df = attach_payload(spark.createDataFrame(
+            [(0, "x")], "doc_id long, text string"), "text", "doc_id")
+        with pytest.raises(ValueError, match="divide bits"):
+            media_neardup(df, "payload", "doc_id", bits=8, bands=16)
+        with pytest.raises(ValueError, match="divide bits"):
+            media_neardup(df, "payload", "doc_id", bits=48, bands=5)
+
 
 def test_repetition_signals_flag_degenerate_docs(spark):
     """A doc that is one token repeated must score minimal distinct ratio,
@@ -2606,6 +2621,21 @@ class TestLabelPrototypesEdges:
         labels, protos = label_prototypes(df, "label", vec_col="vec")
         assert labels == [1]
         assert protos == {1: [10000, 20000]}
+
+    def test_shorter_vectors_zero_fill_not_dropped(self, spark):
+        """Review finding: a label with real data but SHORTER vectors
+        than the probed dim (every row NULL at some component) must
+        keep its prototype with that component zero-filled — not be
+        silently dropped by an all-components-non-null guard."""
+        from kafka_connect_streams_spark.operators.similarity import (
+            label_prototypes)
+        df = spark.createDataFrame(
+            [([1.0, 2.0, 3.0, 4.0], 0), ([1.0, 2.0], 1)],
+            "vec array<float>, label int")
+        labels, protos = label_prototypes(df, "label", vec_col="vec")
+        assert labels == [0, 1]
+        assert protos[0] == [10000, 20000, 30000, 40000]
+        assert protos[1] == [10000, 20000, 0, 0]
 
 
 def test_zero_norm_prototype_scores_cos_zero(spark, tmp_path):
