@@ -620,7 +620,11 @@ class TestPartitioningInvariance:
                   "sequence_packing", "ccnet_buckets", "mix_weights",
                   "dedup_minhash_lsh", "lm_doc_score",
                   "boilerplate_removal", "min_cost_supplier",
-                  "dominant_suppliers"]
+                  "dominant_suppliers",
+                  # r12: the migrated min+join first-occurrence shapes
+                  # and the banded payload pairs — the queries whose
+                  # determinism story this round rewrote
+                  "block_dedup", "block_dedup_minspan", "media_neardup"]
         results = {}
         for width in ("5", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", width)
