@@ -770,7 +770,10 @@ class TestAqeInvariance:
         from kafka_connect_streams_spark import queries as Q
         tricky = ["token_budget_sample", "sequence_packing",
                   "dedup_minhash_lsh", "winnowing_dedup",
-                  "semantic_dedup", "exact_k_sample", "winsorize"]
+                  "semantic_dedup", "exact_k_sample", "winsorize",
+                  # r12: the skew-join migration exists FOR AQE's
+                  # benefit — prove the re-plan never changes results
+                  "block_dedup", "block_dedup_rolling", "media_neardup"]
         results = {}
         for aqe in ("false", "true"):
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
