@@ -1506,6 +1506,30 @@ class TestBlockDedup:
         assert got == self._reference(docs, 3)
         assert got[3][1] == 0 and got[5][1] == 0   # fully deduped docs
 
+    def test_hot_boilerplate_fingerprint_correct_under_skew(self, spark):
+        """The scenario the r12 migration exists for: thousands of docs
+        share ONE boilerplate block (a single hot fingerprint). The
+        groupBy-min first-occurrence must stay correct — exactly one
+        global survivor of the hot block, every doc's unique block
+        kept — for both shapes, with the decision identical between
+        them. (Under the old row_number window, this fingerprint's rows
+        all landed on one reducer; the aggregate collapses them
+        map-side and AQE can split the probe join.)"""
+        from kafka_connect_streams_spark.operators.text import block_dedup
+        boiler = "terms of service apply all rights reserved inc"  # 8 toks
+        docs = [(i, boiler + " " + " ".join(
+            f"u{i}w{j}" for j in range(8))) for i in range(2000)]
+        df = (spark.createDataFrame(docs, "doc_id long, text string")
+              .repartition(16))
+        for shape in ("inline", "fp_rejoin"):
+            got = {r.doc_id: (r.n_blocks, r.kept_blocks, r.kept_tokens)
+                   for r in block_dedup(df, "text", "doc_id", size=8,
+                                        shape=shape).collect()}
+            assert len(got) == 2000, shape
+            assert got[0] == (2, 2, 16), (shape, got[0])
+            for i in range(1, 2000):
+                assert got[i] == (2, 1, 8), (shape, i, got[i])
+
     def test_matches_python_reference_random(self, spark):
         from hypothesis import HealthCheck, given, settings
         from hypothesis import strategies as st
