@@ -238,6 +238,15 @@ def media_neardup(df: DataFrame, payload_col: str = "payload",
     drops degenerate hot buckets (e.g. the all-zero fingerprint of
     empty payloads) before the self-join can go quadratic on them, and
     AQE can skew-split the surviving bucket join.
+
+    Sizing honesty for 100 TB: ``bits``/``band_bits`` must grow with
+    the corpus or expected bucket sizes (≈ N / 2^band_bits for
+    near-uniform fingerprints) blow past ``max_bucket`` and the cap
+    costs recall, not just compute. The defaults (48 bits, 12-bit
+    bands) suit up to ~10⁶–10⁷ payloads; at corpus scale raise bits
+    toward the signed-bigint ceiling (62) and band_bits with it —
+    the Manku et al. (WWW'07) multi-table SimHash arrangement is the
+    same plan with more/wider bands, no new machinery.
     """
     if bands <= 0 or bits % bands != 0:
         raise ValueError(
