@@ -98,19 +98,21 @@ KSQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # MASK_KEEP_LEFT / MASK_KEEP_RIGHT / MASK_LEFT / MASK_RIGHT: mask all
     # but (or only) the first/last n chars — the ksql PII-mask family.
     # F.substr takes Column positions, so the split point follows the
-    # row's own length (short strings mask correctly).
-    "mask_keep_left": lambda c, n: F.concat(
+    # row's own length (short strings mask correctly). The *masks
+    # varargs forward ksql's optional custom mask chars to _mask_all,
+    # keeping the DataFrame API at parity with the SQL templates.
+    "mask_keep_left": lambda c, n, *masks: F.concat(
         F.substr(c, F.lit(1), F.lit(n)),
-        _mask_all(F.substr(c, F.lit(n + 1), F.length(c)))),
-    "mask_keep_right": lambda c, n: F.concat(
-        _mask_all(F.substr(c, F.lit(1), _headlen(c, n))),
+        _mask_all(F.substr(c, F.lit(n + 1), F.length(c)), *masks)),
+    "mask_keep_right": lambda c, n, *masks: F.concat(
+        _mask_all(F.substr(c, F.lit(1), _headlen(c, n)), *masks),
         F.substr(c, _headlen(c, n) + 1, F.length(c))),
-    "mask_left": lambda c, n: F.concat(
-        _mask_all(F.substr(c, F.lit(1), F.lit(n))),
+    "mask_left": lambda c, n, *masks: F.concat(
+        _mask_all(F.substr(c, F.lit(1), F.lit(n)), *masks),
         F.substr(c, F.lit(n + 1), F.length(c))),
-    "mask_right": lambda c, n: F.concat(
+    "mask_right": lambda c, n, *masks: F.concat(
         F.substr(c, F.lit(1), _headlen(c, n)),
-        _mask_all(F.substr(c, _headlen(c, n) + 1, F.length(c)))),
+        _mask_all(F.substr(c, _headlen(c, n) + 1, F.length(c)), *masks)),
     "split": lambda c, sep: F.split(c, re.escape(sep)),
     "geo_distance": _geo_distance,
     # json (path must be a Python string — get_json_object takes a literal)
@@ -198,15 +200,27 @@ _FUNC_CALL = re.compile(
 
 def _lit_char(s: str) -> str | None:
     """Parse a MASK custom-char argument: a quoted single-character
-    literal, or NULL (= leave that class unmasked, the ksql contract)."""
+    literal, or NULL (= leave that class unmasked, the ksql contract).
+    SQL quote escapes are honored — '''' and '\\'' both mean a single
+    quote char, '\\\\' a backslash."""
     t = s.strip()
     if t.upper() == "NULL":
         return None
-    if len(t) == 3 and t[0] == t[-1] and t[0] in "'\"":
-        return t[1]
+    if len(t) >= 2 and t[0] == t[-1] and t[0] in "'\"":
+        body = (t[1:-1].replace(t[0] * 2, t[0])
+                .replace("\\" + t[0], t[0]).replace("\\\\", "\\"))
+        if len(body) == 1:
+            return body
     raise ValueError(
         "MASK replacement must be a single-character string literal or"
         f" NULL, got {s!r}")
+
+
+def _sql_str(s: str) -> str:
+    """A safe single-quoted Spark SQL string literal (backslash and
+    quote escaped — a custom mask char of ' or \\ must not produce
+    malformed or silently wrong SQL)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 _DEFAULT_MASKS = ("X", "x", "n", "-")
@@ -243,7 +257,9 @@ def _mask_sql(c: str, upper: str | None = "X", lower: str | None = "x",
         out = f"regexp_replace({out}, '{pat}', '{sent}')"
         frm += sent
         to += mask
-    return f"translate({out}, '{frm}', '{to}')" if frm else out
+    if not frm:
+        return out
+    return f"translate({out}, {_sql_str(frm)}, {_sql_str(to)})"
 
 
 def _mask_customs(args: list[str]) -> tuple[str | None, ...]:
@@ -326,11 +342,15 @@ def _split_args(s: str) -> list[str]:
     quote-aware, so nested calls and string literals survive intact)."""
     args: list[str] = []
     cur: list[str] = []
-    depth, quote = 0, None
+    depth, quote, escaped = 0, None, False
     for ch in s:
         if quote:
             cur.append(ch)
-            if ch == quote:
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == quote:
                 quote = None
         elif ch in "'\"":
             quote = ch
@@ -352,18 +372,28 @@ def _split_args(s: str) -> list[str]:
 
 
 def _quoted_spans(sql: str) -> list[tuple[int, int]]:
-    """[start, end) spans of string literals (SQL doubled-quote escapes
-    read naturally as adjacent literals — still inside a span)."""
+    """[start, end) spans of string literals. Doubled-quote escapes
+    read naturally as adjacent literals — still inside a span — and
+    backslash escapes ('don\\'t', Spark's default) skip the escaped
+    char so the literal closes at the REAL closing quote (otherwise
+    everything after it sits in a phantom span and calls there are
+    silently left unrewritten)."""
     spans, quote, start = [], None, 0
-    for i, ch in enumerate(sql):
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
         if quote:
+            if ch == "\\":
+                i += 2
+                continue
             if ch == quote:
                 spans.append((start, i + 1))
                 quote = None
         elif ch in "'\"":
             quote, start = ch, i
+        i += 1
     if quote:
-        spans.append((start, len(sql)))
+        spans.append((start, n))
     return spans
 
 
@@ -397,6 +427,9 @@ def _expand_calls(sql: str) -> str:
         while depth and i < len(sql):
             ch = sql[i]
             if quote:
+                if ch == "\\":
+                    i += 2
+                    continue
                 if ch == quote:
                     quote = None
             elif ch in "'\"":

@@ -825,7 +825,12 @@ def label_prototypes(vectors: DataFrame,
     Same exactness contract as :func:`kmeans_coarse_centroids`'s
     recenter step (int64 dimension sums, truncating division mirrored by
     the oracle's ``floor(sx / CAST(n AS DOUBLE))``), but grouped by an
-    EXISTING label instead of a learned assignment. Scale shape: ONE
+    EXISTING label instead of a learned assignment. The divisor is the
+    label's MEMBER COUNT (count(*), NULL/empty-embedding rows
+    included) — a deliberate cross-engine convention pinned by the
+    oracle twin and the NULL-first-embedding test, not sum-of-present
+    rows: a label's vector-less members dilute its prototype toward
+    zero rather than being silently ignored. Scale shape: ONE
     map-side-combined shuffle of (label, 64 sums) — O(|labels|) rows
     back to the driver regardless of corpus size — and the returned
     matrix broadcasts into in-row expressions downstream (no centroid

@@ -144,6 +144,39 @@ class TestSqlRewrite:
         with pytest.raises(ValueError, match="single-character"):
             rewrite_ksql_sql("SELECT MASK(s, 'XX') FROM t")
 
+    def test_mask_custom_quote_backslash_chars_are_escaped(self, spark):
+        """Review finding: a custom mask char of ' or \\ must splice
+        into the translate() literal escaped — not emit malformed SQL
+        or silently delete the 'other' class — and ksql's doubled-quote
+        spelling for a quote char parses. The Column-registry
+        mask_keep family forwards custom chars too (it rejected them
+        while the SQL path accepted them)."""
+        df = spark.createDataFrame([("Ab 1x",)], "s string")
+        df.createOrReplaceTempView("mask_esc_t")
+        row = spark.sql(rewrite_ksql_sql(
+            "SELECT MASK(s, '''', 'x', 'n', '-') AS q,"
+            " MASK(s, '\\\\', 'x', 'n', '-') AS bs"
+            " FROM mask_esc_t")).collect()[0]
+        assert row.q == "'x-nx" and row.bs == "\\x-nx"
+        col = df.select(
+            KSQL_FUNCTIONS["mask_keep_left"](F.col("s"), 2, "Q", "q",
+                                             "0", ".").alias("kl"),
+            KSQL_FUNCTIONS["mask_right"](F.col("s"), 3, None, "z",
+                                         "7", "_").alias("mr")).collect()[0]
+        assert col.kl == "Ab.0q"
+        assert col.mr == "Ab_7z"
+
+    def test_rewriter_handles_backslash_escaped_quotes(self):
+        """Review finding: 'don\\'t' closes at the REAL quote — a call
+        after such a literal must still expand, and call-shaped text
+        INSIDE it stays data."""
+        sql = ("SELECT MASK(a) FROM t WHERE n = 'don\\'t len(x)'"
+               " AND m = MASK(b)")
+        out = rewrite_ksql_sql(sql)
+        assert "'don\\'t len(x)'" in out
+        assert out.count("regexp_replace") >= 8  # BOTH calls expanded
+        assert "MASK(" not in out.upper().replace("_", "")
+
     def test_rewriter_leaves_string_literals_alone(self):
         """Review finding: a data value mentioning mask(/topk(/len( in a
         string literal must never be rewritten (or fail the paren
