@@ -1391,6 +1391,43 @@ def test_projection_curation_ops_are_stream_transparent(spark, tmp_path):
         assert got == batch, op.__name__
 
 
+def test_payload_simhash_is_stream_transparent(spark, tmp_path):
+    """The multimodal fingerprint joins the stream-transparency story:
+    payload_simhash is a pure in-row fold (zero shuffles), so the SAME
+    function runs unchanged on a streaming leg and fingerprints every
+    arriving payload identically to batch — the input a streaming media
+    near-dup gate needs (the banding/verify join stays batch-side;
+    media_neardup's localCheckpoint is not a streaming construct)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_connect_streams_spark.operators.multimodal import (
+        attach_payload, payload_simhash)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(200))
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(2).write.parquet(str(src / "a"))
+    batch = {(r.doc_id, r.simhash, r.n_bytes)
+             for r in payload_simhash(
+                 attach_payload(docs, "text", "doc_id")).collect()}
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = (payload_simhash(attach_payload(stream, "text", "doc_id"))
+         .writeStream.format("memory").queryName("payload_fp")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.doc_id, r.simhash, r.n_bytes)
+               for r in spark.sql("SELECT * FROM payload_fp").collect()}
+    finally:
+        q.stop()
+    assert got == batch
+
+
 def test_streaming_decontaminate_fingerprint_matches_batch(spark,
                                                            tmp_path):
     """The exact and MinHash-LSH stream-side flags must be the precise
