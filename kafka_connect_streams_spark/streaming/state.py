@@ -101,12 +101,17 @@ def incremental_dedup_processor(text_col: str, id_col: str,
         fp = fingerprint(batch, text_col, id_col).select(id_col, "fingerprint")
         # canonical survivor within the batch: min id per fingerprint
         firsts = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        from pyspark.sql.utils import AnalysisException
         try:
             hist = (spark.read.parquet(index_dir)
                     .filter(F.col("epoch") < epoch_id)
                     .select("fingerprint"))
             fresh = firsts.join(hist, "fingerprint", "left_anti")
-        except Exception:  # first epoch: no index yet
+        except AnalysisException:  # first epoch: no index yet. ONLY the
+            # missing-path case may fall through — a transient read
+            # failure (store throttle, corrupt footer) must FAIL the
+            # batch and retry, not silently disable history dedup and
+            # leak duplicates into the corpus (r12 review)
             fresh = firsts
         fresh = fresh.localCheckpoint()  # pin the survivor set BEFORE the
         # index gains this epoch's partition (lazy re-read would self-veto)
@@ -164,6 +169,17 @@ def compact_dedup_index(spark, index_dir: str, upto_epoch: int) -> int:
     fingerprints), and RE-RUNNING the compaction is required to drop
     the leftovers (it converges: the fold is idempotent). Returns the
     number of distinct fingerprints in the compacted base.
+
+    CONTRACT (r12 review): ``upto_epoch`` must not exceed the last
+    COMMITTED epoch of the owning stream. If the stream crashed after
+    writing epoch N's index partition but before the checkpoint commit,
+    folding that in-flight partition moves its fingerprints into
+    ``epoch=-1`` — which the replay of batch N reads (its filter
+    ``epoch < N`` admits -1) — so the replay anti-joins away its own
+    documents and they are lost. Operationally: while the stream is
+    stopped cleanly, any upto works; against a possibly-crashed stream
+    fold only ``<= last committed epoch`` (from the checkpoint), or
+    simply leave the newest epoch partition unfolded.
     """
     from pyspark.sql.utils import AnalysisException
     try:
@@ -238,7 +254,14 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
             wm = state.getCurrentWatermarkMs()
             pend = []
             for s in segs:
-                if s[1] + gap_ms <= wm:
+                # STRICT <: an event at exactly last+gap still merges
+                # (the merge rule is t - last <= gap) and rows with
+                # ts >= wm are still admitted, so a segment may only
+                # close once wm has passed BEYOND last+gap — flushing
+                # at equality emitted a session a same-boundary event
+                # should have joined, making output depend on batching
+                # (r12 review)
+                if s[1] + gap_ms < wm:
                     yield row(*s)
                 else:
                     pend.append(s)
@@ -246,10 +269,11 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
                 state.update(([s[0] for s in pend],
                               [s[1] for s in pend],
                               [s[2] for s in pend]))
-                # earliest pending close; > wm by construction, as
-                # setTimeoutTimestamp requires
+                # earliest pending close; setTimeoutTimestamp requires
+                # a value strictly above the watermark, and with the
+                # strict flush a pending close may now EQUAL wm
                 state.setTimeoutTimestamp(
-                    min(s[1] for s in pend) + gap_ms)
+                    max(min(s[1] for s in pend) + gap_ms, wm + 1))
             else:
                 state.remove()
 
@@ -289,7 +313,12 @@ def sessionize(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
                 merged[-1][2] += s[2]
         yield from flush_and_store(merged)
 
-    return (keyed.withWatermark(ts_col, watermark)
+    # NULL event times are dropped at the door: the watermark's late-row
+    # predicate does NOT filter them (NULL < wm is NULL), and a NaT
+    # reaching the int64 conversion would crash the task or fabricate a
+    # garbage session (r12 review)
+    return (keyed.filter(F.col(ts_col).isNotNull())
+            .withWatermark(ts_col, watermark)
             .groupBy(F.col(key_col).cast("string").alias("key"))
             .applyInPandasWithState(
                 update,
@@ -445,19 +474,15 @@ def streaming_cms(df: DataFrame, text_col: str,
     (depth × width cells), so the unbounded-vocabulary wordcount that
     needs ever-growing state becomes a plain streaming groupBy over at
     most d·w keys — no custom state store, no watermark eviction, and
-    the per-cell counters are exactly the batch operator's
-    (operators/frequency.py count_min_sketch shares the hash family, so
-    a batch-built sketch and a stream-built sketch over the same data
-    are cell-identical)."""
-    from kafka_connect_streams_spark.operators.frequency import cms_hash
-    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+")
-    words = (df.select(F.explode(toks).alias("word"))
-             .where(F.length("word") > 0))
-    cells = F.array(*[cms_hash(F.col("word"), r, width)
-                      for r in range(depth)])
-    return (words.select(F.posexplode(cells).alias("row", "bucket"))
-            .groupBy("row", "bucket")
-            .agg(F.count("*").alias("counter")))
+    the per-cell counters are exactly the batch operator's: this IS
+    operators/frequency.py count_min_sketch — pure DataFrame ops work
+    unchanged on a streaming frame, so the batch builder is reused
+    outright rather than re-spelled (r12 review: the duplicated plan
+    was drift-prone — a tokenizer/hash change in frequency.py would
+    have silently broken the cell-identical guarantee)."""
+    from kafka_connect_streams_spark.operators.frequency import (
+        count_min_sketch)
+    return count_min_sketch(df, text_col, depth=depth, width=width)
 
 
 def incremental_neardup_processor(text_col: str, id_col: str,
@@ -613,6 +638,12 @@ def compact_neardup_index(spark, index_dir: str, upto_epoch: int) -> int:
     duplicated-but-benign (consumers distinct doc ids), and RE-RUNNING
     the compaction is required to drop the leftovers. Returns the
     number of distinct surviving documents in the compacted sigs base.
+
+    CONTRACT (r12 review; see :func:`compact_dedup_index` for the full
+    argument): ``upto_epoch`` must not exceed the owning stream's last
+    COMMITTED epoch — folding an in-flight epoch's band keys into the
+    base makes that batch's replay drop its own documents as near-dups
+    of themselves.
     """
     from pyspark.sql.utils import AnalysisException
     n_docs = 0
@@ -715,7 +746,11 @@ def throttle(keyed: DataFrame, key_col: str = "key", ts_col: str = "ts",
             yield pd.DataFrame({"key": key[0], "emitted_ms": out_ms,
                                 "suppressed": out_supp})
 
-    return (keyed.withWatermark(ts_col, watermark)
+    # NULL event times dropped at the door (the sessionize rule): the
+    # watermark late-row predicate admits them and NaT→int64 crashes or
+    # fabricates a garbage emission (r12 review)
+    return (keyed.filter(F.col(ts_col).isNotNull())
+            .withWatermark(ts_col, watermark)
             .groupBy(F.col(key_col).cast("string").alias("key"))
             .applyInPandasWithState(
                 update,
@@ -850,6 +885,14 @@ _BUDGET_STATE = StructType([
     StructField("hs", ArrayType(StringType())),
     StructField("ids", ArrayType(LongType())),
     StructField("toks", ArrayType(LongType())),
+    # eviction floor: the lowest (hash, id) ever evicted, as 0/1-element
+    # arrays (an Optional). Everything at or past the floor is evicted
+    # FOREVER (prefix sums over nonnegative counts only grow), and
+    # without it an evicted doc's token mass was forgotten, letting a
+    # later-hash arrival be kept that the batch operator evicts
+    # (r12 review)
+    StructField("floor_h", ArrayType(StringType())),
+    StructField("floor_id", ArrayType(LongType())),
 ])
 
 
@@ -864,20 +907,28 @@ def streaming_token_budget(df: DataFrame, text_col: str, id_col: str,
     ``(md5(id), id)`` order, keep rows whose running token sum (over
     ALL docs in that order, kept or not, same as the batch window)
     stays ≤ ``budget``. Token counts are nonnegative, so prefix sums
-    only GROW as more documents arrive — a document once past the
-    budget at its hash position can never re-enter, which makes the
-    kept PREFIX itself sufficient state: |state| per stratum is at most
-    ``budget`` token-bearing documents (each kept doc past the first
-    consumes ≥ 1 token) plus any zero-token documents inside the kept
-    prefix — bounded by the budget, never by stream length. Membership
-    is a set keyed by (hash, id, n_tok), so at-least-once re-delivery
-    is absorbed for free (the streaming_hll / cluster-quota replay
-    story): a replayed kept doc is already present; a replayed evicted
-    doc re-inserts, re-trims, and changes nothing. Once the stream
-    drains, the final per-stratum emission is row-identical to the
-    batch operator over the same rows — cum_tok included — so a
-    consumer cuts over with no schema or semantics change (pinned in
-    tests, with a checkpoint-restart leg).
+    only GROW as more documents arrive — once the walk overflows at
+    some position, every position at or past it is evicted FOREVER.
+    That makes (kept prefix + eviction floor) sufficient state: the
+    floor is the lowest (hash, id) ever evicted, arrivals at or past
+    it are dropped outright (their mass can never matter — the walk is
+    already over budget there), and arrivals before it re-run the walk
+    over the kept members only, which by the floor invariant is the
+    complete set of sub-floor documents. The floor is load-bearing:
+    without it an evicted document's token mass was forgotten, so a
+    later-hash arrival could be kept that the batch operator evicts
+    (r12 review — regression-tested with a three-batch
+    evict-then-later-hash delivery). |state| per stratum is at most
+    ``budget`` token-bearing documents plus any zero-token documents
+    inside the kept prefix plus the 2-field floor — bounded by the
+    budget, never by stream length. Membership is a set keyed by
+    (hash, id, n_tok), so at-least-once re-delivery is absorbed for
+    free: a replayed kept doc is already present; a replayed evicted
+    doc hits the floor and is dropped. Once the stream drains, the
+    final per-stratum emission is row-identical to the batch operator
+    over the same rows — cum_tok included — so a consumer cuts over
+    with no schema or semantics change (pinned in tests, with a
+    checkpoint-restart leg).
 
     NULL text is out of contract here (mirror the batch NULL policy
     upstream); tokenization is the batch expression verbatim.
@@ -892,23 +943,39 @@ def streaming_token_budget(df: DataFrame, text_col: str, id_col: str,
 
     def update(key: tuple, batches: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        floor = None
         if state.exists:
-            hs, ids, toks = state.get
+            hs, ids, toks, fh, fi = state.get
             members = set(zip(hs, (int(i) for i in ids),
                               (int(t) for t in toks)))
+            if fh:
+                floor = (str(fh[0]), int(fi[0]))
         else:
             members = set()
         for pdf in batches:
             for h, i, t in zip(pdf["h"], pdf["id"], pdf["n_tok"]):
+                # at/past the eviction floor: evicted forever — the walk
+                # is already over budget at that position, and dropping
+                # here (not just at walk time) is what keeps the state
+                # bounded under replays of evicted documents
+                if floor is not None and (str(h), int(i)) >= floor:
+                    continue
                 members.add((str(h), int(i), int(t)))
         kept, cum = [], 0
         for h, i, t in sorted(members):
             cum += t
             if cum > budget:
-                break          # prefix sums only grow: evicted is final
+                # prefix sums only grow: evicted is final. Remember the
+                # boundary so the evicted mass keeps counting against
+                # every later-hash arrival
+                if floor is None or (h, i) < floor:
+                    floor = (h, i)
+                break
             kept.append((h, i, t, cum))
         state.update(([k[0] for k in kept], [k[1] for k in kept],
-                      [k[2] for k in kept]))
+                      [k[2] for k in kept],
+                      [floor[0]] if floor else [],
+                      [floor[1]] if floor else []))
         yield pd.DataFrame({
             "stratum": [key[0]] * len(kept),
             "id": [k[1] for k in kept],

@@ -1174,6 +1174,59 @@ def test_streaming_token_budget_matches_batch_even_under_replay(
     assert got == batch
 
 
+def test_streaming_token_budget_remembers_evicted_mass(spark, tmp_path):
+    """r12 review regression: an EVICTED document's token mass must
+    keep counting against every later-hash arrival (the eviction-floor
+    state field). Delivery order A (kept) → Z (evicted, over budget) →
+    W (hash after Z): without the floor, Z's 10 tokens were forgotten
+    and W was kept at cum 8; batch truth evicts W (cum over ALL docs =
+    18 > 10). Also: replaying evicted Z afterwards changes nothing."""
+    import hashlib
+
+    from kafka_connect_streams_spark.streaming.state import (
+        streaming_token_budget)
+
+    # ids 27, 6, 19 sort in exactly this (md5(id), id) order
+    A, Z, W = 27, 6, 19
+    order = sorted([A, Z, W],
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                  i))
+    assert order == [A, Z, W]
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def row(i, words):
+        return json.dumps({"doc_id": i, "text": " ".join(["w"] * words),
+                           "source": "s"})
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, source string")
+              .json(str(src)))
+    q = (streaming_token_budget(stream, "text", "doc_id", "source",
+                                budget=10)
+         .writeStream
+         .foreachBatch(lambda df, eid: df.withColumn("eid", F.lit(eid))
+                       .write.mode("append").parquet(str(out)))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        for phase, (i, words) in enumerate([(A, 6), (Z, 10), (W, 2),
+                                            (Z, 10)]):   # last = replay
+            with open(src / f"p{phase}.json", "w") as f:
+                f.write(row(i, words) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(out)).collect()
+    final_eid = max(r.eid for r in rows)
+    got = {r.id: r.cum_tok for r in rows if r.eid == final_eid}
+    # batch truth over {A, Z, W}: cum(A)=6 kept; cum(Z)=16 evict;
+    # cum(W)=18 evict — W must NOT ride in on Z's forgotten mass
+    assert got == {A: 6}, got
+
+
 def test_streaming_token_budget_survives_restart(spark, tmp_path):
     """Budget decisions made before a restart restore from the
     checkpoint: a post-restart doc with an earlier hash position must
