@@ -133,10 +133,18 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str,
 def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 
-    Two shuffles total: per-(doc,term) TF, then per-term DF via a second agg
-    over the TF table (already one row per doc-term, so DF is a plain count).
-    The corpus size joins in as a broadcast 1-row aggregate — no driver-side
-    ``count()`` round-trip in the plan.
+    Scale shape: per-(doc,term) TF once, then document frequency as
+    ``tf.groupBy("term").agg(count(*))`` joined back — NOT a
+    ``count(*) OVER (PARTITION BY term)`` window. A window over the term
+    partition cannot partial-aggregate and AQE cannot skew-split it, so a
+    stopword's partition (~N rows in the tf table) pins to ONE reducer at
+    corpus scale; the aggregate form partial-combines map-side to one row
+    per term and the join back is AQE-skew-splittable (the ngram_novelty /
+    bm25_multiterm / block_dedup shape). The tf table feeds two consumers
+    (the df aggregate and the join), so it is localCheckpoint-pinned —
+    without the pin Catalyst re-expands the scan+explode+agg per consumer.
+    The corpus size joins in as a broadcast 1-row aggregate — no
+    driver-side ``count()`` round-trip in the plan.
 
     The top-k ordering is (tf DESC, df ASC, term ASC) — integers only, so
     ranking never depends on float ULPs; the double tfidf score is carried
@@ -145,13 +153,10 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFra
     from pyspark.sql.window import Window
     toks = (df.select(F.col(id_col),
                       F.explode(_tok_array(text_col)).alias("term")))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # DF as a window count over the tf table (tf already has one row per
-    # doc-term): no second explode+agg pipeline over the corpus, no join of
-    # two agg subtrees — one term-shuffle instead of a shuffle + shuffle +
-    # join. The corpus size is the only extra input: a count-only scan
-    # broadcast in as one row.
-    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    tf = (toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=False))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = tf.join(docfreq, "term")
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (tf.join(F.broadcast(n_docs))
               .withColumn("tfidf",

@@ -966,33 +966,122 @@ def test_media_neardup_fingerprints_in_row_no_cartesian(spark, sf_dir):
     assert has_partial_aggregate(df), plan
 
 
-def test_no_window_partitioned_by_corpus_fingerprint_registry_wide(
-        spark, sf_dir):
-    """The r11 verdict's audit, pinned as a test: NO registered query
-    may plan a Window partitioned by a corpus-cardinality fingerprint
-    column (repo naming convention: columns ending in ``fp`` — _bfp,
-    _wfp, exact_fp, neardup_fp, ...). A window over a fingerprint
-    partition cannot partial-aggregate and AQE cannot skew-split it, so
-    one hot fingerprint (a boilerplate block shared by millions of
-    docs) serializes on a single reducer at 100×. First-occurrence-wins
-    must be groupBy(fp).min(struct(id, ...)) — plus an
-    AQE-skew-splittable join back when non-survivors are needed — the
-    block_dedup_rolling shape, migrated into block_dedup/_fp and
-    training_pipeline in r12. Plan-build only (no execution)."""
-    import re
+#: content-derived column families: a window partitioned by one of these
+#: holds corpus-proportional rows under a hot key (a stopword term, a
+#: boilerplate fingerprint, a shared shingle), so it must either carry
+#: WindowGroupLimit protection (rank ≤ k pushes a map-side partial top-k)
+#: or not exist at all. Matched as whole name segments so ``doc_id`` /
+#: ``bucket`` / ``n_rows`` never false-positive; ``n_tokens``-style count
+#: columns DO match — a window partitioned by a count column is itself
+#: suspect and worth a manual look.
+import re as _re
+
+_CONTENT_KEY = _re.compile(
+    r"(?:^|_)(?:\w*fp|fingerprint|term|token|tok|gram|ngram|shingle|word"
+    r"|block|chunk|phrase)s?$")
+
+
+def content_window_offenses(plan: str) -> list[tuple[str, str]]:
+    """Scan a physical plan for Windows over content-derived partition
+    keys. Returns (kind, columns) tuples: ``unordered`` = an aggregate
+    window with no sort keys (never WindowGroupLimit-protectable — the
+    tfidf_topk r12 defect class); ``unprotected`` = an ordered window
+    over a content key in a plan with NO WindowGroupLimit node (rank
+    windows get the map-side partial top-k pushdown; its absence means
+    the hot partition still serializes on one reducer)."""
+    out = []
+    has_wgl = "WindowGroupLimit" in plan
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        # partition columns precede the first ASC/DESC-marked sort key
+        # (the split keeps the first sort column too — a conservative
+        # over-match that errs toward flagging)
+        part = _re.split(r"\b(?:ASC|DESC)\b", spec)[0]
+        ordered = bool(_re.search(r"\b(?:ASC|DESC)\b", spec))
+        hits = sorted({c for c in _re.findall(r"(\w+)#\d+", part)
+                       if _CONTENT_KEY.search(c)})
+        if not hits:
+            continue
+        if not ordered:
+            out.append(("unordered", ",".join(hits)))
+        elif not has_wgl:
+            out.append(("unprotected", ",".join(hits)))
+    return out
+
+
+def test_no_hot_content_window_registry_wide(spark, sf_dir):
+    """The r12 verdict's generalized audit, pinned as a test: NO
+    registered query may plan a Window over a content-derived partition
+    key (term/token/gram/shingle/word/block/fingerprint families)
+    unless it is an ordered rank window protected by WindowGroupLimit.
+    An unordered aggregate window cannot partial-aggregate and AQE
+    cannot skew-split it, so one hot key (the term "the", a boilerplate
+    fingerprint) serializes corpus-proportional rows on a single
+    reducer at 100×. The r11 audit matched only ``*fp``-suffixed
+    columns and missed tfidf_topk's DF window over ``term`` — this one
+    matches the whole content family, which is exactly how that
+    instance would have been caught. Aggregates-over-content-keys must
+    be groupBy(key).agg(...) + an AQE-skew-splittable join back (the
+    block_dedup / ngram_novelty / bm25_multiterm shape, applied to
+    tfidf_topk in r13). Plan-build only (no execution)."""
     offenders = []
     for name, fn in Q.QUERIES.items():
-        df = fn(spark, sf_dir)
-        plan = physical_plan(df)
-        for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
-            # partition columns precede the first ASC/DESC-marked sort key
-            part = re.split(r"\b(?:ASC|DESC)\b", spec)[0]
-            hits = [h for h in re.findall(r"(\w*fp)#\d+", part)]
-            if hits:
-                offenders.append((name, sorted(set(hits))))
+        plan = physical_plan(fn(spark, sf_dir))
+        for kind, cols in content_window_offenses(plan):
+            offenders.append((name, kind, cols))
     assert not offenders, (
-        "queries planning a Window over a fingerprint partition "
+        "queries planning a hot-content-key Window "
         f"(skew-unsafe at 100×): {offenders}")
+
+
+def test_content_window_audit_catches_planted_df_window(spark, sf_dir):
+    """The audit must red-flag the exact defect it was built for: a
+    tfidf-style document-frequency count window over the term
+    partition (unordered), and an unprotected ordered window over a
+    fingerprint column. Negative control: the protected rank window
+    (row_number ≤ k ⇒ WindowGroupLimit) passes."""
+    from pyspark.sql.window import Window
+    base = spark.createDataFrame(
+        [(1, "the", 3), (1, "cat", 1), (2, "the", 2)],
+        "doc_id bigint, term string, tf bigint")
+    planted = base.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")))
+    kinds = [k for k, _ in content_window_offenses(physical_plan(planted))]
+    assert "unordered" in kinds, physical_plan(planted)
+
+    fp = base.select(F.md5("term").alias("_bfp"), "doc_id", "tf")
+    unprot = fp.withColumn(
+        "s", F.sum("tf").over(
+            Window.partitionBy("_bfp").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    offs = content_window_offenses(physical_plan(unprot))
+    assert ("unprotected", "_bfp") in offs, physical_plan(unprot)
+
+    protected = (base.withColumn(
+        "rnk", F.row_number().over(
+            Window.partitionBy("term").orderBy(F.col("tf").desc())))
+        .filter(F.col("rnk") <= 1))
+    assert content_window_offenses(physical_plan(protected)) == [], \
+        physical_plan(protected)
+
+
+def test_tfidf_topk_df_is_partial_aggregate_not_window(spark, sf_dir):
+    """tfidf_topk's document frequency must be the partial-aggregatable
+    groupBy(term).count + skew-splittable join back — never a count
+    window over the term partition (the r12 verdict's one weak). The
+    only window left is the per-doc top-k rank, WindowGroupLimit-
+    protected; the tf table is localCheckpoint-pinned for its two
+    consumers so the scan+explode+agg pipeline runs once."""
+    import re
+    df = Q.QUERIES["tfidf_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert content_window_offenses(plan) == [], plan
+    assert "WindowGroupLimit" in plan, plan
+    assert has_partial_aggregate(df), plan
+    # two count-only parquet scans: the operator's in-plan n_docs and the
+    # registry wrapper's verification n_docs — both 1-row broadcasts; the
+    # tokenized corpus itself is read from the checkpoint, never re-scanned
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
 
 
 def test_ngram_novelty_hashes_grams_before_shuffle(spark, sf_dir):
