@@ -30,6 +30,15 @@ def _mask_all(c: Column, upper: str | None = "X", lower: str | None = "x",
     left unmasked). The four optional arguments are ksql's custom
     single-char masks; passing ``None`` leaves that class unmasked.
 
+    Char classes are UNICODE (``\\p{Lu}``/``\\p{Ll}``/``\\p{Nd}``), not
+    ASCII ranges, matching ksql's MaskKudf which classifies via
+    ``Character.isUpperCase/isLowerCase/isDigit`` — 'É' masks as upper
+    and 'ß' as lower exactly as the embedded 5.1 engine does (r12
+    ADVICE: the ASCII spelling sent both to 'other'). The category
+    properties are the standard approximation: ``Character.isUpperCase``
+    also admits a handful of titlecase/Other_Uppercase code points that
+    ``\\p{Lu}`` does not — no real PII text contains them.
+
     Each class is first replaced with a private-use sentinel and the
     sentinels translated to the mask chars at the end, so an
     alphanumeric CUSTOM mask char (e.g. upper→'a') is never re-masked
@@ -39,9 +48,10 @@ def _mask_all(c: Column, upper: str | None = "X", lower: str | None = "x",
     s = "\ue000\ue001\ue002\ue003"
     # the 'other' class excludes the alnum classes explicitly so that a
     # class disabled via None survives instead of falling into 'other'
-    classes = [("[A-Z]", upper, s[0]), ("[a-z]", lower, s[1]),
-               ("[0-9]", digit, s[2]),
-               (f"[^{s[0]}{s[1]}{s[2]}A-Za-z0-9]", other, s[3])]
+    classes = [(r"\p{Lu}", upper, s[0]), (r"\p{Ll}", lower, s[1]),
+               (r"\p{Nd}", digit, s[2]),
+               (rf"[^{s[0]}{s[1]}{s[2]}\p{{Lu}}\p{{Ll}}\p{{Nd}}]",
+                other, s[3])]
     out, frm, to = c, "", ""
     for pat, mask, sent in classes:
         if mask is None:
@@ -241,12 +251,14 @@ def _mask_sql(c: str, upper: str | None = "X", lower: str | None = "x",
     """
     if (upper, lower, digit, other) == _DEFAULT_MASKS:
         return ("regexp_replace(regexp_replace(regexp_replace("
-                f"regexp_replace({c}, '[A-Z]', 'X'), '[a-z]', 'x'),"
-                " '[0-9]', 'n'), '[^A-Za-z0-9]', '-')")
+                f"regexp_replace({c}, '\\\\p{{Lu}}', 'X'),"
+                " '\\\\p{Ll}', 'x'), '\\\\p{Nd}', 'n'),"
+                " '[^\\\\p{Lu}\\\\p{Ll}\\\\p{Nd}]', '-')")
     s = "\ue000\ue001\ue002\ue003"
-    classes = [("[A-Z]", upper, s[0]), ("[a-z]", lower, s[1]),
-               ("[0-9]", digit, s[2]),
-               (f"[^{s[0]}{s[1]}{s[2]}A-Za-z0-9]", other, s[3])]
+    classes = [(r"\\p{Lu}", upper, s[0]), (r"\\p{Ll}", lower, s[1]),
+               (r"\\p{Nd}", digit, s[2]),
+               (rf"[^{s[0]}{s[1]}{s[2]}\\p{{Lu}}\\p{{Ll}}\\p{{Nd}}]",
+                other, s[3])]
     out, frm, to = c, "", ""
     for pat, mask, sent in classes:
         if mask is None:
@@ -299,6 +311,19 @@ def _headlen_sql(c: str, n: str) -> str:
 #: MASK-family templates HONOR ksql's optional custom mask-char
 #: arguments (they were silently dropped before — the SQL front end
 #: and the Column registry must never diverge).
+#:
+#: KNOWN RESTRICTION (r12 ADVICE): templates splice some argument text
+#: MORE THAN ONCE (GEO_DISTANCE repeats each lat/lon 2-3×,
+#: MASK_KEEP_RIGHT repeats its base 3×), so a non-deterministic or
+#: expensive argument expression — RANDOM(), a subquery — is
+#: re-evaluated per splice site and a non-deterministic one can
+#: diverge between sites, unlike ksql's once-per-call evaluation.
+#: Column references, literals and deterministic scalar expressions
+#: (every spelling the test battery and the reference's own queries
+#: use) are unaffected: Spark's subexpression elimination collapses
+#: the duplicate deterministic subtrees at codegen. Binding repeated
+#: args once would need a lateral/named_struct rewrite of every
+#: template — deferred until a real query needs a volatile argument.
 _SQL_EXPANSIONS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "mask": (1, 5, lambda a: _mask_sql(a[0], *_mask_customs(a[1:]))),
     "mask_keep_left": (2, 6, lambda a: (

@@ -188,6 +188,20 @@ def banded_signatures(wide: DataFrame, id_col: str,
     return _banded_wide(wide, id_col, bands, rows)
 
 
+def lsh_pairs_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+    """The bucket self-join half of :func:`lsh_candidate_pairs_wide`,
+    over a PRECOMPUTED (id, band, band_key) table — for callers that
+    already hold the banded table for other consumers (the streaming
+    near-dup processor bands once per trigger and reuses it for the
+    history probe, the within-batch pairs, and the survivor index
+    write). Emits distinct (id_a < id_b) candidate pairs."""
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
 def lsh_candidate_pairs_wide(wide: DataFrame, id_col: str,
                              bands: int = 4, rows: int = 4) -> DataFrame:
     """Band a wide signature (bands × rows = k) and self-join band buckets.
@@ -198,12 +212,8 @@ def lsh_candidate_pairs_wide(wide: DataFrame, id_col: str,
     band. Banding is in-row, so the only shuffle is the bucket self-join
     (``bands`` rows per doc, vs k rows + a groupBy in the long-form plan).
     """
-    banded = _banded_wide(wide, id_col, bands, rows)
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    return (a.join(b, ["band", "band_key"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+    return lsh_pairs_from_banded(_banded_wide(wide, id_col, bands, rows),
+                                 id_col)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
@@ -220,13 +230,17 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
 
 
 def minhash_similarity_wide(wide: DataFrame, pairs: DataFrame, id_col: str,
-                            k: int = 16) -> DataFrame:
+                            k: int = 16,
+                            wide_b: DataFrame | None = None) -> DataFrame:
     """Estimated Jaccard = fraction of matching signature slots, computed
     in-row over the paired wide signatures (zip_with + aggregate): the pair
     join carries one array cell per side instead of k rows, and there is no
-    aggregation stage."""
+    aggregation stage. ``wide_b`` supplies the id_b side's signatures when
+    the pairs span TWO signature tables (e.g. the streaming processor's
+    batch-vs-history verify); default is the self-join case."""
     wa = wide.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    wb = wide.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    wb = (wide if wide_b is None else wide_b).select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     matched = F.aggregate(
         F.zip_with("sig_a", "sig_b",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),

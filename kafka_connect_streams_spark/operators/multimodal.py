@@ -20,6 +20,7 @@ behind the same schema/batch plumbing, and ``decode_image_real`` raises
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,11 +58,102 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Pure-stdlib BMP decoder → (width, height, luma rows top-down).
+
+    Supports the uncompressed formats a re-encoding pipeline actually
+    produces: 24-bit BGR and 8-bit paletted (incl. grayscale), BI_RGB
+    only, bottom-up or top-down row order, 4-byte row padding per the
+    public BITMAPINFOHEADER spec. Luma is integer Rec.601
+    ``(299·R + 587·G + 114·B) // 1000`` so two encodings of the same
+    pixels (24-bit vs 8-bit gray) decode to IDENTICAL luma and their
+    perceptual hashes collide exactly — the property the near-dup tests
+    pin. PNG/JPEG stay behind :func:`decode_image_real`'s
+    NotImplementedError seam (entropy coding needs a real codec).
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"unsupported BMP variant (hdr={hdr_size} comp={compression} "
+            f"bpp={bpp}); only uncompressed 8/24-bit BITMAPINFOHEADER")
+    top_down = height < 0
+    height = abs(height)
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        palette = [struct.unpack_from("<BBBB", payload, pal_off + 4 * i)[:3]
+                   for i in range(n_colors)]  # (B, G, R)
+        pal_luma = [(299 * r + 587 * g + 114 * b) // 1000
+                    for b, g, r in palette]
+    stride = ((width * bpp + 31) // 32) * 4
+    rows: list[list[int]] = []
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        base = pix_off + src * stride
+        if bpp == 24:
+            row = [(299 * payload[base + 3 * c + 2]
+                    + 587 * payload[base + 3 * c + 1]
+                    + 114 * payload[base + 3 * c]) // 1000
+                   for c in range(width)]
+        else:
+            row = [pal_luma[payload[base + c]] for c in range(width)]
+        rows.append(row)
+    return width, height, rows
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib RIFF/WAVE PCM decoder → (sample_rate, channels, samples).
+
+    Walks the chunk list (tolerating extra chunks like LIST/fact),
+    requires format tag 1 (integer PCM) at 8 or 16 bits, and returns
+    interleaved integer samples — 16-bit as little-endian signed, 8-bit
+    converted from the spec's unsigned-with-128-bias to signed, so both
+    bit depths of the same waveform yield proportional integers.
+    Compressed codecs raise NotImplementedError at this seam.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only integer PCM 8/16-bit supported (fmt={audio_fmt}, "
+            f"bits={bits}); compressed audio needs a real codec")
+    if bits == 16:
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[:2 * n]))
+    else:
+        samples = [b - 128 for b in data]
+    return rate, channels, samples
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Seam for a real decoder (PIL.Image.open → .size). Not available here."""
+    """Real-decoder seam. BMP decodes in-repo (:func:`decode_bmp`);
+    PNG/JPEG would plug a PIL/ffmpeg call in here and still raise in
+    this environment."""
+    if payload[:2] == b"BM":
+        w, h, _ = decode_bmp(payload)
+        return w, h
     raise NotImplementedError(
-        "image decoding requires PIL/ffmpeg, not present in this environment; "
-        "decode_features() uses the deterministic fake path instead")
+        "PNG/JPEG decoding requires PIL/ffmpeg, not present in this "
+        "environment; BMP decodes natively via decode_bmp()")
 
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
@@ -171,6 +263,293 @@ def segment_audio(df: DataFrame, window_bytes: int = 96,
     return df.select("doc_id", "payload").mapInPandas(expand, SEGMENT_SCHEMA)
 
 
+#: 8×16 DCT-II cosine table in 2^20 fixed point:
+#: T[u][x] = round(cos(π·(2x+1)·u / 32) · 1048576). HARDCODED (not computed
+#: at import) so Python, Spark SQL and the DuckDB oracle share bit-identical
+#: integers forever — a libm cos() 1-ULP skew at a round() boundary can
+#: never fork the three implementations. With 16×16 luma in 0..255 the
+#: worst intermediate is 16·255·2^20·16·2^20 ≈ 7.2e16 < 2^63: every
+#: multiply/sum stays exact int64, so the DCT — and therefore the hash —
+#: is integer-exact across engines.
+PHASH_DCT_T: tuple[tuple[int, ...], ...] = (
+    (1048576, 1048576, 1048576, 1048576, 1048576, 1048576, 1048576, 1048576,
+     1048576, 1048576, 1048576, 1048576, 1048576, 1048576, 1048576, 1048576),
+    (1043527, 1003425, 924761, 810560, 665210, 494295, 304386, 102778,
+     -102778, -304386, -494295, -665210, -810560, -924761, -1003425,
+     -1043527),
+    (1028428, 871859, 582558, 204567, -204567, -582558, -871859, -1028428,
+     -1028428, -871859, -582558, -204567, 204567, 582558, 871859, 1028428),
+    (1003425, 665210, 102778, -494295, -924761, -1043527, -810560, -304386,
+     304386, 810560, 1043527, 924761, 494295, -102778, -665210, -1003425),
+    (968758, 401273, -401273, -968758, -968758, -401273, 401273, 968758,
+     968758, 401273, -401273, -968758, -968758, -401273, 401273, 968758),
+    (924761, 102778, -810560, -1003425, -304386, 665210, 1043527, 494295,
+     -494295, -1043527, -665210, 304386, 1003425, 810560, -102778, -924761),
+    (871859, -204567, -1028428, -582558, 582558, 1028428, 204567, -871859,
+     -871859, 204567, 1028428, 582558, -582558, -1028428, -204567, 871859),
+    (810560, -494295, -1003425, 102778, 1043527, 304386, -924761, -665210,
+     665210, 924761, -304386, -1043527, -102778, 1003425, 494295, -810560),
+)
+
+#: pHash geometry: 16×16 luma grid → 8×8 low-frequency DCT block → 63 AC
+#: coefficients (DC excluded) thresholded at their lower median → a 63-bit
+#: fingerprint (bit i set iff coefficient i > median), i in row-major
+#: (u, v) order skipping (0, 0). Fits a signed bigint.
+PHASH_GRID = 16
+PHASH_BITS = 63
+
+
+def box_luma_grid(rows: list[list[int]], width: int, height: int,
+                  n: int = PHASH_GRID) -> list[int]:
+    """Integer box-average downsample of a luma matrix to an n×n grid,
+    flattened row-major. Cell (i, j) floors the mean over pixel rows
+    [i·h/n, (i+1)·h/n) × cols [j·w/n, (j+1)·w/n) — every pixel belongs
+    to exactly one cell, so re-encoded copies with identical pixels give
+    identical grids. Requires width ≥ n and height ≥ n."""
+    if width < n or height < n:
+        raise ValueError(f"image {width}x{height} smaller than {n}x{n} grid")
+    out = []
+    for i in range(n):
+        r0, r1 = i * height // n, (i + 1) * height // n
+        for j in range(n):
+            c0, c1 = j * width // n, (j + 1) * width // n
+            s = sum(rows[r][c] for r in range(r0, r1) for c in range(c0, c1))
+            out.append(s // ((r1 - r0) * (c1 - c0)))
+    return out
+
+
+def phash64(luma: list[int]) -> int:
+    """Python reference pHash over a flattened 16×16 luma grid — the SAME
+    arithmetic :func:`phash_spark_sql` / :func:`phash_duckdb_sql` spell
+    relationally (parity is pinned by tests): separable integer DCT
+    D = T·L·Tᵀ over :data:`PHASH_DCT_T`, lower median of the 63 AC
+    coefficients, strict > threshold."""
+    n = PHASH_GRID
+    if len(luma) != n * n:
+        raise ValueError(f"expected {n * n} luma cells, got {len(luma)}")
+    t = PHASH_DCT_T
+    m = [[sum(t[u][x] * luma[x * n + y] for x in range(n)) for y in range(n)]
+         for u in range(8)]
+    dct = [sum(m[u][y] * t[v][y] for y in range(n))
+           for u in range(8) for v in range(8)]
+    vals = dct[1:]
+    med = sorted(vals)[31]
+    return sum(1 << i for i, v in enumerate(vals) if v > med)
+
+
+def phash_duckdb_sql(lum: str) -> list[tuple[str, str]]:
+    """DuckDB pHash binding chain over a 256-element list expression
+    ``lum`` — splice each (name, expr) as a chained CTE select; inlines
+    the SAME :data:`PHASH_DCT_T` literals :func:`phash64` uses, so the
+    oracle is the arithmetic twin of the Python/decode path.
+
+    There is deliberately NO Spark-SQL dialect of this chain: Catalyst
+    has no common-subexpression elimination inside higher-order-function
+    lambdas and CollapseProject inlines a once-referenced column into
+    the lambda body, so each binding step re-evaluates its whole input
+    per lambda element — the chain's cost multiplies step by step
+    (measured: the _m stage alone ran ~4 s/row; _dct over it timed out
+    outright). On Spark the per-row map belongs in the Arrow decode path
+    (:func:`phash_features` / the media_phash query), which is also
+    where a real image decoder lives anyway.
+    """
+    n = PHASH_GRID
+    t_lit = ("[" + ", ".join(
+        "[" + ", ".join(f"{v}::BIGINT" for v in row) + "]"
+        for row in PHASH_DCT_T) + "]")
+    m = (f"list_transform(generate_series(0, 7), u ->"
+         f" list_transform(generate_series(0, {n - 1}), y ->"
+         f" cast(list_sum(list_transform(generate_series(0, {n - 1}),"
+         f" x -> ({t_lit})[u + 1][x + 1] * ({lum})[x * {n} + y + 1]))"
+         f" as bigint)))")
+    d = ("flatten(list_transform(generate_series(0, 7), u ->"
+         " list_transform(generate_series(0, 7), v ->"
+         f" cast(list_sum(list_transform(generate_series(0, {n - 1}),"
+         f" y -> (_m)[u + 1][y + 1] * ({t_lit})[v + 1][y + 1]))"
+         " as bigint))))")
+    vals = "list_slice(_dct, 2, 64)"
+    med = "list_sort(_vals)[32]"
+    ph = ("cast(list_sum(list_transform(generate_series(0, 62), i ->"
+          " case when (_vals)[i + 1] > _med then (1::BIGINT << i)"
+          " else 0::BIGINT end)) as bigint)")
+    return [("_m", m), ("_dct", d), ("_vals", vals), ("_med", med),
+            ("phash", ph)]
+
+
+def encode_bmp_gray(rows: list[list[int]]) -> bytes:
+    """Encode a luma matrix as an 8-bit paletted grayscale BMP
+    (bottom-up, BI_RGB, 256-entry gray palette). The palette maps index
+    i → (B, G, R) = (i, i, i), so :func:`decode_bmp`'s Rec.601 luma of
+    entry i is ``(299i + 587i + 114i) // 1000 = i`` — the encode→decode
+    round trip is EXACTLY the identity on luma, which is what lets the
+    media_phash driver row prove the decoder under the oracle hash gate.
+    """
+    height, width = len(rows), len(rows[0])
+    stride = (width + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    pixels = b"".join(
+        bytes(rows[r]) + b"\x00" * (stride - width)
+        for r in range(height - 1, -1, -1))
+    pix_off = 14 + 40 + len(palette)
+    header = (b"BM" + struct.pack("<IHHI", pix_off + len(pixels), 0, 0,
+                                  pix_off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                            len(pixels), 2835, 2835, 256, 0))
+    return header + palette + pixels
+
+
+def encode_bmp_rgb24(rows_rgb: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode an (R, G, B) pixel matrix as an uncompressed 24-bit BMP
+    (bottom-up, BI_RGB, 4-byte row padding) — the other public
+    uncompressed variant, used by tests to prove a bit-depth re-encode
+    of the same pixels decodes to identical luma."""
+    height, width = len(rows_rgb), len(rows_rgb[0])
+    stride = ((width * 3 + 3) // 4) * 4
+    pixels = b"".join(
+        b"".join(bytes((b, g, r)) for r, g, b in rows_rgb[row])
+        + b"\x00" * (stride - width * 3)
+        for row in range(height - 1, -1, -1))
+    pix_off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", pix_off + len(pixels), 0, 0,
+                                  pix_off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0))
+    return header + pixels
+
+
+def md5_luma_grid(text: str | None) -> list[int]:
+    """Deterministic synthetic 16×16 luma (flattened, 256 bytes) from a
+    document's text: byte j is the (j mod 16)-th byte of
+    ``md5(text || ':' || (j div 16))``. Purely a test-data synthesizer —
+    it gives every engine (Python here, DuckDB via the media_phash
+    oracle) the SAME pixel grid without shipping image fixtures in the
+    driver's parquet."""
+    base = text if isinstance(text, str) else ""
+    digs = [hashlib.md5(f"{base}:{i}".encode()).hexdigest()
+            for i in range(PHASH_GRID)]
+    return [int(digs[j // 16][(j % 16) * 2:(j % 16) * 2 + 2], 16)
+            for j in range(PHASH_GRID * PHASH_GRID)]
+
+
+def media_phash_roundtrip(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """REAL perceptual hashing through a REAL container round trip, as
+    one Arrow-batched map: synthesize each document's 16×16 luma
+    (:func:`md5_luma_grid`), ENCODE it as an actual 8-bit grayscale BMP
+    (:func:`encode_bmp_gray`), DECODE the container back
+    (:func:`decode_bmp` — the seam a production pipeline fills with
+    PIL/ffmpeg), box-downsample, and integer-DCT pHash (:func:`phash64`).
+
+    The DuckDB oracle computes the pHash directly over the md5 bytes
+    (:func:`phash_duckdb_sql`) with NO container leg, so a driver hash
+    match proves encode→decode is the identity on luma AND the DCT
+    arithmetic is engine-exact — the decoder itself sits under the
+    oracle gate, not just under unit tests. Plan shape: one Scan →
+    ArrowEvalPython-style map (zero shuffles, zero joins); per-row cost
+    is a fixed ~3k int64 multiply-adds + 16 md5, independent of corpus
+    size, and the output is 16 bytes/row. Ref parity: the reference
+    has no media path at all (SURVEY §2 beyond-reference mandate);
+    pHash per Zauner's public spec (DCT hash), integer-exact variant.
+    """
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("phash", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = PHASH_GRID
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                lum = md5_luma_grid(text)
+                grid = [lum[i * n:(i + 1) * n] for i in range(n)]
+                w, h, decoded = decode_bmp(encode_bmp_gray(grid))
+                out.append((int(doc_id),
+                            phash64(box_luma_grid(decoded, w, h))))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("_text"))
+            .mapInPandas(run, schema))
+
+
+#: schema of decoded perceptual-hash features.
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("phash", LongType()),
+])
+
+
+def phash_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL perceptual hashing over BMP payloads: decode
+    (:func:`decode_bmp`), box-downsample to the 16×16 grid, integer-DCT
+    pHash (:func:`phash64`) — the decode seam made real for the one
+    container this environment can parse without codecs. Output feeds
+    :func:`fingerprint_neardup` (bits=63, bands=3) exactly like
+    payload_simhash feeds media_neardup."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, luma = decode_bmp(bytes(payload))
+                rows.append((doc_id, w, h,
+                             phash64(box_luma_grid(luma, w, h))))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in PHASH_SCHEMA])
+
+    return df.select("doc_id", "payload").mapInPandas(extract, PHASH_SCHEMA)
+
+
+def fingerprint_neardup(fp: DataFrame, id_col: str = "doc_id",
+                        fp_col: str = "simhash", bits: int = 48,
+                        bands: int = 4, max_hamming: int = 3,
+                        max_bucket: int = 50) -> DataFrame:
+    """Banded Hamming near-dup pairs over ANY precomputed bit
+    fingerprint (byte SimHash, decoded pHash, chromaprint...): the
+    banding/verify half of :func:`media_neardup`, factored so real
+    perceptual hashes plug in without re-spelling the machinery. See
+    media_neardup for the pigeonhole/lossless and sizing discussion."""
+    if bands <= 0 or bits % bands != 0:
+        raise ValueError(
+            f"bands must divide bits evenly, got bits={bits}"
+            f" bands={bands}")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        F.col(id_col), F.col(fp_col).alias("_fpv"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(_fpv, cast(band * {band_bits} as int))"
+               f" & {mask}"))
+    # the banded table feeds THREE consumers (bucket cap + both join
+    # legs) — unpinned, each would re-run the fingerprint fold over the
+    # full payload (4 corpus scans, measured). Pin the skinny
+    # (id, fp, band, key) table once: the bm25_multiterm localCheckpoint
+    # discipline — materialize ~32 B/row, never payload bytes, and the
+    # final plan has zero payload scans and zero Generates. eager=False
+    # (r12 ADVICE) keeps plan construction lazy — no job runs at
+    # DataFrame-build time; the pin materializes on first action.
+    banded = banded.localCheckpoint(eager=False)
+    ok = (banded.groupBy("band", "band_key")
+          .agg(F.count("*").alias("_bc"))
+          .filter(F.col("_bc") <= max_bucket)
+          .select("band", "band_key"))
+    kept = banded.join(ok, ["band", "band_key"])
+    a = kept.select(F.col(id_col).alias("id_a"),
+                    F.col("_fpv").alias("_fa"), "band", "band_key")
+    b = kept.select(F.col(id_col).alias("id_b"),
+                    F.col("_fpv").alias("_fb"), "band", "band_key")
+    pairs = (a.join(b, ["band", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_fa", "_fb").distinct())
+    return (pairs
+            .withColumn("hamming",
+                        F.expr("cast(bit_count(_fa ^ _fb) as bigint)"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def payload_simhash(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "doc_id", bits: int = 48,
                     gram_bytes: int = 4, stride: int = 2) -> DataFrame:
@@ -248,42 +627,8 @@ def media_neardup(df: DataFrame, payload_col: str = "payload",
     the Manku et al. (WWW'07) multi-table SimHash arrangement is the
     same plan with more/wider bands, no new machinery.
     """
-    if bands <= 0 or bits % bands != 0:
-        raise ValueError(
-            f"bands must divide bits evenly, got bits={bits}"
-            f" bands={bands}")
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
     fp = payload_simhash(df, payload_col, id_col, bits=bits)
-    banded = fp.select(
-        F.col(id_col), "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    ).withColumn(
-        "band_key",
-        F.expr(f"shiftright(simhash, cast(band * {band_bits} as int))"
-               f" & {mask}"))
-    # the banded table feeds THREE consumers (bucket cap + both join
-    # legs) — unpinned, each would re-run the bits-fold fingerprint
-    # over the full payload hex (4 corpus scans, measured). Pin the
-    # skinny (id, fp, band, key) table once: the bm25_multiterm
-    # localCheckpoint discipline — materialize ~32 B/row, never payload
-    # bytes, and the final plan has zero payload scans and zero
-    # Generates.
-    banded = banded.localCheckpoint()
-    ok = (banded.groupBy("band", "band_key")
-          .agg(F.count("*").alias("_bc"))
-          .filter(F.col("_bc") <= max_bucket)
-          .select("band", "band_key"))
-    kept = banded.join(ok, ["band", "band_key"])
-    a = kept.select(F.col(id_col).alias("id_a"),
-                    F.col("simhash").alias("_fa"), "band", "band_key")
-    b = kept.select(F.col(id_col).alias("id_b"),
-                    F.col("simhash").alias("_fb"), "band", "band_key")
-    pairs = (a.join(b, ["band", "band_key"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "_fa", "_fb").distinct())
-    return (pairs
-            .withColumn("hamming",
-                        F.expr("cast(bit_count(_fa ^ _fb) as bigint)"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    return fingerprint_neardup(fp, id_col=id_col, fp_col="simhash",
+                               bits=bits, bands=bands,
+                               max_hamming=max_hamming,
+                               max_bucket=max_bucket)

@@ -3564,6 +3564,25 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          bits=48, bands=4, max_hamming=3, max_bucket=50)
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real perceptual hashing through a real container round trip
+    (operators/multimodal.py media_phash_roundtrip): each document's
+    deterministic 16×16 luma is ENCODED as an actual 8-bit grayscale
+    BMP, DECODED back by the repo's pure-stdlib BMP parser (the decode
+    seam made real — decode_bmp), box-downsampled, and hashed with the
+    integer-exact 8×8-DCT pHash (hardcoded 2^20 fixed-point cosine
+    table, lower-median threshold, 63-bit fingerprint). The oracle
+    computes the pHash directly over the md5 bytes with NO container
+    leg, so the driver hash match proves the BMP encode→decode is the
+    identity on luma AND the DCT is engine-exact. Arrow-batched
+    mapInPandas (the sanctioned multimodal Python path): one scan, zero
+    shuffles, fixed per-row cost."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        media_phash_roundtrip)
+    t = load_tables(spark, sf_dir)
+    return media_phash_roundtrip(t["documents"], "text", "doc_id")
+
+
 def q_block_dedup_minspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling exact-substring dedup with the Lee-et-al. minimum
     match length (operators/text.py block_dedup_rolling, min_span=16
@@ -4584,6 +4603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ksql_functions": q_ksql_functions,
     "block_dedup_minspan": q_block_dedup_minspan,
     "media_neardup": q_media_neardup,
+    "media_phash": q_media_phash,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4817,10 +4837,14 @@ def _lloyd_round_sql(i: int) -> str:
 
 #: DuckDB spelling of ksql MASK with default classes. The 'g' flag is
 #: load-bearing: DuckDB regexp_replace is first-match-only by default
-#: while Spark's replaces every match.
+#: while Spark's replaces every match. Char classes are UNICODE
+#: (RE2 \p{Lu}/\p{Ll}/\p{Nd}) in lockstep with the Spark spelling —
+#: ksql's MaskKudf classifies via Character.isUpperCase/isLowerCase/
+#: isDigit, so 'É' is upper, not 'other' (r12 ADVICE).
 _DUCK_MASK = ("regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-              "{c}, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),"
-              " '[0-9]', 'n', 'g'), '[^A-Za-z0-9]', '-', 'g')")
+              "{c}, '\\p{{Lu}}', 'X', 'g'), '\\p{{Ll}}', 'x', 'g'),"
+              " '\\p{{Nd}}', 'n', 'g'),"
+              " '[^\\p{{Lu}}\\p{{Ll}}\\p{{Nd}}]', '-', 'g')")
 
 
 ORACLE: dict[str, str] = {
@@ -10372,3 +10396,29 @@ ORACLE: dict[str, str] = {
 # the fp-rejoin variant is verified against the SAME oracle text, which
 # IS the round-8 equality proof at driver level.
 ORACLE["block_dedup_fp"] = ORACLE["block_dedup"]
+
+
+def _media_phash_oracle() -> str:
+    """Generated in lockstep with the decode path: the binding chain
+    comes from multimodal.phash_duckdb_sql, which inlines the SAME
+    hardcoded PHASH_DCT_T integers multimodal.phash64 folds — one source
+    of truth for the DCT table. The oracle hashes the md5 luma bytes
+    DIRECTLY (no BMP container), so a driver match proves the Spark
+    side's encode_bmp_gray→decode_bmp leg is the identity on luma."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        phash_duckdb_sql)
+    lum = ("list_transform(generate_series(0, 255), j -> ('0x' || "
+           "substr(_digs[(j // 16) + 1], (j % 16) * 2 + 1, 2))::BIGINT)")
+    sql = ("WITH s0 AS (SELECT doc_id, "
+           "list_transform(generate_series(0, 15), "
+           "i -> md5(coalesce(text, '') || ':' || i)) AS _digs "
+           "FROM documents), "
+           f"s1 AS (SELECT doc_id, {lum} AS _lum FROM s0)")
+    prev = "s1"
+    for k, (name, expr) in enumerate(phash_duckdb_sql("_lum")):
+        sql += f", t{k} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"t{k}"
+    return sql + f" SELECT doc_id, phash FROM {prev}"
+
+
+ORACLE["media_phash"] = _media_phash_oracle()

@@ -153,7 +153,71 @@ def _delete_epoch_dirs(spark, path: str, epochs: list[int]) -> None:
         p.getFileSystem(hconf).delete(p, True)
 
 
-def compact_dedup_index(spark, index_dir: str, upto_epoch: int) -> int:
+def _last_committed_epoch(spark, checkpoint_dir: str) -> int:
+    """Max committed batch id recorded in a Structured Streaming
+    checkpoint's ``commits/`` log (−1 when none committed yet) — the
+    authority for how far a compactor may fold."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/commits")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return -1
+    best = -1
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit():
+            best = max(best, int(name))
+    return best
+
+
+def _validate_upto_epoch(spark, upto_epoch: int,
+                         checkpoint_dir: str | None) -> None:
+    """Enforce the committed-epoch CONTRACT in code, not just docs (r12
+    ADVICE): folding an epoch the owning stream has not COMMITTED makes
+    that batch's replay anti-join away its own documents. ``upto_epoch``
+    folds partitions STRICTLY below it, so the newest folded epoch is
+    ``upto_epoch - 1``, which must be committed."""
+    if checkpoint_dir is None:
+        return
+    last = _last_committed_epoch(spark, checkpoint_dir)
+    if upto_epoch - 1 > last:
+        raise ValueError(
+            f"compact upto_epoch={upto_epoch} would fold epoch"
+            f" {upto_epoch - 1}, but the stream's checkpoint"
+            f" ({checkpoint_dir}) has only committed up to {last};"
+            " folding an uncommitted epoch's partition makes its replay"
+            " drop its own documents")
+
+
+def _fold_epochs(spark, path: str, upto_epoch: int) -> int | None:
+    """Fold every ``epoch < upto_epoch`` partition of one index table
+    into a single ``epoch=-1`` base (distinct rows over the non-epoch
+    columns) and drop the folded partitions. Returns the base row count,
+    or None when the table does not exist yet. The shared core of both
+    compactors (r12 deferred cleanup — ~25 duplicated lines)."""
+    from pyspark.sql.utils import AnalysisException
+    try:
+        idx = spark.read.parquet(path)
+    except AnalysisException:
+        return None
+    old = idx.filter(F.col("epoch") < upto_epoch)
+    cols = [c for c in idx.columns if c != "epoch"]
+    base = (old.select(*cols).distinct()
+            .withColumn("epoch", F.lit(-1).cast("bigint"))
+            .localCheckpoint())  # pin BEFORE overwriting what it reads
+    n = base.count()
+    doomed = [r.epoch for r in
+              old.select("epoch").distinct().collect() if r.epoch != -1]
+    (base.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch").parquet(path))
+    # dynamic overwrite replaced epoch=-1 only; drop the folded partitions
+    _delete_epoch_dirs(spark, path, doomed)
+    return n
+
+
+def compact_dedup_index(spark, index_dir: str, upto_epoch: int,
+                        checkpoint_dir: str | None = None) -> int:
     """Compact the incremental-dedup fingerprint index: fold every epoch
     partition BELOW ``upto_epoch`` into a single ``epoch=-1`` base
     partition. Bounds file count as epochs accumulate (one tiny parquet
@@ -178,27 +242,14 @@ def compact_dedup_index(spark, index_dir: str, upto_epoch: int) -> int:
     ``epoch < N`` admits -1) — so the replay anti-joins away its own
     documents and they are lost. Operationally: while the stream is
     stopped cleanly, any upto works; against a possibly-crashed stream
-    fold only ``<= last committed epoch`` (from the checkpoint), or
-    simply leave the newest epoch partition unfolded.
+    fold only ``<= last committed epoch``. Pass ``checkpoint_dir`` (the
+    stream's checkpoint location) to ENFORCE this: the compactor reads
+    the commits log and raises instead of folding an uncommitted epoch
+    (r12 ADVICE — the contract was docstring-only).
     """
-    from pyspark.sql.utils import AnalysisException
-    try:
-        idx = spark.read.parquet(index_dir)
-    except AnalysisException:
-        return 0
-    old = idx.filter((F.col("epoch") < upto_epoch))
-    base = (old.select("fingerprint").distinct()
-            .withColumn("epoch", F.lit(-1).cast("bigint"))
-            .localCheckpoint())  # pin BEFORE overwriting what it reads
-    n = base.count()
-    doomed = [r.epoch for r in
-              old.select("epoch").distinct().collect() if r.epoch != -1]
-    (base.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("epoch").parquet(index_dir))
-    # dynamic overwrite replaced epoch=-1 only; drop the folded partitions
-    _delete_epoch_dirs(spark, index_dir, doomed)
-    return n
+    _validate_upto_epoch(spark, upto_epoch, checkpoint_dir)
+    n = _fold_epochs(spark, index_dir, upto_epoch)
+    return 0 if n is None else n
 
 
 SESSION_SCHEMA = StructType([
@@ -516,13 +567,16 @@ def incremental_neardup_processor(text_col: str, id_col: str,
     band join is the only corpus-history contact.
     """
     from kafka_connect_streams_spark.operators.dedup import (
-        banded_signatures, lsh_candidate_pairs_wide,
+        banded_signatures, lsh_pairs_from_banded,
         minhash_signatures_wide, minhash_similarity_wide, shingles)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         sh = shingles(batch, text_col, id_col, n)
         wide = minhash_signatures_wide(sh, id_col, k).localCheckpoint()
+        # band ONCE per trigger; the same table feeds the history probe,
+        # the within-batch candidate self-join, and the survivor index
+        # write (r12 deferred cleanup — it was derived three times)
         banded = banded_signatures(wide, id_col, bands, rows_per_band)
         from pyspark.sql.utils import AnalysisException
         dup_hist = None
@@ -533,24 +587,23 @@ def incremental_neardup_processor(text_col: str, id_col: str,
                               F.col(id_col).alias("_hist_id")))
             hist_s = (spark.read.parquet(f"{index_dir}/sigs")
                       .filter(F.col("epoch") < epoch_id)
-                      .select(F.col(id_col).alias("_hist_id"),
-                              F.col("sig").alias("_hist_sig")))
+                      .select(id_col, "sig"))
             cand = (banded.join(hist_b, ["band", "band_key"])
-                    .select(id_col, "_hist_id").distinct())
-            est = F.aggregate(
-                F.zip_with("sig", "_hist_sig",
-                           lambda x, y: F.when(x == y, 1).otherwise(0)),
-                F.lit(0), lambda acc, v: acc + v) / F.lit(k)
-            dup_hist = (cand.join(wide, id_col).join(hist_s, "_hist_id")
-                        .where(est >= threshold)
-                        .select(id_col).distinct())
+                    .select(F.col(id_col).alias("id_a"),
+                            F.col("_hist_id").alias("id_b")).distinct())
+            # the verify is the SAME matched-fraction operator the batch
+            # path uses (wide_b = history sigs), not a hand-spelled twin
+            ver = minhash_similarity_wide(wide, cand, id_col, k,
+                                          wide_b=hist_s)
+            dup_hist = (ver.where(F.col("est_jaccard") >= threshold)
+                        .select(F.col("id_a").alias(id_col)).distinct())
         except AnalysisException:  # first epoch: no index paths yet
             pass
         # within-batch: greedy first-wins in id order, ITERATED — a doc
         # drops iff it verified-pairs with a smaller id that itself
         # survives. History-dropped docs take no further part: their
         # edges are removed before the loop.
-        pairs = lsh_candidate_pairs_wide(wide, id_col, bands, rows_per_band)
+        pairs = lsh_pairs_from_banded(banded, id_col)
         sim = minhash_similarity_wide(wide, pairs, id_col, k)
         edges = (sim.where(F.col("est_jaccard") >= threshold)
                  .select("id_a", "id_b"))
@@ -591,7 +644,7 @@ def incremental_neardup_processor(text_col: str, id_col: str,
             ids.join(dropped.distinct(), id_col, "left_anti")
         survivors = survivors.localCheckpoint()
         sv_wide = wide.join(survivors, id_col)
-        (banded_signatures(sv_wide, id_col, bands, rows_per_band)
+        (banded.join(survivors, id_col)
          .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -622,7 +675,8 @@ def start_incremental_neardup(stream: DataFrame, text_col: str, id_col: str,
             .start())
 
 
-def compact_neardup_index(spark, index_dir: str, upto_epoch: int) -> int:
+def compact_neardup_index(spark, index_dir: str, upto_epoch: int,
+                          checkpoint_dir: str | None = None) -> int:
     """Compact the near-dup history index: fold every epoch partition
     BELOW ``upto_epoch`` of BOTH tables (``bands`` and ``sigs``) into a
     single ``epoch=-1`` base partition — the near-dup twin of
@@ -643,30 +697,15 @@ def compact_neardup_index(spark, index_dir: str, upto_epoch: int) -> int:
     argument): ``upto_epoch`` must not exceed the owning stream's last
     COMMITTED epoch — folding an in-flight epoch's band keys into the
     base makes that batch's replay drop its own documents as near-dups
-    of themselves.
+    of themselves. Pass ``checkpoint_dir`` to enforce this from the
+    commits log instead of trusting the caller (r12 ADVICE).
     """
-    from pyspark.sql.utils import AnalysisException
+    _validate_upto_epoch(spark, upto_epoch, checkpoint_dir)
     n_docs = 0
     for sub in ("bands", "sigs"):
-        path = f"{index_dir}/{sub}"
-        try:
-            idx = spark.read.parquet(path)
-        except AnalysisException:
-            continue
-        old = idx.filter(F.col("epoch") < upto_epoch)
-        cols = [c for c in idx.columns if c != "epoch"]
-        base = (old.select(*cols).distinct()
-                .withColumn("epoch", F.lit(-1).cast("bigint"))
-                .localCheckpoint())  # pin BEFORE overwriting what it reads
-        if sub == "sigs":
-            n_docs = base.count()
-        doomed = [r.epoch for r in
-                  old.select("epoch").distinct().collect() if r.epoch != -1]
-        (base.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("epoch").parquet(path))
-        # dynamic overwrite replaced epoch=-1 only; drop folded partitions
-        _delete_epoch_dirs(spark, path, doomed)
+        n = _fold_epochs(spark, f"{index_dir}/{sub}", upto_epoch)
+        if sub == "sigs" and n is not None:
+            n_docs = n
     return n_docs
 
 
@@ -932,6 +971,17 @@ def streaming_token_budget(df: DataFrame, text_col: str, id_col: str,
 
     NULL text is out of contract here (mirror the batch NULL policy
     upstream); tokenization is the batch expression verbatim.
+
+    CHECKPOINT COMPATIBILITY (r12 ADVICE): adding the floor fields
+    changed the declared state schema, so a query restored from a
+    pre-floor checkpoint is NOT compatible — Spark's state-schema
+    check fails the restore at start (it does not silently misread).
+    Restart such a pipeline with a fresh checkpoint and replay the
+    source (the operator is replay-absorbing by design). The restore
+    below additionally unpacks defensively (missing floor fields →
+    empty floor) so a state row that predates the floor in a
+    same-schema store degrades to the pre-r12 behavior instead of
+    crashing the task.
     """
     n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
                             lambda x: F.length(x) > 0)).cast("bigint")
@@ -945,10 +995,15 @@ def streaming_token_budget(df: DataFrame, text_col: str, id_col: str,
                state: GroupState) -> Iterator[pd.DataFrame]:
         floor = None
         if state.exists:
-            hs, ids, toks, fh, fi = state.get
+            tup = state.get
+            hs, ids, toks = tup[0], tup[1], tup[2]
+            # versioned restore: floor fields absent/NULL (a pre-floor
+            # state row) → empty floor, the pre-r12 behavior
+            fh = tup[3] if len(tup) > 3 and tup[3] is not None else []
+            fi = tup[4] if len(tup) > 4 and tup[4] is not None else []
             members = set(zip(hs, (int(i) for i in ids),
                               (int(t) for t in toks)))
-            if fh:
+            if len(fh) > 0 and len(fi) > 0:
                 floor = (str(fh[0]), int(fi[0]))
         else:
             members = set()

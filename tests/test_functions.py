@@ -99,7 +99,8 @@ class TestSqlRewrite:
 
         out = rewrite_ksql_sql(
             "SELECT MASK(CONCAT(CONCAT(a, '#'), b)) AS m FROM t")
-        assert "regexp_replace" in out and "'[^A-Za-z0-9]', '-'" in out
+        assert "regexp_replace" in out
+        assert "'[^\\\\p{Lu}\\\\p{Ll}\\\\p{Nd}]', '-'" in out
         assert "CONCAT(CONCAT(a, '#'), b)" in out  # args verbatim
         out = rewrite_ksql_sql(
             "SELECT STRINGTODATE(DATETOSTRING(CAST(k AS INT),"
@@ -143,6 +144,32 @@ class TestSqlRewrite:
         import pytest
         with pytest.raises(ValueError, match="single-character"):
             rewrite_ksql_sql("SELECT MASK(s, 'XX') FROM t")
+
+    def test_mask_unicode_classes_match_ksql_character_semantics(self, spark):
+        """r12 ADVICE: ksql 5.1's MaskKudf classifies via
+        Character.isUpperCase/isLowerCase/isDigit, so 'É' masks as
+        upper and 'ß' as lower — the old ASCII [A-Z]/[a-z]/[0-9]
+        classes sent both to 'other'. All three spellings (SQL
+        template, Column builder, DuckDB oracle form) must agree on
+        non-ASCII input; Arabic-Indic ٣ is a Unicode Nd digit."""
+        import duckdb
+        s = "Éß١a Z-٣"
+        expect = "Xxnx-X-n"
+        df = spark.createDataFrame([(s,)], "s string")
+        df.createOrReplaceTempView("mask_uni_t")
+        row = spark.sql(rewrite_ksql_sql(
+            "SELECT MASK(s) AS m, MASK(s, 'A', 'z', '9', '_') AS c"
+            " FROM mask_uni_t")).collect()[0]
+        col = df.select(
+            KSQL_FUNCTIONS["mask"](F.col("s")).alias("m"),
+            KSQL_FUNCTIONS["mask"](F.col("s"), "A", "z", "9", "_")
+            .alias("c")).collect()[0]
+        assert row.m == col.m == expect
+        assert row.c == col.c == "Az9z_A_9"
+        from kafka_connect_streams_spark.queries import _DUCK_MASK
+        con = duckdb.connect()
+        got = con.sql("SELECT " + _DUCK_MASK.format(c=f"'{s}'")).fetchone()[0]
+        assert got == expect
 
     def test_mask_custom_quote_backslash_chars_are_escaped(self, spark):
         """Review finding: a custom mask char of ' or \\ must splice

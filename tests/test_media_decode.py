@@ -1,0 +1,308 @@
+"""Real-decoder battery: BMP/WAV pure-stdlib decoders, the integer-exact
+pHash, and the decoded-hash → banding near-dup leg.
+
+The reference has no media path at all (SURVEY §2's beyond-reference
+mandate); the public specs are BITMAPINFOHEADER/RIFF-WAVE and Zauner's
+DCT-hash. What these tests pin:
+
+- container correctness: encode→decode round trips are exact for both
+  uncompressed BMP bit depths and both WAV PCM widths, bottom-up AND
+  top-down row order;
+- perceptual robustness: a bit-depth re-encode of the SAME pixels hashes
+  IDENTICALLY, small pixel noise hashes NEAR, a 2× re-render hashes near,
+  distinct images hash FAR;
+- the Python pHash is the bit-exact twin of the DuckDB oracle chain that
+  drives the media_phash driver row;
+- decoded hashes flow through fingerprint_neardup (media_neardup's
+  factored banding/verify) unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import wave
+
+import duckdb
+import pytest
+
+from kafka_connect_streams_spark.operators.multimodal import (
+    PHASH_BITS, PHASH_DCT_T, PHASH_GRID, box_luma_grid, decode_bmp,
+    decode_image_real, decode_wav, encode_bmp_gray, encode_bmp_rgb24,
+    fingerprint_neardup, md5_luma_grid, phash64, phash_duckdb_sql,
+    phash_features)
+
+
+def _grid(seed: str, n: int = PHASH_GRID, w: int | None = None,
+          h: int | None = None) -> list[list[int]]:
+    """Deterministic pseudo-image: md5-derived luma rows (no RNG)."""
+    w, h = w or n, h or n
+    out = []
+    for r in range(h):
+        row = []
+        d = b""
+        while len(d) < w:
+            d += hashlib.md5(f"{seed}:{r}:{len(d)}".encode()).digest()
+        out.append(list(d[:w]))
+    return out
+
+
+def hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------- BMP
+
+def test_bmp_gray_roundtrip_is_identity():
+    g = _grid("img-a")
+    w, h, rows = decode_bmp(encode_bmp_gray(g))
+    assert (w, h) == (PHASH_GRID, PHASH_GRID)
+    assert rows == g  # palette i -> (i,i,i) makes Rec.601 luma exactly i
+
+
+def test_bmp_rgb24_same_pixels_same_luma():
+    """A 24-bit re-encode of the same grayscale pixels decodes to the
+    IDENTICAL luma matrix — the bit-depth-change re-encode case."""
+    g = _grid("img-a")
+    rgb = [[(v, v, v) for v in row] for row in g]
+    w, h, rows = decode_bmp(encode_bmp_rgb24(rgb))
+    assert (w, h) == (PHASH_GRID, PHASH_GRID)
+    assert rows == g
+
+
+def test_bmp_rgb24_color_luma_is_rec601():
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    _, _, rows = decode_bmp(encode_bmp_rgb24(px))
+    assert rows == [[299 * 255 // 1000, 587 * 255 // 1000],
+                    [114 * 255 // 1000,
+                     (299 * 10 + 587 * 20 + 114 * 30) // 1000]]
+
+
+def test_bmp_topdown_negative_height_decodes_same():
+    """Top-down BMPs store rows first-to-last with a negative height;
+    the decoder must return the same top-down luma either way."""
+    g = _grid("img-top", w=5, h=3)
+    payload = bytearray(encode_bmp_gray(g))
+    # flip to top-down: negate height, reverse stored row order
+    stride = (5 + 3) & ~3
+    struct.pack_into("<i", payload, 22, -3)
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    pix = payload[pix_off:]
+    flipped = b"".join(pix[i * stride:(i + 1) * stride]
+                       for i in range(2, -1, -1))
+    payload[pix_off:] = flipped
+    assert decode_bmp(bytes(payload)) == (5, 3, g)
+
+
+def test_bmp_row_padding_nonmultiple_of_four_width():
+    g = _grid("img-pad", w=13, h=4)
+    assert decode_bmp(encode_bmp_gray(g)) == (13, 4, g)
+    rgb = [[(v, v, v) for v in row] for row in g]
+    assert decode_bmp(encode_bmp_rgb24(rgb)) == (13, 4, g)
+
+
+def test_bmp_rejects_non_bmp_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # RLE8-compressed header must hit the NotImplementedError seam
+    payload = bytearray(encode_bmp_gray(_grid("img-a")))
+    struct.pack_into("<I", payload, 30, 1)  # biCompression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(payload))
+
+
+def test_decode_image_real_seam():
+    g = _grid("img-a")
+    assert decode_image_real(encode_bmp_gray(g)) == (PHASH_GRID, PHASH_GRID)
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------- WAV
+
+def test_wav_16bit_roundtrip_sample_exact():
+    samples = [0, 1000, -1000, 32767, -32768] * 20
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(16000)
+        wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    rate, channels, got = decode_wav(buf.getvalue())
+    assert (rate, channels) == (16000, 1)
+    assert got == samples
+
+
+def test_wav_8bit_unsigned_bias_and_stereo():
+    raw = bytes([128, 129, 127, 0, 255, 128])  # 3 stereo frames
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(1)
+        wv.setframerate(8000)
+        wv.writeframes(raw)
+    rate, channels, got = decode_wav(buf.getvalue())
+    assert (rate, channels) == (8000, 2)
+    assert got == [0, 1, -1, -128, 127, 0]
+
+
+def test_wav_tolerates_extra_chunks_and_rejects_compressed():
+    samples = [3, -3, 7]
+    data = struct.pack("<3h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    wavb = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 5 + 1
+                                  + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+            + b"data" + struct.pack("<I", len(data)) + data)
+    assert decode_wav(wavb) == (44100, 1, samples)
+    bad = wavb.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 85, 1), 1)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bad)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+# -------------------------------------------------------------- pHash
+
+def test_phash_bit_depth_reencode_is_identical():
+    g = _grid("img-a")
+    ph_gray = phash64(box_luma_grid(*_decode(encode_bmp_gray(g))))
+    rgb = [[(v, v, v) for v in row] for row in g]
+    ph_rgb = phash64(box_luma_grid(*_decode(encode_bmp_rgb24(rgb))))
+    assert ph_gray == ph_rgb
+
+
+def _decode(payload: bytes):
+    w, h, rows = decode_bmp(payload)
+    return rows, w, h
+
+
+def test_phash_near_for_noise_far_for_distinct():
+    g = _grid("img-a", w=64, h=48)
+    noisy = [row[:] for row in g]
+    for r in range(0, 48, 7):          # sparse ±2 luma perturbation
+        for c in range(0, 64, 11):
+            noisy[r][c] = min(255, noisy[r][c] + 2)
+    other = _grid("img-b", w=64, h=48)
+    ph = phash64(box_luma_grid(g, 64, 48))
+    ph_noisy = phash64(box_luma_grid(noisy, 64, 48))
+    ph_other = phash64(box_luma_grid(other, 64, 48))
+    assert hamming(ph, ph_noisy) <= 6
+    assert hamming(ph, ph_other) >= 16
+
+
+def test_phash_rerender_scale_is_near():
+    """The same image rendered at 2× (pixel replication) box-averages to
+    the identical 16×16 grid — hash-identical."""
+    g = _grid("img-a", w=32, h=32)
+    big = []
+    for row in g:
+        wide = [v for v in row for _ in range(2)]
+        big.extend([wide, wide])
+    assert phash64(box_luma_grid(g, 32, 32)) == \
+        phash64(box_luma_grid(big, 64, 64))
+
+
+def test_phash_rejects_too_small_and_wrong_len():
+    with pytest.raises(ValueError):
+        box_luma_grid(_grid("x", w=8, h=8), 8, 8)
+    with pytest.raises(ValueError):
+        phash64([0] * 100)
+
+
+def test_phash_matches_duckdb_oracle_chain():
+    """The Python pHash (the decode path's arithmetic) is bit-identical
+    to the DuckDB chain the media_phash driver row verifies against —
+    same hardcoded PHASH_DCT_T, same median convention."""
+    texts = ["hello world", "", "the quick brown fox", "hello world",
+             "ünïcode ok"]
+    py = [phash64(md5_luma_grid(t)) for t in texts]
+    con = duckdb.connect()
+    con.execute(
+        "create table docs as select * from (values "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)")
+    lum = ("list_transform(generate_series(0, 255), j -> ('0x' || "
+           "substr(_digs[(j // 16) + 1], (j % 16) * 2 + 1, 2))::BIGINT)")
+    sql = ("WITH s0 AS (SELECT doc_id, "
+           "list_transform(generate_series(0, 15), "
+           "i -> md5(coalesce(text, '') || ':' || i)) AS _digs FROM docs), "
+           f"s1 AS (SELECT doc_id, {lum} AS _lum FROM s0)")
+    prev = "s1"
+    for k, (name, expr) in enumerate(phash_duckdb_sql("_lum")):
+        sql += f", t{k} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"t{k}"
+    got = [r[1] for r in con.sql(
+        sql + f" SELECT doc_id, phash FROM {prev} ORDER BY doc_id"
+    ).fetchall()]
+    assert got == py
+    # duplicate texts collide exactly; the unicode doc is distinct
+    assert py[0] == py[3] and len(set(py)) == 4
+
+
+def test_phash_dct_table_is_the_committed_fixed_point():
+    """Regression pin on the hardcoded table: spot values + symmetry
+    (row 0 is the DC constant; row 4 has the ±period-8 structure)."""
+    assert PHASH_DCT_T[0] == (1048576,) * 16
+    assert PHASH_DCT_T[1][0] == 1043527 and PHASH_DCT_T[1][15] == -1043527
+    # u=4 is cos(π(2x+1)/8): period-8 antisymmetric block, repeated twice
+    assert PHASH_DCT_T[4] == (968758, 401273, -401273, -968758,
+                              -968758, -401273, 401273, 968758) * 2
+    # every AC row sums to zero exactly (the fixed-point rounding is
+    # symmetric), so a constant image has zero AC energy → stable hash
+    assert all(sum(r) == 0 for r in PHASH_DCT_T[1:])
+    assert len(PHASH_DCT_T) == 8 and all(len(r) == 16 for r in PHASH_DCT_T)
+
+
+# ------------------------------------------- decoded hash → banding
+
+def test_phash_features_and_banding_end_to_end(spark):
+    """The full real-decoder near-dup leg: BMP fixtures → Arrow-batched
+    decode+pHash (phash_features) → fingerprint_neardup banding/verify
+    (bits=63, bands=3 ⇒ lossless for hamming ≤ 2). The 24-bit re-encode
+    of image A must pair with its 8-bit original at hamming 0; the two
+    distinct images must not pair."""
+    g_a = _grid("img-a", w=48, h=32)
+    g_b = _grid("img-b", w=48, h=32)
+    g_c = _grid("img-c", w=48, h=32)
+    payloads = [
+        (1, encode_bmp_gray(g_a)),
+        (2, encode_bmp_rgb24([[(v, v, v) for v in row] for row in g_a])),
+        (3, encode_bmp_gray(g_b)),
+        (4, encode_bmp_gray(g_c)),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id bigint, payload binary")
+    feats = phash_features(df)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["phash"] == rows[2]["phash"]
+    assert 0 <= rows[1]["phash"] < (1 << PHASH_BITS)
+    assert rows[1]["width"] == 48 and rows[1]["height"] == 32
+    pairs = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in fingerprint_neardup(
+            feats, id_col="doc_id", fp_col="phash",
+            bits=PHASH_BITS, bands=3, max_hamming=2,
+            max_bucket=50).collect())
+    assert (1, 2, 0) in pairs
+    assert all({a, b} == {1, 2} for a, b, _ in pairs)
+
+
+def test_media_neardup_unchanged_by_banding_refactor(spark):
+    """media_neardup delegates to fingerprint_neardup now; the planted
+    duplicate-payload case from the r12 battery must behave identically
+    (same pairs, same validation errors)."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        media_neardup)
+    data = [(1, b"shared-payload-bytes-0123456789"),
+            (2, b"shared-payload-bytes-0123456789"),
+            (3, b"completely different media bits")]
+    df = spark.createDataFrame(data, "doc_id bigint, payload binary")
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in media_neardup(df, "payload", "doc_id",
+                                        bits=48, bands=4, max_hamming=3,
+                                        max_bucket=50).collect())
+    assert got == [(1, 2, 0)]
+    with pytest.raises(ValueError):
+        media_neardup(df, "payload", "doc_id", bits=48, bands=5)

@@ -199,6 +199,42 @@ class TestIncrementalDedupStream:
         kept = {r.doc_id for r in spark.read.parquet(out).collect()}
         assert kept == {1, 2, 3, 5}
 
+    def test_compaction_refuses_uncommitted_epochs(self, spark, tmp_path):
+        """r12 ADVICE: the committed-epoch CONTRACT is enforced in code
+        when the caller passes the stream's checkpoint — folding an
+        epoch past the commits log raises instead of silently setting
+        up replay data loss; folding at/below it proceeds. Both
+        compactors go through the same validator."""
+        import pytest
+
+        from kafka_connect_streams_spark.streaming.state import (
+            compact_dedup_index, compact_neardup_index,
+            incremental_dedup_processor)
+        index = str(tmp_path / "index")
+        out = str(tmp_path / "out")
+        ckpt = tmp_path / "ckpt" / "commits"
+        ckpt.mkdir(parents=True)
+        (ckpt / "0").write_text("v1")
+        (ckpt / "1").write_text("v1")   # last committed epoch = 1
+        proc = incremental_dedup_processor("text", "doc_id", index, out)
+        mk = lambda rows: spark.createDataFrame(
+            rows, "doc_id long, text string")
+        proc(mk([(1, "alpha")]), 0)
+        proc(mk([(2, "beta")]), 1)
+        proc(mk([(3, "gamma")]), 2)     # written but NOT committed
+        with pytest.raises(ValueError, match="committed"):
+            compact_dedup_index(spark, index, upto_epoch=3,
+                                checkpoint_dir=str(tmp_path / "ckpt"))
+        with pytest.raises(ValueError, match="committed"):
+            compact_neardup_index(spark, index, upto_epoch=3,
+                                  checkpoint_dir=str(tmp_path / "ckpt"))
+        # folding only committed epochs is allowed and correct
+        n = compact_dedup_index(spark, index, upto_epoch=2,
+                                checkpoint_dir=str(tmp_path / "ckpt"))
+        assert n == 2
+        idx = spark.read.parquet(index)
+        assert {r.epoch for r in idx.collect()} == {-1, 2}
+
 
 def test_sessionize_emits_completed_sessions(spark, tmp_path):
     """Custom stateful sessionization: sessions close gap_s after their
