@@ -45,7 +45,12 @@ HEADLINE = [
     # rotated out for the round-6 operator batch below; the r5
     # common set stays 54 queries for the trend comparison.
     "wordcount",
-    "join_inner",
+    # r13: join_inner (0.49 s thin wrapper over the built-in broadcast
+    # join, stable since r3; the join family stays covered by
+    # multiway_join/shipping_priority/interval_join) cedes its slot to
+    # media_phash — the Arrow decode path (BMP roundtrip + integer DCT
+    # pHash) should be timed per round like every other operator class.
+    "media_phash",
     "multiway_join",
     "shipping_priority",
     "funnel",

@@ -11,10 +11,16 @@ Pattern (the part that matters at 100 TB):
   when decode cost scales with size, so no straggler partition holds all the
   4K videos.
 
-The actual image/audio decoders are NOT available in this environment, so
-``decode_features`` computes a deterministic fake (md5-derived pseudo-pixels)
-behind the same schema/batch plumbing, and ``decode_image_real`` raises
-``NotImplementedError`` at the exact seam where PIL/ffmpeg would plug in.
+Decoders (r13): the uncompressed container formats parse natively in-repo —
+:func:`decode_bmp` (8/24-bit BI_RGB BMP → Rec.601 luma) and
+:func:`decode_wav` (RIFF/WAVE integer PCM 8/16-bit) — feeding the
+integer-exact perceptual hashes :func:`phash64` (16×16 luma → 8×8
+fixed-point DCT → 63-bit fingerprint) and :func:`audio_energy_fp`
+(frame-energy deltas), which in turn feed :func:`fingerprint_neardup`'s
+banding/verify. Entropy-coded formats (PNG/JPEG/MP3/...) still raise
+``NotImplementedError`` at :func:`decode_image_real` / :func:`decode_wav` —
+the exact seam where PIL/ffmpeg plug in; ``decode_features`` keeps the
+deterministic md5 fake for the generic opaque-payload path.
 """
 
 from __future__ import annotations
@@ -444,12 +450,18 @@ def media_phash_roundtrip(df: DataFrame, text_col: str = "text",
     (:func:`phash_duckdb_sql`) with NO container leg, so a driver hash
     match proves encode→decode is the identity on luma AND the DCT
     arithmetic is engine-exact — the decoder itself sits under the
-    oracle gate, not just under unit tests. Plan shape: one Scan →
-    ArrowEvalPython-style map (zero shuffles, zero joins); per-row cost
-    is a fixed ~3k int64 multiply-adds + 16 md5, independent of corpus
-    size, and the output is 16 bytes/row. Ref parity: the reference
-    has no media path at all (SURVEY §2 beyond-reference mandate);
-    pHash per Zauner's public spec (DCT hash), integer-exact variant.
+    oracle gate, not just under unit tests. Plan shape: Scan →
+    Arrow-batched map (zero joins); per-row cost is a fixed ~3k int64
+    multiply-adds + 16 md5, independent of corpus size, and the output
+    is 16 bytes/row. Decode is CPU-bound Python, so when the scan
+    yields FEWER splits than the cluster's parallelism (the small-file
+    case: one parquet file = one task = one core decoding everything,
+    measured 1 partition/6.9 s at sf0.1) the input is repartitioned to
+    defaultParallelism first; at production split counts (100 TB =
+    ~10⁵ splits ≫ cores) the branch is dead and the plan is map-only.
+    Ref parity: the reference has no media path at all (SURVEY §2
+    beyond-reference mandate); pHash per Zauner's public spec (DCT
+    hash), integer-exact variant.
     """
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("phash", LongType())])
@@ -466,9 +478,102 @@ def media_phash_roundtrip(df: DataFrame, text_col: str = "text",
                             phash64(box_luma_grid(decoded, w, h))))
             yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
-    return (df.select(F.col(id_col).alias("doc_id"),
-                      F.col(text_col).alias("_text"))
-            .mapInPandas(run, schema))
+    sel = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_text"))
+    # CPU-bound decode: spread small-file scans across the cluster. Only
+    # for batch inputs — a streaming micro-batch takes its parallelism
+    # from the source, and .rdd is not defined on a streaming frame
+    # (the op stays a stateless stream-transparent projection there)
+    if not sel.isStreaming:
+        target = sel.sparkSession.sparkContext.defaultParallelism
+        if sel.rdd.getNumPartitions() < target:
+            sel = sel.repartition(target)
+    return sel.mapInPandas(run, schema)
+
+
+#: audio fingerprint geometry: 256 signed 16-bit PCM samples → 64 frames
+#: of 4 samples → frame energies (int64-exact: |s|≤2^15 ⇒ E ≤ 2^32) →
+#: 63-bit energy-delta fingerprint (bit f set iff E_f > E_{f+1}) — the
+#: integer-exact simplified cousin of chromaprint's filter deltas, enough
+#: to detect re-encoded copies of the same waveform. Sample synthesis
+#: uses md5 digests 16..47 of the same per-document digest stream whose
+#: 0..15 range feeds :func:`md5_luma_grid`.
+AUDIOFP_FRAMES = 64
+AUDIOFP_FRAME_LEN = 4
+
+
+def md5_pcm_samples(text: str | None) -> list[int]:
+    """Deterministic synthetic waveform: 256 little-endian signed int16
+    samples from md5 digests 16..47 of the document's digest stream —
+    the audio twin of :func:`md5_luma_grid`."""
+    base = text if isinstance(text, str) else ""
+    raw = b"".join(hashlib.md5(f"{base}:{i}".encode()).digest()
+                   for i in range(16, 48))
+    return [int.from_bytes(raw[2 * j:2 * j + 2], "little", signed=True)
+            for j in range(256)]
+
+
+def audio_energy_fp(samples: list[int]) -> int:
+    """63-bit energy-delta fingerprint over 64 fixed frames — pure int64
+    arithmetic, bit-identical in Python and the DuckDB oracle chain."""
+    n = AUDIOFP_FRAMES * AUDIOFP_FRAME_LEN
+    if len(samples) != n:
+        raise ValueError(f"expected {n} samples, got {len(samples)}")
+    fl = AUDIOFP_FRAME_LEN
+    e = [sum(s * s for s in samples[fl * f:fl * f + fl])
+         for f in range(AUDIOFP_FRAMES)]
+    return sum(1 << f for f in range(AUDIOFP_FRAMES - 1) if e[f] > e[f + 1])
+
+
+def encode_wav_pcm16(samples: list[int], rate: int = 8000,
+                     channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit mono PCM — the container the
+    tests and the media_audiofp roundtrip feed back into
+    :func:`decode_wav`."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def media_audiofp_roundtrip(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """The audio twin of :func:`media_phash_roundtrip`: synthesize each
+    document's PCM waveform from md5 bytes, ENCODE a real RIFF/WAVE
+    container, DECODE it back through :func:`decode_wav` (the seam a
+    production pipeline fills with a real codec), and fingerprint the
+    decoded samples with the integer-exact energy-delta hash. The
+    DuckDB oracle computes the fingerprint over the md5 bytes directly
+    with NO container leg, so the driver hash match proves the WAV
+    encode→decode is the identity on samples AND the fingerprint
+    arithmetic is engine-exact. Same plan shape and conditional
+    repartition as media_phash_roundtrip."""
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("audiofp", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                wav = encode_wav_pcm16(md5_pcm_samples(text))
+                rate, channels, decoded = decode_wav(wav)
+                assert (rate, channels) == (8000, 1)
+                out.append((int(doc_id), audio_energy_fp(decoded)))
+            yield pd.DataFrame(out, columns=["doc_id", "audiofp"])
+
+    sel = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_text"))
+    # CPU-bound decode: spread small-file scans across the cluster. Only
+    # for batch inputs — a streaming micro-batch takes its parallelism
+    # from the source, and .rdd is not defined on a streaming frame
+    # (the op stays a stateless stream-transparent projection there)
+    if not sel.isStreaming:
+        target = sel.sparkSession.sparkContext.defaultParallelism
+        if sel.rdd.getNumPartitions() < target:
+            sel = sel.repartition(target)
+    return sel.mapInPandas(run, schema)
 
 
 #: schema of decoded perceptual-hash features.

@@ -3583,6 +3583,24 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_roundtrip(t["documents"], "text", "doc_id")
 
 
+def q_media_audiofp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of media_phash (operators/multimodal.py
+    media_audiofp_roundtrip): each document's md5-derived PCM waveform
+    is ENCODED as a real RIFF/WAVE container, DECODED back by the
+    repo's pure-stdlib WAV parser (decode_wav — the audio decode seam
+    made real), and fingerprinted with the integer-exact 63-bit
+    energy-delta hash (64 fixed frames, bit f = E_f > E_{f+1} — the
+    simplified chromaprint-style delta). The oracle fingerprints the
+    md5 bytes directly with NO container leg, so the driver hash match
+    proves the WAV encode→decode identity AND the fingerprint
+    arithmetic simultaneously. Arrow mapInPandas, one scan, fixed
+    per-row cost."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        media_audiofp_roundtrip)
+    t = load_tables(spark, sf_dir)
+    return media_audiofp_roundtrip(t["documents"], "text", "doc_id")
+
+
 def q_block_dedup_minspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling exact-substring dedup with the Lee-et-al. minimum
     match length (operators/text.py block_dedup_rolling, min_span=16
@@ -4604,6 +4622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "block_dedup_minspan": q_block_dedup_minspan,
     "media_neardup": q_media_neardup,
     "media_phash": q_media_phash,
+    "media_audiofp": q_media_audiofp,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4733,8 +4752,48 @@ _R12_WINDOW = [
     "semi_anti_join", "string_functions", "date_functions",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
-QUERIES = {**{k: QUERIES[k] for k in _R12_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)}}
+
+#: ROUND-13 WINDOW — the 50 names the driver hashes this round, per
+#: VERDICT r12 "Next round" #4 (slot arithmetic: 5 + 9 + 36 = 50):
+#: (a) every query whose code changed this round leads — media_phash
+#: and media_audiofp (NEW: the real-container roundtrip perceptual/audio
+#: fingerprints, never driver-checked),
+#: tfidf_topk (the DF hot-term window migrated to the
+#: partial-aggregatable groupBy+join — the r12 verdict's #1),
+#: media_neardup (banding/verify factored into fingerprint_neardup +
+#: lazy localCheckpoint) and ksql_functions (MASK char classes switched
+#: to Unicode \\p{Lu}/\\p{Ll}/\\p{Nd} in both engines — ASCII data, so
+#: the hash is unchanged, but the code is not); (b) the nine r07-stale
+#: rows the r12 rotation ceded (asof_join, correlated_subquery,
+#: distinct, exists_subquery, having, multiway_join, percentile_disc,
+#: pivot, topn_per_group — after this round no latest row predates r09);
+#: (c) the first 37 of the 44 r09-cohort rows in registry order.
+#: global_index, lsh_tuning, copurchase_pairs, quantile_exact, kcore,
+#: rrf_fusion, hll_distinct and jl_projection cede their slots and lead
+#: the r14 window. All 50 locally hash-green via tools/check.py at sf0.01 AND
+#: sf0.1 before commit; the driver row is the bar.
+_R13_WINDOW = [
+    "media_phash", "media_audiofp", "tfidf_topk", "media_neardup",
+    "ksql_functions", "asof_join", "correlated_subquery",
+    "distinct", "exists_subquery", "having",
+    "multiway_join", "percentile_disc", "pivot",
+    "topn_per_group", "cosine_pair_topk", "approx_distinct",
+    "interval_join", "grouping_sets", "moving_avg",
+    "time_range_frame", "ntile_buckets", "listagg",
+    "shipping_priority", "range_join", "funnel",
+    "cohort_retention", "hash_split", "percent_rank_cume",
+    "user_journeys", "unpivot", "data_profile",
+    "approx_quantile", "market_share", "promo_revenue",
+    "returned_items", "disjunctive_predicates", "idle_customers",
+    "ann_recall", "skew_salted_agg", "stratified_sample",
+    "pii_redaction", "histogram", "large_orders",
+    "ann_auto_recall", "ann_topk_cosine", "ann_lsh_cosine",
+    "ann_ivf_cosine", "embedding_neardup", "embedding_dedup_clusters",
+    "mix_weights",
+]
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)}}
 
 def _kcore_round_sql(i: int, k: int = 16) -> str:
     """One unrolled k-core peel round as oracle CTEs (the bpe_round_sql
@@ -10422,3 +10481,40 @@ def _media_phash_oracle() -> str:
 
 
 ORACLE["media_phash"] = _media_phash_oracle()
+
+# the audio twin: energy-delta fingerprint over md5 digests 16..47 (the
+# same per-document digest stream media_phash's 0..15 feed), NO container
+# leg — the Spark side's WAV encode→decode must be the identity on
+# samples for the hash to match. int16 decode: lo + 256*hi − 65536·[hi≥128]
+ORACLE["media_audiofp"] = """
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(generate_series(16, 47),
+                            i -> md5(coalesce(text, '') || ':' || i))
+               AS _digs
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 255), j ->
+               CAST((('0x' || substr(_digs[(j // 8) + 1],
+                                     (j % 8) * 4 + 1, 2))::BIGINT
+                     + 256 * ('0x' || substr(_digs[(j // 8) + 1],
+                                             (j % 8) * 4 + 3, 2))::BIGINT
+                     + CASE WHEN ('0x' || substr(_digs[(j // 8) + 1],
+                                                 (j % 8) * 4 + 3,
+                                                 2))::BIGINT >= 128
+                            THEN -65536 ELSE 0 END) AS BIGINT)) AS _smp
+      FROM d),
+    e AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), f ->
+               CAST(list_sum(list_transform(generate_series(1, 4),
+                 i -> _smp[4 * f + i] * _smp[4 * f + i])) AS BIGINT))
+               AS _e
+      FROM s)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 62), f ->
+             CASE WHEN _e[f + 1] > _e[f + 2] THEN (1::BIGINT << f)
+                  ELSE 0::BIGINT END)) AS BIGINT) AS audiofp
+    FROM e
+"""

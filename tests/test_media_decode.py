@@ -256,6 +256,52 @@ def test_phash_dct_table_is_the_committed_fixed_point():
     assert len(PHASH_DCT_T) == 8 and all(len(r) == 16 for r in PHASH_DCT_T)
 
 
+# ---------------------------------------------------- audio fingerprint
+
+def test_encode_wav_roundtrip_and_audiofp_parity():
+    """The repo's own WAV writer round-trips sample-exact through
+    decode_wav, and the energy-delta fingerprint over the decoded
+    samples equals the DuckDB oracle chain computed from the md5 bytes
+    directly — the identity the media_audiofp driver row hash-verifies."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        audio_energy_fp, encode_wav_pcm16, md5_pcm_samples)
+    texts = ["hello world", "", "the quick brown fox", "hello world"]
+    py = []
+    for t in texts:
+        smp = md5_pcm_samples(t)
+        rate, channels, decoded = decode_wav(encode_wav_pcm16(smp))
+        assert (rate, channels) == (8000, 1) and decoded == smp
+        py.append(audio_energy_fp(decoded))
+    assert py[0] == py[3] and len(set(py)) == 3
+    import kafka_connect_streams_spark.queries as Q
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select * from (values "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)")
+    got = [r[1] for r in con.sql(
+        Q.ORACLE["media_audiofp"] + " ORDER BY doc_id").fetchall()]
+    assert got == py
+
+
+def test_audiofp_invariant_under_amplitude_scaling():
+    """Energy deltas compare RATIOS of frame energies implicitly: a
+    uniform gain (s → 2s, no clipping) scales every energy by 4 and
+    flips no comparison — re-encoded-at-different-volume copies of the
+    same waveform fingerprint identically. A genuinely different
+    waveform does not."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        audio_energy_fp, md5_pcm_samples)
+    smp = [s // 4 for s in md5_pcm_samples("track-a")]  # headroom for 2x
+    assert audio_energy_fp([2 * s for s in smp]) == audio_energy_fp(
+        [s for s in smp])
+    other = [s // 4 for s in md5_pcm_samples("track-b")]
+    assert audio_energy_fp(other) != audio_energy_fp(smp)
+    import pytest
+    with pytest.raises(ValueError):
+        audio_energy_fp(smp[:100])
+
+
 # ------------------------------------------- decoded hash → banding
 
 def test_phash_features_and_banding_end_to_end(spark):
@@ -287,6 +333,40 @@ def test_phash_features_and_banding_end_to_end(spark):
             max_bucket=50).collect())
     assert (1, 2, 0) in pairs
     assert all({a, b} == {1, 2} for a, b, _ in pairs)
+
+
+def test_media_roundtrips_are_stream_transparent(spark, tmp_path):
+    """The decode paths are stateless Arrow maps, so the SAME operator
+    functions run unchanged on a streaming DataFrame (append mode, no
+    watermark, no state) and emit rows identical to the batch run over
+    the same files — the stream-transparency dividend the projection
+    curation ops already have, extended to the real-decoder legs. (The
+    small-file repartition branch is batch-only: a streaming micro-batch
+    takes its parallelism from the source.)"""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        media_audiofp_roundtrip, media_phash_roundtrip)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(2).write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    for i, op in enumerate([media_phash_roundtrip, media_audiofp_roundtrip]):
+        batch = {tuple(r) for r in op(docs, "text", "doc_id").collect()}
+        name = f"media_stp{i}"
+        q = (op(stream, "text", "doc_id")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = {tuple(r)
+                   for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        finally:
+            q.stop()
+        assert got == batch, op.__name__
 
 
 def test_media_neardup_unchanged_by_banding_refactor(spark):

@@ -624,7 +624,10 @@ class TestPartitioningInvariance:
                   # r12: the migrated min+join first-occurrence shapes
                   # and the banded payload pairs — the queries whose
                   # determinism story this round rewrote
-                  "block_dedup", "block_dedup_minspan", "media_neardup"]
+                  "block_dedup", "block_dedup_minspan", "media_neardup",
+                  # r13: the DF-window→groupBy+join migration and the
+                  # Arrow decode path (conditional repartition branch)
+                  "tfidf_topk", "media_phash"]
         results = {}
         for width in ("5", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", width)
@@ -773,7 +776,9 @@ class TestAqeInvariance:
                   "semantic_dedup", "exact_k_sample", "winsorize",
                   # r12: the skew-join migration exists FOR AQE's
                   # benefit — prove the re-plan never changes results
-                  "block_dedup", "block_dedup_rolling", "media_neardup"]
+                  "block_dedup", "block_dedup_rolling", "media_neardup",
+                  # r13: the migrated DF join is the AQE-skew-split target
+                  "tfidf_topk"]
         results = {}
         for aqe in ("false", "true"):
             spark.conf.set("spark.sql.adaptive.enabled", aqe)

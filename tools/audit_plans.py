@@ -56,7 +56,68 @@ EXTRA = ["gopher_rules", "semantic_dedup", "min_cost_supplier",
          # r12: the two additions kept out of the headline (minspan is
          # rolling + one in-row filter; ksql_functions a thin
          # rewriter-driven projection) — scorecards still audit them
-         "block_dedup_minspan", "ksql_functions", "media_neardup"]
+         "block_dedup_minspan", "ksql_functions", "media_neardup", "join_inner",
+         # r13: the real-decoder perceptual-hash roundtrip (Arrow map),
+         # plus the exact-order-statistic reports whose SCALE NOTE below
+         # names quantile_exact as the scalable twin
+         "media_phash", "media_audiofp", "percentile_disc", "approx_quantile"]
+
+#: Cost-ceiling notes for the eval/iterative harnesses (r12 verdict #7):
+#: one sentence each stating which FIXED iteration/sweep count dominates
+#: the entry's runtime and why it does not grow with the corpus — so the
+#: "eval by design" claim is verifiable without re-deriving it.
+NOTES = {
+    "ann_ivf_trained_recall": (
+        "COST CEILING: dominated by the THREE fixed Lloyd training "
+        "rounds (each one map pass + an O(n_lists) centroid aggregate) "
+        "plus the recall leg over the fixed query sample — rounds and "
+        "query count are build-time constants, so cost scales linearly "
+        "with corpus size and never super-linearly; this is a tuning/"
+        "eval harness, not a per-ingest operator."),
+    "lsh_tuning": (
+        "COST CEILING: dominated by the FIXED sweep of banding settings "
+        "(default 4 configs) re-banding ONE checkpoint-pinned signature "
+        "table in-row plus one exact-truth pass — config count is a "
+        "constant; shingles/signatures/truth are computed once, so cost "
+        "is (1 + configs) linear passes, corpus-proportional only."),
+    "bootstrap_ci": (
+        "COST CEILING: dominated by the 32 fixed bootstrap replicates, "
+        "all folded IN-ROW as map-side partial sums in one scan (no "
+        "corpus explode) — replicate count is a constant; doubling the "
+        "corpus doubles the scan, nothing else."),
+    "kcore": (
+        "COST CEILING: dominated by the 8 unrolled peel rounds over a "
+        "localCheckpoint-pinned edge list that strictly SHRINKS each "
+        "round — round count is fixed at build time (the k-core depth "
+        "this report targets), not data-dependent; each round is one "
+        "bounded degree aggregation + semi-join."),
+    "dedup_clusters": (
+        "COST CEILING: min-label propagation with label doubling "
+        "converges in O(log2(longest chain)) rounds under a fixed "
+        "max_iter=30 budget and RAISES instead of silently mislabeling "
+        "past it — rounds grow with graph diameter (logarithmically), "
+        "never with corpus row count; each round is one join + "
+        "aggregate over the (shrinking) pair graph."),
+    # exact-order-statistic reports: the per-group sort IS the contract
+    "winsorize": (
+        "SCALE NOTE: the rank/count windows partition the raw events "
+        "table by event_type (corpus-proportional partitions) — "
+        "inherent to the EXACT-percentile contract this report "
+        "documents; the scalable twin is quantile_exact / "
+        "grouped_exact_quantiles (64-way md5-bucketed parallel sorts), "
+        "already in the registry. Use that shape when the group's rows "
+        "exceed one reducer."),
+    "percentile_disc": (
+        "SCALE NOTE: exact discrete percentiles via a per-group rank "
+        "window — the naive spelling, kept as the semantic reference; "
+        "quantile_exact is the registry's scalable twin (bucketed "
+        "parallel sorts, no single-reducer group sort)."),
+    "approx_quantile": (
+        "SCALE NOTE: compares approx_percentile against the exact "
+        "rank-window answer — the exact leg's per-group sort is the "
+        "point of the comparison; production uses the approx leg or "
+        "quantile_exact."),
+}
 
 
 def scorecard(formatted: str, simple: str) -> str:
@@ -94,8 +155,10 @@ def main() -> None:
         except Exception as exc:  # iterative ops need an action; skip those
             out += [f"## {name}", "", f"(not statically explainable: {exc})", ""]
             continue
-        out += [f"## {name}", "", f"`{scorecard(plan, simple)}`", "",
-                "```", plan.strip(), "```", ""]
+        out += [f"## {name}", "", f"`{scorecard(plan, simple)}`", ""]
+        if name in NOTES:
+            out += [NOTES[name], ""]
+        out += ["```", plan.strip(), "```", ""]
     path = REPO_ROOT / "PLANS.md"
     with open(path, "w") as f:
         f.write("\n".join(out))
