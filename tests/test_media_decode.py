@@ -242,6 +242,21 @@ def test_phash_matches_duckdb_oracle_chain():
     assert py[0] == py[3] and len(set(py)) == 4
 
 
+def test_phash64_batch_is_bit_identical_to_reference():
+    """The vectorized numpy batch form (the Arrow path's hot loop) must
+    equal the pure-Python reference bit-for-bit on every grid —
+    including degenerate flat images (all AC coefficients equal the
+    median ⇒ zero bits set) and full-range values."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        phash64_batch)
+    grids = [md5_luma_grid(t) for t in
+             ["a", "b", "", "hello world", "zz"]]
+    grids.append([0] * 256)
+    grids.append([255] * 256)
+    grids.append(list(range(256)))
+    assert phash64_batch(grids) == [phash64(g) for g in grids]
+
+
 def test_phash_dct_table_is_the_committed_fixed_point():
     """Regression pin on the hardcoded table: spot values + symmetry
     (row 0 is the DC constant; row 4 has the ±period-8 structure)."""
