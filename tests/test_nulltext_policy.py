@@ -34,6 +34,9 @@ TEXT_QUERIES = [
     "bm25_term_topk", "leakage_safe_split",
     "heavy_hitters", "cms_frequency", "inverted_index", "bpe_merges",
     "block_dedup", "vocab_concentration", "cosine_pair_topk",
+    # r13: the real-decoder roundtrips — NULL text must synthesize the
+    # empty-string digest stream identically on both engines
+    "media_phash", "media_audiofp", "media_neardup",
 ]
 
 
