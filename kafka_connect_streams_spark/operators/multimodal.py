@@ -90,6 +90,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[list[int]]]:
             f"bpp={bpp}); only uncompressed 8/24-bit BITMAPINFOHEADER")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        # a malformed header must fail loudly, not decode to an empty
+        # or negative-width image that hashes silently
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     if bpp == 8:
         n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
         pal_off = 14 + hdr_size

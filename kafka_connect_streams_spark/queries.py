@@ -3583,6 +3583,33 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_roundtrip(t["documents"], "text", "doc_id")
 
 
+def q_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-modality dedup clusters: the banded byte-SimHash near-dup
+    pairs (media_neardup) fed into connected components — the same
+    pairs→graph→canonical composition embedding_dedup_clusters runs for
+    the embedding modality, completing cluster resolution for all three
+    modalities (text: dedup_clusters; embeddings:
+    embedding_dedup_clusters; media payloads: this). One canonical
+    payload (min doc_id) per cluster; the CC rounds are exact-or-raise
+    over the pair graph, never the corpus."""
+    from kafka_connect_streams_spark.operators.dedup import (
+        connected_components)
+    from kafka_connect_streams_spark.operators.multimodal import (
+        attach_payload, media_neardup)
+    t = load_tables(spark, sf_dir)
+    payloads = attach_payload(t["documents"], "text", "doc_id")
+    pairs = media_neardup(payloads, "payload", "doc_id",
+                          bits=48, bands=4, max_hamming=3,
+                          max_bucket=50).select("id_a", "id_b")
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (t["documents"].select(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.col("cluster_id")))
+
+
 def q_media_audiofp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio twin of media_phash (operators/multimodal.py
     media_audiofp_roundtrip): each document's md5-derived PCM waveform
@@ -4623,6 +4650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_neardup": q_media_neardup,
     "media_phash": q_media_phash,
     "media_audiofp": q_media_audiofp,
+    "media_dedup_clusters": q_media_dedup_clusters,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4754,10 +4782,11 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 #: ROUND-13 WINDOW — the 50 names the driver hashes this round, per
-#: VERDICT r12 "Next round" #4 (slot arithmetic: 5 + 9 + 36 = 50):
+#: VERDICT r12 "Next round" #4 (slot arithmetic: 6 + 9 + 35 = 50):
 #: (a) every query whose code changed this round leads — media_phash
-#: and media_audiofp (NEW: the real-container roundtrip perceptual/audio
-#: fingerprints, never driver-checked),
+#: media_audiofp and media_dedup_clusters (NEW: the real-container
+#: roundtrip perceptual/audio fingerprints and the media cluster
+#: resolution, never driver-checked),
 #: tfidf_topk (the DF hot-term window migrated to the
 #: partial-aggregatable groupBy+join — the r12 verdict's #1),
 #: media_neardup (banding/verify factored into fingerprint_neardup +
@@ -4768,12 +4797,13 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #: distinct, exists_subquery, having, multiway_join, percentile_disc,
 #: pivot, topn_per_group — after this round no latest row predates r09);
 #: (c) the first 37 of the 44 r09-cohort rows in registry order.
-#: global_index, lsh_tuning, copurchase_pairs, quantile_exact, kcore,
-#: rrf_fusion, hll_distinct and jl_projection cede their slots and lead
-#: the r14 window. All 50 locally hash-green via tools/check.py at sf0.01 AND
+#: mix_weights, global_index, lsh_tuning, copurchase_pairs,
+#: quantile_exact, kcore, rrf_fusion, hll_distinct and jl_projection
+#: cede their slots and lead the r14 window. All 50 locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
 _R13_WINDOW = [
-    "media_phash", "media_audiofp", "tfidf_topk", "media_neardup",
+    "media_phash", "media_audiofp", "media_dedup_clusters",
+    "tfidf_topk", "media_neardup",
     "ksql_functions", "asof_join", "correlated_subquery",
     "distinct", "exists_subquery", "having",
     "multiway_join", "percentile_disc", "pivot",
@@ -4789,7 +4819,6 @@ _R13_WINDOW = [
     "pii_redaction", "histogram", "large_orders",
     "ann_auto_recall", "ann_topk_cosine", "ann_lsh_cosine",
     "ann_ivf_cosine", "embedding_neardup", "embedding_dedup_clusters",
-    "mix_weights",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
@@ -10481,6 +10510,27 @@ def _media_phash_oracle() -> str:
 
 
 ORACLE["media_phash"] = _media_phash_oracle()
+
+# media cluster resolution: the media_neardup oracle (nested CTE) feeds
+# the same WITH RECURSIVE reach/min-label closure the embedding clusters
+# oracle uses; docs with no near-dup pair are their own canonical cluster
+ORACLE["media_dedup_clusters"] = f"""
+    WITH RECURSIVE np AS ({ORACLE["media_neardup"]}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM np
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM np),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    minreach AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(mn, d.doc_id)) AS cluster_id,
+           d.doc_id = least(d.doc_id, coalesce(mn, d.doc_id))
+             AS is_canonical
+    FROM documents d LEFT JOIN minreach ON minreach.src = d.doc_id
+"""
 
 # the audio twin: energy-delta fingerprint over md5 digests 16..47 (the
 # same per-document digest stream media_phash's 0..15 feed), NO container

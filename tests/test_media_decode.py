@@ -105,6 +105,11 @@ def test_bmp_row_padding_nonmultiple_of_four_width():
 def test_bmp_rejects_non_bmp_and_unsupported():
     with pytest.raises(ValueError):
         decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # malformed dimensions fail loudly instead of hashing silently
+    zero_w = bytearray(encode_bmp_gray(_grid("img-a")))
+    struct.pack_into("<i", zero_w, 18, 0)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_bmp(bytes(zero_w))
     # RLE8-compressed header must hit the NotImplementedError seam
     payload = bytearray(encode_bmp_gray(_grid("img-a")))
     struct.pack_into("<I", payload, 30, 1)  # biCompression = BI_RLE8

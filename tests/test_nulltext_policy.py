@@ -36,7 +36,7 @@ TEXT_QUERIES = [
     "block_dedup", "vocab_concentration", "cosine_pair_topk",
     # r13: the real-decoder roundtrips — NULL text must synthesize the
     # empty-string digest stream identically on both engines
-    "media_phash", "media_audiofp", "media_neardup",
+    "media_phash", "media_audiofp", "media_neardup", "media_dedup_clusters",
 ]
 
 

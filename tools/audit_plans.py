@@ -60,7 +60,8 @@ EXTRA = ["gopher_rules", "semantic_dedup", "min_cost_supplier",
          # r13: the real-decoder perceptual-hash roundtrip (Arrow map),
          # plus the exact-order-statistic reports whose SCALE NOTE below
          # names quantile_exact as the scalable twin
-         "media_phash", "media_audiofp", "percentile_disc", "approx_quantile"]
+         "media_phash", "media_audiofp", "media_dedup_clusters",
+         "percentile_disc", "approx_quantile"]
 
 #: Cost-ceiling notes for the eval/iterative harnesses (r12 verdict #7):
 #: one sentence each stating which FIXED iteration/sweep count dominates
