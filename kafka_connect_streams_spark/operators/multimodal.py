@@ -763,3 +763,199 @@ def media_neardup(df: DataFrame, payload_col: str = "payload",
                                bits=bits, bands=bands,
                                max_hamming=max_hamming,
                                max_bucket=max_bucket)
+
+
+#: video geometry: a YUV4MPEG2 (Y4M) container per the public
+#: yuv4mpeg(5) stream layout (mjpegtools) — an ASCII stream header
+#: ``YUV4MPEG2 W.. H.. F.. ..\n`` followed by ``FRAME\n``-delimited raw
+#: planar frames. Frames here are luma-only (``Cmono``), 16×16, so each
+#: frame body is exactly 256 bytes. Frame f of a document synthesizes
+#: its luma from md5 digests 48+16f .. 63+16f — the continuation of the
+#: SAME per-document digest stream whose 0..15 range feeds
+#: :func:`md5_luma_grid` (image) and 16..47 :func:`md5_pcm_samples`
+#: (audio): one stream, three modalities, so the DuckDB oracles share
+#: the synthesis spelling.
+VIDEO_FRAMES = 4
+VIDEO_DIGEST_BASE = 48
+
+
+def encode_y4m(frames: list[list[list[int]]], rate: str = "25:1") -> bytes:
+    """Minimal YUV4MPEG2 writer for luma-only (``Cmono``) video: every
+    frame is a row-matrix of 0..255 luma values, all the same size. The
+    container the tests and :func:`media_videofp_roundtrip` feed back
+    into :func:`decode_y4m`."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    height, width = len(frames[0]), len(frames[0][0])
+    out = [f"YUV4MPEG2 W{width} H{height} F{rate} Ip A1:1 Cmono\n"
+           .encode("ascii")]
+    for fr in frames:
+        if len(fr) != height or any(len(r) != width for r in fr):
+            raise ValueError("all frames must share one geometry")
+        out.append(b"FRAME\n")
+        out.append(bytes(v for row in fr for v in row))
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[list[list[int]]]]:
+    """Pure-stdlib YUV4MPEG2 decoder → (width, height, frames), each
+    frame a row-matrix of luma ints. Parses the tagged stream-header
+    parameters (W/H/F/I/A/C per the public spec; unknown X tags are
+    skipped), tolerates per-frame parameters after ``FRAME``, and
+    requires ``Cmono`` — chroma-subsampled streams (C420/C422/C444)
+    raise at this seam exactly like compressed audio does at
+    :func:`decode_wav`: a production pipeline plugs ffmpeg in here."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    colour = "420jpeg"  # the spec's default when no C tag is present
+    for tok in payload[:nl].decode("ascii").split()[1:]:
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "C":
+            colour = tok[1:]
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    if colour != "mono":
+        raise NotImplementedError(
+            f"only Cmono (luma-only) Y4M decodes natively; C{colour} "
+            "needs chroma handling via a real codec (ffmpeg seam)")
+    frames, pos, body = [], nl + 1, width * height
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        raw = payload[fnl + 1:fnl + 1 + body]
+        if len(raw) != body:
+            raise ValueError("truncated frame body")
+        frames.append([list(raw[r * width:(r + 1) * width])
+                       for r in range(height)])
+        pos = fnl + 1 + body
+    return width, height, frames
+
+
+def md5_video_lumas(text: str | None,
+                    n_frames: int = VIDEO_FRAMES) -> list[list[int]]:
+    """Deterministic synthetic video: frame f's flattened 16×16 luma
+    takes byte j from byte (j mod 16) of
+    ``md5(text || ':' || (48 + 16·f + j div 16))`` — the same
+    synthesizer family as :func:`md5_luma_grid`, shifted into the
+    video range of the document's digest stream."""
+    base = text if isinstance(text, str) else ""
+    out = []
+    for f in range(n_frames):
+        digs = [hashlib.md5(
+            f"{base}:{VIDEO_DIGEST_BASE + 16 * f + i}".encode()).hexdigest()
+            for i in range(PHASH_GRID)]
+        out.append([int(digs[j // 16][(j % 16) * 2:(j % 16) * 2 + 2], 16)
+                    for j in range(PHASH_GRID * PHASH_GRID)])
+    return out
+
+
+def media_videofp_roundtrip(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n_frames: int = VIDEO_FRAMES) -> DataFrame:
+    """The video leg of the real-container battery: synthesize each
+    document's frames (:func:`md5_video_lumas`), ENCODE one actual
+    YUV4MPEG2 container per document, DECODE it back
+    (:func:`decode_y4m` — the ffmpeg seam), and pHash every decoded
+    frame (the per-frame fingerprint a video near-dup keys on). Output
+    is one row per (doc, frame): ``doc_id, frame_idx, phash``.
+
+    The DuckDB oracle computes each frame's pHash over the md5 bytes
+    directly with NO container leg, so a driver hash match proves the
+    Y4M encode→decode is the identity on every frame's luma AND the DCT
+    arithmetic is engine-exact — the same proof structure as
+    media_phash/media_audiofp. Plan shape: Scan → Arrow-batched map
+    (zero joins); fan-out is the FIXED n_frames (bounded by the frame
+    sampler at ingest, never corpus-proportional), per-row cost a fixed
+    n_frames·(16 md5 + one 16×16 pHash) and the output 24 bytes/row.
+    Same conditional small-scan repartition as media_phash_roundtrip.
+    Ref parity: the reference has no media path (SURVEY §2
+    beyond-reference mandate); container per the public yuv4mpeg(5)
+    layout, pHash per Zauner's DCT-hash spec, integer-exact variant.
+    """
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("frame_idx", LongType()),
+                         StructField("phash", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = PHASH_GRID
+        for pdf in batches:
+            ids, fidx, grids = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                lumas = md5_video_lumas(text, n_frames)
+                y4m = encode_y4m(
+                    [[lum[i * n:(i + 1) * n] for i in range(n)]
+                     for lum in lumas])
+                w, h, decoded = decode_y4m(y4m)
+                for f, fr in enumerate(decoded):
+                    ids.append(int(doc_id))
+                    fidx.append(f)
+                    grids.append(box_luma_grid(fr, w, h))
+            hashes = phash64_batch(grids) if grids else []
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int64"),
+                "phash": pd.Series(hashes, dtype="int64")})
+
+    sel = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_text"))
+    # CPU-bound decode: spread small-file scans across the cluster. Only
+    # for batch inputs — a streaming micro-batch takes its parallelism
+    # from the source, and .rdd is not defined on a streaming frame
+    # (the op stays a stateless stream-transparent projection there)
+    if not sel.isStreaming:
+        target = sel.sparkSession.sparkContext.defaultParallelism
+        if sel.rdd.getNumPartitions() < target:
+            sel = sel.repartition(target)
+    return sel.mapInPandas(run, schema)
+
+
+def video_neardup(frames: DataFrame, id_col: str = "doc_id",
+                  frame_col: str = "frame_idx", fp_col: str = "phash",
+                  bands: int = 3, max_hamming: int = 2,
+                  min_frames: int = 2, max_bucket: int = 50,
+                  frame_capacity: int = 64) -> DataFrame:
+    """Video near-duplicate pairs from a per-frame fingerprint table
+    (the :func:`media_videofp_roundtrip` output shape): two videos are
+    near-dups when at least ``min_frames`` frame pairs — ANY index
+    combination, so temporal shifts and re-cuts still match — are
+    within ``max_hamming`` bits of each other. This is the standard
+    frame-fingerprint-voting video dedup, built entirely from the
+    repo's existing banded machinery: frames get a synthetic id
+    ``doc·frame_capacity + frame_idx`` and run through
+    :func:`fingerprint_neardup` (63-bit pHash, ``bands`` × 21-bit bands
+    — pigeonhole-lossless for ``max_hamming < bands``), then the frame
+    pairs collapse to document pairs with a partial-aggregatable count.
+
+    Scale shape: only the skinny (fid, phash, band, key) rows reach the
+    exchanges (localCheckpoint-pinned inside fingerprint_neardup, zero
+    re-derivations); the hot-bucket cap bounds degenerate frames (black
+    frames, test cards) before the self-join can go quadratic, AQE can
+    skew-split the bucket join, and the doc-pair vote is a plain
+    groupBy count — map-side combinable. ``frame_capacity`` must exceed
+    the per-video frame-sample count (it's a sampler bound, not a video
+    length: frame sampling at ingest fixes fan-out per video).
+    """
+    if frame_capacity <= 0:
+        raise ValueError("frame_capacity must be positive")
+    fid = frames.select(
+        (F.col(id_col) * frame_capacity + F.col(frame_col)).alias("_fid"),
+        F.col(fp_col).alias("_fp"))
+    pairs = fingerprint_neardup(fid, id_col="_fid", fp_col="_fp",
+                                bits=PHASH_BITS, bands=bands,
+                                max_hamming=max_hamming,
+                                max_bucket=max_bucket)
+    # _fid ordering equals doc ordering for cross-doc pairs, so id_a's
+    # doc < id_b's doc already: no least/greatest normalization needed
+    docs = pairs.select(
+        F.expr(f"id_a div {frame_capacity}").alias("id_a"),
+        F.expr(f"id_b div {frame_capacity}").alias("id_b"))
+    return (docs.filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_matched"))
+            .filter(F.col("n_matched") >= min_frames))

@@ -3628,6 +3628,44 @@ def q_media_audiofp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_audiofp_roundtrip(t["documents"], "text", "doc_id")
 
 
+def q_media_videofp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video leg of the real-container battery
+    (operators/multimodal.py media_videofp_roundtrip): each document's
+    four md5-derived 16×16 luma frames are ENCODED as an actual
+    YUV4MPEG2 container (the public yuv4mpeg(5) stream layout), DECODED
+    back by the repo's pure-stdlib Y4M parser (decode_y4m — the ffmpeg
+    seam made real), and every decoded frame is pHashed with the same
+    integer-exact DCT the image leg uses. One row per (doc, frame).
+    The oracle pHashes the md5 bytes directly with NO container leg, so
+    the driver hash match proves the Y4M encode→decode identity on
+    every frame AND the DCT arithmetic simultaneously. Arrow
+    mapInPandas, one scan, fixed n_frames fan-out per row."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        media_videofp_roundtrip)
+    t = load_tables(spark, sf_dir)
+    return media_videofp_roundtrip(t["documents"], "text", "doc_id")
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by frame-fingerprint voting
+    (operators/multimodal.py video_neardup over the
+    media_videofp_roundtrip frame table): two documents' videos pair
+    when ≥2 frame pairs — any index combination, so temporal shifts
+    still match — are within 2 bits of pHash Hamming distance. Frames
+    ride the existing banded machinery (fingerprint_neardup, 63-bit
+    hashes in 3×21-bit bands — pigeonhole-lossless for hamming ≤ 2,
+    hot-bucket cap, localCheckpoint-pinned skinny table) under a
+    synthetic doc·64+frame id, then collapse to doc pairs with a
+    map-side-combinable count. Completes the near-dup battery across
+    modalities: text (media_neardup), embeddings (embedding_neardup),
+    video (here)."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        media_videofp_roundtrip, video_neardup)
+    t = load_tables(spark, sf_dir)
+    frames = media_videofp_roundtrip(t["documents"], "text", "doc_id")
+    return video_neardup(frames)
+
+
 def q_block_dedup_minspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling exact-substring dedup with the Lee-et-al. minimum
     match length (operators/text.py block_dedup_rolling, min_span=16
@@ -4651,6 +4689,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash": q_media_phash,
     "media_audiofp": q_media_audiofp,
     "media_dedup_clusters": q_media_dedup_clusters,
+    "media_videofp": q_media_videofp,
+    "video_neardup": q_video_neardup,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4782,11 +4822,12 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 #: ROUND-13 WINDOW — the 50 names the driver hashes this round, per
-#: VERDICT r12 "Next round" #4 (slot arithmetic: 6 + 9 + 35 = 50):
+#: VERDICT r12 "Next round" #4 (slot arithmetic: 8 + 9 + 33 = 50):
 #: (a) every query whose code changed this round leads — media_phash
-#: media_audiofp and media_dedup_clusters (NEW: the real-container
-#: roundtrip perceptual/audio fingerprints and the media cluster
-#: resolution, never driver-checked),
+#: media_audiofp, media_dedup_clusters, media_videofp and video_neardup
+#: (NEW: the real-container roundtrip perceptual/audio/video
+#: fingerprints, the media cluster resolution, and the frame-voting
+#: video near-dup, never driver-checked),
 #: tfidf_topk (the DF hot-term window migrated to the
 #: partial-aggregatable groupBy+join — the r12 verdict's #1),
 #: media_neardup (banding/verify factored into fingerprint_neardup +
@@ -4796,13 +4837,16 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #: rows the r12 rotation ceded (asof_join, correlated_subquery,
 #: distinct, exists_subquery, having, multiway_join, percentile_disc,
 #: pivot, topn_per_group — after this round no latest row predates r09);
-#: (c) the first 37 of the 44 r09-cohort rows in registry order.
+#: (c) the first 33 of the 44 r09-cohort rows in registry order.
 #: mix_weights, global_index, lsh_tuning, copurchase_pairs,
-#: quantile_exact, kcore, rrf_fusion, hll_distinct and jl_projection
-#: cede their slots and lead the r14 window. All 50 locally hash-green via tools/check.py at sf0.01 AND
+#: quantile_exact, kcore, rrf_fusion, hll_distinct, jl_projection and —
+#: ceding to the two post-settlement video entries — embedding_neardup
+#: and embedding_dedup_clusters cede their slots and lead the r14
+#: window. All 50 locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
 _R13_WINDOW = [
     "media_phash", "media_audiofp", "media_dedup_clusters",
+    "media_videofp", "video_neardup",
     "tfidf_topk", "media_neardup",
     "ksql_functions", "asof_join", "correlated_subquery",
     "distinct", "exists_subquery", "having",
@@ -4818,7 +4862,7 @@ _R13_WINDOW = [
     "ann_recall", "skew_salted_agg", "stratified_sample",
     "pii_redaction", "histogram", "large_orders",
     "ann_auto_recall", "ann_topk_cosine", "ann_lsh_cosine",
-    "ann_ivf_cosine", "embedding_neardup", "embedding_dedup_clusters",
+    "ann_ivf_cosine",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
@@ -10486,30 +10530,12 @@ ORACLE: dict[str, str] = {
 ORACLE["block_dedup_fp"] = ORACLE["block_dedup"]
 
 
-def _media_phash_oracle() -> str:
-    """Generated in lockstep with the decode path: the binding chain
-    comes from multimodal.phash_duckdb_sql, which inlines the SAME
-    hardcoded PHASH_DCT_T integers multimodal.phash64 folds — one source
-    of truth for the DCT table. The oracle hashes the md5 luma bytes
-    DIRECTLY (no BMP container), so a driver match proves the Spark
-    side's encode_bmp_gray→decode_bmp leg is the identity on luma."""
-    from kafka_connect_streams_spark.operators.multimodal import (
-        phash_duckdb_sql)
-    lum = ("list_transform(generate_series(0, 255), j -> ('0x' || "
-           "substr(_digs[(j // 16) + 1], (j % 16) * 2 + 1, 2))::BIGINT)")
-    sql = ("WITH s0 AS (SELECT doc_id, "
-           "list_transform(generate_series(0, 15), "
-           "i -> md5(coalesce(text, '') || ':' || i)) AS _digs "
-           "FROM documents), "
-           f"s1 AS (SELECT doc_id, {lum} AS _lum FROM s0)")
-    prev = "s1"
-    for k, (name, expr) in enumerate(phash_duckdb_sql("_lum")):
-        sql += f", t{k} AS (SELECT *, {expr} AS {name} FROM {prev})"
-        prev = f"t{k}"
-    return sql + f" SELECT doc_id, phash FROM {prev}"
-
-
-ORACLE["media_phash"] = _media_phash_oracle()
+# media_phash's oracle hashes the md5 luma bytes DIRECTLY (no BMP
+# container), so a driver match proves the Spark side's
+# encode_bmp_gray→decode_bmp leg is the identity on luma. Registered
+# below (next to the video leg) on the RELATIONAL pHash spelling —
+# _phash_relational_sql — which is pinned bit-identical to the
+# multimodal.phash_duckdb_sql lambda chain by the media decode battery.
 
 # media cluster resolution: the media_neardup oracle (nested CTE) feeds
 # the same WITH RECURSIVE reach/min-label closure the embedding clusters
@@ -10567,4 +10593,97 @@ ORACLE["media_audiofp"] = """
              CASE WHEN _e[f + 1] > _e[f + 2] THEN (1::BIGINT << f)
                   ELSE 0::BIGINT END)) AS BIGINT) AS audiofp
     FROM e
+"""
+
+
+def _phash_relational_sql(n_frames: int, digest_base: int) -> str:
+    """RELATIONAL DuckDB pHash — the vectorized twin of the
+    phash_duckdb_sql lambda chain (same hardcoded PHASH_DCT_T integers,
+    same lower-median convention, pinned bit-identical by the media
+    decode battery). The lambda chain interprets ~16k list-lambda calls
+    per row (~100 ms/row measured); this spelling unnests luma to
+    (doc, frame, x, y) rows and runs the two DCT matmuls as
+    join+group-by over the 128-row DCT table — DuckDB's columnar
+    engine executes it ~100× faster, which is what keeps the video
+    oracle (4 frames/doc) inside the driver gate's budget. The lower
+    median of the 63 AC coefficients is the rn=32 row of a per-frame
+    sort — a 63-row bounded partition."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        PHASH_DCT_T)
+    tvals = ", ".join(f"({u}, {x}, {t})" for u, row in enumerate(PHASH_DCT_T)
+                      for x, t in enumerate(row))
+    frame_sel = ", frame_idx" if n_frames > 1 else ""
+    return f"""
+    WITH dt(u, x, t) AS (SELECT * FROM (VALUES {tvals})),
+    dig AS (
+      SELECT doc_id, CAST(fr.frame_idx AS BIGINT) AS frame_idx, i.i AS i,
+             md5(coalesce(text, '') || ':' ||
+                 ({digest_base} + 16 * fr.frame_idx + i.i)) AS dg
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, {n_frames - 1}))
+                  AS frame_idx) fr
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i),
+    lum AS (
+      SELECT doc_id, frame_idx, i AS x, b.b AS y,
+             ('0x' || substr(dg, b.b * 2 + 1, 2))::BIGINT AS lv
+      FROM dig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b),
+    m AS (
+      SELECT doc_id, frame_idx, dt.u, lum.y, sum(dt.t * lum.lv) AS mv
+      FROM lum JOIN dt ON dt.x = lum.x
+      GROUP BY doc_id, frame_idx, dt.u, lum.y),
+    d AS (
+      SELECT doc_id, frame_idx, m.u, dt.u AS v, sum(m.mv * dt.t) AS dv
+      FROM m JOIN dt ON dt.x = m.y
+      GROUP BY doc_id, frame_idx, m.u, dt.u),
+    ac AS (
+      SELECT doc_id, frame_idx, CAST(u * 8 + v - 1 AS BIGINT) AS i,
+             CAST(dv AS BIGINT) AS dv,
+             row_number() OVER (PARTITION BY doc_id, frame_idx
+                                ORDER BY dv, u, v) AS rn
+      FROM d WHERE NOT (u = 0 AND v = 0)),
+    med AS (SELECT doc_id, frame_idx, dv AS md FROM ac WHERE rn = 32)
+    SELECT ac.doc_id{frame_sel},
+           CAST(coalesce(sum(CASE WHEN ac.dv > med.md
+                                  THEN (1::BIGINT << ac.i) END), 0)
+                AS BIGINT) AS phash
+    FROM ac JOIN med USING (doc_id, frame_idx)
+    GROUP BY ac.doc_id, frame_idx
+    """
+
+
+#: the image leg re-registered on the relational spelling (same values,
+#: driver-gate cost ~100× lower); the lambda-chain spelling stays pinned
+#: bit-identical in tests/test_media_decode.py so the two forms can
+#: never drift
+ORACLE["media_phash"] = _phash_relational_sql(1, 0)
+
+ORACLE["media_videofp"] = _phash_relational_sql(4, 48)
+
+# video near-dup: the frame pHash table (the media_videofp oracle)
+# under the synthetic doc*64+frame id, the SAME 3×21-bit banding +
+# hot-bucket cap + exact bit_count verify the Spark side rides via
+# fingerprint_neardup, collapsed to doc pairs voting >= 2 frame matches
+ORACLE["video_neardup"] = f"""
+    WITH fr AS MATERIALIZED ({ORACLE["media_videofp"]}),
+    fid AS (SELECT doc_id, phash, doc_id * 64 + frame_idx AS fid
+            FROM fr),
+    banded AS (
+        SELECT f.fid, f.doc_id, f.phash, b.band,
+               (f.phash >> (b.band * 21)) & 2097151 AS band_key
+        FROM fid f CROSS JOIN
+             (SELECT unnest(generate_series(0, 2)) AS band) b),
+    ok AS (SELECT band, band_key FROM banded
+           GROUP BY band, band_key HAVING count(*) <= 50),
+    kept AS (SELECT banded.* FROM banded JOIN ok USING (band, band_key)),
+    pairs AS (
+        SELECT DISTINCT a.fid AS fa_id, b.fid AS fb_id,
+               a.doc_id AS da, b.doc_id AS db,
+               a.phash AS fa, b.phash AS fb
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.fid < b.fid),
+    m AS (SELECT da AS id_a, db AS id_b FROM pairs
+          WHERE da <> db AND bit_count(xor(fa, fb)) <= 2)
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched
+    FROM m GROUP BY id_a, id_b HAVING count(*) >= 2
 """

@@ -364,7 +364,8 @@ def test_media_roundtrips_are_stream_transparent(spark, tmp_path):
     small-file repartition branch is batch-only: a streaming micro-batch
     takes its parallelism from the source.)"""
     from kafka_connect_streams_spark.operators.multimodal import (
-        media_audiofp_roundtrip, media_phash_roundtrip)
+        media_audiofp_roundtrip, media_phash_roundtrip,
+        media_videofp_roundtrip)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     src = tmp_path / "in"
     src.mkdir()
@@ -374,7 +375,8 @@ def test_media_roundtrips_are_stream_transparent(spark, tmp_path):
                       "source string, n_chars long")
               .option("recursiveFileLookup", "true")
               .parquet(str(src)))
-    for i, op in enumerate([media_phash_roundtrip, media_audiofp_roundtrip]):
+    for i, op in enumerate([media_phash_roundtrip, media_audiofp_roundtrip,
+                        media_videofp_roundtrip]):
         batch = {tuple(r) for r in op(docs, "text", "doc_id").collect()}
         name = f"media_stp{i}"
         q = (op(stream, "text", "doc_id")
@@ -406,3 +408,142 @@ def test_media_neardup_unchanged_by_banding_refactor(spark):
     assert got == [(1, 2, 0)]
     with pytest.raises(ValueError):
         media_neardup(df, "payload", "doc_id", bits=48, bands=5)
+
+
+# ---------------------------------------------------------------- Y4M
+
+def _frames(*seeds: str) -> list[list[list[int]]]:
+    return [_grid(s) for s in seeds]
+
+
+def test_y4m_roundtrip_is_identity():
+    from kafka_connect_streams_spark.operators.multimodal import (
+        decode_y4m, encode_y4m)
+    fr = _frames("v-f0", "v-f1", "v-f2", "v-f3")
+    w, h, dec = decode_y4m(encode_y4m(fr))
+    assert (w, h) == (PHASH_GRID, PHASH_GRID)
+    assert dec == fr  # frame order AND every luma byte preserved
+
+
+def test_y4m_header_variants_parse():
+    """Unknown X metadata tags are skipped and per-frame parameters
+    after FRAME are tolerated, per the public yuv4mpeg(5) layout."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        decode_y4m)
+    fr = _grid("v-hdr")
+    body = bytes(v for row in fr for v in row)
+    payload = (b"YUV4MPEG2 W16 H16 F30000:1001 It A1:1 Cmono Xfoo=bar\n"
+               + b"FRAME Ip\n" + body)
+    w, h, dec = decode_y4m(payload)
+    assert (w, h) == (16, 16) and dec == [fr]
+
+
+def test_y4m_rejects_chroma_and_malformed():
+    from kafka_connect_streams_spark.operators.multimodal import (
+        decode_y4m, encode_y4m)
+    fr = _grid("v-bad")
+    body = bytes(v for row in fr for v in row)
+    # chroma-subsampled streams are the ffmpeg seam, like compressed WAV
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W16 H16 F25:1 C420\n" + b"FRAME\n" + body)
+    # the spec default (no C tag) is 420jpeg — also the seam
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W16 H16 F25:1\n" + b"FRAME\n" + body)
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF not a y4m")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 F25:1 Cmono\n")  # missing W/H
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W16 H16 Cmono\n" + b"FRAME\n"
+                   + body[:100])  # truncated frame body
+    with pytest.raises(ValueError):
+        encode_y4m([_grid("a"), _grid("b", w=8, h=8)])  # mixed geometry
+    with pytest.raises(ValueError):
+        encode_y4m([])
+
+
+def test_md5_video_lumas_extend_the_digest_stream():
+    """Frame f of document d reads digests 48+16f..63+16f of the SAME
+    per-document stream the image (0..15) and audio (16..47) legs read
+    — pinned against a direct md5 spelling so the three oracles can
+    never drift apart; NULL text synthesizes as the empty string."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        md5_video_lumas)
+    lums = md5_video_lumas("hello world")
+    assert len(lums) == 4 and all(len(l) == 256 for l in lums)
+    for f in (0, 3):
+        dig = hashlib.md5(f"hello world:{48 + 16 * f}".encode()).hexdigest()
+        assert lums[f][:16] == [int(dig[j * 2:j * 2 + 2], 16)
+                                for j in range(16)]
+    assert lums[0] != md5_luma_grid("hello world")  # disjoint ranges
+    assert md5_video_lumas(None) == md5_video_lumas("")
+
+
+def test_media_videofp_container_identity(spark):
+    """The operator's Y4M encode→decode→pHash equals pHashing the
+    synthesized luma directly — the container leg is the identity —
+    and NULL text flows through the same empty-string convention."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        md5_video_lumas, media_videofp_roundtrip)
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "the quick brown fox")],
+        "doc_id bigint, text string")
+    got = {(r.doc_id, r.frame_idx): r.phash
+           for r in media_videofp_roundtrip(docs, "text", "doc_id")
+           .collect()}
+    assert len(got) == 12
+    for doc_id, text in [(1, "hello world"), (2, None), (3, "the quick"
+                                                            " brown fox")]:
+        for f, lum in enumerate(md5_video_lumas(text)):
+            assert got[(doc_id, f)] == phash64(lum), (doc_id, f)
+
+
+def test_media_videofp_matches_duckdb_oracle():
+    """The registered video oracle (no container leg) is bit-identical
+    to the Python path on a planted corpus — the same lockstep pin
+    test_phash_matches_duckdb_oracle_chain gives the image leg."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        md5_video_lumas)
+    from kafka_connect_streams_spark.queries import ORACLE
+    texts = ["hello world", "", "hello world", "ünïcode ok"]
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select * from (values "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)")
+    got = {(r[0], r[1]): r[2]
+           for r in con.sql(ORACLE["media_videofp"]).fetchall()}
+    assert len(got) == 16
+    for i, t in enumerate(texts):
+        for f, lum in enumerate(md5_video_lumas(t)):
+            assert got[(i, f)] == phash64(lum), (i, f)
+
+
+def test_video_neardup_votes_frame_matches(spark):
+    """Doc pairs need >= min_frames frame pairs within max_hamming bits:
+    exact duplicates match on all 4 frames; a 2-frame overlap passes at
+    min_frames=2; a single-frame overlap does not; a frame 3 bits away
+    fails the exact verify even when banding surfaces it."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        video_neardup)
+    base = [int.from_bytes(hashlib.md5(f"fp{k}".encode()).digest()[:8],
+                           "big") >> 1 for k in range(8)]
+    rows = []
+    rows += [(1, f, base[f]) for f in range(4)]
+    rows += [(2, f, base[f]) for f in range(4)]          # exact dup of 1
+    rows += [(3, 0, base[0]), (3, 1, base[1]),
+             (3, 2, base[6]), (3, 3, base[7])]           # 2-frame overlap
+    rows += [(4, 0, base[0]), (4, 1, base[4]),
+             (4, 2, base[5]), (4, 3, base[3] ^ 0b111)]   # 1 exact + 1 far
+    frames = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx bigint, phash bigint")
+    got = sorted((r.id_a, r.id_b, r.n_matched)
+                 for r in video_neardup(frames).collect())
+    assert got == [(1, 2, 4), (1, 3, 2), (2, 3, 2)]
+    # temporal shift: the same hash at DIFFERENT indices still matches
+    sh = spark.createDataFrame(
+        [(1, 0, base[0]), (1, 1, base[1]),
+         (2, 2, base[0]), (2, 3, base[1])],
+        "doc_id bigint, frame_idx bigint, phash bigint")
+    assert [(r.id_a, r.id_b, r.n_matched)
+            for r in video_neardup(sh).collect()] == [(1, 2, 2)]

@@ -967,6 +967,44 @@ def test_media_neardup_fingerprints_in_row_no_cartesian(spark, sf_dir):
     assert has_partial_aggregate(df), plan
 
 
+def test_media_videofp_is_map_only(spark, sf_dir):
+    """The video roundtrip is Scan → (small-scan round-robin
+    repartition) → one Arrow map: zero joins, zero Generates (the
+    n_frames fan-out happens inside the Arrow batch, never as a
+    corpus-side explode), one parquet scan, and the only admissible
+    exchange is the batch-only RoundRobin spread — no content-keyed
+    hash shuffle exists in the plan."""
+    import re
+    df = Q.QUERIES["media_videofp"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_video_neardup_banding_is_pinned_and_skinny(spark, sf_dir):
+    """video_neardup rides fingerprint_neardup over the frame-hash
+    table: the banded (fid, fp, band, key) table is localCheckpoint-
+    pinned, so the FINAL plan re-runs neither the parquet scan nor the
+    Arrow decode (zero Scan parquet, zero Generates — the decode and
+    band explode ran once in the materialization job); the candidate
+    stage is the banded equi-join (no cartesian/nested-loop), every
+    exchange is keyed on band/key/fid/doc ids, and the doc-pair vote is
+    a partial-aggregatable count."""
+    import re
+    df = Q.QUERIES["video_neardup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "payload" not in part and "_text" not in part, part
+    assert has_partial_aggregate(df), plan
+
+
 #: content-derived column families: a window partitioned by one of these
 #: holds corpus-proportional rows under a hot key (a stopword term, a
 #: boilerplate fingerprint, a shared shingle), so it must either carry

@@ -61,7 +61,10 @@ EXTRA = ["gopher_rules", "semantic_dedup", "min_cost_supplier",
          # plus the exact-order-statistic reports whose SCALE NOTE below
          # names quantile_exact as the scalable twin
          "media_phash", "media_audiofp", "media_dedup_clusters",
-         "percentile_disc", "approx_quantile"]
+         "percentile_disc", "approx_quantile",
+         # r13 video leg: the Y4M roundtrip (Arrow map) and the
+         # frame-voting near-dup (banded machinery + doc-pair vote)
+         "media_videofp", "video_neardup"]
 
 #: Cost-ceiling notes for the eval/iterative harnesses (r12 verdict #7):
 #: one sentence each stating which FIXED iteration/sweep count dominates
