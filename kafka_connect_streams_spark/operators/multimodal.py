@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -959,3 +959,36 @@ def video_neardup(frames: DataFrame, id_col: str = "doc_id",
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_matched"))
             .filter(F.col("n_matched") >= min_frames))
+
+
+def video_scene_cuts(frames: DataFrame, id_col: str = "doc_id",
+                     frame_col: str = "frame_idx", fp_col: str = "phash",
+                     cut_threshold: int = 16) -> DataFrame:
+    """Scene-change detection over a per-frame fingerprint table (the
+    :func:`media_videofp_roundtrip` output shape): a cut is a frame
+    whose pHash sits ``cut_threshold`` or more bits from its
+    predecessor — the standard fingerprint-delta segmentation a frame
+    sampler uses to pick one representative frame per scene instead of
+    every k-th frame. Output: one row per frame with the Hamming
+    distance to the previous frame (NULL on each video's first frame)
+    and the cut flag.
+
+    Scale shape: ONE ordered window partitioned by the video id — a
+    bounded fan-in key (the sampler fixes frames-per-video at ingest;
+    never corpus-proportional), so the lag window is skew-safe by
+    construction; the Hamming delta is an in-row bit_count. Only
+    (id, frame, fp) rows reach the exchange."""
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    prev = F.lag(F.col(fp_col)).over(w)
+    ham = F.when(
+        prev.isNotNull(),
+        F.expr(f"cast(bit_count({fp_col} ^ _prev_fp) as bigint)"))
+    return (frames
+            .withColumn("_prev_fp", prev)
+            .withColumn("ham_prev", ham)
+            .withColumn(
+                "is_cut",
+                F.coalesce(F.col("ham_prev") >= cut_threshold,
+                           F.lit(False)))
+            .select(F.col(id_col), F.col(frame_col),
+                    F.col(fp_col), "ham_prev", "is_cut"))

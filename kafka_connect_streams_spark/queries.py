@@ -3666,6 +3666,21 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_neardup(frames)
 
 
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the per-frame pHash table
+    (operators/multimodal.py video_scene_cuts over
+    media_videofp_roundtrip): a cut is a frame >= 16 pHash bits from
+    its predecessor — the fingerprint-delta segmentation a frame
+    sampler uses to keep one frame per scene. One ordered lag window
+    partitioned by the video id (bounded fan-in: the sampler fixes
+    frames-per-video), Hamming delta in-row."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        media_videofp_roundtrip, video_scene_cuts)
+    t = load_tables(spark, sf_dir)
+    frames = media_videofp_roundtrip(t["documents"], "text", "doc_id")
+    return video_scene_cuts(frames)
+
+
 def q_block_dedup_minspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling exact-substring dedup with the Lee-et-al. minimum
     match length (operators/text.py block_dedup_rolling, min_span=16
@@ -4691,6 +4706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_dedup_clusters": q_media_dedup_clusters,
     "media_videofp": q_media_videofp,
     "video_neardup": q_video_neardup,
+    "video_scene_cuts": q_video_scene_cuts,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4822,12 +4838,13 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 #: ROUND-13 WINDOW — the 50 names the driver hashes this round, per
-#: VERDICT r12 "Next round" #4 (slot arithmetic: 8 + 9 + 33 = 50):
+#: VERDICT r12 "Next round" #4 (slot arithmetic: 9 + 9 + 32 = 50):
 #: (a) every query whose code changed this round leads — media_phash
-#: media_audiofp, media_dedup_clusters, media_videofp and video_neardup
-#: (NEW: the real-container roundtrip perceptual/audio/video
-#: fingerprints, the media cluster resolution, and the frame-voting
-#: video near-dup, never driver-checked),
+#: media_audiofp, media_dedup_clusters, media_videofp, video_neardup
+#: and video_scene_cuts (NEW: the real-container roundtrip
+#: perceptual/audio/video fingerprints, the media cluster resolution,
+#: the frame-voting video near-dup and the fingerprint-delta scene
+#: segmentation, never driver-checked),
 #: tfidf_topk (the DF hot-term window migrated to the
 #: partial-aggregatable groupBy+join — the r12 verdict's #1),
 #: media_neardup (banding/verify factored into fingerprint_neardup +
@@ -4837,16 +4854,16 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #: rows the r12 rotation ceded (asof_join, correlated_subquery,
 #: distinct, exists_subquery, having, multiway_join, percentile_disc,
 #: pivot, topn_per_group — after this round no latest row predates r09);
-#: (c) the first 33 of the 44 r09-cohort rows in registry order.
+#: (c) the first 32 of the 44 r09-cohort rows in registry order.
 #: mix_weights, global_index, lsh_tuning, copurchase_pairs,
 #: quantile_exact, kcore, rrf_fusion, hll_distinct, jl_projection and —
-#: ceding to the two post-settlement video entries — embedding_neardup
-#: and embedding_dedup_clusters cede their slots and lead the r14
-#: window. All 50 locally hash-green via tools/check.py at sf0.01 AND
+#: ceding to the three post-settlement video entries — ann_ivf_cosine,
+#: embedding_neardup and embedding_dedup_clusters cede their slots and
+#: lead the r14 window. All 50 locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
 _R13_WINDOW = [
     "media_phash", "media_audiofp", "media_dedup_clusters",
-    "media_videofp", "video_neardup",
+    "media_videofp", "video_neardup", "video_scene_cuts",
     "tfidf_topk", "media_neardup",
     "ksql_functions", "asof_join", "correlated_subquery",
     "distinct", "exists_subquery", "having",
@@ -4862,7 +4879,6 @@ _R13_WINDOW = [
     "ann_recall", "skew_salted_agg", "stratified_sample",
     "pii_redaction", "histogram", "large_orders",
     "ann_auto_recall", "ann_topk_cosine", "ann_lsh_cosine",
-    "ann_ivf_cosine",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
@@ -10658,6 +10674,20 @@ def _phash_relational_sql(n_frames: int, digest_base: int) -> str:
 ORACLE["media_phash"] = _phash_relational_sql(1, 0)
 
 ORACLE["media_videofp"] = _phash_relational_sql(4, 48)
+
+# scene cuts: lag window over the frame pHash table; the first frame of
+# each video has no predecessor (NULL ham_prev, never a cut)
+ORACLE["video_scene_cuts"] = f"""
+    WITH fr AS ({ORACLE["media_videofp"]}),
+    d AS (SELECT doc_id, frame_idx, phash,
+                 lag(phash) OVER (PARTITION BY doc_id
+                                  ORDER BY frame_idx) AS pf
+          FROM fr)
+    SELECT doc_id, frame_idx, phash,
+           CAST(bit_count(xor(phash, pf)) AS BIGINT) AS ham_prev,
+           coalesce(bit_count(xor(phash, pf)) >= 16, false) AS is_cut
+    FROM d
+"""
 
 # video near-dup: the frame pHash table (the media_videofp oracle)
 # under the synthetic doc*64+frame id, the SAME 3×21-bit banding +

@@ -547,3 +547,21 @@ def test_video_neardup_votes_frame_matches(spark):
         "doc_id bigint, frame_idx bigint, phash bigint")
     assert [(r.id_a, r.id_b, r.n_matched)
             for r in video_neardup(sh).collect()] == [(1, 2, 2)]
+
+
+def test_video_scene_cuts_lag_semantics(spark):
+    """Cut = frame >= threshold bits from its predecessor; each video's
+    first frame has NULL ham_prev and is never a cut; videos do not
+    leak into each other's windows."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        video_scene_cuts)
+    rows = [(1, 0, 0b1111), (1, 1, 0b1110), (1, 2, 0b11110000),
+            (2, 0, 0b11110000)]
+    frames = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx bigint, phash bigint")
+    got = {(r.doc_id, r.frame_idx): (r.ham_prev, r.is_cut)
+           for r in video_scene_cuts(frames, cut_threshold=4).collect()}
+    assert got[(1, 0)] == (None, False)
+    assert got[(1, 1)] == (1, False)
+    assert got[(1, 2)] == (7, True)      # 0b1110 ^ 0b11110000: 7 bits
+    assert got[(2, 0)] == (None, False)  # doc 2 sees no doc-1 frames

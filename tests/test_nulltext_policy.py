@@ -37,7 +37,7 @@ TEXT_QUERIES = [
     # r13: the real-decoder roundtrips — NULL text must synthesize the
     # empty-string digest stream identically on both engines
     "media_phash", "media_audiofp", "media_neardup", "media_dedup_clusters",
-    "media_videofp", "video_neardup",
+    "media_videofp", "video_neardup", "video_scene_cuts",
 ]
 
 

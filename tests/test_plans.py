@@ -160,7 +160,8 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     k-bounded streaming state Spark SQL cannot express as an
     aggregate. Everything else must stay JVM-side."""
     arrow_ok = {"multimodal_decode", "frame_sampling", "audio_segments",
-                "media_phash", "media_audiofp",
+                "media_phash", "media_audiofp", "media_videofp",
+                "video_scene_cuts",
                 "heavy_hitters", "kmv_set_ops", "skyline"}
     offenders = []
     for name, fn in Q.QUERIES.items():
