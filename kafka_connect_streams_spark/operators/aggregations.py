@@ -92,3 +92,77 @@ def session(df: DataFrame, ts_col: str, gap: str, *keys: str,
               .agg(*aggs)
               .withColumn("session_start", F.col("session_window.start"))
               .drop("session_window"))
+
+
+def k_anonymize(df: DataFrame, id_col: str, qi_cols: list[str],
+                coarse_n: int, k: int = 5) -> DataFrame:
+    """k-anonymity by two-level local recoding (Sweeney's model, public
+    knowledge): every released row must share its quasi-identifier (QI)
+    combination with at least ``k-1`` others. Level 0 keeps all
+    ``qi_cols``; rows whose full-QI group is smaller than ``k`` are
+    generalized to level 1 (only the first ``coarse_n`` QI columns
+    kept, the rest released as ``'*'``) and re-counted AMONG the
+    generalized rows; rows still under ``k`` are fully suppressed
+    (level 2, every QI ``'*'`` — one global group, trivially
+    anonymous). Output: the id, every QI as a string (possibly
+    ``'*'``), the anonymity level, and the size of the group the row
+    is released in.
+
+    The release-group property this guarantees (and the tests pin):
+    every (level, released-QI) group in the OUTPUT has size ≥ k or is
+    the level-2 remainder group. Scale shape: two partial-aggregatable
+    groupBy counts over the QI columns (count tables bounded by the
+    number of QI combinations, not corpus size), joined back on the
+    same keys — AQE-skew-splittable; the level-2 size is one scalar
+    broadcast. Deterministic: a pure function of the data, no
+    sampling, no tie-breaks needed."""
+    if not 0 < coarse_n < len(qi_cols):
+        raise ValueError("coarse_n must keep a strict prefix of qi_cols")
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c).cast("string").alias(c) for c in qi_cols])
+    full, coarse = list(qi_cols), list(qi_cols[:coarse_n])
+    g0 = base.groupBy(*full).agg(F.count("*").alias("_n0"))
+    j0 = base.join(g0, full)
+    lvl0 = (j0.filter(F.col("_n0") >= k)
+            .select(id_col, *full,
+                    F.lit(0).cast("bigint").alias("anon_level"),
+                    F.col("_n0").alias("group_size")))
+    rest = j0.filter(F.col("_n0") < k).drop("_n0")
+    g1 = rest.groupBy(*coarse).agg(F.count("*").alias("_n1"))
+    j1 = rest.join(g1, coarse)
+    star = [F.lit("*").alias(c) for c in qi_cols[coarse_n:]]
+    lvl1 = (j1.filter(F.col("_n1") >= k)
+            .select(id_col, *coarse, *star,
+                    F.lit(1).cast("bigint").alias("anon_level"),
+                    F.col("_n1").alias("group_size")))
+    rest2 = j1.filter(F.col("_n1") < k).select(id_col)
+    n2 = rest2.groupBy().agg(F.count("*").alias("group_size"))
+    lvl2 = (rest2.crossJoin(F.broadcast(n2))  # one scalar row
+            .select(id_col,
+                    *[F.lit("*").alias(c) for c in qi_cols],
+                    F.lit(2).cast("bigint").alias("anon_level"),
+                    "group_size"))
+    return lvl0.unionByName(lvl1).unionByName(lvl2)
+
+
+def l_diversity_report(df: DataFrame, id_col: str, qi_cols: list[str],
+                       sensitive_col: str, coarse_n: int, k: int = 5,
+                       l_threshold: int = 3) -> DataFrame:
+    """l-diversity audit of a :func:`k_anonymize` release
+    (Machanavajjhala et al., public knowledge): k-anonymity alone
+    fails when everyone in a released group shares the SAME sensitive
+    value (the homogeneity attack) — an attacker who locates the group
+    learns the secret without identifying the row. This reports, per
+    released (level, QI) group, the count of DISTINCT sensitive values
+    and whether it meets ``l_threshold``. Scale shape: the release's
+    joins plus one join back on the row id and one partial-aggregatable
+    group count — distinct-count runs as the standard two-phase
+    (group, value) expansion, never a driver collect."""
+    rel = k_anonymize(df, id_col, qi_cols, coarse_n, k)
+    joined = rel.join(df.select(id_col, sensitive_col), id_col)
+    return (joined.groupBy("anon_level", *qi_cols)
+            .agg(F.count("*").alias("group_size"),
+                 F.countDistinct(sensitive_col).alias("n_sensitive"),
+                 (F.countDistinct(sensitive_col) >= l_threshold)
+                 .alias("l_diverse")))

@@ -1374,6 +1374,48 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                         r"\b(key|value|secret)\b")
 
 
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release over the customer table
+    (operators/aggregations.py k_anonymize): quasi-identifiers
+    (mktsegment, nationkey, acctbal bucket), k=5, two-level local
+    recoding — full-QI groups ≥ 5 release as-is (level 0), smaller
+    groups generalize nation+balance to '*' and re-count among the
+    generalized rows (level 1), the remainder is fully suppressed
+    (level 2). The privacy-release twin of pii_redaction: that op
+    scrubs PII inside free text, this one bounds re-identification
+    risk of the structured columns. Two partial-aggregatable counts +
+    AQE-splittable joins; count tables bounded by QI cardinality."""
+    from kafka_connect_streams_spark.operators.aggregations import (
+        k_anonymize)
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        .alias("bal_bucket"))
+    return k_anonymize(c, "c_custkey",
+                       ["c_mktsegment", "c_nationkey", "bal_bucket"],
+                       coarse_n=1, k=5)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the k_anonymize release
+    (operators/aggregations.py l_diversity_report): per released
+    (level, QI) group, the distinct count of the sensitive attribute
+    (account balance) and the l>=3 flag — the homogeneity-attack check
+    k-anonymity alone misses. One join back on the row id plus one
+    two-phase distinct-count aggregate."""
+    from kafka_connect_streams_spark.operators.aggregations import (
+        l_diversity_report)
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        .alias("bal_bucket"))
+    return l_diversity_report(
+        c, "c_custkey", ["c_mktsegment", "c_nationkey", "bal_bucket"],
+        "c_acctbal", coarse_n=1, k=5, l_threshold=3)
+
+
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 bigrams — vocabulary building for tokenizer
     training; pairs are formed inside the token array, not via a self-join
@@ -4707,6 +4749,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_videofp": q_media_videofp,
     "video_neardup": q_video_neardup,
     "video_scene_cuts": q_video_scene_cuts,
+    "k_anonymize": q_k_anonymize,
+    "l_diversity": q_l_diversity,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4838,13 +4882,14 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 #: ROUND-13 WINDOW — the 50 names the driver hashes this round, per
-#: VERDICT r12 "Next round" #4 (slot arithmetic: 9 + 9 + 32 = 50):
+#: VERDICT r12 "Next round" #4 (slot arithmetic: 11 + 9 + 30 = 50):
 #: (a) every query whose code changed this round leads — media_phash
 #: media_audiofp, media_dedup_clusters, media_videofp, video_neardup
-#: and video_scene_cuts (NEW: the real-container roundtrip
-#: perceptual/audio/video fingerprints, the media cluster resolution,
-#: the frame-voting video near-dup and the fingerprint-delta scene
-#: segmentation, never driver-checked),
+#: video_scene_cuts, k_anonymize and l_diversity (NEW: the
+#: real-container roundtrip perceptual/audio/video fingerprints, the
+#: media cluster resolution, the frame-voting video near-dup, the
+#: fingerprint-delta scene segmentation, the k-anonymity release and
+#: its l-diversity audit, never driver-checked),
 #: tfidf_topk (the DF hot-term window migrated to the
 #: partial-aggregatable groupBy+join — the r12 verdict's #1),
 #: media_neardup (banding/verify factored into fingerprint_neardup +
@@ -4854,16 +4899,17 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #: rows the r12 rotation ceded (asof_join, correlated_subquery,
 #: distinct, exists_subquery, having, multiway_join, percentile_disc,
 #: pivot, topn_per_group — after this round no latest row predates r09);
-#: (c) the first 32 of the 44 r09-cohort rows in registry order.
+#: (c) the first 30 of the 44 r09-cohort rows in registry order.
 #: mix_weights, global_index, lsh_tuning, copurchase_pairs,
 #: quantile_exact, kcore, rrf_fusion, hll_distinct, jl_projection and —
-#: ceding to the three post-settlement video entries — ann_ivf_cosine,
-#: embedding_neardup and embedding_dedup_clusters cede their slots and
-#: lead the r14 window. All 50 locally hash-green via tools/check.py at sf0.01 AND
+#: ceding to the five post-settlement entries — ann_topk_cosine,
+#: ann_lsh_cosine, ann_ivf_cosine, embedding_neardup and
+#: embedding_dedup_clusters cede their slots and lead the r14 window. All 50 locally hash-green via tools/check.py at sf0.01 AND
 #: sf0.1 before commit; the driver row is the bar.
 _R13_WINDOW = [
     "media_phash", "media_audiofp", "media_dedup_clusters",
     "media_videofp", "video_neardup", "video_scene_cuts",
+    "k_anonymize", "l_diversity",
     "tfidf_topk", "media_neardup",
     "ksql_functions", "asof_join", "correlated_subquery",
     "distinct", "exists_subquery", "having",
@@ -4878,7 +4924,7 @@ _R13_WINDOW = [
     "returned_items", "disjunctive_predicates", "idle_customers",
     "ann_recall", "skew_salted_agg", "stratified_sample",
     "pii_redaction", "histogram", "large_orders",
-    "ann_auto_recall", "ann_topk_cosine", "ann_lsh_cosine",
+    "ann_auto_recall",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
@@ -10674,6 +10720,60 @@ def _phash_relational_sql(n_frames: int, digest_base: int) -> str:
 ORACLE["media_phash"] = _phash_relational_sql(1, 0)
 
 ORACLE["media_videofp"] = _phash_relational_sql(4, 48)
+
+# k-anonymity: the same two-level local recoding in SQL — full-QI
+# counts, the < k remainder re-counted on the coarse QI, the rest a
+# single suppressed group
+ORACLE["k_anonymize"] = """
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+             CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+             CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+               AS bal_bucket
+      FROM customer),
+    g0 AS (SELECT c_mktsegment, c_nationkey, bal_bucket,
+                  count(*) AS n0
+           FROM base GROUP BY 1, 2, 3),
+    j0 AS (SELECT b.*, g0.n0 FROM base b
+           JOIN g0 USING (c_mktsegment, c_nationkey, bal_bucket)),
+    lvl0 AS (SELECT c_custkey, c_mktsegment, c_nationkey, bal_bucket,
+                    CAST(0 AS BIGINT) AS anon_level,
+                    CAST(n0 AS BIGINT) AS group_size
+             FROM j0 WHERE n0 >= 5),
+    rest AS (SELECT c_custkey, c_mktsegment FROM j0 WHERE n0 < 5),
+    g1 AS (SELECT c_mktsegment, count(*) AS n1 FROM rest GROUP BY 1),
+    j1 AS (SELECT r.*, g1.n1 FROM rest r JOIN g1 USING (c_mktsegment)),
+    lvl1 AS (SELECT c_custkey, c_mktsegment,
+                    '*' AS c_nationkey, '*' AS bal_bucket,
+                    CAST(1 AS BIGINT) AS anon_level,
+                    CAST(n1 AS BIGINT) AS group_size
+             FROM j1 WHERE n1 >= 5),
+    rest2 AS (SELECT c_custkey FROM j1 WHERE n1 < 5),
+    n2 AS (SELECT count(*) AS gs FROM rest2)
+    SELECT * FROM lvl0
+    UNION ALL SELECT * FROM lvl1
+    UNION ALL
+    SELECT c_custkey, '*' AS c_mktsegment, '*' AS c_nationkey,
+           '*' AS bal_bucket, CAST(2 AS BIGINT) AS anon_level,
+           CAST(gs AS BIGINT) AS group_size
+    FROM rest2 CROSS JOIN n2
+"""
+
+# l-diversity: the k-anonymity release (nested, MATERIALIZED — two
+# consumers below) joined back on the row id, distinct sensitive values
+# per released group
+ORACLE["l_diversity"] = f"""
+    WITH rel AS MATERIALIZED ({ORACLE["k_anonymize"]}),
+    j AS (SELECT rel.anon_level, rel.c_mktsegment, rel.c_nationkey,
+                 rel.bal_bucket, c.c_acctbal
+          FROM rel JOIN customer c USING (c_custkey))
+    SELECT anon_level, c_mktsegment, c_nationkey, bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+           count(DISTINCT c_acctbal) >= 3 AS l_diverse
+    FROM j GROUP BY 1, 2, 3, 4
+"""
 
 # scene cuts: lag window over the frame pHash table; the first frame of
 # each video has no predecessor (NULL ham_prev, never a cut)

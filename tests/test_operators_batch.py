@@ -627,7 +627,11 @@ class TestPartitioningInvariance:
                   "block_dedup", "block_dedup_minspan", "media_neardup",
                   # r13: the DF-window→groupBy+join migration and the
                   # Arrow decode path (conditional repartition branch)
-                  "tfidf_topk", "media_phash"]
+                  "tfidf_topk", "media_phash",
+                  # r13 video batch: the per-frame Arrow decode fan-out,
+                  # the synthetic-id banding collapse, and the per-video
+                  # lag window
+                  "media_videofp", "video_neardup", "video_scene_cuts"]
         results = {}
         for width in ("5", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", width)
@@ -778,7 +782,10 @@ class TestAqeInvariance:
                   # benefit — prove the re-plan never changes results
                   "block_dedup", "block_dedup_rolling", "media_neardup",
                   # r13: the migrated DF join is the AQE-skew-split target
-                  "tfidf_topk"]
+                  "tfidf_topk",
+                  # r13 video batch: the banded frame join is the other
+                  # AQE-skew-split target (hot frame buckets)
+                  "video_neardup"]
         results = {}
         for aqe in ("false", "true"):
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -2701,3 +2708,78 @@ def test_zero_norm_prototype_scores_cos_zero(spark, tmp_path):
     # zero-norm members score 0 against BOTH prototypes -> tie -> the
     # lowest label wins the argmax for label-0 members
     assert noise[(0, 0)] == 2 and noise[(1, 1)] == 2, noise
+
+
+class TestKAnonymize:
+    def test_release_groups_meet_k(self, spark, sf_dir):
+        """The anonymity property itself, on real data: every released
+        (level, QI) group has >= k members, except the level-2
+        remainder which is a single fully-suppressed group; levels
+        partition the input ids exactly."""
+        from kafka_connect_streams_spark import queries as Q
+        out = Q.QUERIES["k_anonymize"](spark, sf_dir).collect()
+        n_in = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+        assert len(out) == n_in
+        assert len({r.c_custkey for r in out}) == n_in
+        from collections import Counter
+        groups = Counter(
+            (r.anon_level, r.c_mktsegment, r.c_nationkey, r.bal_bucket)
+            for r in out)
+        for (lvl, *qi), n in groups.items():
+            if lvl == 2:
+                assert qi == ["*", "*", "*"]
+            else:
+                assert n >= 5, (lvl, qi, n)
+        for r in out:
+            if r.anon_level == 0:
+                assert "*" not in (r.c_mktsegment, r.c_nationkey,
+                                   r.bal_bucket)
+            elif r.anon_level == 1:
+                assert r.c_mktsegment != "*"
+                assert (r.c_nationkey, r.bal_bucket) == ("*", "*")
+        assert r.group_size is not None
+
+    def test_planted_recoding_levels(self, spark):
+        """Planted fixture: a 5-row full-QI group releases at level 0;
+        a segment with 5 scattered rows generalizes to level 1; a
+        segment with fewer suppresses to level 2 with the remainder
+        group size."""
+        from kafka_connect_streams_spark.operators.aggregations import (
+            k_anonymize)
+        rows = ([(i, "A", 1, 10) for i in range(5)]          # level 0
+                + [(10 + i, "B", i, 20 + i) for i in range(5)]  # level 1
+                + [(20 + i, "C", i, 30 + i) for i in range(2)])  # level 2
+        df = spark.createDataFrame(
+            rows, "id bigint, seg string, nat int, bal bigint")
+        out = {r.id: r for r in k_anonymize(
+            df, "id", ["seg", "nat", "bal"], coarse_n=1, k=5).collect()}
+        assert all(out[i].anon_level == 0 and out[i].group_size == 5
+                   for i in range(5))
+        assert all(out[10 + i].anon_level == 1
+                   and out[10 + i].seg == "B"
+                   and (out[10 + i].nat, out[10 + i].bal) == ("*", "*")
+                   for i in range(5))
+        assert all(out[20 + i].anon_level == 2
+                   and out[20 + i].group_size == 2
+                   and out[20 + i].seg == "*" for i in range(2))
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            k_anonymize(df, "id", ["seg", "nat"], coarse_n=2, k=5)
+
+    def test_l_diversity_flags_homogeneous_group(self, spark):
+        """The homogeneity attack case: a group that is k-anonymous but
+        shares ONE sensitive value must report n_sensitive=1 and
+        l_diverse=false; a varied group passes."""
+        from kafka_connect_streams_spark.operators.aggregations import (
+            l_diversity_report)
+        rows = ([(i, "A", 1, 10, 777) for i in range(5)]       # homogeneous
+                + [(10 + i, "B", 1, 10, i) for i in range(5)])  # diverse
+        df = spark.createDataFrame(
+            rows, "id bigint, seg string, nat int, bal bigint, sens bigint")
+        out = {(r.anon_level, r.seg): r for r in l_diversity_report(
+            df, "id", ["seg", "nat", "bal"], "sens",
+            coarse_n=1, k=5, l_threshold=3).collect()}
+        a, b = out[(0, "A")], out[(0, "B")]
+        assert (a.n_sensitive, a.l_diverse) == (1, False)
+        assert (b.n_sensitive, b.l_diverse) == (5, True)
+        assert a.group_size == b.group_size == 5

@@ -64,7 +64,8 @@ EXTRA = ["gopher_rules", "semantic_dedup", "min_cost_supplier",
          "percentile_disc", "approx_quantile",
          # r13 video leg: the Y4M roundtrip (Arrow map) and the
          # frame-voting near-dup (banded machinery + doc-pair vote)
-         "media_videofp", "video_neardup", "video_scene_cuts"]
+         "media_videofp", "video_neardup", "video_scene_cuts",
+         "k_anonymize", "l_diversity"]
 
 #: Cost-ceiling notes for the eval/iterative harnesses (r12 verdict #7):
 #: one sentence each stating which FIXED iteration/sweep count dominates
