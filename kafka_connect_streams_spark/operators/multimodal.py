@@ -940,6 +940,13 @@ def video_neardup(frames: DataFrame, id_col: str = "doc_id",
     groupBy count — map-side combinable. ``frame_capacity`` must exceed
     the per-video frame-sample count (it's a sampler bound, not a video
     length: frame sampling at ingest fixes fan-out per video).
+
+    ID-RANGE CONTRACT: the synthetic id is ``doc·frame_capacity +
+    frame``, so ``id_col`` must fit ``signed_int64 / frame_capacity``
+    (2^57 at the default 64). Dense ingest ids satisfy this by
+    construction; if video ids are 63-bit content hashes, densify them
+    first (zipWithIndex-style or a dictionary join) — do NOT raise
+    frame_capacity toward the hash range.
     """
     if frame_capacity <= 0:
         raise ValueError("frame_capacity must be positive")

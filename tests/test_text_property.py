@@ -664,3 +664,53 @@ def test_bm25_multiterm_matches_python_reference(spark, docs):
            for r in bm25_multiterm(df, "text", "doc_id",
                                    n_terms=3, k=4).collect()]
     assert got == _bm25_multiterm_reference(docs, n_terms=3, k=4), docs
+
+
+QI_ROW = st.tuples(st.sampled_from("AB"), st.integers(0, 2),
+                   st.integers(0, 1))
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(QI_ROW, min_size=1, max_size=30),
+       st.integers(2, 4))
+def test_k_anonymize_release_property(spark, rows, k):
+    """Hypothesis pin of the k-anonymity release invariants against a
+    sequential Python reference on arbitrary small QI tables: (1) the
+    output partitions the input ids exactly; (2) every released
+    non-suppressed group has >= k members; (3) the level assignment
+    equals the reference two-level local recoding (level 0 = full-QI
+    count >= k, level 1 = coarse count AMONG the level-0 failures
+    >= k, else level 2)."""
+    from collections import Counter
+    from kafka_connect_streams_spark.operators.aggregations import (
+        k_anonymize)
+    data = [(i, seg, nat, bal) for i, (seg, nat, bal) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "id bigint, seg string, nat int, bal int")
+    out = {r.id: r for r in k_anonymize(
+        df, "id", ["seg", "nat", "bal"], coarse_n=1, k=k).collect()}
+    assert sorted(out) == [d[0] for d in data]
+    # reference recoding
+    full = Counter((s, n, b) for _, s, n, b in data)
+    fails = [(i, s) for i, s, n, b in data if full[(s, n, b)] < k]
+    coarse = Counter(s for _, s in fails)
+    want = {}
+    for i, s, n, b in data:
+        if full[(s, n, b)] >= k:
+            want[i] = (0, full[(s, n, b)])
+        elif coarse[s] >= k:
+            want[i] = (1, coarse[s])
+        else:
+            want[i] = (2, sum(c for c in coarse.values() if c < k))
+    got = {i: (r.anon_level, r.group_size) for i, r in out.items()}
+    # level-2 group size is the count of level-2 rows
+    n2 = sum(1 for v in want.values() if v[0] == 2)
+    want = {i: (lvl, n2 if lvl == 2 else gs)
+            for i, (lvl, gs) in want.items()}
+    assert got == want
+    groups = Counter((r.anon_level, r.seg, r.nat, r.bal)
+                     for r in out.values())
+    for (lvl, *_), n in groups.items():
+        assert lvl == 2 or n >= k
