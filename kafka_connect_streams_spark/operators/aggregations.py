@@ -121,16 +121,35 @@ def k_anonymize(df: DataFrame, id_col: str, qi_cols: list[str],
     base = df.select(
         F.col(id_col),
         *[F.col(c).cast("string").alias(c) for c in qi_cols])
+    # base feeds a count and a join; each count-joined table feeds a
+    # released level AND the next level's remainder — without pins the
+    # union's three legs replay the whole lineage (14 scans measured).
+    # Pin the SKINNY tables only (id + QI strings + a count), the
+    # bm25_multiterm localCheckpoint discipline: one corpus scan, each
+    # count join computed once. eager=False keeps construction lazy.
+    base = base.localCheckpoint(eager=False)
     full, coarse = list(qi_cols), list(qi_cols[:coarse_n])
-    g0 = base.groupBy(*full).agg(F.count("*").alias("_n0"))
-    j0 = base.join(g0, full)
+
+    def _count_join(rows: DataFrame, keys: list[str],
+                    n_col: str) -> DataFrame:
+        # NULL is a legitimate QI value: groupBy buckets NULLs together,
+        # so the join back must be null-safe (<=>) or every NULL-QI row
+        # silently vanishes from the release — the count table rejoins
+        # on IS NOT DISTINCT FROM, same as the DuckDB oracle
+        g = (rows.groupBy(*keys).agg(F.count("*").alias(n_col))
+             .select(*[F.col(c).alias(f"_g_{c}") for c in keys], n_col))
+        cond = [rows[c].eqNullSafe(g[f"_g_{c}"]) for c in keys]
+        return (rows.join(g, cond)
+                .drop(*[f"_g_{c}" for c in keys])
+                .localCheckpoint(eager=False))
+
+    j0 = _count_join(base, full, "_n0")
     lvl0 = (j0.filter(F.col("_n0") >= k)
             .select(id_col, *full,
                     F.lit(0).cast("bigint").alias("anon_level"),
                     F.col("_n0").alias("group_size")))
     rest = j0.filter(F.col("_n0") < k).drop("_n0")
-    g1 = rest.groupBy(*coarse).agg(F.count("*").alias("_n1"))
-    j1 = rest.join(g1, coarse)
+    j1 = _count_join(rest, coarse, "_n1")
     star = [F.lit("*").alias(c) for c in qi_cols[coarse_n:]]
     lvl1 = (j1.filter(F.col("_n1") >= k)
             .select(id_col, *coarse, *star,

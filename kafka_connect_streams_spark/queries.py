@@ -10736,14 +10736,17 @@ ORACLE["k_anonymize"] = """
                   count(*) AS n0
            FROM base GROUP BY 1, 2, 3),
     j0 AS (SELECT b.*, g0.n0 FROM base b
-           JOIN g0 USING (c_mktsegment, c_nationkey, bal_bucket)),
+           JOIN g0 ON b.c_mktsegment IS NOT DISTINCT FROM g0.c_mktsegment
+                  AND b.c_nationkey IS NOT DISTINCT FROM g0.c_nationkey
+                  AND b.bal_bucket IS NOT DISTINCT FROM g0.bal_bucket),
     lvl0 AS (SELECT c_custkey, c_mktsegment, c_nationkey, bal_bucket,
                     CAST(0 AS BIGINT) AS anon_level,
                     CAST(n0 AS BIGINT) AS group_size
              FROM j0 WHERE n0 >= 5),
     rest AS (SELECT c_custkey, c_mktsegment FROM j0 WHERE n0 < 5),
     g1 AS (SELECT c_mktsegment, count(*) AS n1 FROM rest GROUP BY 1),
-    j1 AS (SELECT r.*, g1.n1 FROM rest r JOIN g1 USING (c_mktsegment)),
+    j1 AS (SELECT r.*, g1.n1 FROM rest r
+           JOIN g1 ON r.c_mktsegment IS NOT DISTINCT FROM g1.c_mktsegment),
     lvl1 AS (SELECT c_custkey, c_mktsegment,
                     '*' AS c_nationkey, '*' AS bal_bucket,
                     CAST(1 AS BIGINT) AS anon_level,

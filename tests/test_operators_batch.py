@@ -2783,3 +2783,22 @@ class TestKAnonymize:
         assert (a.n_sensitive, a.l_diverse) == (1, False)
         assert (b.n_sensitive, b.l_diverse) == (5, True)
         assert a.group_size == b.group_size == 5
+
+    def test_null_qi_rows_survive_and_group(self, spark):
+        """NULL is a legitimate QI value: a k-sized all-NULL-QI group
+        releases at level 0 (the count join must be null-safe — a plain
+        equi-join silently drops every NULL-QI row from the release)."""
+        from kafka_connect_streams_spark.operators.aggregations import (
+            k_anonymize)
+        rows = ([(i, "A", 1, 10) for i in range(5)]
+                + [(10 + i, None, None, None) for i in range(5)]
+                + [(20, "C", 2, 30)])
+        df = spark.createDataFrame(
+            rows, "id bigint, seg string, nat int, bal bigint")
+        out = {r.id: r for r in k_anonymize(
+            df, "id", ["seg", "nat", "bal"], coarse_n=1, k=5).collect()}
+        assert len(out) == 11  # the release partitions the input
+        assert all(out[10 + i].anon_level == 0
+                   and out[10 + i].group_size == 5
+                   and out[10 + i].seg is None for i in range(5))
+        assert out[20].anon_level == 2

@@ -666,7 +666,8 @@ def test_bm25_multiterm_matches_python_reference(spark, docs):
     assert got == _bm25_multiterm_reference(docs, n_terms=3, k=4), docs
 
 
-QI_ROW = st.tuples(st.sampled_from("AB"), st.integers(0, 2),
+QI_ROW = st.tuples(st.sampled_from(["A", "B", None]),
+                   st.one_of(st.none(), st.integers(0, 2)),
                    st.integers(0, 1))
 
 
