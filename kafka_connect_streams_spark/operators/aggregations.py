@@ -106,7 +106,11 @@ def k_anonymize(df: DataFrame, id_col: str, qi_cols: list[str],
     (level 2, every QI ``'*'`` — one global group, trivially
     anonymous). Output: the id, every QI as a string (possibly
     ``'*'``), the anonymity level, and the size of the group the row
-    is released in.
+    is released in. ``id_col`` MUST be a pseudonymous surrogate key
+    (it exists so audits like :func:`l_diversity_report` can join the
+    release back to the sensitive column) — releasing a real-world
+    identifier alongside the generalized QIs would defeat the recoding
+    entirely; drop or re-key it before any external release.
 
     The release-group property this guarantees (and the tests pin):
     every (level, released-QI) group in the OUTPUT has size ≥ k or is

@@ -826,7 +826,11 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[list[list[int]]]]:
     frames, pos, body = [], nl + 1, width * height
     while pos < len(payload):
         fnl = payload.find(b"\n", pos)
-        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+        # per yuv4mpeg(5) the marker is the literal FRAME followed by
+        # optional space-separated parameters, then newline — a marker
+        # like b"FRAMES" or b"FRAMExyz" is malformed, not parameterized
+        if (fnl < 0 or payload[pos:pos + 5] != b"FRAME"
+                or payload[pos + 5:pos + 6] not in (b"\n", b" ")):
             raise ValueError("malformed FRAME marker")
         raw = payload[fnl + 1:fnl + 1 + body]
         if len(raw) != body:
@@ -942,11 +946,17 @@ def video_neardup(frames: DataFrame, id_col: str = "doc_id",
     length: frame sampling at ingest fixes fan-out per video).
 
     ID-RANGE CONTRACT: the synthetic id is ``doc·frame_capacity +
-    frame``, so ``id_col`` must fit ``signed_int64 / frame_capacity``
+    frame``, so ``|id_col|`` must fit ``signed_int64 / frame_capacity``
     (2^57 at the default 64). Dense ingest ids satisfy this by
     construction; if video ids are 63-bit content hashes, densify them
     first (zipWithIndex-style or a dictionary join) — do NOT raise
-    frame_capacity toward the hash range.
+    frame_capacity toward the hash range. Negative ids are valid: the
+    collapse back to doc ids is true FLOOR division (exact in int64 via
+    ``pmod``, never Spark's truncate-toward-zero ``div``, which would
+    fold doc −1's low frames into doc 0), and because
+    ``frame ∈ [0, frame_capacity)`` the synthetic id is monotone in
+    (doc, frame), so the pair ordering invariant below holds for any
+    sign.
     """
     if frame_capacity <= 0:
         raise ValueError("frame_capacity must be positive")
@@ -957,11 +967,14 @@ def video_neardup(frames: DataFrame, id_col: str = "doc_id",
                                 bits=PHASH_BITS, bands=bands,
                                 max_hamming=max_hamming,
                                 max_bucket=max_bucket)
-    # _fid ordering equals doc ordering for cross-doc pairs, so id_a's
-    # doc < id_b's doc already: no least/greatest normalization needed
+    # _fid ordering equals doc ordering for cross-doc pairs (frame is a
+    # non-negative remainder < capacity), so id_a's doc <= id_b's doc
+    # already: no least/greatest normalization needed. Floor division
+    # via the non-negative pmod remainder — exact for negative docs
+    floordiv = (f"(%s - pmod(%s, {frame_capacity})) div {frame_capacity}")
     docs = pairs.select(
-        F.expr(f"id_a div {frame_capacity}").alias("id_a"),
-        F.expr(f"id_b div {frame_capacity}").alias("id_b"))
+        F.expr(floordiv % ("id_a", "id_a")).alias("id_a"),
+        F.expr(floordiv % ("id_b", "id_b")).alias("id_b"))
     return (docs.filter(F.col("id_a") != F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_matched"))

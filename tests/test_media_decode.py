@@ -549,6 +549,68 @@ def test_video_neardup_votes_frame_matches(spark):
             for r in video_neardup(sh).collect()] == [(1, 2, 2)]
 
 
+def test_media_phash_relational_oracle_pin():
+    """The REGISTERED media_phash oracle — the n_frames=1 relational
+    spelling (_phash_relational_sql(1, 0)) — is bit-identical to
+    phash64(md5_luma_grid(t)) on a planted corpus. The lambda-chain pin
+    (test_phash_matches_duckdb_oracle_chain) and the n_frames=4 pin
+    (test_media_videofp_matches_duckdb_oracle) leave the n_frames=1
+    branch (frame_sel omission, digest_base=0) otherwise covered only
+    at the driver gate (r13 ADVICE)."""
+    from kafka_connect_streams_spark.queries import ORACLE
+    texts = ["hello world", "", "hello world", "ünïcode ok",
+             "the quick brown fox"]
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select * from (values "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)")
+    got = dict(con.sql(ORACLE["media_phash"]).fetchall())
+    assert len(got) == 5
+    for i, t in enumerate(texts):
+        assert got[i] == phash64(md5_luma_grid(t)), i
+    # single-frame output shape: no frame_idx column leaks through
+    assert [d[0] for d in con.sql(
+        ORACLE["media_phash"]).description] == ["doc_id", "phash"]
+
+
+def test_y4m_rejects_bad_frame_marker():
+    """FRAME must be followed by newline or a space-separated parameter
+    list per yuv4mpeg(5) — b'FRAMES'/b'FRAMExyz' markers are malformed,
+    not parameterized (r13 ADVICE)."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        decode_y4m)
+    fr = _grid("v-marker")
+    body = bytes(v for row in fr for v in row)
+    hdr = b"YUV4MPEG2 W16 H16 F25:1 Cmono\n"
+    with pytest.raises(ValueError):
+        decode_y4m(hdr + b"FRAMES\n" + body)
+    with pytest.raises(ValueError):
+        decode_y4m(hdr + b"FRAMExyz Ip\n" + body)
+    # the two legitimate spellings still parse
+    assert decode_y4m(hdr + b"FRAME\n" + body)[2] == [fr]
+    assert decode_y4m(hdr + b"FRAME Ip\n" + body)[2] == [fr]
+
+
+def test_video_neardup_negative_doc_ids(spark):
+    """The synthetic-id collapse is true floor division: doc −1's
+    frames (fids −64..−61) must come back as doc −1, never fold into
+    doc 0 (truncate-toward-zero would send fid −63 to 0 — r13 ADVICE),
+    and the pair ordering invariant holds across the sign boundary."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        video_neardup)
+    base = [int.from_bytes(hashlib.md5(f"nfp{k}".encode()).digest()[:8],
+                           "big") >> 1 for k in range(4)]
+    rows = [(-1, f, base[f]) for f in range(4)]
+    rows += [(2, f, base[f]) for f in range(4)]  # exact dup of doc -1
+    rows += [(0, 0, base[0] ^ (1 << 40) ^ (1 << 50))]  # far from all
+    frames = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx bigint, phash bigint")
+    got = [(r.id_a, r.id_b, r.n_matched)
+           for r in video_neardup(frames).collect()]
+    assert got == [(-1, 2, 4)]
+
+
 def test_video_scene_cuts_lag_semantics(spark):
     """Cut = frame >= threshold bits from its predecessor; each video's
     first frame has NULL ham_prev and is never a cut; videos do not
