@@ -874,6 +874,82 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
                  F.sum("ratio_e6").alias("dsir_score_e6")))
 
 
+def langid_ngram(df: DataFrame, text_col: str, id_col: str,
+                 lang_col: str = "lang", n: int = 3,
+                 n_buckets: int = 1024) -> DataFrame:
+    """Language identification by a corpus-trained hashed char-n-gram
+    linear classifier — the CCNet pipeline's first stage (the fastText
+    langid model class), the operator that PREDICTS a language instead
+    of consuming ``lang`` as given (contrast :func:`language_id`'s
+    fixed stopword heuristic). The reference has no corpus operators
+    at all (SURVEY §0); this is the beyond-reference curation mandate.
+
+    Model: each char ``n``-gram of ``lower(text)`` hashes into one of
+    ``n_buckets`` feature buckets (first-48-bits-of-md5 mod buckets —
+    the dsir_weights convention). Training estimates, per language
+    present in ``lang_col``, the bucket's occurrence rate in e9 fixed
+    point (``count(bucket, lang)·10⁹ div count(lang)``); inference
+    scores document × candidate-language as Σ_buckets
+    ``cnt_doc(bucket) · rate_e9(bucket, lang)`` — a multinomial
+    naive-Bayes-style linear scorer on raw rates (integer-exact, so
+    the oracle twin is bit-identical; log-likelihoods would need
+    floats). Prediction is the argmax with lexicographic tie-break,
+    spelled as max-score + min-language (two partial-aggregatable
+    groupBys — deterministic on any engine, no argmax builtin whose
+    tie behavior could differ). Documents shorter than ``n`` chars
+    (including NULL text) predict the out-of-model code ``'??'``.
+
+    Output: one row per document — ``id, lang`` (the given label),
+    ``pred_lang``, and the winning ``score_e9``.
+
+    Scale shape: the model is ``n_buckets × |langs|`` rows — a
+    broadcast; the corpus is scanned once; per-doc gram counts are a
+    partial-aggregatable (id, bucket) groupBy bounded per doc by
+    n_buckets; scoring fans out by |langs| over DISTINCT doc buckets
+    (never raw gram instances); every downstream groupBy/join keys on
+    the doc id — AQE-splittable. e-scale bound: int64-safe while
+    per-language gram totals < 1e9 (rate products) and per-doc grams
+    < ~9e9 (score sums); beyond that the same plan runs the rates
+    through DECIMAL(38,0), the dsir_weights upgrade path.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    grams = F.expr(
+        f"CASE WHEN length(_t) >= {n} THEN "
+        f"transform(sequence(1, length(_t) - {n - 1}), "
+        f"i -> substring(_t, i, {n})) "
+        "ELSE array() END")
+    g = (df.select(F.col(id_col), F.col(lang_col).alias("lang"),
+                   t.alias("_t"))
+         .select(F.col(id_col), "lang", F.explode(grams).alias("_gram"))
+         .withColumn("_bucket",
+                     F.conv(F.substring(F.md5("_gram"), 1, 12), 16, 10)
+                      .cast("bigint") % n_buckets))
+    doc_buckets = (g.groupBy(id_col, "lang", "_bucket")
+                   .agg(F.count("*").alias("_cnt")))
+    by_lang = (g.groupBy("_bucket", F.col("lang").alias("_cand"))
+               .agg(F.count("*").alias("_n_bl")))
+    lang_tot = by_lang.groupBy("_cand").agg(F.sum("_n_bl").alias("_n_l"))
+    rates = (by_lang.join(F.broadcast(lang_tot), "_cand")
+             .select("_bucket", "_cand",
+                     F.expr("_n_bl * 1000000000 div _n_l")
+                      .alias("_rate_e9")))
+    scores = (doc_buckets.join(F.broadcast(rates), "_bucket")
+              .groupBy(id_col, "_cand")
+              .agg(F.sum(F.expr("_cnt * _rate_e9")).alias("_score")))
+    best = scores.groupBy(id_col).agg(F.max("_score").alias("_mx"))
+    pred = (scores.join(best, id_col)
+            .filter(F.col("_score") == F.col("_mx"))
+            .groupBy(id_col)
+            .agg(F.min("_cand").alias("_pred"),
+                 F.max("_mx").alias("_best")))
+    return (df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+            .join(pred, id_col, "left")
+            .select(F.col(id_col), "lang",
+                    F.coalesce("_pred", F.lit("??")).alias("pred_lang"),
+                    F.coalesce("_best", F.lit(0)).cast("bigint")
+                     .alias("score_e9")))
+
+
 def block_dedup(df: DataFrame, text_col: str, id_col: str,
                 size: int = 8, shape: str = "inline") -> DataFrame:
     """Corpus-wide BLOCK-level exact dedup with reconstruction — the

@@ -1416,6 +1416,39 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal", coarse_n=1, k=5, l_threshold=3)
 
 
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language identification (operators/text.py langid_ngram):
+    hashed char-trigram rates per language learned from the corpus's
+    own lang labels, argmax inference per document — the CCNet first
+    stage that PREDICTS language (text_language_id's stopword heuristic
+    consumes a fixed word list; ccnet_buckets/tokenizer_fertility
+    consume lang as given). Model is a broadcast n_buckets×|langs|
+    table; one corpus scan; integer e9 rates so the oracle twin is
+    exact."""
+    from kafka_connect_streams_spark.operators.text import langid_ngram
+    t = load_tables(spark, sf_dir)
+    return langid_ngram(t["documents"], "text", "doc_id", "lang")
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy/confusion report of the trained langid classifier
+    against the corpus's given lang column: one row per (label,
+    prediction) cell with the document count and the correct flag —
+    the measured-not-claimed quality number for q_langid (the
+    dedup_recall/jl_then_neardup precedent). On this synthetic corpus
+    the text is shared-vocabulary word soup across langs, so the
+    measured accuracy sits near the majority-class baseline — an
+    honest property of the DATA the report makes visible, not a
+    defect of the machinery."""
+    from kafka_connect_streams_spark.operators.text import langid_ngram
+    t = load_tables(spark, sf_dir)
+    pred = langid_ngram(t["documents"], "text", "doc_id", "lang")
+    return (pred.groupBy("lang", "pred_lang")
+            .agg(F.count("*").alias("n_docs"))
+            .withColumn("is_correct",
+                        F.col("lang") == F.col("pred_lang")))
+
+
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 bigrams — vocabulary building for tokenizer
     training; pairs are formed inside the token array, not via a self-join
@@ -4751,6 +4784,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_scene_cuts": q_video_scene_cuts,
     "k_anonymize": q_k_anonymize,
     "l_diversity": q_l_diversity,
+    "langid": q_langid,
+    "langid_confusion": q_langid_confusion,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -10819,4 +10854,56 @@ ORACLE["video_neardup"] = f"""
           WHERE da <> db AND bit_count(xor(fa, fb)) <= 2)
     SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched
     FROM m GROUP BY id_a, id_b HAVING count(*) >= 2
+"""
+
+# trained langid: char-trigram buckets, per-language e9 rates learned
+# from the corpus's own lang labels, argmax as max-score + min-language
+# (the deterministic tie-break spelling both engines share). The gram
+# table is MATERIALIZED — two consumers (doc counts and the model)
+_LANGID_BASE = """
+    g AS MATERIALIZED (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 12))::BIGINT % 1024 AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(CASE WHEN length(lower(coalesce(text, ''))) >= 3
+                          THEN list_transform(
+                              generate_series(
+                                  1, length(lower(coalesce(text, ''))) - 2),
+                              i -> substr(lower(coalesce(text, '')), i, 3))
+                          ELSE [] END) AS gram
+            FROM documents) u),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g GROUP BY 1, 2),
+    bl AS (SELECT bucket, lang AS cand, CAST(count(*) AS BIGINT) AS n_bl
+           FROM g GROUP BY 1, 2),
+    lt AS (SELECT cand, CAST(sum(n_bl) AS BIGINT) AS n_l FROM bl
+           GROUP BY 1),
+    rates AS (SELECT bucket, cand,
+                     CAST(n_bl * 1000000000 // n_l AS BIGINT) AS rate_e9
+              FROM bl JOIN lt USING (cand)),
+    sc AS (SELECT db.doc_id, r.cand,
+                  CAST(sum(db.cnt * r.rate_e9) AS BIGINT) AS score
+           FROM db JOIN rates r USING (bucket) GROUP BY 1, 2),
+    mx AS (SELECT doc_id, max(score) AS m FROM sc GROUP BY 1),
+    pred AS (SELECT sc.doc_id, min(sc.cand) AS p, max(mx.m) AS best
+             FROM sc JOIN mx ON sc.doc_id = mx.doc_id
+                            AND sc.score = mx.m
+             GROUP BY 1),
+    out AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(p.p, '??') AS pred_lang,
+             CAST(coalesce(p.best, 0) AS BIGINT) AS score_e9
+      FROM documents d LEFT JOIN pred p USING (doc_id))
+"""
+
+ORACLE["langid"] = f"""
+    WITH {_LANGID_BASE}
+    SELECT doc_id, lang, pred_lang, score_e9 FROM out
+"""
+
+ORACLE["langid_confusion"] = f"""
+    WITH {_LANGID_BASE}
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           lang = pred_lang AS is_correct
+    FROM out GROUP BY 1, 2
 """

@@ -715,3 +715,62 @@ def test_k_anonymize_release_property(spark, rows, k):
                      for r in out.values())
     for (lvl, *_), n in groups.items():
         assert lvl == 2 or n >= k
+
+
+LANG = st.sampled_from(["en", "de", "fr", None])
+LANGID_TEXT = st.one_of(
+    st.none(),
+    st.text(alphabet="abcx ", min_size=0, max_size=12))
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(LANG, LANGID_TEXT), min_size=1, max_size=8))
+def test_langid_ngram_matches_python_reference(spark, rows):
+    """Hypothesis pin of the trained char-trigram langid classifier
+    against a sequential pure-Python replica of the whole pipeline
+    (bucket hashing, e9 rate training, score sums, max-score +
+    min-language tie-break): per-doc predictions and winning scores
+    must match exactly, including the '??' fallback for docs shorter
+    than one trigram and the convention that NULL-lang rows train
+    nothing (the equi-join drops them in both engines) but still get
+    predictions."""
+    import hashlib
+    from collections import Counter
+    from kafka_connect_streams_spark.operators.text import langid_ngram
+
+    docs = [(i, lang, text) for i, (lang, text) in enumerate(rows)]
+    df = spark.createDataFrame(docs, "doc_id bigint, lang string, "
+                                     "text string")
+    got = {r.doc_id: (r.lang, r.pred_lang, r.score_e9)
+           for r in langid_ngram(df, "text", "doc_id", "lang").collect()}
+
+    def grams(text):
+        t = (text or "").lower()
+        return [t[i:i + 3] for i in range(len(t) - 2)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % 1024
+
+    bl, lt, doc_b = Counter(), Counter(), {}
+    for i, lang, text in docs:
+        c = Counter(bucket(g) for g in grams(text))
+        doc_b[i] = c
+        if lang is not None:  # NULL-lang rows train nothing
+            for b, n in c.items():
+                bl[(b, lang)] += n
+                lt[lang] += n
+    rates = {(b, lg): bl[(b, lg)] * 10**9 // lt[lg] for (b, lg) in bl}
+    for i, lang, text in docs:
+        scores: dict = {}
+        for (b, lg), r in rates.items():
+            if b in doc_b[i]:
+                scores[lg] = scores.get(lg, 0) + doc_b[i][b] * r
+        if scores:
+            mx = max(scores.values())
+            want = (lang, min(lg for lg, s in scores.items() if s == mx),
+                    mx)
+        else:
+            want = (lang, "??", 0)
+        assert got[i] == want, (i, text, got[i], want)
