@@ -189,3 +189,66 @@ def l_diversity_report(df: DataFrame, id_col: str, qi_cols: list[str],
                  F.countDistinct(sensitive_col).alias("n_sensitive"),
                  (F.countDistinct(sensitive_col) >= l_threshold)
                  .alias("l_diverse")))
+
+
+def t_closeness_report(df: DataFrame, id_col: str, qi_cols: list[str],
+                       sensitive_col: str, coarse_n: int, k: int = 5,
+                       t_l1_e9: int = 400_000_000) -> DataFrame:
+    """t-closeness audit of a :func:`k_anonymize` release (Li, Li &
+    Venkatasubramanian, ICDE'07 — public knowledge): l-diversity counts
+    DISTINCT sensitive values, so a group with l distinct values that
+    is 98% one value still passes while leaking the secret with high
+    probability (the skewness attack). This reports, per released
+    (level, QI) group, the L1 distance between the group's
+    sensitive-value DISTRIBUTION and the whole-corpus distribution —
+    exact e9 fixed point (``n_gs·10⁹ div n_g − n_s·10⁹ div N`` summed
+    as absolute values over the value domain, the source_drift shape),
+    so the oracle twin is bit-identical. ``t_close`` flags
+    ``l1_e9 ≤ t_l1_e9``; L1 is twice the total-variation distance (the
+    categorical EMD of the original paper), so a TV threshold t maps
+    to ``t_l1_e9 = 2·t·10⁹`` — the 0.4 default is TV 0.2.
+
+    ``sensitive_col`` must have a BOUNDED value domain (a band/bucket,
+    not a raw continuous value): the corpus distribution and the
+    group×domain spine are |domain|-sized broadcasts. Scale shape: one
+    partial-aggregatable count per (group, value) cell — bounded by
+    released-group count × |domain|, never corpus size — pinned once
+    (localCheckpoint) because it feeds both the group totals and the
+    zero-filled spine join; QI and sensitive joins are NULL-SAFE
+    (the k_anonymize NULL-QI discipline). One scalar broadcast for N.
+    """
+    rel = k_anonymize(df, id_col, qi_cols, coarse_n, k)
+    joined = rel.join(df.select(id_col, sensitive_col), id_col)
+    # skinny (level, QIs, value, count) cells — two consumers below
+    cells = (joined.groupBy("anon_level", *qi_cols, sensitive_col)
+             .agg(F.count("*").alias("_n_gs"))
+             .localCheckpoint(eager=False))
+    groups = (cells.groupBy("anon_level", *qi_cols)
+              .agg(F.sum("_n_gs").alias("_n_g")))
+    corpus = (df.groupBy(F.col(sensitive_col).alias("_sv"))
+              .agg(F.count("*").alias("_n_s")))
+    total = df.agg(F.count("*").alias("_n_tot"))
+    spine = (groups.crossJoin(F.broadcast(
+        corpus.crossJoin(F.broadcast(total)))))
+    # alias the cells' key columns before joining back — spine derives
+    # from cells, so unaliased keys trip Spark's ambiguous-self-join
+    # detection (the k_anonymize _count_join discipline)
+    keys = ["anon_level", *qi_cols]
+    cjoin = cells.select(
+        *[F.col(c).alias(f"_c_{i}") for i, c in enumerate(keys)],
+        F.col(sensitive_col).alias("_c_sv"), "_n_gs")
+    cond = [F.col(c).eqNullSafe(F.col(f"_c_{i}"))
+            for i, c in enumerate(keys)]
+    cond.append(F.col("_sv").eqNullSafe(F.col("_c_sv")))
+    zf = (spine.join(cjoin, cond, "left")
+          .select(*keys, "_n_g", "_n_s", "_n_tot",
+                  F.coalesce("_n_gs", F.lit(0)).alias("_n_gs")))
+    return (zf.groupBy("anon_level", *qi_cols, "_n_g")
+            .agg(F.sum(F.abs(
+                F.expr("_n_gs * 1000000000 div _n_g")
+                - F.expr("_n_s * 1000000000 div _n_tot")))
+                .alias("l1_e9"))
+            .select("anon_level", *qi_cols,
+                    F.col("_n_g").alias("group_size"),
+                    F.col("l1_e9").cast("bigint").alias("l1_e9"),
+                    (F.col("l1_e9") <= t_l1_e9).alias("t_close")))

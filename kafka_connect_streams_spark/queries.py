@@ -1416,6 +1416,35 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal", coarse_n=1, k=5, l_threshold=3)
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the k_anonymize release
+    (operators/aggregations.py t_closeness_report): per released
+    (level, QI) group, the exact e9 L1 distance between the group's
+    sensitive-value distribution and the corpus distribution — the
+    skewness attack l_diversity's distinct count misses (a group with
+    3 distinct values that is 98% one value passes l-diversity and
+    fails this). Sensitive attribute: the balance's cents digit
+    (exact integer cents, the o_totalprice precedent — pmod so
+    negative balances land in [0,10)) — a 10-value bounded domain, so
+    the spine is released-groups × 10 cells and near-uniform, making
+    the released level-0 groups' distances small and the suppressed
+    level-2 remainder's distance a visible outlier when skewed.
+    Completes the privacy family: k_anonymize bounds re-identification,
+    l_diversity catches homogeneity, this catches skew."""
+    from kafka_connect_streams_spark.operators.aggregations import (
+        t_closeness_report)
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        .alias("bal_bucket"),
+        F.expr("pmod(CAST(round(c_acctbal * 100) AS BIGINT), 10)")
+        .alias("cents_digit"))
+    return t_closeness_report(
+        c, "c_custkey", ["c_mktsegment", "c_nationkey", "bal_bucket"],
+        "cents_digit", coarse_n=1, k=5, t_l1_e9=400_000_000)
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained language identification (operators/text.py langid_ngram):
     hashed char-trigram rates per language learned from the corpus's
@@ -4786,6 +4815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "l_diversity": q_l_diversity,
     "langid": q_langid,
     "langid_confusion": q_langid_confusion,
+    "t_closeness": q_t_closeness,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -4962,8 +4992,50 @@ _R13_WINDOW = [
     "ann_auto_recall",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
-QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)}}
+
+#: ROUND-14 WINDOW — the 50 names the driver hashes this round, per
+#: VERDICT r13 "Next round" #1 (slot arithmetic: 7 + 14 + 29 = 50):
+#: (a) every query added or code-touched since the r13 driver rows —
+#: t_closeness (NEW: the skew audit completing the privacy family),
+#: langid + langid_confusion (NEW: the trained CCNet first stage),
+#: video_neardup (floor-division id collapse, strict Y4M markers),
+#: media_videofp + video_scene_cuts (decode_y4m marker strictness is
+#: on their decode path) and k_anonymize (pseudonymous-id docstring
+#: contract — behavior unchanged, but the code is not);
+#: (b) the 14 r09-stale rows the r13 rotation ceded, ordered first by
+#: the verdict: ann_topk_cosine, ann_lsh_cosine, ann_ivf_cosine,
+#: embedding_neardup, embedding_dedup_clusters, mix_weights,
+#: global_index, lsh_tuning, copurchase_pairs, quantile_exact, kcore,
+#: rrf_fusion, hll_distinct, jl_projection — after this round no
+#: latest row predates r10; (c) the first 29 of the 47 r10-cohort rows
+#: in registry order (later r14 additions cede the r10 tail; slot
+#: arithmetic re-checked after every registry edit). All 50 locally
+#: hash-green via tools/check.py at sf0.01 AND sf0.1 before commit;
+#: the driver row is the bar.
+_R14_WINDOW = [
+    "t_closeness", "langid", "langid_confusion",
+    "video_neardup", "media_videofp", "video_scene_cuts",
+    "k_anonymize",
+    "ann_topk_cosine", "ann_lsh_cosine", "ann_ivf_cosine",
+    "embedding_neardup", "embedding_dedup_clusters", "mix_weights",
+    "global_index", "lsh_tuning", "copurchase_pairs",
+    "quantile_exact", "kcore", "rrf_fusion",
+    "hll_distinct", "jl_projection",
+    "hard_negatives", "hard_negatives_recall", "important_parts",
+    "conditional_agg", "null_handling", "linestatus_priority",
+    "sequence_packing", "training_order", "bootstrap_ci",
+    "sorted_neighborhood", "snm_multikey", "quantile_sketch",
+    "jl_then_neardup", "packing_efficiency", "doc_chunking",
+    "chunk_dedup", "tokenizer_fertility", "ann_pq_adc",
+    "ann_pq_recall", "ann_pq_trained_recall", "ann_ivfpq",
+    "transition_matrix", "rolling_active_users", "join_skew_report",
+    "local_supplier_volume", "forecast_revenue",
+    "nation_volume_shipping", "product_profit",
+    "customer_distribution",
+]
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)}}
 
 def _kcore_round_sql(i: int, k: int = 16) -> str:
     """One unrolled k-core peel round as oracle CTEs (the bpe_round_sql
@@ -10854,6 +10926,51 @@ ORACLE["video_neardup"] = f"""
           WHERE da <> db AND bit_count(xor(fa, fb)) <= 2)
     SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched
     FROM m GROUP BY id_a, id_b HAVING count(*) >= 2
+"""
+
+# t-closeness: the k-anonymity release (MATERIALIZED — the cells CTE
+# is consumed by the group totals AND the zero-filled spine join),
+# per-group sensitive distribution vs the corpus distribution as an
+# exact e9 L1; all QI/sensitive joins IS NOT DISTINCT FROM
+ORACLE["t_closeness"] = f"""
+    WITH rel AS MATERIALIZED ({ORACLE["k_anonymize"]}),
+    sv_tbl AS (SELECT c_custkey,
+                      ((CAST(round(c_acctbal * 100) AS BIGINT) % 10)
+                       + 10) % 10 AS sv
+               FROM customer),
+    j AS (SELECT rel.anon_level, rel.c_mktsegment, rel.c_nationkey,
+                 rel.bal_bucket, b.sv
+          FROM rel JOIN sv_tbl b USING (c_custkey)),
+    cells AS MATERIALIZED (
+      SELECT anon_level, c_mktsegment, c_nationkey, bal_bucket, sv,
+             CAST(count(*) AS BIGINT) AS n_gs
+      FROM j GROUP BY 1, 2, 3, 4, 5),
+    grp AS (SELECT anon_level, c_mktsegment, c_nationkey, bal_bucket,
+                   CAST(sum(n_gs) AS BIGINT) AS n_g
+            FROM cells GROUP BY 1, 2, 3, 4),
+    corpus AS (SELECT sv, CAST(count(*) AS BIGINT) AS n_s
+               FROM sv_tbl GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM sv_tbl),
+    zf AS (
+      SELECT s.anon_level, s.c_mktsegment, s.c_nationkey, s.bal_bucket,
+             s.n_g, s.n_s, s.n_tot, coalesce(cl.n_gs, 0) AS n_gs
+      FROM (SELECT g.*, c.sv, c.n_s, t.n_tot
+            FROM grp g CROSS JOIN corpus c CROSS JOIN tot t) s
+      LEFT JOIN cells cl
+        ON s.anon_level = cl.anon_level
+       AND s.c_mktsegment IS NOT DISTINCT FROM cl.c_mktsegment
+       AND s.c_nationkey IS NOT DISTINCT FROM cl.c_nationkey
+       AND s.bal_bucket IS NOT DISTINCT FROM cl.bal_bucket
+       AND s.sv IS NOT DISTINCT FROM cl.sv)
+    SELECT anon_level, c_mktsegment, c_nationkey, bal_bucket,
+           n_g AS group_size,
+           CAST(sum(abs(n_gs * 1000000000 // n_g
+                        - n_s * 1000000000 // n_tot)) AS BIGINT)
+             AS l1_e9,
+           CAST(sum(abs(n_gs * 1000000000 // n_g
+                        - n_s * 1000000000 // n_tot)) AS BIGINT)
+             <= 400000000 AS t_close
+    FROM zf GROUP BY 1, 2, 3, 4, 5
 """
 
 # trained langid: char-trigram buckets, per-language e9 rates learned

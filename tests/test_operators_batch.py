@@ -2802,3 +2802,44 @@ class TestKAnonymize:
                    and out[10 + i].group_size == 5
                    and out[10 + i].seg is None for i in range(5))
         assert out[20].anon_level == 2
+
+    def test_t_closeness_flags_skewed_group(self, spark):
+        """The skewness attack case l-diversity misses: a group with 3
+        DISTINCT sensitive values that is 80% one value passes
+        l-diversity (l=3) but must fail t-closeness, while a group
+        matching the corpus distribution passes. Expected l1_e9 values
+        are recomputed with a pure-Python integer replica of the e9
+        fixed-point arithmetic (n_gs·10⁹ // n_g − n_s·10⁹ // N summed
+        as absolute values over the domain, NULL a domain cell of its
+        own)."""
+        from kafka_connect_streams_spark.operators.aggregations import (
+            l_diversity_report, t_closeness_report)
+        # group A: skewed 8/1/1 over {0,1,2}; group B: 30 near-uniform
+        # rows that dominate (and so shape) the corpus distribution;
+        # one NULL sensitive row lands in B (its own domain cell)
+        a = [(i, "A", 1, 10, ([0] * 8 + [1, 2])[i]) for i in range(10)]
+        b_sens = [0] * 10 + [1] * 10 + [2] * 9 + [None]
+        b = [(10 + i, "B", 1, 10, b_sens[i]) for i in range(30)]
+        rows = a + b
+        df = spark.createDataFrame(
+            rows, "id bigint, seg string, nat int, bal bigint, sens bigint")
+        ldiv = {r.seg: r for r in l_diversity_report(
+            df, "id", ["seg", "nat", "bal"], "sens",
+            coarse_n=1, k=5, l_threshold=3).collect()}
+        assert ldiv["A"].l_diverse and ldiv["B"].l_diverse  # both pass l
+        out = {r.seg: r for r in t_closeness_report(
+            df, "id", ["seg", "nat", "bal"], "sens",
+            coarse_n=1, k=5, t_l1_e9=400_000_000).collect()}
+        # pure-Python reference over the 4-cell domain {0,1,2,NULL}
+        from collections import Counter
+        corpus = Counter(r[4] for r in rows)
+        n_tot = len(rows)
+        for seg, grp in (("A", a), ("B", b)):
+            gc = Counter(r[4] for r in grp)
+            exp = sum(abs(gc.get(v, 0) * 10**9 // len(grp)
+                          - n_s * 10**9 // n_tot)
+                      for v, n_s in corpus.items())
+            assert out[seg].l1_e9 == exp, (seg, out[seg].l1_e9, exp)
+            assert out[seg].group_size == len(grp)
+        assert not out["A"].t_close      # 80%-one-value skew caught
+        assert out["B"].t_close          # corpus-shaped group passes
