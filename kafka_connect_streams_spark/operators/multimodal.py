@@ -631,6 +631,32 @@ def phash_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(extract, PHASH_SCHEMA)
 
 
+def banded_fingerprint(fp: DataFrame, id_col: str = "doc_id",
+                       fp_col: str = "simhash", bits: int = 48,
+                       bands: int = 4) -> DataFrame:
+    """Explode a bit-fingerprint column into its LSH band keys:
+    one row per (id, band) carrying the fingerprint in-row (``_fpv``)
+    and the band's bit slice (``band_key``). The shared banding half
+    of :func:`fingerprint_neardup` and the streaming ingest gate
+    (streaming/state.py incremental_fingerprint_neardup_processor) —
+    factored so both consume ONE spelling of the shift/mask
+    arithmetic. Pure projection + bounded explode (``bands`` rows per
+    input row), stream-transparent."""
+    if bands <= 0 or bits % bands != 0:
+        raise ValueError(
+            f"bands must divide bits evenly, got bits={bits}"
+            f" bands={bands}")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    return fp.select(
+        F.col(id_col), F.col(fp_col).alias("_fpv"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(_fpv, cast(band * {band_bits} as int))"
+               f" & {mask}"))
+
+
 def fingerprint_neardup(fp: DataFrame, id_col: str = "doc_id",
                         fp_col: str = "simhash", bits: int = 48,
                         bands: int = 4, max_hamming: int = 3,
@@ -640,19 +666,7 @@ def fingerprint_neardup(fp: DataFrame, id_col: str = "doc_id",
     banding/verify half of :func:`media_neardup`, factored so real
     perceptual hashes plug in without re-spelling the machinery. See
     media_neardup for the pigeonhole/lossless and sizing discussion."""
-    if bands <= 0 or bits % bands != 0:
-        raise ValueError(
-            f"bands must divide bits evenly, got bits={bits}"
-            f" bands={bands}")
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
-    banded = fp.select(
-        F.col(id_col), F.col(fp_col).alias("_fpv"),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    ).withColumn(
-        "band_key",
-        F.expr(f"shiftright(_fpv, cast(band * {band_bits} as int))"
-               f" & {mask}"))
+    banded = banded_fingerprint(fp, id_col, fp_col, bits, bands)
     # the banded table feeds THREE consumers (bucket cap + both join
     # legs) — unpinned, each would re-run the fingerprint fold over the
     # full payload (4 corpus scans, measured). Pin the skinny

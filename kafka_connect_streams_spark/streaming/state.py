@@ -536,6 +536,46 @@ def streaming_cms(df: DataFrame, text_col: str,
     return count_min_sketch(df, text_col, depth=depth, width=width)
 
 
+def _greedy_first_wins(ids: DataFrame, edges: DataFrame,
+                       dropped: DataFrame | None,
+                       id_col: str) -> DataFrame:
+    """Within-batch greedy first-wins dedup in id order, ITERATED to a
+    fixpoint: a doc drops iff it verified-pairs with a smaller id that
+    itself survives. ``edges`` (id_a < id_b) must already exclude
+    endpoints dropped against history; ``dropped`` is that
+    history-dropped id set (None on a first epoch). Returns the
+    surviving ids, pinned. The shared fixpoint core of the MinHash and
+    fingerprint ingest gates — one spelling of the convergence loop."""
+    edges = edges.localCheckpoint()
+    rounds = 0
+    while edges.count() > 0:
+        rounds += 1
+        if rounds > 64:  # exact-or-raise, like the CC operator
+            raise RuntimeError(
+                "neardup within-batch greedy did not converge")
+        # an id_a never appearing as an id_b is a DETERMINED
+        # survivor; its partners drop now. The smallest remaining
+        # endpoint is always determined (id_a < id_b), so each
+        # round strictly shrinks the edge set — rounds ≤ longest
+        # smaller-id dependency chain in the batch, and each round
+        # is two left-anti joins, no driver-side pair list.
+        blocked = edges.select(F.col("id_b").alias("id_a")).distinct()
+        newly = (edges.join(blocked, "id_a", "left_anti")
+                 .select(F.col("id_b").alias(id_col)).distinct()
+                 .localCheckpoint())
+        dropped = newly if dropped is None \
+            else dropped.unionByName(newly)
+        edges = (edges
+                 .join(newly.select(F.col(id_col).alias("id_a")),
+                       "id_a", "left_anti")
+                 .join(newly.select(F.col(id_col).alias("id_b")),
+                       "id_b", "left_anti")
+                 .localCheckpoint())
+    survivors = ids if dropped is None else \
+        ids.join(dropped.distinct(), id_col, "left_anti")
+    return survivors.localCheckpoint()
+
+
 def incremental_neardup_processor(text_col: str, id_col: str,
                                   index_dir: str, out_dir: str, *,
                                   n: int = 3, k: int = 16, bands: int = 4,
@@ -613,36 +653,8 @@ def incremental_neardup_processor(text_col: str, id_col: str,
                            "id_a", "left_anti")
                      .join(dup_hist.select(F.col(id_col).alias("id_b")),
                            "id_b", "left_anti"))
-        edges = edges.localCheckpoint()
-        dropped = dup_hist  # None on the first epoch
-        rounds = 0
-        while edges.count() > 0:
-            rounds += 1
-            if rounds > 64:  # exact-or-raise, like the CC operator
-                raise RuntimeError(
-                    "neardup within-batch greedy did not converge")
-            # an id_a never appearing as an id_b is a DETERMINED
-            # survivor; its partners drop now. The smallest remaining
-            # endpoint is always determined (id_a < id_b), so each
-            # round strictly shrinks the edge set — rounds ≤ longest
-            # smaller-id dependency chain in the batch, and each round
-            # is two left-anti joins, no driver-side pair list.
-            blocked = edges.select(F.col("id_b").alias("id_a")).distinct()
-            newly = (edges.join(blocked, "id_a", "left_anti")
-                     .select(F.col("id_b").alias(id_col)).distinct()
-                     .localCheckpoint())
-            dropped = newly if dropped is None \
-                else dropped.unionByName(newly)
-            edges = (edges
-                     .join(newly.select(F.col(id_col).alias("id_a")),
-                           "id_a", "left_anti")
-                     .join(newly.select(F.col(id_col).alias("id_b")),
-                           "id_b", "left_anti")
-                     .localCheckpoint())
-        ids = batch.select(id_col)
-        survivors = ids if dropped is None else \
-            ids.join(dropped.distinct(), id_col, "left_anti")
-        survivors = survivors.localCheckpoint()
+        survivors = _greedy_first_wins(batch.select(id_col), edges,
+                                       dup_hist, id_col)
         sv_wide = wide.join(survivors, id_col)
         (banded.join(survivors, id_col)
          .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
@@ -707,6 +719,108 @@ def compact_neardup_index(spark, index_dir: str, upto_epoch: int,
         if sub == "sigs" and n is not None:
             n_docs = n
     return n_docs
+
+
+def incremental_fingerprint_neardup_processor(
+        fp_col: str, id_col: str, index_dir: str, out_dir: str, *,
+        bits: int = 63, bands: int = 3, max_hamming: int = 2,
+        max_bucket: int = 50):
+    """Streaming ingestion near-dup for the MEDIA modality: the
+    fingerprint twin of :func:`incremental_neardup_processor`, so a
+    media stream dedupes against ALL history the way text does
+    (VERDICT r13 Next #5). Input rows carry a precomputed bit
+    fingerprint (decoded pHash via
+    operators/multimodal.py:phash_features, byte SimHash via
+    payload_simhash, chromaprint... — all stream-transparent
+    projections that compose upstream of this gate).
+
+    Per micro-batch: band the fingerprints with the SAME shift/mask
+    spelling the batch path uses (multimodal.banded_fingerprint —
+    bits/bands/pigeonhole arguments per fingerprint_neardup), probe the
+    epoch-partitioned history index on (band, band_key), verify
+    candidates by exact in-row Hamming ≤ ``max_hamming`` (banding is a
+    candidate filter only), then the within-batch greedy first-wins
+    fixpoint shared with the MinHash gate (:func:`_greedy_first_wins`).
+    Unlike MinHash, the whole fingerprint IS the verify state and rides
+    in-row — ONE index table (band, band_key, id, fp; ~32 B/row), no
+    separate signature table, and history verification needs no second
+    join. ``max_bucket`` caps in-batch self-join buckets exactly like
+    fingerprint_neardup (the documented recall trade on degenerate
+    constant-fingerprint floods); the history probe is uncapped — a
+    verified history dup must always drop.
+
+    Exactly-once contract, identical to the text gates: reads filter
+    ``epoch < current``, writes dynamic-overwrite their own epoch, so a
+    replayed epoch converges; compact with :func:`compact_dedup_index`
+    on ``{index_dir}/bands`` (single table — the dedup compactor folds
+    it verbatim) under the committed-epoch contract.
+    """
+    from kafka_connect_streams_spark.operators.multimodal import (
+        banded_fingerprint)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        banded = banded_fingerprint(
+            batch, id_col, fp_col, bits, bands).localCheckpoint()
+        from pyspark.sql.utils import AnalysisException
+        dup_hist = None
+        try:
+            hist = (spark.read.parquet(f"{index_dir}/bands")
+                    .filter(F.col("epoch") < epoch_id)
+                    .select("band", "band_key",
+                            F.col("_fpv").alias("_hist_fp")))
+            dup_hist = (banded.join(hist, ["band", "band_key"])
+                        .filter(F.expr("bit_count(_fpv ^ _hist_fp)")
+                                <= max_hamming)
+                        .select(id_col).distinct())
+        except AnalysisException:  # first epoch: no index path yet
+            pass
+        ok = (banded.groupBy("band", "band_key")
+              .agg(F.count("*").alias("_bc"))
+              .filter(F.col("_bc") <= max_bucket)
+              .select("band", "band_key"))
+        kept = banded.join(ok, ["band", "band_key"])
+        a = kept.select(F.col(id_col).alias("id_a"),
+                        F.col("_fpv").alias("_fa"), "band", "band_key")
+        b = kept.select(F.col(id_col).alias("id_b"),
+                        F.col("_fpv").alias("_fb"), "band", "band_key")
+        edges = (a.join(b, ["band", "band_key"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .filter(F.expr("bit_count(_fa ^ _fb)") <= max_hamming)
+                 .select("id_a", "id_b").distinct())
+        if dup_hist is not None:
+            edges = (edges
+                     .join(dup_hist.select(F.col(id_col).alias("id_a")),
+                           "id_a", "left_anti")
+                     .join(dup_hist.select(F.col(id_col).alias("id_b")),
+                           "id_b", "left_anti"))
+        survivors = _greedy_first_wins(batch.select(id_col), edges,
+                                       dup_hist, id_col)
+        (banded.join(survivors, id_col)
+         .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(f"{index_dir}/bands"))
+        (batch.join(survivors, id_col)
+         .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(out_dir))
+
+    return process
+
+
+def start_incremental_fingerprint_neardup(
+        stream: DataFrame, fp_col: str, id_col: str, index_dir: str,
+        out_dir: str, checkpoint_dir: str, **kw):
+    """Wire :func:`incremental_fingerprint_neardup_processor` into a
+    foreachBatch stream (availableNow trigger: drain, then stop)."""
+    return (stream.writeStream
+            .foreachBatch(incremental_fingerprint_neardup_processor(
+                fp_col, id_col, index_dir, out_dir, **kw))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
 
 
 THROTTLE_SCHEMA = StructType([

@@ -825,6 +825,169 @@ class TestIncrementalNeardupStream:
         assert sigs.count() == sigs.select("doc_id").distinct().count() == 3
 
 
+class TestIncrementalFingerprintNeardup:
+    """The media twin of TestIncrementalNeardup (VERDICT r13 Next #5):
+    a media stream near-dedupes against ALL history through the
+    epoch-partitioned fingerprint index, same replay-once contract."""
+
+    @staticmethod
+    def _bmp(seed: str) -> bytearray:
+        """Deterministic BMP payload: md5-derived luma grid (the
+        test_media_decode _grid recipe), real container encode."""
+        import hashlib
+
+        from kafka_connect_streams_spark.operators.multimodal import (
+            PHASH_GRID, encode_bmp_gray)
+        n = PHASH_GRID
+        grid = []
+        for r in range(n):
+            d = b""
+            while len(d) < n:
+                d += hashlib.md5(f"{seed}:{r}:{len(d)}".encode()).digest()
+            grid.append(list(d[:n]))
+        return bytearray(encode_bmp_gray(grid))
+
+    def test_media_stream_dedupes_across_runs_and_replay(
+            self, spark, tmp_path):
+        """End-to-end media path: BMP payloads stream in, decode +
+        pHash as a stream-transparent projection (phash_features), the
+        fingerprint gate drops history dups and in-batch later ids;
+        restart reuses the checkpoint; a replayed epoch converges."""
+        from kafka_connect_streams_spark.operators.multimodal import (
+            phash_features)
+        from kafka_connect_streams_spark.streaming.state import (
+            incremental_fingerprint_neardup_processor,
+            start_incremental_fingerprint_neardup)
+        src = tmp_path / "in"
+        src.mkdir()
+        index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+
+        def feed(rows):
+            (spark.createDataFrame(rows, "doc_id long, payload binary")
+             .coalesce(1).write.mode("append").parquet(str(src)))
+
+        def run():
+            stream = (spark.readStream
+                      .schema("doc_id long, payload binary")
+                      .parquet(str(src)))
+            q = start_incremental_fingerprint_neardup(
+                phash_features(stream), "phash", "doc_id",
+                index, out, ckpt)
+            q.awaitTermination(120)
+
+        # run 1: two distinct images survive
+        feed([(1, self._bmp("img-a")), (2, self._bmp("img-b"))])
+        run()
+        got1 = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert got1 == {1, 2}
+
+        # run 2 (same checkpoint → next epoch): doc 3 re-sends img-a's
+        # bytes (pHash identical → history dup); docs 4/5 are an
+        # in-batch identical pair → greedy keeps the earlier id
+        feed([(3, self._bmp("img-a")), (4, self._bmp("img-c")),
+              (5, self._bmp("img-c"))])
+        run()
+        got2 = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert 3 not in got2, "history media dup must be dropped"
+        assert 4 in got2 and 5 not in got2, "in-batch pair keeps min id"
+        assert got2 == {1, 2, 4}
+
+        # replay the LAST epoch with the same content and epoch id (the
+        # foreachBatch crash-before-commit contract): must converge
+        last_epoch = max(r.epoch for r in
+                         spark.read.parquet(out).select("epoch").collect())
+        replay = phash_features(spark.createDataFrame(
+            [(3, self._bmp("img-a")), (4, self._bmp("img-c")),
+             (5, self._bmp("img-c"))], "doc_id long, payload binary"))
+        proc = incremental_fingerprint_neardup_processor(
+            "phash", "doc_id", index, out)
+        proc(replay, last_epoch)
+        got3 = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert got3 == got2, "replayed epoch must converge, not duplicate"
+        bandtbl = spark.read.parquet(f"{index}/bands")
+        assert ({r.doc_id for r in
+                 bandtbl.select("doc_id").distinct().collect()}
+                == {1, 2, 4}), "index holds exactly the survivors"
+
+    def test_hamming_chain_greedy_first_wins(self, spark, tmp_path):
+        """Transitive Hamming chain A~B~C (A<B<C, A≁C) in ONE batch:
+        B drops against A, C survives because its only verified partner
+        (B) did not survive — direct fingerprints, bits=63/bands=3/
+        max_hamming=2 (two flipped bits always leave one band intact,
+        so banding is pigeonhole-lossless here)."""
+        from kafka_connect_streams_spark.streaming.state import (
+            incremental_fingerprint_neardup_processor)
+        fp_a = 0x123456789ABCDE
+        fp_b = fp_a ^ 1                          # h(A,B)=1
+        fp_c = fp_b ^ (1 << 62) ^ (1 << 30)      # h(B,C)=2, h(A,C)=3
+        index = str(tmp_path / "idx"); out = str(tmp_path / "out")
+        proc = incremental_fingerprint_neardup_processor(
+            "fp", "doc_id", index, out)
+        proc(spark.createDataFrame(
+            [(1, fp_a), (2, fp_b), (3, fp_c)],
+            "doc_id long, fp long"), 0)
+        kept = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert kept == {1, 3}, kept
+
+    def test_history_dropped_media_does_not_drop_partner(
+            self, spark, tmp_path):
+        """A fingerprint dropped against HISTORY must not veto its
+        in-batch near-partner — sequential-ingest semantics, same as
+        the text gate."""
+        from kafka_connect_streams_spark.streaming.state import (
+            incremental_fingerprint_neardup_processor)
+        fp_a = 0x0F0F0F0F0F0F0F
+        fp_b = fp_a ^ 1                          # ~ history A
+        fp_c = fp_b ^ (1 << 62) ^ (1 << 30)      # ~ B only
+        index = str(tmp_path / "idx"); out = str(tmp_path / "out")
+        proc = incremental_fingerprint_neardup_processor(
+            "fp", "doc_id", index, out)
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, fp long")
+        proc(mk([(1, fp_a)]), 0)
+        proc(mk([(2, fp_b), (3, fp_c)]), 1)
+        kept = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert kept == {1, 3}, kept
+
+    def test_fingerprint_index_compaction(self, spark, tmp_path):
+        """compact_dedup_index folds the single bands table verbatim
+        (epoch=-1 base): later batches still dedupe against compacted
+        history and a post-compaction replay converges."""
+        from kafka_connect_streams_spark.streaming.state import (
+            compact_dedup_index,
+            incremental_fingerprint_neardup_processor)
+        fp_a, fp_x = 0x5A5A5A5A5A5A5A, 0x26C826C826C826
+        index = str(tmp_path / "idx"); out = str(tmp_path / "out")
+        proc = incremental_fingerprint_neardup_processor(
+            "fp", "doc_id", index, out)
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, fp long")
+        proc(mk([(1, fp_a)]), 0)
+        proc(mk([(2, fp_x)]), 1)
+        rows_before = {(r.band, r.band_key, r.doc_id) for r in
+                       spark.read.parquet(f"{index}/bands")
+                       .select("band", "band_key", "doc_id").collect()}
+        n = compact_dedup_index(spark, f"{index}/bands", upto_epoch=2)
+        assert n == len(rows_before)  # 3 band rows per doc
+        t = spark.read.parquet(f"{index}/bands")
+        assert {r.epoch for r in t.select("epoch").collect()} == {-1}
+        rows_after = {(r.band, r.band_key, r.doc_id) for r in
+                      t.select("band", "band_key", "doc_id").collect()}
+        assert rows_after == rows_before, "reads must be unchanged"
+        proc(mk([(3, fp_a ^ 2), (4, 0x3333333333CC33)]), 2)
+        kept = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert kept == {1, 2, 4}, kept
+        proc(mk([(3, fp_a ^ 2), (4, 0x3333333333CC33)]), 2)  # replay
+        kept2 = {r.doc_id for r in
+                 spark.read.parquet(out).select("doc_id").collect()}
+        assert kept2 == kept
+
+
 def test_throttle_rate_limits_per_key(spark, tmp_path):
     """Leading-edge per-key throttle: first event emits, events inside
     the min-interval are suppressed (and counted on the next emission),
