@@ -517,6 +517,78 @@ def media_phash_roundtrip(df: DataFrame, text_col: str = "text",
     return sel.mapInPandas(run, schema)
 
 
+def phash_robustness(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     qs: tuple[int, ...] = (2, 8, 32)) -> DataFrame:
+    """MEASURED re-encoding tolerance of the 63-bit pHash — the
+    measured-not-claimed number (the jl_then_neardup precedent) for how
+    much lossy re-encoding the fingerprint family's near-dup thresholds
+    survive. Per document: the baseline pHash of its synthetic luma
+    grid (:func:`md5_luma_grid`), then for each quantization severity
+    ``q`` the grid is uniformly quantized to ``(p div q)·q`` — the
+    deterministic integer-exact stand-in for lossy compression (coarser
+    quantization bins = harsher re-encode) — pushed through the REAL
+    BMP encode→decode leg (:func:`encode_bmp_gray`/:func:`decode_bmp`)
+    and re-hashed. Output: one row per (doc, q) with the Hamming
+    distance between the re-encoded and baseline hashes. Downstream
+    aggregation (queries.q_phash_robustness) reports the distribution
+    plus the within-threshold counts at the fingerprint_neardup /
+    video_neardup Hamming cutoffs.
+
+    Plan shape: Scan → Arrow-batched map, zero joins; per-row cost is
+    the fixed ``(1+len(qs))`` pHash evaluations (numpy-einsum batched)
+    and the fan-out the fixed ``len(qs)`` — never corpus-proportional.
+    Same conditional small-scan repartition as media_phash_roundtrip.
+    The quantization is integer-exact, so the DuckDB oracle twin
+    (queries._phash_robustness_sql) reproduces every Hamming count
+    bit-identically with NO container leg — a driver hash match proves
+    the quantized-grid encode→decode identity AND the DCT arithmetic
+    at every severity simultaneously.
+    """
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("q", LongType()),
+                         StructField("hamming", LongType())])
+    qlist = list(qs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = PHASH_GRID
+        for pdf in batches:
+            ids, grids = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                lum = md5_luma_grid(text)
+                grid = [lum[i * n:(i + 1) * n] for i in range(n)]
+                ids.append(int(doc_id))
+                grids.append(lum)    # baseline: no container needed —
+                # media_phash already pins encode→decode identity on it
+                # (flat 256, same shape box_luma_grid emits below)
+                for q in qlist:
+                    quant = [[(p // q) * q for p in row] for row in grid]
+                    w, h, dec = decode_bmp(encode_bmp_gray(quant))
+                    grids.append(box_luma_grid(dec, w, h))
+            hashes = phash64_batch(grids) if grids else []
+            out_ids, out_qs, out_h = [], [], []
+            step = 1 + len(qlist)
+            for di, doc_id in enumerate(ids):
+                base = hashes[di * step]
+                for qi, q in enumerate(qlist):
+                    out_ids.append(doc_id)
+                    out_qs.append(q)
+                    out_h.append(bin(base ^ hashes[di * step + 1 + qi])
+                                 .count("1"))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "q": pd.Series(out_qs, dtype="int64"),
+                "hamming": pd.Series(out_h, dtype="int64")})
+
+    sel = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_text"))
+    if not sel.isStreaming:
+        target = sel.sparkSession.sparkContext.defaultParallelism
+        if sel.rdd.getNumPartitions() < target:
+            sel = sel.repartition(target)
+    return sel.mapInPandas(run, schema)
+
+
 #: audio fingerprint geometry: 256 signed 16-bit PCM samples → 64 frames
 #: of 4 samples → frame energies (int64-exact: |s|≤2^15 ⇒ E ≤ 2^32) →
 #: 63-bit energy-delta fingerprint (bit f set iff E_f > E_{f+1}) — the

@@ -3687,6 +3687,43 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_roundtrip(t["documents"], "text", "doc_id")
 
 
+def q_phash_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED re-encoding tolerance of the 63-bit pHash
+    (operators/multimodal.py phash_robustness): per document, the
+    baseline pHash of its synthetic luma grid, then the grid uniformly
+    quantized at three severities (q = 2, 8, 32 — the integer-exact
+    stand-in for progressively lossier re-encoding), pushed through the
+    REAL BMP encode→decode leg and re-hashed; report per severity the
+    Hamming-distance distribution (n, sum, max) and the within-threshold
+    counts at the fingerprint_neardup (≤3) and video_neardup (≤2)
+    Hamming cutoffs — the measured-not-claimed number (the
+    jl_then_neardup precedent) for how much re-encoding the near-dup
+    family tolerates. Plan: one Arrow-batched map (fixed 4 pHash
+    evaluations/row) → one map-side-partial groupBy over the 3-value
+    severity key — a one-exchange, bounded-output report at any corpus
+    size. The quantization is integer-exact, so the DuckDB twin
+    reproduces every count with NO container leg: the driver hash match
+    proves the quantized-grid encode→decode identity AND the DCT
+    arithmetic at every severity simultaneously."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        phash_robustness)
+    t = load_tables(spark, sf_dir)
+    rows = phash_robustness(t["documents"], "text", "doc_id",
+                            qs=(2, 8, 32))
+    return (rows.groupBy("q")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("hamming").alias("sum_hamming"),
+                 F.max("hamming").alias("max_hamming"),
+                 F.sum(F.when(F.col("hamming") <= 3, F.lit(1))
+                        .otherwise(F.lit(0)).cast("bigint"))
+                  .alias("within_fp"),
+                 F.sum(F.when(F.col("hamming") <= 2, F.lit(1))
+                        .otherwise(F.lit(0)).cast("bigint"))
+                  .alias("within_video"))
+            .withColumn("sum_hamming", F.col("sum_hamming").cast("bigint"))
+            .orderBy("q"))
+
+
 def q_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-modality dedup clusters: the banded byte-SimHash near-dup
     pairs (media_neardup) fed into connected components — the same
@@ -4816,6 +4853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "langid_confusion": q_langid_confusion,
     "t_closeness": q_t_closeness,
+    "phash_robustness": q_phash_robustness,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -5007,12 +5045,14 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 #: embedding_neardup, embedding_dedup_clusters, mix_weights,
 #: global_index, lsh_tuning, copurchase_pairs, quantile_exact, kcore,
 #: rrf_fusion, hll_distinct, jl_projection — after this round no
-#: latest row predates r10; (c) the first 29 of the 47 r10-cohort rows
-#: in registry order (later r14 additions cede the r10 tail; slot
-#: arithmetic re-checked after every registry edit). All 50 locally
-#: hash-green via tools/check.py at sf0.01 AND sf0.1 before commit;
-#: the driver row is the bar.
+#: latest row predates r10; (c) the first 28 of the 47 r10-cohort rows
+#: in registry order (later r14 additions cede the r10 tail —
+#: phash_robustness, the VERDICT Next #6 re-encoding-tolerance eval,
+#: took customer_distribution's slot; slot arithmetic re-checked after
+#: every registry edit). All 50 locally hash-green via tools/check.py
+#: at sf0.01 AND sf0.1 before commit; the driver row is the bar.
 _R14_WINDOW = [
+    "phash_robustness",
     "t_closeness", "langid", "langid_confusion",
     "video_neardup", "media_videofp", "video_scene_cuts",
     "k_anonymize",
@@ -5031,7 +5071,6 @@ _R14_WINDOW = [
     "transition_matrix", "rolling_active_users", "join_skew_report",
     "local_supplier_volume", "forecast_revenue",
     "nation_volume_shipping", "product_profit",
-    "customer_distribution",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
@@ -10827,6 +10866,81 @@ def _phash_relational_sql(n_frames: int, digest_base: int) -> str:
 ORACLE["media_phash"] = _phash_relational_sql(1, 0)
 
 ORACLE["media_videofp"] = _phash_relational_sql(4, 48)
+
+
+def _phash_robustness_sql(qs: tuple[int, ...] = (2, 8, 32)) -> str:
+    """RELATIONAL DuckDB twin of queries.q_phash_robustness — the
+    _phash_relational_sql spelling with the frame dimension replaced by
+    a quantization-severity dimension: luma value lv becomes
+    ``(lv // q) * q`` per severity (q = 1 is the untouched baseline,
+    since floor-div-then-multiply by 1 is the identity), one pHash per
+    (doc, q) via the same join+group-by DCT, then per-severity Hamming
+    vs the q = 1 hash and the bounded aggregate report. NO container
+    leg anywhere — the Spark side routes every quantized grid through
+    encode_bmp_gray→decode_bmp, so the driver hash match proves that
+    round trip is the identity on quantized luma at every severity, on
+    top of the DCT arithmetic (the media_phash gate's trick, extended
+    to perturbed inputs)."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        PHASH_DCT_T)
+    tvals = ", ".join(f"({u}, {x}, {t})" for u, row in enumerate(PHASH_DCT_T)
+                      for x, t in enumerate(row))
+    qvals = ", ".join(f"({q})" for q in (1,) + tuple(qs))
+    return f"""
+    WITH dt(u, x, t) AS (SELECT * FROM (VALUES {tvals})),
+    qv(q) AS (SELECT * FROM (VALUES {qvals})),
+    dig AS (
+      SELECT doc_id, i.i AS i,
+             md5(coalesce(text, '') || ':' || i.i) AS dg
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i),
+    lum AS (
+      SELECT doc_id, qv.q, i AS x, b.b AS y,
+             (('0x' || substr(dg, b.b * 2 + 1, 2))::BIGINT // qv.q)
+               * qv.q AS lv
+      FROM dig
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+      CROSS JOIN qv),
+    m AS (
+      SELECT doc_id, q, dt.u, lum.y, sum(dt.t * lum.lv) AS mv
+      FROM lum JOIN dt ON dt.x = lum.x
+      GROUP BY doc_id, q, dt.u, lum.y),
+    d AS (
+      SELECT doc_id, q, m.u, dt.u AS v, sum(m.mv * dt.t) AS dv
+      FROM m JOIN dt ON dt.x = m.y
+      GROUP BY doc_id, q, m.u, dt.u),
+    ac AS (
+      SELECT doc_id, q, CAST(u * 8 + v - 1 AS BIGINT) AS i,
+             CAST(dv AS BIGINT) AS dv,
+             row_number() OVER (PARTITION BY doc_id, q
+                                ORDER BY dv, u, v) AS rn
+      FROM d WHERE NOT (u = 0 AND v = 0)),
+    med AS (SELECT doc_id, q, dv AS md FROM ac WHERE rn = 32),
+    ph AS (
+      SELECT ac.doc_id, ac.q,
+             CAST(coalesce(sum(CASE WHEN ac.dv > med.md
+                                    THEN (1::BIGINT << ac.i) END), 0)
+                  AS BIGINT) AS phash
+      FROM ac JOIN med USING (doc_id, q)
+      GROUP BY ac.doc_id, ac.q),
+    hm AS (
+      SELECT p.q, CAST(bit_count(xor(b.phash, p.phash)) AS BIGINT)
+               AS hamming
+      FROM ph b JOIN ph p ON b.doc_id = p.doc_id
+      WHERE b.q = 1 AND p.q <> 1)
+    SELECT CAST(q AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(hamming) AS BIGINT) AS sum_hamming,
+           CAST(max(hamming) AS BIGINT) AS max_hamming,
+           CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_fp,
+           CAST(sum(CASE WHEN hamming <= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_video
+    FROM hm GROUP BY q ORDER BY q
+    """
+
+
+ORACLE["phash_robustness"] = _phash_robustness_sql((2, 8, 32))
 
 # k-anonymity: the same two-level local recoding in SQL — full-QI
 # counts, the < k remainder re-counted on the coarse QI, the rest a

@@ -627,3 +627,84 @@ def test_video_scene_cuts_lag_semantics(spark):
     assert got[(1, 1)] == (1, False)
     assert got[(1, 2)] == (7, True)      # 0b1110 ^ 0b11110000: 7 bits
     assert got[(2, 0)] == (None, False)  # doc 2 sees no doc-1 frames
+
+
+# ------------------------------------------------- pHash robustness eval
+
+def _py_phash_robustness(text: str, qs=(2, 8, 32)) -> dict[int, int]:
+    """Pure-Python reference for one doc: baseline pHash of the raw
+    grid, then per severity quantize → REAL BMP encode→decode →
+    box-downsample → re-hash → Hamming."""
+    n = PHASH_GRID
+    lum = md5_luma_grid(text)
+    base = phash64(lum)
+    grid = [lum[i * n:(i + 1) * n] for i in range(n)]
+    out = {}
+    for q in qs:
+        quant = [[(p // q) * q for p in row] for row in grid]
+        w, h, dec = decode_bmp(encode_bmp_gray(quant))
+        out[q] = hamming(base, phash64(box_luma_grid(dec, w, h)))
+    return out
+
+
+def test_phash_robustness_operator_matches_python(spark):
+    """The Arrow-batched operator (baseline from the flat grid, every
+    quantized severity through the container round trip, numpy-einsum
+    batch hash) is bit-identical to the pure-Python per-doc reference
+    on every (doc, q) cell."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        phash_robustness)
+    texts = ["hello world", "", "the quick brown fox", "ünïcode ok",
+             "zz", "hello world"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    got = {(r.doc_id, r.q): r.hamming
+           for r in phash_robustness(df).collect()}
+    assert len(got) == len(texts) * 3
+    for i, t in enumerate(texts):
+        for q, hm in _py_phash_robustness(t).items():
+            assert got[(i, q)] == hm, (i, q)
+    # identical texts perturb identically at every severity
+    assert all(got[(0, q)] == got[(5, q)] for q in (2, 8, 32))
+
+
+def test_phash_robustness_q1_is_lossless(spark):
+    """q=1 quantization is the identity, so the whole perturb→encode→
+    decode→downsample→rehash chain must return Hamming 0 for every doc
+    — isolating the container leg from the measurement: any nonzero
+    Hamming at real severities is the quantization's doing, never the
+    codec's."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        phash_robustness)
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, ""), (2, "the quick brown fox")],
+        "doc_id bigint, text string")
+    rows = phash_robustness(df, qs=(1,)).collect()
+    assert len(rows) == 3 and all(r.hamming == 0 for r in rows)
+
+
+def test_phash_robustness_oracle_pin():
+    """The REGISTERED phash_robustness oracle (no container leg — pure
+    quantized-luma DCT in DuckDB) reproduces the pure-Python aggregate
+    report exactly on a planted corpus, severity by severity, including
+    the two near-dup-threshold counts and the output column order."""
+    from kafka_connect_streams_spark.queries import ORACLE
+    texts = ["hello world", "", "hello world", "ünïcode ok",
+             "the quick brown fox", "zz"]
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select * from (values "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)")
+    got = {r[0]: r[1:] for r in con.sql(
+        ORACLE["phash_robustness"]).fetchall()}
+    per_doc = [_py_phash_robustness(t) for t in texts]
+    for q in (2, 8, 32):
+        hs = [d[q] for d in per_doc]
+        assert got[q] == (len(hs), sum(hs), max(hs),
+                          sum(1 for h in hs if h <= 3),
+                          sum(1 for h in hs if h <= 2)), q
+    assert [d[0] for d in con.sql(
+        ORACLE["phash_robustness"]).description] == [
+        "q", "n_docs", "sum_hamming", "max_hamming",
+        "within_fp", "within_video"]
