@@ -674,6 +674,63 @@ def media_audiofp_roundtrip(df: DataFrame, text_col: str = "text",
     return sel.mapInPandas(run, schema)
 
 
+def audiofp_robustness(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       qs: tuple[int, ...] = (4, 64, 1024)) -> DataFrame:
+    """MEASURED requantization tolerance of the 63-bit energy-delta
+    audio fingerprint — the audio twin of :func:`phash_robustness`.
+    Per document: the baseline fingerprint of its synthetic PCM
+    waveform (:func:`md5_pcm_samples`), then per severity ``q`` every
+    sample requantized to step ``q`` via the bias-to-unsigned spelling
+    ``((s + 32768) // q) * q − 32768`` (nonnegative dividend, so
+    floor == truncate in every engine; q = 4/64/1024 model 14-/10-/
+    6-bit audio), pushed through the REAL RIFF/WAVE encode→decode leg
+    (:func:`encode_wav_pcm16`/:func:`decode_wav`) and re-fingerprinted.
+    Output: one row per (doc, q) with the Hamming distance to the
+    baseline fingerprint; queries.q_audiofp_robustness aggregates the
+    bounded per-severity report.
+
+    Plan shape: Scan → Arrow-batched map, zero joins; fixed
+    ``(1+len(qs))`` fingerprint evaluations per row. The requantization
+    is integer-exact, so the DuckDB twin (no container leg) reproduces
+    every Hamming count bit-identically — the driver hash match proves
+    the quantized-sample WAV round trip is the identity AND the energy
+    arithmetic is engine-exact at every severity simultaneously."""
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("q", LongType()),
+                         StructField("hamming", LongType())])
+    qlist = list(qs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_qs, out_h = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                smp = md5_pcm_samples(text)
+                base = audio_energy_fp(smp)   # baseline: no container —
+                # media_audiofp already pins encode→decode identity
+                for q in qlist:
+                    quant = [((s + 32768) // q) * q - 32768 for s in smp]
+                    rate, channels, dec = decode_wav(
+                        encode_wav_pcm16(quant))
+                    assert (rate, channels) == (8000, 1)
+                    out_ids.append(int(doc_id))
+                    out_qs.append(q)
+                    out_h.append(bin(base ^ audio_energy_fp(dec))
+                                 .count("1"))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "q": pd.Series(out_qs, dtype="int64"),
+                "hamming": pd.Series(out_h, dtype="int64")})
+
+    sel = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_text"))
+    if not sel.isStreaming:
+        target = sel.sparkSession.sparkContext.defaultParallelism
+        if sel.rdd.getNumPartitions() < target:
+            sel = sel.repartition(target)
+    return sel.mapInPandas(run, schema)
+
+
 #: schema of decoded perceptual-hash features.
 PHASH_SCHEMA = StructType([
     StructField("doc_id", LongType()),

@@ -3724,6 +3724,38 @@ def q_phash_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("q"))
 
 
+def q_audiofp_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED requantization tolerance of the audio energy-delta
+    fingerprint (operators/multimodal.py audiofp_robustness — the audio
+    twin of phash_robustness): per document the baseline fingerprint,
+    then every PCM sample requantized at q = 4/64/1024 (14-/10-/6-bit
+    audio via the bias-to-unsigned floor spelling), pushed through the
+    REAL RIFF/WAVE encode→decode leg and re-fingerprinted; report per
+    severity the Hamming distribution (n, sum, max), the count within
+    the fingerprint_neardup cutoff (≤3), and the exact-match count.
+    Same one-exchange plan as phash_robustness: Arrow map with fixed
+    per-row cost → map-side-partial groupBy over the 3-value severity
+    key. The DuckDB twin requantizes the md5-derived samples with NO
+    container leg, so the driver hash match proves the quantized-sample
+    WAV round trip AND the energy arithmetic at every severity."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        audiofp_robustness)
+    t = load_tables(spark, sf_dir)
+    rows = audiofp_robustness(t["documents"], "text", "doc_id",
+                              qs=(4, 64, 1024))
+    return (rows.groupBy("q")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("hamming").alias("sum_hamming"),
+                 F.max("hamming").alias("max_hamming"),
+                 F.sum(F.when(F.col("hamming") <= 3, F.lit(1))
+                        .otherwise(F.lit(0)).cast("bigint"))
+                  .alias("within_fp"),
+                 F.sum(F.when(F.col("hamming") == 0, F.lit(1))
+                        .otherwise(F.lit(0)).cast("bigint"))
+                  .alias("exact_matches"))
+            .orderBy("q"))
+
+
 def q_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-modality dedup clusters: the banded byte-SimHash near-dup
     pairs (media_neardup) fed into connected components — the same
@@ -4854,6 +4886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": q_langid_confusion,
     "t_closeness": q_t_closeness,
     "phash_robustness": q_phash_robustness,
+    "audiofp_robustness": q_audiofp_robustness,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -5045,14 +5078,15 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 #: embedding_neardup, embedding_dedup_clusters, mix_weights,
 #: global_index, lsh_tuning, copurchase_pairs, quantile_exact, kcore,
 #: rrf_fusion, hll_distinct, jl_projection — after this round no
-#: latest row predates r10; (c) the first 28 of the 47 r10-cohort rows
+#: latest row predates r10; (c) the first 27 of the 47 r10-cohort rows
 #: in registry order (later r14 additions cede the r10 tail —
 #: phash_robustness, the VERDICT Next #6 re-encoding-tolerance eval,
-#: took customer_distribution's slot; slot arithmetic re-checked after
+#: took customer_distribution's slot and audiofp_robustness, its audio
+#: twin, took product_profit's; slot arithmetic re-checked after
 #: every registry edit). All 50 locally hash-green via tools/check.py
 #: at sf0.01 AND sf0.1 before commit; the driver row is the bar.
 _R14_WINDOW = [
-    "phash_robustness",
+    "phash_robustness", "audiofp_robustness",
     "t_closeness", "langid", "langid_confusion",
     "video_neardup", "media_videofp", "video_scene_cuts",
     "k_anonymize",
@@ -5070,7 +5104,7 @@ _R14_WINDOW = [
     "ann_pq_recall", "ann_pq_trained_recall", "ann_ivfpq",
     "transition_matrix", "rolling_active_users", "join_skew_report",
     "local_supplier_volume", "forecast_revenue",
-    "nation_volume_shipping", "product_profit",
+    "nation_volume_shipping",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
@@ -10941,6 +10975,78 @@ def _phash_robustness_sql(qs: tuple[int, ...] = (2, 8, 32)) -> str:
 
 
 ORACLE["phash_robustness"] = _phash_robustness_sql((2, 8, 32))
+
+
+def _audiofp_robustness_sql(qs: tuple[int, ...] = (4, 64, 1024)) -> str:
+    """DuckDB twin of queries.q_audiofp_robustness — the media_audiofp
+    chain with a requantization-severity dimension: every decoded int16
+    sample becomes ``((s + 32768) // q) * q − 32768`` (q = 1 is the
+    untouched baseline; the dividend is nonnegative so floor == truncate
+    in every engine), one fingerprint per (doc, q), per-severity Hamming
+    vs q = 1, then the bounded aggregate report. NO container leg —
+    the Spark side routes every quantized waveform through
+    encode_wav_pcm16→decode_wav, so the driver hash match proves that
+    round trip is the identity on requantized samples at every
+    severity. The fingerprint table is MATERIALIZED: the baseline/
+    severity self-join would otherwise re-run the whole md5→sample→
+    energy chain per reference (the r13 CTE-inlining gotcha)."""
+    qvals = ", ".join(f"({q})" for q in (1,) + tuple(qs))
+    return f"""
+    WITH qv(q) AS (SELECT * FROM (VALUES {qvals})),
+    d AS (
+      SELECT doc_id,
+             list_transform(generate_series(16, 47),
+                            i -> md5(coalesce(text, '') || ':' || i))
+               AS _digs
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 255), j ->
+               CAST((('0x' || substr(_digs[(j // 8) + 1],
+                                     (j % 8) * 4 + 1, 2))::BIGINT
+                     + 256 * ('0x' || substr(_digs[(j // 8) + 1],
+                                             (j % 8) * 4 + 3, 2))::BIGINT
+                     + CASE WHEN ('0x' || substr(_digs[(j // 8) + 1],
+                                                 (j % 8) * 4 + 3,
+                                                 2))::BIGINT >= 128
+                            THEN -65536 ELSE 0 END) AS BIGINT)) AS _smp
+      FROM d),
+    sq AS (
+      SELECT doc_id, qv.q,
+             list_transform(_smp, v ->
+               ((v + 32768) // qv.q) * qv.q - 32768) AS _smp
+      FROM s CROSS JOIN qv),
+    e AS (
+      SELECT doc_id, q,
+             list_transform(generate_series(0, 63), f ->
+               CAST(list_sum(list_transform(generate_series(1, 4),
+                 i -> _smp[4 * f + i] * _smp[4 * f + i])) AS BIGINT))
+               AS _e
+      FROM sq),
+    fp AS MATERIALIZED (
+      SELECT doc_id, q,
+             CAST(list_sum(list_transform(generate_series(0, 62), f ->
+               CASE WHEN _e[f + 1] > _e[f + 2] THEN (1::BIGINT << f)
+                    ELSE 0::BIGINT END)) AS BIGINT) AS audiofp
+      FROM e),
+    hm AS (
+      SELECT p.q, CAST(bit_count(xor(b.audiofp, p.audiofp)) AS BIGINT)
+               AS hamming
+      FROM fp b JOIN fp p ON b.doc_id = p.doc_id
+      WHERE b.q = 1 AND p.q <> 1)
+    SELECT CAST(q AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(hamming) AS BIGINT) AS sum_hamming,
+           CAST(max(hamming) AS BIGINT) AS max_hamming,
+           CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_fp,
+           CAST(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_matches
+    FROM hm GROUP BY q ORDER BY q
+    """
+
+
+ORACLE["audiofp_robustness"] = _audiofp_robustness_sql((4, 64, 1024))
 
 # k-anonymity: the same two-level local recoding in SQL — full-QI
 # counts, the < k remainder re-counted on the coarse QI, the rest a

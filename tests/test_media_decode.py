@@ -708,3 +708,81 @@ def test_phash_robustness_oracle_pin():
         ORACLE["phash_robustness"]).description] == [
         "q", "n_docs", "sum_hamming", "max_hamming",
         "within_fp", "within_video"]
+
+
+# -------------------------------------------- audio fingerprint robustness
+
+def _py_audiofp_robustness(text: str, qs=(4, 64, 1024)) -> dict[int, int]:
+    """Pure-Python reference for one doc: baseline energy-delta
+    fingerprint of the raw waveform, then per severity requantize →
+    REAL WAV encode→decode → re-fingerprint → Hamming."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        audio_energy_fp, encode_wav_pcm16, md5_pcm_samples)
+    smp = md5_pcm_samples(text)
+    base = audio_energy_fp(smp)
+    out = {}
+    for q in qs:
+        quant = [((s + 32768) // q) * q - 32768 for s in smp]
+        rate, channels, dec = decode_wav(encode_wav_pcm16(quant))
+        assert (rate, channels) == (8000, 1)
+        out[q] = hamming(base, audio_energy_fp(dec))
+    return out
+
+
+def test_audiofp_robustness_operator_matches_python(spark):
+    """The Arrow-batched operator is bit-identical to the pure-Python
+    per-doc reference on every (doc, q) cell; identical texts perturb
+    identically."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        audiofp_robustness)
+    texts = ["hello world", "", "the quick brown fox", "ünïcode ok",
+             "zz", "hello world"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    got = {(r.doc_id, r.q): r.hamming
+           for r in audiofp_robustness(df).collect()}
+    assert len(got) == len(texts) * 3
+    for i, t in enumerate(texts):
+        for q, hm in _py_audiofp_robustness(t).items():
+            assert got[(i, q)] == hm, (i, q)
+    assert all(got[(0, q)] == got[(5, q)] for q in (4, 64, 1024))
+
+
+def test_audiofp_robustness_q1_is_lossless(spark):
+    """q=1 requantization is the identity, so the perturb→WAV→decode→
+    refingerprint chain must return Hamming 0 for every doc — isolating
+    the container leg from the measurement."""
+    from kafka_connect_streams_spark.operators.multimodal import (
+        audiofp_robustness)
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, ""), (2, "the quick brown fox")],
+        "doc_id bigint, text string")
+    rows = audiofp_robustness(df, qs=(1,)).collect()
+    assert len(rows) == 3 and all(r.hamming == 0 for r in rows)
+
+
+def test_audiofp_robustness_oracle_pin():
+    """The REGISTERED audiofp_robustness oracle (no container leg)
+    reproduces the pure-Python aggregate report exactly on a planted
+    corpus, severity by severity, including the threshold counts and
+    column order."""
+    from kafka_connect_streams_spark.queries import ORACLE
+    texts = ["hello world", "", "hello world", "ünïcode ok",
+             "the quick brown fox", "zz"]
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select * from (values "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)")
+    got = {r[0]: r[1:] for r in con.sql(
+        ORACLE["audiofp_robustness"]).fetchall()}
+    per_doc = [_py_audiofp_robustness(t) for t in texts]
+    for q in (4, 64, 1024):
+        hs = [d[q] for d in per_doc]
+        assert got[q] == (len(hs), sum(hs), max(hs),
+                          sum(1 for h in hs if h <= 3),
+                          sum(1 for h in hs if h == 0)), q
+    assert [d[0] for d in con.sql(
+        ORACLE["audiofp_robustness"]).description] == [
+        "q", "n_docs", "sum_hamming", "max_hamming",
+        "within_fp", "exact_matches"]
