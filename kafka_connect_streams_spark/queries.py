@@ -3756,6 +3756,43 @@ def q_audiofp_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("q"))
 
 
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection report (operators/pii.py pii_detect) — the
+    redaction-stage audit of a curation pipeline: per document, the
+    independent match counts for the email / IPv4 / phone detectors
+    plus a has_pii flag. The corpus carries no PII, so the registered
+    query runs the detectors over the deterministic md5-derived
+    contact enrichment (attach_contacts — the md5_luma_grid precedent:
+    each class lands on its own ~1/3 of docs, mixing 0–3-class
+    positives with ~30% true negatives). Zero-shuffle Scan → Project,
+    JVM regex inside whole-stage codegen, stream-transparent; the
+    patterns live in the Java-regex ∩ RE2 subset so the DuckDB twin
+    matches byte-for-byte."""
+    from kafka_connect_streams_spark.operators.pii import (
+        attach_contacts, pii_detect)
+    t = load_tables(spark, sf_dir)
+    enr = attach_contacts(t["documents"].select("doc_id", "text"))
+    return pii_detect(enr).orderBy("doc_id")
+
+
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/pii.py pii_mask) over the same
+    enriched corpus as pii_report: sequential in-place masking to
+    [EMAIL] / [IPV4] / [PHONE] in the pinned order (EMAIL first so an
+    address with a dotted-quad local part redacts as one token), plus
+    a measured-not-claimed ``residual`` column that RE-RUNS all three
+    detectors over the masked text — the driver row verifies the
+    redaction actually zeroed the corpus, not just that the replace
+    ran. Zero-shuffle projection; the masked text itself is
+    hash-compared against the DuckDB twin, pinning both the match
+    spans and the replacement semantics across engines."""
+    from kafka_connect_streams_spark.operators.pii import (
+        attach_contacts, pii_mask)
+    t = load_tables(spark, sf_dir)
+    enr = attach_contacts(t["documents"].select("doc_id", "text"))
+    return pii_mask(enr).orderBy("doc_id")
+
+
 def q_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-modality dedup clusters: the banded byte-SimHash near-dup
     pairs (media_neardup) fed into connected components — the same
@@ -4887,6 +4924,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_closeness": q_t_closeness,
     "phash_robustness": q_phash_robustness,
     "audiofp_robustness": q_audiofp_robustness,
+    "pii_report": q_pii_report,
+    "pii_mask": q_pii_mask,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -5078,15 +5117,17 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 #: embedding_neardup, embedding_dedup_clusters, mix_weights,
 #: global_index, lsh_tuning, copurchase_pairs, quantile_exact, kcore,
 #: rrf_fusion, hll_distinct, jl_projection — after this round no
-#: latest row predates r10; (c) the first 27 of the 47 r10-cohort rows
+#: latest row predates r10; (c) the first 25 of the 47 r10-cohort rows
 #: in registry order (later r14 additions cede the r10 tail —
 #: phash_robustness, the VERDICT Next #6 re-encoding-tolerance eval,
-#: took customer_distribution's slot and audiofp_robustness, its audio
-#: twin, took product_profit's; slot arithmetic re-checked after
-#: every registry edit). All 50 locally hash-green via tools/check.py
-#: at sf0.01 AND sf0.1 before commit; the driver row is the bar.
+#: took customer_distribution's slot; audiofp_robustness, its audio
+#: twin, took product_profit's; pii_report + pii_mask, the redaction
+#: curation stage, took nation_volume_shipping's and forecast_revenue's;
+#: slot arithmetic re-checked after every registry edit). All 50
+#: locally hash-green via tools/check.py at sf0.01 AND sf0.1 before
+#: commit; the driver row is the bar.
 _R14_WINDOW = [
-    "phash_robustness", "audiofp_robustness",
+    "phash_robustness", "audiofp_robustness", "pii_report", "pii_mask",
     "t_closeness", "langid", "langid_confusion",
     "video_neardup", "media_videofp", "video_scene_cuts",
     "k_anonymize",
@@ -5103,8 +5144,7 @@ _R14_WINDOW = [
     "chunk_dedup", "tokenizer_fertility", "ann_pq_adc",
     "ann_pq_recall", "ann_pq_trained_recall", "ann_ivfpq",
     "transition_matrix", "rolling_active_users", "join_skew_report",
-    "local_supplier_volume", "forecast_revenue",
-    "nation_volume_shipping",
+    "local_supplier_volume",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
@@ -11047,6 +11087,88 @@ def _audiofp_robustness_sql(qs: tuple[int, ...] = (4, 64, 1024)) -> str:
 
 
 ORACLE["audiofp_robustness"] = _audiofp_robustness_sql((4, 64, 1024))
+
+
+def _pii_enrich_sql() -> str:
+    """DuckDB twin of operators/pii.attach_contacts — the deterministic
+    contact synthesizer as one SELECT (byte i of md5 is
+    ``('0x' || substr(h, 2i+1, 2))::BIGINT``, the repo's standard
+    spelling). Pinned byte-for-byte against the Spark column expression
+    by tests/test_pii.py."""
+    def b(i: int) -> str:
+        return f"('0x' || substr(h, {2 * i + 1}, 2))::BIGINT"
+    return f"""
+      SELECT doc_id,
+             t
+             || CASE WHEN {b(0)} % 3 = 0
+                     THEN ' Contact user' || ({b(1)} % 100)::VARCHAR
+                          || '@example' || ({b(2)} % 10)::VARCHAR
+                          || '.com'
+                     ELSE '' END
+             || CASE WHEN {b(3)} % 3 = 0
+                     THEN ' Call 555-'
+                          || lpad(({b(4)} % 1000)::VARCHAR, 3, '0')
+                          || '-'
+                          || lpad((({b(5)} * 256 + {b(6)}) % 10000)
+                                  ::VARCHAR, 4, '0')
+                     ELSE '' END
+             || CASE WHEN {b(7)} % 3 = 0
+                     THEN ' Host 10.' || ({b(8)})::VARCHAR
+                          || '.' || ({b(9)})::VARCHAR
+                          || '.' || ({b(10)})::VARCHAR
+                     ELSE '' END AS text
+      FROM (SELECT doc_id, coalesce(text, '') AS t,
+                   md5(coalesce(text, '')) AS h
+            FROM documents)
+    """
+
+
+def _pii_report_sql() -> str:
+    from kafka_connect_streams_spark.operators.pii import PII_PATTERNS
+    em, ip, ph = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
+                  PII_PATTERNS["phone"])
+    return f"""
+    WITH enr AS ({_pii_enrich_sql()}),
+    c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT)
+               AS n_ipv4,
+             CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT)
+               AS n_phone
+      FROM enr)
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+           (n_email + n_ipv4 + n_phone) > 0 AS has_pii
+    FROM c ORDER BY doc_id
+    """
+
+
+def _pii_mask_sql() -> str:
+    from kafka_connect_streams_spark.operators.pii import PII_PATTERNS
+    em, ip, ph = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
+                  PII_PATTERNS["phone"])
+    return f"""
+    WITH enr AS ({_pii_enrich_sql()}),
+    m AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{em}', '[EMAIL]', 'g'),
+                 '{ip}', '[IPV4]', 'g'),
+               '{ph}', '[PHONE]', 'g') AS masked
+      FROM enr)
+    SELECT doc_id, masked,
+           CAST(len(regexp_extract_all(masked, '{em}'))
+                + len(regexp_extract_all(masked, '{ip}'))
+                + len(regexp_extract_all(masked, '{ph}'))
+                AS BIGINT) AS residual
+    FROM m ORDER BY doc_id
+    """
+
+
+ORACLE["pii_report"] = _pii_report_sql()
+ORACLE["pii_mask"] = _pii_mask_sql()
 
 # k-anonymity: the same two-level local recoding in SQL — full-QI
 # counts, the < k remainder re-counted on the coarse QI, the rest a
