@@ -252,3 +252,81 @@ def t_closeness_report(df: DataFrame, id_col: str, qi_cols: list[str],
                     F.col("_n_g").alias("group_size"),
                     F.col("l1_e9").cast("bigint").alias("l1_e9"),
                     (F.col("l1_e9") <= t_l1_e9).alias("t_close")))
+
+
+#: fixed-point scale of the DP noise inverse-CDF table (48 bits — the
+#: md5-derived uniform draws 12 hex chars, exactly this range).
+DP_NOISE_SCALE = 1 << 48
+
+
+def dp_noise_cdf(eps_e3: int = 1000, bound: int = 16) -> list[int]:
+    """Cumulative inverse-CDF table of the truncated two-sided geometric
+    ("discrete Laplace") distribution — the geometric mechanism of
+    Ghosh–Roughgarden–Sundararajan (STOC'09; Dwork et al.'s Laplace
+    mechanism discretized), the standard ε-DP noise for counting
+    queries with sensitivity 1. P(k) ∝ α^|k| with α = exp(−ε),
+    truncated at |k| ≤ bound (tail mass at the default ε=1, bound=16
+    is ~1e-7 — folded into the end buckets by the cumulative spelling).
+
+    Returned as 2^48 fixed-point thresholds for k = −bound..bound:
+    noise(u) = the first k whose threshold exceeds the 48-bit uniform
+    draw. The float exp/normalization here runs ONCE, in Python, and
+    the resulting INTEGER literals are embedded in both the Spark plan
+    and the DuckDB oracle twin — cross-engine parity never touches
+    floating point (the fixed-probability-table discipline; ε is
+    passed as an exact integer ε·10³ for the same reason)."""
+    import math
+    alpha = math.exp(-eps_e3 / 1000.0)
+    ws = [alpha ** abs(k) for k in range(-bound, bound + 1)]
+    tot = sum(ws)
+    cum, acc = [], 0.0
+    out = []
+    for w in ws:
+        acc += w
+        out.append(min(DP_NOISE_SCALE, int(acc / tot * DP_NOISE_SCALE)))
+    out[-1] = DP_NOISE_SCALE
+    return out
+
+
+def dp_counts(df: DataFrame, key_cols: list[str], eps_e3: int = 1000,
+              bound: int = 16, seed: str = "dp-seed",
+              keep_true: bool = False) -> DataFrame:
+    """ε-differentially-private release of a group-count histogram via
+    the geometric mechanism: exact counts per key, plus two-sided
+    geometric noise (:func:`dp_noise_cdf`), clamped at zero
+    (post-processing — does not affect the privacy guarantee). The
+    noise draw is a keyed PRNG: a 48-bit uniform from
+    ``md5(seed || ':' || key…)`` pushed through the inverse-CDF table
+    in-row. DP implementations draw from seeded PRNGs as a matter of
+    course — the guarantee holds when ``seed`` is secret and fresh per
+    release; the registered query pins a PUBLIC seed so the DuckDB
+    twin is exact (the bootstrap_ci md5-replicate-weights precedent) —
+    a production release supplies its own secret seed through the same
+    argument.
+
+    ``key_cols`` must have BOUNDED cardinality (a histogram domain,
+    not raw ids — also a DP requirement: the released key set itself
+    must be data-independent). Scale shape: one map-side-partial
+    groupBy; the noise is a bounded CASE chain over the count table
+    (2·bound+1 integer comparisons per group, no joins, no Python).
+    ``keep_true=True`` additionally emits the exact count — for the
+    utility EVAL only (:func:`queries.q_dp_utility`), never a release.
+    """
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    parts: list[Column] = [F.lit(seed)]
+    for c in key_cols:
+        parts.append(F.lit(":"))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+    u = (F.conv(F.substring(F.md5(F.concat(*parts)), 1, 12), 16, 10)
+         .cast("bigint"))
+    cum = dp_noise_cdf(eps_e3, bound)
+    noise = F.when(u < cum[0], -bound)
+    for i in range(1, len(cum) - 1):
+        noise = noise.when(u < cum[i], i - bound)
+    noise = noise.otherwise(bound)
+    released = (F.greatest(F.lit(0), F.col("_n") + noise)
+                .cast("bigint").alias("released"))
+    cols = [*key_cols, released]
+    if keep_true:
+        cols.append(F.col("_n").cast("bigint").alias("true_count"))
+    return cnt.select(*cols)

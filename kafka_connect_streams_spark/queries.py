@@ -1445,6 +1445,54 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents_digit", coarse_n=1, k=5, t_l1_e9=400_000_000)
 
 
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram release
+    (operators/aggregations.py dp_counts — the geometric mechanism of
+    Ghosh–Roughgarden–Sundararajan, ε=1): exact counts over the
+    bounded (c_mktsegment, c_nationkey) domain (~125 groups), plus
+    truncated two-sided geometric noise from a keyed PRNG
+    (md5(seed:key) → 48-bit uniform → inverse-CDF table), clamped at
+    zero. The float exp runs once in Python; both engines consume the
+    same integer threshold literals, so the oracle twin is exact. The
+    registered query pins a PUBLIC seed (the bootstrap_ci precedent) —
+    a production release supplies a secret fresh seed through the same
+    argument. Completes the privacy family's release path: k_anonymize
+    / l_diversity / t_closeness audit a microdata release; this
+    releases aggregates with a formal ε guarantee. One
+    map-side-partial groupBy; noise is a bounded in-row CASE chain —
+    no joins, no Python, corpus-size-independent beyond the scan."""
+    from kafka_connect_streams_spark.operators.aggregations import (
+        dp_counts)
+    t = load_tables(spark, sf_dir)
+    return (dp_counts(t["customer"], ["c_mktsegment", "c_nationkey"],
+                      eps_e3=1000, bound=16)
+            .orderBy("c_mktsegment", "c_nationkey"))
+
+
+def q_dp_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utility eval of the q_dp_counts release — the
+    measured-not-claimed error number (the robustness-eval precedent,
+    applied to privacy): released vs exact counts over the same
+    domain, reported as (n_groups, sum |err|, max |err|, exact-match
+    count). At ε=1 the two-sided geometric's expected |noise| is
+    2α/(1−α²) ≈ 0.85, so sum_abs_err ≈ 0.85·n_groups calibrates the
+    mechanism at a glance. keep_true is an EVAL-only switch — the
+    released artifact is q_dp_counts. Bounded output: one row."""
+    from kafka_connect_streams_spark.operators.aggregations import (
+        dp_counts)
+    t = load_tables(spark, sf_dir)
+    rel = dp_counts(t["customer"], ["c_mktsegment", "c_nationkey"],
+                    eps_e3=1000, bound=16, keep_true=True)
+    err = F.abs(F.col("released") - F.col("true_count"))
+    return rel.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(err).cast("bigint").alias("sum_abs_err"),
+        F.max(err).cast("bigint").alias("max_abs_err"),
+        F.sum(F.when(F.col("released") == F.col("true_count"),
+                     F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
+         .alias("n_exact"))
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained language identification (operators/text.py langid_ngram):
     hashed char-trigram rates per language learned from the corpus's
@@ -4926,6 +4974,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audiofp_robustness": q_audiofp_robustness,
     "pii_report": q_pii_report,
     "pii_mask": q_pii_mask,
+    "dp_counts": q_dp_counts,
+    "dp_utility": q_dp_utility,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -5117,17 +5167,20 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 #: embedding_neardup, embedding_dedup_clusters, mix_weights,
 #: global_index, lsh_tuning, copurchase_pairs, quantile_exact, kcore,
 #: rrf_fusion, hll_distinct, jl_projection — after this round no
-#: latest row predates r10; (c) the first 25 of the 47 r10-cohort rows
+#: latest row predates r10; (c) the first 23 of the 47 r10-cohort rows
 #: in registry order (later r14 additions cede the r10 tail —
 #: phash_robustness, the VERDICT Next #6 re-encoding-tolerance eval,
 #: took customer_distribution's slot; audiofp_robustness, its audio
 #: twin, took product_profit's; pii_report + pii_mask, the redaction
 #: curation stage, took nation_volume_shipping's and forecast_revenue's;
-#: slot arithmetic re-checked after every registry edit). All 50
-#: locally hash-green via tools/check.py at sf0.01 AND sf0.1 before
-#: commit; the driver row is the bar.
+#: dp_counts + dp_utility, the ε-DP histogram release + its utility
+#: eval, took join_skew_report's and local_supplier_volume's; slot
+#: arithmetic re-checked after every registry edit). All 50 locally
+#: hash-green via tools/check.py at sf0.01 AND sf0.1 before commit;
+#: the driver row is the bar.
 _R14_WINDOW = [
     "phash_robustness", "audiofp_robustness", "pii_report", "pii_mask",
+    "dp_counts", "dp_utility",
     "t_closeness", "langid", "langid_confusion",
     "video_neardup", "media_videofp", "video_scene_cuts",
     "k_anonymize",
@@ -5143,8 +5196,7 @@ _R14_WINDOW = [
     "jl_then_neardup", "packing_efficiency", "doc_chunking",
     "chunk_dedup", "tokenizer_fertility", "ann_pq_adc",
     "ann_pq_recall", "ann_pq_trained_recall", "ann_ivfpq",
-    "transition_matrix", "rolling_active_users", "join_skew_report",
-    "local_supplier_volume",
+    "transition_matrix", "rolling_active_users",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
@@ -11169,6 +11221,57 @@ def _pii_mask_sql() -> str:
 
 ORACLE["pii_report"] = _pii_report_sql()
 ORACLE["pii_mask"] = _pii_mask_sql()
+
+
+def _dp_sql(eps_e3: int = 1000, bound: int = 16,
+            seed: str = "dp-seed") -> tuple[str, str]:
+    """DuckDB twins of q_dp_counts / q_dp_utility: the SAME integer
+    inverse-CDF thresholds (dp_noise_cdf runs once; both engines get
+    the literals), the same md5-keyed 48-bit uniform, the same
+    zero-clamp. Returns (counts CTE prelude, noise CASE expression) —
+    the two oracles below compose them."""
+    from kafka_connect_streams_spark.operators.aggregations import (
+        dp_noise_cdf)
+    cum = dp_noise_cdf(eps_e3, bound)
+    case = ("CASE " + " ".join(
+        f"WHEN u < {cum[i]} THEN {i - bound}"
+        for i in range(len(cum) - 1)) + f" ELSE {bound} END")
+    prelude = f"""
+    WITH cnt AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey),
+    u AS (
+      SELECT *,
+             ('0x' || substr(md5('{seed}' || ':'
+                 || coalesce(c_mktsegment::VARCHAR, '') || ':'
+                 || coalesce(c_nationkey::VARCHAR, '')), 1, 12))::BIGINT
+               AS u
+      FROM cnt)
+    """
+    return prelude, case
+
+
+_DP_PRELUDE, _DP_CASE = _dp_sql(1000, 16)
+
+ORACLE["dp_counts"] = f"""
+    {_DP_PRELUDE}
+    SELECT c_mktsegment, c_nationkey,
+           CAST(greatest(0, n + {_DP_CASE}) AS BIGINT) AS released
+    FROM u ORDER BY c_mktsegment, c_nationkey
+"""
+
+ORACLE["dp_utility"] = f"""
+    {_DP_PRELUDE},
+    rel AS (
+      SELECT n, CAST(greatest(0, n + {_DP_CASE}) AS BIGINT) AS released
+      FROM u)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(abs(released - n)) AS BIGINT) AS sum_abs_err,
+           CAST(max(abs(released - n)) AS BIGINT) AS max_abs_err,
+           CAST(sum(CASE WHEN released = n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact
+    FROM rel
+"""
 
 # k-anonymity: the same two-level local recoding in SQL — full-QI
 # counts, the < k remainder re-counted on the coarse QI, the rest a

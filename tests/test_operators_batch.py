@@ -2843,3 +2843,101 @@ class TestKAnonymize:
             assert out[seg].group_size == len(grp)
         assert not out["A"].t_close      # 80%-one-value skew caught
         assert out["B"].t_close          # corpus-shaped group passes
+
+
+class TestDPCounts:
+    def _py_release(self, groups: dict, eps_e3=1000, bound=16,
+                    seed="dp-seed"):
+        """Pure-Python twin: md5-keyed 48-bit uniform → inverse-CDF
+        lookup → clamp — the exact arithmetic both engines spell."""
+        import hashlib as _h
+
+        from kafka_connect_streams_spark.operators.aggregations import (
+            dp_noise_cdf)
+        cum = dp_noise_cdf(eps_e3, bound)
+        out = {}
+        for key, n in groups.items():
+            ks = ":".join([seed] + [str(k) for k in key])
+            u = int(_h.md5(ks.encode()).hexdigest()[:12], 16)
+            k = next((i - bound for i in range(len(cum) - 1)
+                      if u < cum[i]), bound)
+            out[key] = max(0, n + k)
+        return out
+
+    def test_noise_cdf_shape(self):
+        """Monotone thresholds ending exactly at the 48-bit scale, with
+        the symmetric two-sided-geometric mass: the zero-noise bucket
+        is the largest and P(k) = P(−k) to fixed-point rounding."""
+        from kafka_connect_streams_spark.operators.aggregations import (
+            DP_NOISE_SCALE, dp_noise_cdf)
+        cum = dp_noise_cdf(1000, 16)
+        assert len(cum) == 33 and cum[-1] == DP_NOISE_SCALE
+        assert all(a < b for a, b in zip(cum, cum[1:]))
+        w = [cum[0]] + [b - a for a, b in zip(cum, cum[1:])]
+        assert w[16] == max(w)                       # mode at 0
+        for i in range(15):
+            assert abs(w[i] - w[32 - i]) <= 2, i     # symmetry
+        # expected |noise| at eps=1: 2a/(1-a^2) ~ 0.8509 — the utility
+        # calibration the q_dp_utility docstring quotes
+        import math
+        a = math.exp(-1.0)
+        exp_abs = sum(abs(i - 16) * wi for i, wi in enumerate(w)) \
+            / DP_NOISE_SCALE
+        assert abs(exp_abs - 2 * a / (1 - a * a)) < 1e-3
+
+    def test_release_matches_python_and_is_deterministic(self, spark):
+        from kafka_connect_streams_spark.operators.aggregations import (
+            dp_counts)
+        rows = [("A", i % 3) for i in range(30)] + [("B", 7)] \
+            + [("C", None)] * 2
+        df = spark.createDataFrame(rows, "seg string, nat int")
+        got = {(r.seg, r.nat): r.released
+               for r in dp_counts(df, ["seg", "nat"]).collect()}
+        groups = {}
+        for seg, nat in rows:
+            groups[(seg, "" if nat is None else nat)] = \
+                groups.get((seg, "" if nat is None else nat), 0) + 1
+        want = self._py_release(groups)
+        assert got == {(s, None if n == "" else n): v
+                       for (s, n), v in want.items()}
+        assert all(v >= 0 for v in got.values())
+        # keyed PRNG: same seed reproduces, fresh seed re-draws
+        again = {(r.seg, r.nat): r.released
+                 for r in dp_counts(df, ["seg", "nat"]).collect()}
+        assert again == got
+        other = {(r.seg, r.nat): r.released
+                 for r in dp_counts(df, ["seg", "nat"],
+                                    seed="other").collect()}
+        assert other != got
+
+    def test_zero_clamp_is_reachable_and_applied(self, spark):
+        """A size-1 group whose draw lands negative must release 0, not
+        a negative count: hunt a key whose md5 uniform falls in the
+        negative-noise mass (~43% of draws, so the first few keys
+        suffice) and pin the clamp on it."""
+        import hashlib as _h
+
+        from kafka_connect_streams_spark.operators.aggregations import (
+            dp_counts, dp_noise_cdf)
+        cum = dp_noise_cdf(1000, 16)
+        key = next(
+            k for k in range(1000)
+            if int(_h.md5(f"dp-seed:{k}".encode()).hexdigest()[:12], 16)
+            < cum[15])                               # noise <= -1
+        df = spark.createDataFrame([(key,)], "k int")
+        [r] = dp_counts(df, ["k"]).collect()
+        assert r.released == 0
+
+    def test_utility_report_matches_per_group_errors(self, spark, sf_dir):
+        import kafka_connect_streams_spark.queries as Q
+        rel = Q.QUERIES["dp_utility"](spark, sf_dir).collect()[0]
+        from kafka_connect_streams_spark.operators.aggregations import (
+            dp_counts)
+        t = Q.load_tables(spark, sf_dir)
+        per = dp_counts(t["customer"], ["c_mktsegment", "c_nationkey"],
+                        keep_true=True).collect()
+        errs = [abs(r.released - r.true_count) for r in per]
+        assert rel.n_groups == len(per)
+        assert rel.sum_abs_err == sum(errs)
+        assert rel.max_abs_err == max(errs)
+        assert rel.n_exact == sum(1 for e in errs if e == 0)
