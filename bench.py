@@ -123,7 +123,6 @@ HEADLINE = [
     # top_supplier (0.384 in r7) and bigram_topk (0.513) rotate out to
     # hold the line budget; their families stay covered (product_profit
     # / nation_volume_shipping; tfidf_topk / phrase machinery).
-    "global_index",
     "lsh_tuning",
     "bootstrap_ci",
     "kcore",
@@ -144,7 +143,6 @@ HEADLINE = [
     # heavy_hitters/cms_frequency/kmv_set_ops/quantile_sketch and the
     # streaming-HLL parity tests).
     "snm_multikey",
-    "quantile_sketch",
     "jl_then_neardup",
     "bpe_encode",
     "bpe_fertility",
@@ -179,6 +177,20 @@ HEADLINE = [
     "bm25_multiterm",
     "mmr_diversify",
     "ngram_novelty",
+    # round 14: phash_robustness (the heaviest Arrow decode entry — 4
+    # pHash evaluations/row vs media_phash's 1, the per-round timing of
+    # the whole quantize→BMP→decode→einsum-DCT chain) and pii_mask
+    # (the JVM-regex redaction scan — 6 regexp passes over enriched
+    # text inside one codegen stage, a shape the headline lacked). To
+    # hold the 1800-char worst-case guard (62 entries would render
+    # 1842), TWO thin stable entries rotated out: quantile_sketch
+    # (0.46 s in r13; the sketch family keeps heavy_hitters /
+    # cms_frequency / kmv_set_ops, and the sketch-vs-exact A/B has its
+    # r10 artifacts) and global_index (0.32 s stable since r8; the
+    # two-pass offset shape is plan-pinned). Both keep PLANS.md
+    # scorecards via tools/audit_plans.py EXTRA.
+    "phash_robustness",
+    "pii_mask",
     # round 12: block_dedup re-admitted (rotated out in r10 as a thin
     # stable wrapper) so the fingerprint-window → partial-aggregatable-
     # min migration's cost is MEASURED against its r09 window-shaped

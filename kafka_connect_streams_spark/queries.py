@@ -1367,7 +1367,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sensitive-term scrubbing with per-doc hit counts (PII-removal shape;
     a term pattern stands in for email/phone regexes — the synthetic text
-    has no digits)."""
+    has no digits). The REAL contact-string classes (email / IPv4 /
+    phone) live in operators/pii.py since r14: q_pii_report /
+    q_pii_mask run them over the deterministic md5 contact enrichment;
+    this entry keeps the arbitrary-term-list shape (a blocklist scrub
+    is a different production knob than the fixed PII classes)."""
     from kafka_connect_streams_spark.operators.text import redact_terms
     t = load_tables(spark, sf_dir)
     return redact_terms(t["documents"], "text", "doc_id",

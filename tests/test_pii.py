@@ -114,3 +114,36 @@ def test_pii_ops_are_zero_exchange(spark):
         assert "Exchange" not in plan, op.__name__
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_pii_ops_are_stream_transparent(spark, tmp_path):
+    """Stateless zero-shuffle projections run unchanged on a streaming
+    DataFrame (append mode, no watermark, no state) and emit rows
+    identical to the batch run over the same files — the streaming
+    ingest path redacts PII with the SAME operator call (the
+    media-roundtrip stream-transparency precedent)."""
+    from kafka_connect_streams_spark.operators.pii import attach_contacts
+    docs = (spark.read
+            .parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(2).write.parquet(str(src / "a"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    for i, op in enumerate([pii_detect, pii_mask]):
+        batch = {tuple(r)
+                 for r in op(attach_contacts(docs)).collect()}
+        name = f"pii_stp{i}"
+        q = (op(attach_contacts(stream))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = {tuple(r)
+                   for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        finally:
+            q.stop()
+        assert got == batch, op.__name__
+        assert len(got) == docs.count()
