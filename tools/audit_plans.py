@@ -65,7 +65,16 @@ EXTRA = ["gopher_rules", "semantic_dedup", "min_cost_supplier",
          # r13 video leg: the Y4M roundtrip (Arrow map) and the
          # frame-voting near-dup (banded machinery + doc-pair vote)
          "media_videofp", "video_neardup", "video_scene_cuts",
-         "k_anonymize", "l_diversity"]
+         "k_anonymize", "l_diversity",
+         # r14: the trained langid pair, the privacy-family additions
+         # (t-closeness audit, DP histogram release + utility eval),
+         # the audio robustness twin (phash_robustness and pii_mask
+         # joined the bench headline), the PII detect leg, and the two
+         # thin entries rotated out of the headline this round (their
+         # shapes stay audited)
+         "langid", "langid_confusion", "t_closeness",
+         "dp_counts", "dp_utility", "audiofp_robustness", "pii_report",
+         "quantile_sketch", "global_index"]
 
 #: Cost-ceiling notes for the eval/iterative harnesses (r12 verdict #7):
 #: one sentence each stating which FIXED iteration/sweep count dominates
