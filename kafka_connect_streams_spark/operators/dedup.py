@@ -278,6 +278,72 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
     return sim.filter(F.col("est_jaccard") >= threshold)
 
 
+# -- one-permutation MinHash ------------------------------------------------
+
+#: densification offset: borrows from different rotation distances must
+#: never collide with each other or with real minima, so the offset step
+#: sits above the hash range (h < P < 2^31); C = 2^33 keeps the largest
+#: densified slot under 2^38 — exact int64 in both engines.
+OPH_DENSE_C = 1 << 33
+
+
+def oph_signatures_wide(sh: DataFrame, id_col: str, k: int = 16) -> DataFrame:
+    """One-permutation MinHash signatures (Li, Owen & Zhang, NIPS'12)
+    with rotation densification (Shrivastava & Li, ICML'14): ONE hash
+    per shingle partitions the hash space into k residue-class bins
+    (``bucket = h mod k`` — the k bins of the single permutation);
+    slot j is the min hash within bin j; an EMPTY bin borrows the
+    first non-empty bin to its cyclic right plus ``C·distance``
+    (rotation densification — the offset keeps different-distance
+    borrows from colliding, preserving the collision-probability ≈
+    Jaccard estimator on densified slots).
+
+    Why it exists next to :func:`minhash_signatures_wide`: the classic
+    signature evaluates a k-term multiply-mod chain per shingle; OPH
+    computes the base hash once and the bin assignment once — per
+    shingle the k-way work collapses to k cheap equality guards inside
+    the same single-shuffle conditional-min aggregate (map-side
+    partial, AQE-splittable, identical shuffle bytes: k int64 partial
+    minima per (partition, doc)). At 100 TB the shingle-side CPU is
+    the dominant signature cost and drops ~k-fold; the measured
+    pair-recall price vs classic MinHash is the oph_recall driver row
+    (the lsh_tuning measured-not-claimed precedent). Densification is
+    an in-row k²-term coalesce over constants — whole-stage codegen,
+    no extra shuffle, no window.
+
+    Output: ``(id, sig: array<bigint> length k)`` — band-compatible
+    with every downstream consumer of the wide MinHash signature
+    (:func:`lsh_candidate_pairs_wide`, :func:`minhash_similarity_wide`,
+    :func:`banded_signatures`). Docs with no shingles emit no row
+    (identical to the classic path).
+    """
+    h0 = _h64(F.col("shingle")) % MINHASH_P
+    sparse = (sh.select(F.col(id_col), (h0 % k).alias("_b"),
+                        h0.alias("_h"))
+              .groupBy(id_col)
+              .agg(*[F.min(F.when(F.col("_b") == j, F.col("_h")))
+                     .alias(f"s{j}") for j in range(k)]))
+    dense = [F.coalesce(*[F.col(f"s{(j + d) % k}") + F.lit(d * OPH_DENSE_C)
+                          for d in range(k)]).alias(f"d{j}")
+             for j in range(k)]
+    return sparse.select(F.col(id_col),
+                         F.array(*dense).alias("sig"))
+
+
+def oph_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3, k: int = 16, bands: int = 4, rows: int = 4,
+                  threshold: float = 0.5) -> DataFrame:
+    """:func:`minhash_lsh_dedup` with the one-permutation signature —
+    same shingling, same banding, same slot-agreement estimator, same
+    output shape; only the signature construction differs. Plan: one
+    shuffle builds signatures, one self-join buckets them."""
+    sh = shingles(df, text_col, id_col, n)
+    wide = oph_signatures_wide(sh, id_col, k)
+    pairs = lsh_candidate_pairs_wide(wide, id_col, bands, rows)
+    sim = minhash_similarity_wide(wide, pairs, id_col, k)
+    return sim.filter(F.col("est_jaccard") >= threshold)
+
+
 # -- SimHash ----------------------------------------------------------------
 
 

@@ -434,6 +434,54 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n=3, k=16, bands=4, rows=4, threshold=0.25)
 
 
+def q_dedup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation MinHash + LSH near-dup pairs
+    (operators/dedup.py oph_signatures_wide / oph_lsh_dedup — Li-Owen-
+    Zhang one-permutation hashing with Shrivastava-Li rotation
+    densification): ONE hash per shingle partitions the hash space
+    into k=16 residue bins, slot = per-bin min, empty bins borrow
+    cyclically-right with a disjointness offset; then the SAME 4×4
+    banding, bucket self-join and slot-agreement estimator as
+    dedup_minhash_lsh, at ~1/k of the per-shingle signature CPU — the
+    scale path when the shingle side dominates (it does at 100 TB).
+    Identical parameters to dedup_minhash_lsh (n=3, k=16, 4×4, 0.25)
+    so q_oph_recall's comparison is apples-to-apples."""
+    from kafka_connect_streams_spark.operators.dedup import oph_lsh_dedup
+    t = load_tables(spark, sf_dir)
+    return oph_lsh_dedup(t["documents"], "text", "doc_id",
+                         n=3, k=16, bands=4, rows=4, threshold=0.25)
+
+
+def q_oph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured OPH-vs-classic agreement (the lsh_tuning / dedup_recall
+    precedent — the cheaper signature's price is a NUMBER, not a
+    claim): the thresholded pair sets of dedup_minhash_lsh and
+    dedup_oph under identical parameters, full-outer-joined on the
+    pair key, reported as one bounded row (n_minhash, n_oph, n_common).
+    Both pair sets are banding-bounded; the join is pair-key equi —
+    nothing corpus-proportional beyond the two pipelines
+    themselves."""
+    from kafka_connect_streams_spark.operators.dedup import (
+        minhash_lsh_dedup, oph_lsh_dedup)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    classic = (minhash_lsh_dedup(docs, "text", "doc_id",
+                                 n=3, k=16, bands=4, rows=4,
+                                 threshold=0.25)
+               .select("id_a", "id_b", F.lit(1).alias("_c")))
+    oph = (oph_lsh_dedup(docs, "text", "doc_id",
+                         n=3, k=16, bands=4, rows=4, threshold=0.25)
+           .select("id_a", "id_b", F.lit(1).alias("_o")))
+    both = classic.join(oph, ["id_a", "id_b"], "full")
+    return both.agg(
+        F.sum(F.coalesce("_c", F.lit(0))).cast("bigint")
+         .alias("n_minhash"),
+        F.sum(F.coalesce("_o", F.lit(0))).cast("bigint").alias("n_oph"),
+        F.sum(F.when(F.col("_c").isNotNull() & F.col("_o").isNotNull(),
+                     F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+         .alias("n_common"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document."""
     from kafka_connect_streams_spark.operators.dedup import simhash
@@ -1468,9 +1516,8 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_streams_spark.operators.aggregations import (
         dp_counts)
     t = load_tables(spark, sf_dir)
-    return (dp_counts(t["customer"], ["c_mktsegment", "c_nationkey"],
-                      eps_e3=1000, bound=16)
-            .orderBy("c_mktsegment", "c_nationkey"))
+    return dp_counts(t["customer"], ["c_mktsegment", "c_nationkey"],
+                     eps_e3=1000, bound=16)
 
 
 def q_dp_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3824,7 +3871,7 @@ def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_contacts, pii_detect)
     t = load_tables(spark, sf_dir)
     enr = attach_contacts(t["documents"].select("doc_id", "text"))
-    return pii_detect(enr).orderBy("doc_id")
+    return pii_detect(enr)
 
 
 def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3842,7 +3889,7 @@ def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_contacts, pii_mask)
     t = load_tables(spark, sf_dir)
     enr = attach_contacts(t["documents"].select("doc_id", "text"))
-    return pii_mask(enr).orderBy("doc_id")
+    return pii_mask(enr)
 
 
 def q_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
