@@ -5027,6 +5027,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_mask": q_pii_mask,
     "dp_counts": q_dp_counts,
     "dp_utility": q_dp_utility,
+    "dedup_oph": q_dedup_oph,
+    "oph_recall": q_oph_recall,
 }
 
 #: ROUND-10 WINDOW — the 50 names the driver hashes this round, per
@@ -5218,20 +5220,22 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 #: embedding_neardup, embedding_dedup_clusters, mix_weights,
 #: global_index, lsh_tuning, copurchase_pairs, quantile_exact, kcore,
 #: rrf_fusion, hll_distinct, jl_projection — after this round no
-#: latest row predates r10; (c) the first 23 of the 47 r10-cohort rows
+#: latest row predates r10; (c) the first 21 of the 47 r10-cohort rows
 #: in registry order (later r14 additions cede the r10 tail —
 #: phash_robustness, the VERDICT Next #6 re-encoding-tolerance eval,
 #: took customer_distribution's slot; audiofp_robustness, its audio
 #: twin, took product_profit's; pii_report + pii_mask, the redaction
 #: curation stage, took nation_volume_shipping's and forecast_revenue's;
 #: dp_counts + dp_utility, the ε-DP histogram release + its utility
-#: eval, took join_skew_report's and local_supplier_volume's; slot
-#: arithmetic re-checked after every registry edit). All 50 locally
-#: hash-green via tools/check.py at sf0.01 AND sf0.1 before commit;
-#: the driver row is the bar.
+#: eval, took join_skew_report's and local_supplier_volume's;
+#: dedup_oph + oph_recall, the one-permutation-hashing signature and
+#: its measured classic-agreement eval, took transition_matrix's and
+#: rolling_active_users's; slot arithmetic re-checked after every
+#: registry edit). All 50 locally hash-green via tools/check.py at
+#: sf0.01 AND sf0.1 before commit; the driver row is the bar.
 _R14_WINDOW = [
     "phash_robustness", "audiofp_robustness", "pii_report", "pii_mask",
-    "dp_counts", "dp_utility",
+    "dp_counts", "dp_utility", "dedup_oph", "oph_recall",
     "t_closeness", "langid", "langid_confusion",
     "video_neardup", "media_videofp", "video_scene_cuts",
     "k_anonymize",
@@ -5247,7 +5251,6 @@ _R14_WINDOW = [
     "jl_then_neardup", "packing_efficiency", "doc_chunking",
     "chunk_dedup", "tokenizer_fertility", "ann_pq_adc",
     "ann_pq_recall", "ann_pq_trained_recall", "ann_ivfpq",
-    "transition_matrix", "rolling_active_users",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
@@ -11272,6 +11275,89 @@ def _pii_mask_sql() -> str:
 
 ORACLE["pii_report"] = _pii_report_sql()
 ORACLE["pii_mask"] = _pii_mask_sql()
+
+
+def _oph_sql(k: int = 16, bands: int = 4, rows: int = 4,
+             threshold: str = "0.25") -> str:
+    """DuckDB twin of dedup.oph_lsh_dedup — the classic minhash oracle's
+    shingle chain, then: residue-bin conditional mins (one per slot),
+    the k²-term rotation-densification coalesce with the SAME
+    OPH_DENSE_C integer offsets, wide banding (md5 over the
+    comma-joined slot slice — the _banded_wide spelling), bucket
+    self-join, in-row slot-agreement estimate."""
+    from kafka_connect_streams_spark.operators.dedup import OPH_DENSE_C
+    mins = ",\n                   ".join(
+        f"min(CASE WHEN h0 % {k} = {j} THEN h0 END) AS s{j}"
+        for j in range(k))
+    dense = ",\n                   ".join(
+        "coalesce(" + ", ".join(
+            f"s{(j + d) % k} + {d * OPH_DENSE_C}" for d in range(k))
+        + f") AS d{j}" for j in range(k))
+    band_legs = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"d{b * rows + r}::VARCHAR"
+                             for r in range(rows))
+        + ") AS band_key FROM dn" for b in range(bands))
+    agree = " + ".join(
+        f"CASE WHEN a.d{j} = b.d{j} THEN 1 ELSE 0 END" for j in range(k))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\W+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+                FROM toks) u
+            WHERE length(shingle) > 0),
+        sh2 AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 12))::BIGINT % 2147483647 AS h0
+            FROM sh),
+        sp AS (
+            SELECT doc_id,
+                   {mins}
+            FROM sh2 GROUP BY doc_id),
+        dn AS MATERIALIZED (
+            SELECT doc_id,
+                   {dense}
+            FROM sp),
+        banded AS (
+            {band_legs}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id)
+        SELECT p.id_a, p.id_b, ({agree}) / {k}.0 AS est_jaccard
+        FROM pairs p
+        JOIN dn a ON a.doc_id = p.id_a
+        JOIN dn b ON b.doc_id = p.id_b
+        WHERE ({agree}) / {k}.0 >= {threshold}
+    """
+
+
+ORACLE["dedup_oph"] = _oph_sql(16, 4, 4, "0.25")
+
+ORACLE["oph_recall"] = f"""
+    WITH c AS ({ORACLE["dedup_minhash_lsh"]}),
+    o AS ({_oph_sql(16, 4, 4, "0.25")}),
+    j AS (
+      SELECT coalesce(c.id_a, o.id_a) AS id_a,
+             (c.id_a IS NOT NULL) AS in_c, (o.id_a IS NOT NULL) AS in_o
+      FROM c FULL JOIN o ON c.id_a = o.id_a AND c.id_b = o.id_b)
+    SELECT CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minhash,
+           CAST(sum(CASE WHEN in_o THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oph,
+           CAST(sum(CASE WHEN in_c AND in_o THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common
+    FROM j
+"""
 
 
 def _dp_sql(eps_e3: int = 1000, bound: int = 16,

@@ -2941,3 +2941,87 @@ class TestDPCounts:
         assert rel.sum_abs_err == sum(errs)
         assert rel.max_abs_err == max(errs)
         assert rel.n_exact == sum(1 for e in errs if e == 0)
+
+
+class TestOPH:
+    def _py_sig(self, texts: dict, k=16):
+        """Pure-Python one-permutation signature with rotation
+        densification — the arithmetic twin of oph_signatures_wide."""
+        import hashlib as _h
+        import re as _re
+
+        from kafka_connect_streams_spark.operators.dedup import (
+            MINHASH_P, OPH_DENSE_C)
+        out = {}
+        for doc, text in texts.items():
+            toks = [t for t in _re.split(r"\W+", (text or "").lower()) if t]
+            sh = {" ".join(toks[i:i + 3])
+                  for i in range(max(len(toks) - 2, 1))} - {""}
+            bins = {}
+            for s in sh:
+                h0 = int(_h.md5(s.encode()).hexdigest()[:12], 16) % MINHASH_P
+                b = h0 % k
+                bins[b] = min(bins.get(b, h0), h0)
+            if not sh:
+                continue
+            sig = []
+            for j in range(k):
+                for d in range(k):
+                    src = (j + d) % k
+                    if src in bins:
+                        sig.append(bins[src] + d * OPH_DENSE_C)
+                        break
+            out[doc] = sig
+        return out
+
+    def test_signature_matches_python_reference(self, spark):
+        from kafka_connect_streams_spark.operators.dedup import (
+            oph_signatures_wide, shingles)
+        texts = {0: "the quick brown fox jumps over the lazy dog",
+                 1: "the quick brown fox jumps over the lazy dog",
+                 2: "spark query table window merge batch agg row",
+                 3: "a b",          # 1 shingle -> 15 empty bins borrow
+                 4: ""}             # no shingles -> no row
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id bigint, text string")
+        sh = shingles(df, "text", "doc_id", 3)
+        got = {r.doc_id: list(r.sig)
+               for r in oph_signatures_wide(sh, "doc_id").collect()}
+        want = self._py_sig(texts)
+        assert got == want
+        assert 4 not in got                      # empty doc emits no row
+        assert got[0] == got[1] != got[2]        # dup-identical signatures
+        # doc 3: exactly one real bin; every slot decodes back to it
+        # via the offset arithmetic (the densification disjointness)
+        from kafka_connect_streams_spark.operators.dedup import (
+            OPH_DENSE_C)
+        base_bin = {v % OPH_DENSE_C for v in got[3]}
+        assert len(base_bin) == 1
+        dists = sorted(v // OPH_DENSE_C for v in got[3])
+        assert dists == list(range(16))          # one borrow per distance
+
+    def test_estimator_and_banding_compatibility(self, spark):
+        """The densified signature rides the classic banding/estimator
+        machinery unchanged: identical docs pair at est_jaccard 1.0,
+        disjoint docs never share a band key."""
+        from kafka_connect_streams_spark.operators.dedup import (
+            oph_lsh_dedup)
+        rows = [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "one two three four five six seven eight nine")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {(r.id_a, r.id_b): r.est_jaccard
+               for r in oph_lsh_dedup(df, "text", "doc_id",
+                                      threshold=0.25).collect()}
+        assert got == {(0, 1): 1.0}
+
+    def test_oph_agreement_with_classic_on_corpus(self, spark, sf_dir):
+        """The measured number the driver row records: at sf0.001 the
+        two thresholded pair sets must substantially overlap (the
+        cheaper signature is a different estimator, not a different
+        algorithm — sf0.1 measures 256/257 common)."""
+        import kafka_connect_streams_spark.queries as Q
+        [r] = Q.QUERIES["oph_recall"](spark, sf_dir).collect()
+        assert r.n_minhash > 0 and r.n_oph > 0
+        assert r.n_common >= 0.8 * r.n_minhash
+        assert r.n_common >= 0.8 * r.n_oph

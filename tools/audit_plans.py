@@ -74,7 +74,9 @@ EXTRA = ["gopher_rules", "semantic_dedup", "min_cost_supplier",
          # shapes stay audited)
          "langid", "langid_confusion", "t_closeness",
          "dp_counts", "dp_utility", "audiofp_robustness", "pii_report",
-         "quantile_sketch", "global_index"]
+         "quantile_sketch", "global_index",
+         # r14 batch 2: the one-permutation signature + agreement eval
+         "dedup_oph", "oph_recall"]
 
 #: Cost-ceiling notes for the eval/iterative harnesses (r12 verdict #7):
 #: one sentence each stating which FIXED iteration/sweep count dominates
