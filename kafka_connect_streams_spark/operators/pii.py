@@ -140,5 +140,4 @@ def attach_contacts(df: DataFrame, text_col: str = "text",
         F.when(b[0] % 3 == 0, email).otherwise(F.lit("")),
         F.when(b[3] % 3 == 0, phone).otherwise(F.lit("")),
         F.when(b[7] % 3 == 0, ip).otherwise(F.lit("")))
-    return df.withColumn(text_col, enriched) if text_col in df.columns \
-        else df.select(F.col(id_col), enriched.alias(text_col))
+    return df.withColumn(text_col, enriched)
