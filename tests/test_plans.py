@@ -162,6 +162,9 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     arrow_ok = {"multimodal_decode", "frame_sampling", "audio_segments",
                 "media_phash", "media_audiofp", "media_videofp",
                 "video_scene_cuts",
+                # r14: the measured robustness evals ride the same
+                # sanctioned Arrow decode path as their media twins
+                "phash_robustness", "audiofp_robustness",
                 "heavy_hitters", "kmv_set_ops", "skyline"}
     offenders = []
     for name, fn in Q.QUERIES.items():
