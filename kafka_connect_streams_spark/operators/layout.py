@@ -60,6 +60,146 @@ def zorder_sql(x: str, y: str, bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+def _hilbert_rounds(bits: int) -> list[int]:
+    """The unrolled quadrant sizes s = 2^(bits−1) … 1 of the standard
+    Hilbert xy→d walk (the public-domain iterative algorithm: quadrant
+    digit + conditional flip-and-swap per round)."""
+    return [1 << i for i in range(bits - 1, -1, -1)]
+
+
+def hilbert_py(x: int, y: int, bits: int = 12) -> int:
+    """Pure-Python Hilbert index — the reference both engine spellings
+    are generated from and pinned against. Per round over quadrant
+    size s: digit = (3·rx) xor ry (spelled arithmetically as
+    ``3·rx + ry − 2·rx·ry`` so no engine needs a bitwise xor), then
+    the ry=0 rotation (flip both coordinates by n−1 when rx=1, always
+    swap)."""
+    n = 1 << bits
+    d = 0
+    for s in _hilbert_rounds(bits):
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * (3 * rx + ry - 2 * rx * ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+    return d
+
+
+def with_hilbert(df: DataFrame, x: Column, y: Column,
+                 bits: int = 12, out: str = "hkey") -> DataFrame:
+    """Attach the Hilbert-curve index of two bounded non-negative ints
+    — the locality-better sibling of :func:`zorder_key` (Hilbert 1891;
+    the iterative xy→d mapping is public domain): consecutive d values
+    are always ADJACENT cells, so bucket ranges of d are tighter
+    rectangles than Morton ranges — smaller per-file min-max spans,
+    more pruning (the measured number is queries.q_layout_prune_ab).
+
+    Spelled as ONE PROJECTION PER ROUND over named intermediate
+    columns, never one nested expression: each round reads the
+    previous round's coordinates several times, so a single expression
+    tree would grow ~3^bits nodes (Catalyst's CollapseProject keeps
+    the per-round projections separate exactly because the rebound
+    CASEs are non-cheap and multiply-referenced). Pure integer
+    CASE/shift arithmetic, whole-stage codegen, bit-identical to
+    :func:`hilbert_py` and the SQL twin (queries._hilbert_chain_sql)
+    by construction — all three unroll the same walk."""
+    n = 1 << bits
+    cur = df.select("*", x.cast("long").alias("_hx"),
+                    y.cast("long").alias("_hy"),
+                    F.lit(0).cast("long").alias("_hd"))
+    for s in _hilbert_rounds(bits):
+        b = s.bit_length() - 1
+        rx = F.shiftright(F.col("_hx"), b).bitwiseAND(1)
+        ry = F.shiftright(F.col("_hy"), b).bitwiseAND(1)
+        flip = (ry == 0) & (rx == 1)
+        keep = ry == 1
+        cur = cur.withColumns({
+            "_hd": F.col("_hd") + F.lit(s * s) * (3 * rx + ry
+                                                  - 2 * rx * ry),
+            "_hx": (F.when(keep, F.col("_hx"))
+                    .when(flip, F.lit(n - 1) - F.col("_hy"))
+                    .otherwise(F.col("_hy"))),
+            "_hy": (F.when(keep, F.col("_hy"))
+                    .when(flip, F.lit(n - 1) - F.col("_hx"))
+                    .otherwise(F.col("_hx"))),
+        })
+    return (cur.withColumn(out, F.col("_hd"))
+            .drop("_hx", "_hy", "_hd"))
+
+
+def hilbert_layout_stats(df: DataFrame, x: Column, y: Column,
+                         bits: int = 12,
+                         bucket_shift: int = 18) -> DataFrame:
+    """:func:`zorder_layout_stats` with the Hilbert key — identical
+    bucketing and span report, so the two layouts' file-skipping
+    statistics compare row-for-row (queries.q_layout_prune_ab turns
+    the comparison into a measured pruning number)."""
+    keyed = with_hilbert(
+        df.select(x.alias("x"), y.alias("y")),
+        F.col("x"), F.col("y"), bits)
+    return (keyed.select("x", "y",
+                         F.shiftright(F.col("hkey"), bucket_shift)
+                         .alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count("*").alias("n_rows"),
+                   F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                   F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+              .orderBy("bucket"))
+
+
+def layout_file_spans(df: DataFrame, key_col: str, n_files: int = 64,
+                      range_shift: int = 18,
+                      tiebreak: tuple[str, ...] = ("x", "y")) -> DataFrame:
+    """EQUAL-FREQUENCY "files" along a clustering key, with per-file
+    min-max spans of both dimensions — what a layout write actually
+    produces (files hold a fixed row count along the sort order, not a
+    fixed key range). This is the spelling under which curve choice
+    becomes measurable: aligned power-of-two KEY-RANGE buckets give
+    BOTH curves identical square tiles (no discrimination — measured
+    before this existed), while equal-row files cut the curve at
+    arbitrary positions, where Hilbert's every-step-adjacent walk
+    keeps bounding boxes tight and Morton's long jumps inflate them.
+
+    Ranking is the :func:`global_index` two-pass pattern with
+    KEY-RANGE coarse buckets (the TeraSort range partition, the
+    pattern a real OPTIMIZE-style layout write runs): rank within each
+    top-bits key range (≤ 2^(24−range_shift) parallel sorts of ~N/64
+    rows), exclusive-prefix-sum the range counts (a window over the
+    range count table, never N), broadcast the offsets and the total,
+    and assign ``file = global_rank · n_files div N``. Ties order by
+    ``tiebreak`` then split arbitrarily across a file boundary —
+    harmless for spans: every tied row shares one (x, y) cell, so
+    membership, not order, decides the min-max. Equals the oracle's
+    ``row_number() OVER (ORDER BY key, x, y)`` assignment exactly."""
+    kb = F.shiftright(F.col(key_col), range_shift)
+    # three consumers below (rank, range counts, total) — pin the keyed
+    # table so the upstream key derivation (12 projection rounds for
+    # the Hilbert chain) is planned and evaluated ONCE, not replayed
+    # per consumer (the media_neardup/k_anonymize localCheckpoint
+    # discipline; the table is (x, y, key, _kb) — skinny)
+    keyed = df.withColumn("_kb", kb).localCheckpoint(eager=False)
+    wb = Window.partitionBy("_kb").orderBy(key_col, *tiebreak)
+    ranked = keyed.withColumn("_pos", F.row_number().over(wb))
+    wo = (Window.orderBy("_kb")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (keyed.groupBy("_kb")
+               .agg(F.count("*").alias("_n"))
+               .withColumn("_off", F.coalesce(F.sum("_n").over(wo),
+                                              F.lit(0).cast("bigint"))))
+    tot = keyed.agg(F.count("*").alias("_N"))
+    return (ranked.join(F.broadcast(offsets.select("_kb", "_off")), "_kb")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("file", F.expr(
+                f"((_off + _pos - 1) * {n_files}) div _N"))
+            .groupBy("file")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                 F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+            .orderBy("file"))
+
+
 def zorder_layout_stats(df: DataFrame, x: Column, y: Column,
                         bits: int = 16, bucket_shift: int = 26) -> DataFrame:
     """Assign each row to a Z-order bucket (zkey's top bits) and report

@@ -3025,3 +3025,72 @@ class TestOPH:
         assert r.n_minhash > 0 and r.n_oph > 0
         assert r.n_common >= 0.8 * r.n_minhash
         assert r.n_common >= 0.8 * r.n_oph
+
+
+class TestHilbertLayout:
+    def test_hilbert_py_bijective_and_unit_adjacent(self):
+        """The curve contract itself: xy→d is a bijection on the grid
+        and consecutive d are ALWAYS 4-neighbors — the property Morton
+        lacks (z-order jumps) and the whole reason the layout exists."""
+        from kafka_connect_streams_spark.operators.layout import (
+            hilbert_py)
+        bits, n = 5, 32
+        inv = {}
+        for x in range(n):
+            for y in range(n):
+                inv[hilbert_py(x, y, bits)] = (x, y)
+        assert sorted(inv) == list(range(n * n))
+        assert all(
+            abs(inv[d][0] - inv[d + 1][0])
+            + abs(inv[d][1] - inv[d + 1][1]) == 1
+            for d in range(n * n - 1))
+
+    def test_spark_and_duckdb_spellings_match_python(self, spark):
+        """All three unrollings of the same walk are bit-identical on a
+        planted point set covering quadrant boundaries."""
+        import duckdb
+
+        from kafka_connect_streams_spark.operators.layout import (
+            hilbert_py, with_hilbert)
+        from kafka_connect_streams_spark.queries import (
+            _hilbert_keyed_sql)
+        pts = [(0, 0), (4095, 4095), (0, 4095), (4095, 0),
+               (2048, 2047), (2047, 2048), (1234, 3456), (7, 4088)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r.x, r.y): r.hkey
+               for r in with_hilbert(df, F.col("x"), F.col("y"),
+                                     12).collect()}
+        want = {(x, y): hilbert_py(x, y, 12) for x, y in pts}
+        assert got == want
+        con = duckdb.connect()
+        con.execute("create table pts as select * from (values "
+                    + ", ".join(f"({x}, {y})" for x, y in pts)
+                    + ") t(x, y)")
+        duck = {(x, y): hd for x, y, _, _, hd in con.sql(
+            _hilbert_keyed_sql(12)).fetchall()}
+        assert duck == want
+
+    def test_file_spans_are_equal_frequency_and_rank_exact(self, spark):
+        """layout_file_spans' two-pass ranking equals the global
+        row_number contract: files hold N/n_files (±1) rows and the
+        per-file spans match a sequential reference walk."""
+        from kafka_connect_streams_spark.operators.layout import (
+            layout_file_spans)
+        rows = [(i, (i * 37) % 101, (i * 53) % 97) for i in range(101)]
+        df = spark.createDataFrame(
+            [(k, x, y) for k, x, y in rows], "key long, x long, y long")
+        got = {r.file: (r.n_rows, r.min_x, r.max_x, r.min_y, r.max_y)
+               for r in layout_file_spans(df, "key", n_files=8,
+                                          range_shift=4).collect()}
+        ordered = sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        import collections
+        files = collections.defaultdict(list)
+        for rank, (k, x, y) in enumerate(ordered):
+            files[rank * 8 // len(rows)].append((x, y))
+        want = {f: (len(v),
+                    min(x for x, _ in v), max(x for x, _ in v),
+                    min(y for _, y in v), max(y for _, y in v))
+                for f, v in files.items()}
+        assert got == want
+        sizes = {n for n, *_ in got.values()}
+        assert max(sizes) - min(sizes) <= 1

@@ -75,8 +75,10 @@ EXTRA = ["gopher_rules", "semantic_dedup", "min_cost_supplier",
          "langid", "langid_confusion", "t_closeness",
          "dp_counts", "dp_utility", "audiofp_robustness", "pii_report",
          "quantile_sketch", "global_index",
-         # r14 batch 2: the one-permutation signature + agreement eval
-         "dedup_oph", "oph_recall"]
+         # r14 batch 2: the one-permutation signature + agreement eval,
+         # the Hilbert layout + equal-frequency pruning A/B
+         "dedup_oph", "oph_recall", "hilbert_layout",
+         "layout_prune_ab"]
 
 #: Cost-ceiling notes for the eval/iterative harnesses (r12 verdict #7):
 #: one sentence each stating which FIXED iteration/sweep count dominates
@@ -133,6 +135,22 @@ NOTES = {
         "rank-window answer — the exact leg's per-group sort is the "
         "point of the comparison; production uses the approx leg or "
         "quantile_exact."),
+    "layout_prune_ab": (
+        "COST CEILING: two layout passes (key derivation + the "
+        "global_index-style two-pass ranking, each one window over "
+        "~N/64-row key ranges plus an O(64) offset prefix sum) over "
+        "the same point set, then a 128-row-by-16-row constant "
+        "crossJoin — nothing iterates, nothing exceeds the two layout "
+        "writes it models. An A/B eval harness; production writes ONE "
+        "layout."),
+    "oph_recall": (
+        "COST CEILING: runs BOTH signature pipelines (classic + OPH) "
+        "once over the same shingle set — two linear passes + two "
+        "banding self-joins, then a full-outer join of the two "
+        "banding-bounded thresholded pair sets; nothing iterates and "
+        "nothing exceeds the cost of the two pipelines it compares. "
+        "An A/B eval harness, not a per-ingest operator — production "
+        "runs dedup_oph alone."),
 }
 
 
