@@ -580,7 +580,8 @@ def incremental_neardup_processor(text_col: str, id_col: str,
                                   index_dir: str, out_dir: str, *,
                                   n: int = 3, k: int = 16, bands: int = 4,
                                   rows_per_band: int = 4,
-                                  threshold: float = 0.5):
+                                  threshold: float = 0.5,
+                                  signature: str = "minhash"):
     """Streaming ingestion NEAR-dup against ALL history — the MinHash
     companion to :func:`incremental_dedup_processor` (which catches only
     byte-identical content).
@@ -605,15 +606,29 @@ def incremental_neardup_processor(text_col: str, id_col: str,
     the same output. At scale both tables carry fixed-width rows
     (16-byte band keys; k longs per signature), never text, and the
     band join is the only corpus-history contact.
+
+    ``signature`` selects the wide-signature family: ``"minhash"``
+    (classic k-term chain) or ``"oph"`` (one-permutation hashing with
+    rotation densification — ~1/k of the per-shingle signature CPU at
+    the measured 99.6% pair agreement, operators/dedup.py
+    oph_signatures_wide). The two families are band-compatible in
+    SHAPE but their band keys differ in VALUE, so an index built with
+    one family must always be probed with the same family — pick the
+    signature when the stream starts and keep it for the index's
+    lifetime (compaction preserves it; there is no cross-family
+    migration short of rebuilding the index).
     """
     from kafka_connect_streams_spark.operators.dedup import (
         banded_signatures, lsh_pairs_from_banded,
-        minhash_signatures_wide, minhash_similarity_wide, shingles)
+        minhash_signatures_wide, minhash_similarity_wide,
+        oph_signatures_wide, shingles)
+    sig_fn = {"minhash": minhash_signatures_wide,
+              "oph": oph_signatures_wide}[signature]
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         sh = shingles(batch, text_col, id_col, n)
-        wide = minhash_signatures_wide(sh, id_col, k).localCheckpoint()
+        wide = sig_fn(sh, id_col, k).localCheckpoint()
         # band ONCE per trigger; the same table feeds the history probe,
         # the within-batch candidate self-join, and the survivor index
         # write (r12 deferred cleanup — it was derived three times)

@@ -1828,3 +1828,49 @@ def test_streaming_fingerprint_filter_matches_batch_machinery(spark,
                                               "doc_id").collect()
     assert {r.doc_id for r in out if r.contaminated_exact} == want_exact
     assert {r.doc_id for r in out if r.near_contaminated} == want_near
+
+
+class TestNeardupOPHSignature:
+    def test_oph_gate_dedupes_and_replays_once(self, spark, tmp_path):
+        """The one-permutation signature drops into the streaming gate
+        unchanged (signature="oph"): the same planted near-dup chain
+        dedupes identically (chain semantics + history leg), and an
+        epoch replay converges — the exactly-once contract is
+        signature-family-independent."""
+        from kafka_connect_streams_spark.streaming.state import (
+            incremental_neardup_processor)
+        A = ("the quick brown fox jumps over the lazy dog again and "
+             "again until the very end of the line")
+        B = A + " extra tail words"
+        index = str(tmp_path / "idx"); out = str(tmp_path / "out")
+        proc = incremental_neardup_processor(
+            "text", "doc_id", index, out, signature="oph")
+        proc(spark.createDataFrame([(1, A), (2, B)],
+                                   "doc_id long, text string"), 0)
+        kept = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert kept == {1}, kept
+        # history leg: a later epoch's near-copy of A drops too
+        proc(spark.createDataFrame([(3, A + " more tail")],
+                                   "doc_id long, text string"), 1)
+        kept = {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+        assert kept == {1}, kept
+        # replay epoch 1 byte-identically: output converges (no dupes,
+        # no flips)
+        proc(spark.createDataFrame([(3, A + " more tail")],
+                                   "doc_id long, text string"), 1)
+        kept = list(spark.read.parquet(out).select("doc_id").collect())
+        assert {r.doc_id for r in kept} == {1} and len(kept) == 1
+        # OPH band keys differ from classic minhash keys — the
+        # family-consistency contract the docstring pins
+        from kafka_connect_streams_spark.operators.dedup import (
+            banded_signatures, minhash_signatures_wide,
+            oph_signatures_wide, shingles)
+        df = spark.createDataFrame([(1, A)], "doc_id long, text string")
+        sh = shingles(df, "text", "doc_id", 3)
+        kc = {(r.band, r.band_key) for r in banded_signatures(
+            minhash_signatures_wide(sh, "doc_id", 16), "doc_id").collect()}
+        ko = {(r.band, r.band_key) for r in banded_signatures(
+            oph_signatures_wide(sh, "doc_id", 16), "doc_id").collect()}
+        assert kc.isdisjoint(ko)
