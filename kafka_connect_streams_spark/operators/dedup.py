@@ -311,8 +311,12 @@ def oph_signatures_wide(sh: DataFrame, id_col: str, k: int = 16) -> DataFrame:
     an in-row k²-term coalesce over constants — whole-stage codegen,
     no extra shuffle, no window.
 
-    Output: ``(id, sig: array<bigint> length k)`` — band-compatible
-    with every downstream consumer of the wide MinHash signature
+    The densification coalesce is k² constant terms, so keep k at the
+    LSH-practical sizes (k ≤ 64; k=16 → 256 terms, k=64 → 4096 — still
+    codegen-fine, but quadratic growth is the knob to watch, not the
+    shuffle). Output: ``(id, sig: array<bigint> length k)`` —
+    band-compatible with every downstream consumer of the wide MinHash
+    signature
     (:func:`lsh_candidate_pairs_wide`, :func:`minhash_similarity_wide`,
     :func:`banded_signatures`). Docs with no shingles emit no row
     (identical to the classic path).

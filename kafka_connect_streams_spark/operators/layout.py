@@ -96,6 +96,13 @@ def with_hilbert(df: DataFrame, x: Column, y: Column,
     rectangles than Morton ranges — smaller per-file min-max spans,
     more pruning (the measured number is queries.q_layout_prune_ab).
 
+    DOMAIN CONTRACT: both coordinates must lie in [0, 2^bits) —
+    unlike :func:`zorder_key`, which reads only low bits and truncates
+    out-of-range values harmlessly, the Hilbert rotation's ``n−1−x``
+    flip produces garbage (not truncation) for out-of-range input, so
+    callers mask/bucket first (q_hilbert_layout's ``& 4095`` / day
+    offsets do).
+
     Spelled as ONE PROJECTION PER ROUND over named intermediate
     columns, never one nested expression: each round reads the
     previous round's coordinates several times, so a single expression

@@ -20,7 +20,15 @@ JVM-side regex, stream-transparent by construction):
 Dialect discipline: every pattern stays inside the Java-regex ∩ RE2
 common subset (character classes, bounded quantifiers, literal escapes —
 no backreferences, no lookaround, no ``\\b``), so the Spark plan and the
-DuckDB oracle twin match byte-for-byte. Replacement strings contain no
+DuckDB oracle twin match byte-for-byte. ``\\b`` is excluded for a
+concrete reason, not caution: Java's ``\\b`` is Unicode-aware while
+RE2's is ASCII-only, so the two engines disagree on boundaries next to
+non-ASCII text — the one construct in the obvious candidate set with
+genuinely divergent semantics. The cost is that detectors are
+boundary-free (a phone pattern matches inside a longer digit run); the
+md5 synthesizer always emits clean boundaries, and a production
+deployment on one engine adds its own ``\\b`` anchors behind the same
+operator surface. Replacement strings contain no
 ``$``/``\\`` metacharacters for the same reason.
 
 Masking order is load-bearing and pinned: EMAIL first (an address whose
