@@ -224,6 +224,26 @@ def zorder_layout_stats(df: DataFrame, x: Column, y: Column,
               .orderBy("bucket"))
 
 
+def write_clustered(df: DataFrame, path: str, key_col: str,
+                    n_files: int = 64) -> None:
+    """Materialize a clustered layout as REAL parquet files: range-
+    partition by the clustering key into ``n_files`` partitions and
+    sort within each — exactly what an OPTIMIZE ZORDER/CLUSTER BY
+    write does, so the resulting files carry the min-max footer stats
+    a zonemap scan prunes with. ``repartitionByRange`` samples the key
+    to place boundaries (Spark's built-in range exchange — reservoir
+    sample, never a global sort), so file row counts are approximately
+    equal rather than exact; :func:`layout_file_spans` is the exact
+    deterministic twin the oracle checks, this is the physical writer
+    the tests verify against it (tests/test_operators_batch.py
+    TestClusteredWrite reads the written files back by
+    input_file_name and confirms the measured pruning advantage
+    survives real file placement)."""
+    (df.repartitionByRange(n_files, F.col(key_col))
+       .sortWithinPartitions(key_col)
+       .write.mode("overwrite").parquet(path))
+
+
 def skyline2d(df: DataFrame, x_col: str, y_col: str,
               id_col: str) -> DataFrame:
     """Exact 2-D Pareto front, both dimensions minimized.

@@ -3094,3 +3094,59 @@ class TestHilbertLayout:
         assert got == want
         sizes = {n for n, *_ in got.values()}
         assert max(sizes) - min(sizes) <= 1
+
+
+class TestClusteredWrite:
+    def test_real_files_preserve_the_hilbert_advantage(
+            self, spark, tmp_path):
+        """End-to-end through REAL parquet: write the sf0.01 point set
+        clustered by each key (range exchange + in-partition sort),
+        read the files back by input_file_name, derive per-file
+        min-max spans — the actual zonemap stats — and count
+        un-prunable (file, query) pairs under the fixed 4×4 tiling.
+        The simulated A/B's conclusion must survive physical file
+        placement: hilbert touches no more pairs than zorder, and both
+        file counts land near the requested 32."""
+        from kafka_connect_streams_spark.operators.layout import (
+            with_hilbert, write_clustered, zorder_key)
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        pts = li.select(
+            F.datediff(F.col("l_shipdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).cast("long")
+            .alias("x"),
+            F.col("l_partkey").bitwiseAND(4095).cast("long").alias("y"))
+        zk = pts.withColumn("zkey",
+                            zorder_key(F.col("x"), F.col("y"), 12))
+        hk = with_hilbert(pts, F.col("x"), F.col("y"), 12)
+        touched = {}
+        n_files = {}
+        for name, df, key in (("zorder", zk, "zkey"),
+                              ("hilbert", hk, "hkey")):
+            path = str(tmp_path / name)
+            write_clustered(df, path, key, n_files=32)
+            spans = (spark.read.parquet(path)
+                     .withColumn("_f", F.input_file_name())
+                     .groupBy("_f")
+                     .agg(F.min("x").alias("min_x"),
+                          F.max("x").alias("max_x"),
+                          F.min("y").alias("min_y"),
+                          F.max("y").alias("max_y"))
+                     .collect())
+            n_files[name] = len(spans)
+            cnt = 0
+            for r in spans:
+                for qx in range(4):
+                    for qy in range(4):
+                        if (r.min_x <= qx * 1024 + 1023
+                                and r.max_x >= qx * 1024
+                                and r.min_y <= qy * 1024 + 1023
+                                and r.max_y >= qy * 1024):
+                            cnt += 1
+            touched[name] = cnt
+        assert 16 <= n_files["zorder"] <= 40
+        assert 16 <= n_files["hilbert"] <= 40
+        # the simulated advantage survives real placement
+        assert touched["hilbert"] <= touched["zorder"], (touched,
+                                                         n_files)
+        # and real clustering actually prunes: far fewer than all pairs
+        assert touched["zorder"] < n_files["zorder"] * 16 * 0.5
