@@ -110,7 +110,7 @@ def with_hilbert(df: DataFrame, x: Column, y: Column,
     the per-round projections separate exactly because the rebound
     CASEs are non-cheap and multiply-referenced). Pure integer
     CASE/shift arithmetic, whole-stage codegen, bit-identical to
-    :func:`hilbert_py` and the SQL twin (queries._hilbert_chain_sql)
+    :func:`hilbert_py` and the SQL twin (queries._hilbert_keyed_sql)
     by construction — all three unroll the same walk."""
     n = 1 << bits
     cur = df.select("*", x.cast("long").alias("_hx"),
