@@ -99,12 +99,25 @@ def bpe_merges(spark: SparkSession, df: DataFrame, text_col: str,
     The per-round argmax is a 1-row collect (the trained-PQ/IVF
     precedent for learned parameters); everything else is DataFrame
     algebra over the checkpointed |vocab|-row symbol table.
+
+    Serial-job shape: ``2 + rounds`` jobs — one corpus pass (the eager
+    word-frequency checkpoint), one argmax TakeOrdered per round, and
+    ONE trailing job computing the whole compression curve (every
+    round's post-merge token total) as a union of 1-row aggregates
+    over the per-round symbol tables. Each round's merged table is a
+    LAZY ``localCheckpoint``: it materializes as a side effect of the
+    next round's argmax job (or of the counts job for the last round),
+    so lineage still truncates every round without a dedicated
+    materialization job. The previous shape ran an eager checkpoint
+    job AND a 1-row count collect per round (``1 + 3·rounds`` jobs);
+    training wall-clock was dominated by that serial job latency, not
+    by the vocab-sized data (guide §1.2: fix the pass structure first).
     """
     syms = (word_freq(df, text_col, id_col)
             .select("word", "cnt",
                     F.expr("regexp_extract_all(word, '.', 0)").alias("s"))
             .localCheckpoint(eager=True))
-    out: list[tuple] = []
+    picked: list[tuple] = []   # (round, lhs, rhs, pair_count, syms_after)
     for r in range(1, rounds + 1):
         best = (_pair_counts(syms)
                 .where(F.col("a") != F.col("b"))
@@ -113,11 +126,21 @@ def bpe_merges(spark: SparkSession, df: DataFrame, text_col: str,
         if not best:
             break
         a, b, c = best[0].a, best[0].b, best[0].c
-        syms = _apply_merge(syms, a, b).localCheckpoint(eager=True)
-        n_after = syms.agg(
-            F.sum(F.col("cnt") * F.size("s"))).collect()[0][0]
-        out.append((r, a, b, int(c), int(n_after)))
-    return spark.createDataFrame(out, MERGE_SCHEMA)
+        syms = _apply_merge(syms, a, b).localCheckpoint(eager=False)
+        picked.append((r, a, b, int(c), syms))
+    if not picked:
+        return spark.createDataFrame([], MERGE_SCHEMA)
+    curve = picked[0][4].agg(
+        F.lit(picked[0][0]).alias("r"),
+        F.sum(F.col("cnt") * F.size("s")).alias("n"))
+    for r, _a, _b, _c, s in picked[1:]:
+        curve = curve.unionByName(s.agg(
+            F.lit(r).alias("r"),
+            F.sum(F.col("cnt") * F.size("s")).alias("n")))
+    n_after = {row["r"]: int(row["n"]) for row in curve.collect()}
+    return spark.createDataFrame(
+        [(r, a, b, c, n_after[r]) for r, a, b, c, _s in picked],
+        MERGE_SCHEMA)
 
 
 def bpe_encode(df: DataFrame, text_col: str, id_col: str,

@@ -272,7 +272,12 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
     builds the signatures, one self-join buckets them — the signature is
     never exploded to k rows anywhere."""
     sh = shingles(df, text_col, id_col, n)
-    wide = minhash_signatures_wide(sh, id_col, k)
+    # pin the wide signature: the banding self-join reads it twice and
+    # the similarity scorer twice more — unpinned, each consumer re-ran
+    # the corpus shingle + signature chain (lazy checkpoint: one
+    # materialization inside the caller's action; guide §2.4)
+    wide = minhash_signatures_wide(sh, id_col, k).localCheckpoint(
+        eager=False)
     pairs = lsh_candidate_pairs_wide(wide, id_col, bands, rows)
     sim = minhash_similarity_wide(wide, pairs, id_col, k)
     return sim.filter(F.col("est_jaccard") >= threshold)
@@ -342,7 +347,8 @@ def oph_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
     output shape; only the signature construction differs. Plan: one
     shuffle builds signatures, one self-join buckets them."""
     sh = shingles(df, text_col, id_col, n)
-    wide = oph_signatures_wide(sh, id_col, k)
+    # same wide-signature pin as minhash_lsh_dedup (4 consumers)
+    wide = oph_signatures_wide(sh, id_col, k).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs_wide(wide, id_col, bands, rows)
     sim = minhash_similarity_wide(wide, pairs, id_col, k)
     return sim.filter(F.col("est_jaccard") >= threshold)
@@ -386,13 +392,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     pair join — this is what keeps the candidate join from going quadratic on
     boilerplate at scale. Jaccard is still computed over full set sizes.
     """
-    sh = shingles(df, text_col, id_col, n)
+    # pin the shingle table: THREE consumers (sizes, df-filter, the pair
+    # join's both sides) would otherwise each re-run the corpus explode +
+    # distinct (lazy checkpoint — materializes inside the caller's one
+    # action; the lsh_tuning discipline, guide §2.4: don't re-derive)
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # (id, shingle) rows are DISTINCT by construction (shingles()), so
+    # count(*) == countDistinct(id): same df, one aggregation phase
+    # instead of a distinct-expand pass over the biggest table
     rare = (sh.groupBy("shingle")
-            .agg(F.countDistinct(id_col).alias("df"))
+            .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_doc_freq)
             .select("shingle"))
-    shr = sh.join(rare, "shingle")
+    shr = sh.join(rare, "shingle").localCheckpoint(eager=False)
     a = shr.select(F.col(id_col).alias("id_a"), "shingle")
     b = shr.select(F.col(id_col).alias("id_b"), "shingle")
     shared = (a.join(b, "shingle")
@@ -737,11 +750,15 @@ def lsh_tuning(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     wide = minhash_signatures_wide(sh, id_col, k).localCheckpoint(
         eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # distinct (id, shingle) rows ⇒ count(*) == countDistinct(id); the
+    # plain count skips the distinct-expand phase (same as
+    # ngram_jaccard_pairs)
     rare = (sh.groupBy("shingle")
-            .agg(F.countDistinct(id_col).alias("df"))
+            .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_doc_freq)
             .select("shingle"))
-    shr = sh.join(rare, "shingle")
+    # pin the rare-filtered table too: the pair join reads it TWICE
+    shr = sh.join(rare, "shingle").localCheckpoint(eager=False)
     a = shr.select(F.col(id_col).alias("id_a"), "shingle")
     b = shr.select(F.col(id_col).alias("id_b"), "shingle")
     shared = (a.join(b, "shingle")

@@ -70,10 +70,15 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     the un-truncated plan). ``localCheckpoint`` materializes each once,
     the same discipline dedup_clusters uses for its pair graph.
     """
-    edges = edges.localCheckpoint(eager=True)
+    # r14: all pins LAZY — they materialize inside the caller's single
+    # action instead of as two serial driver jobs at plan-build time.
+    # deg gains its own pin: the orient join consumes it on BOTH key
+    # sides and the wedge census reads it again (3 consumers).
+    edges = edges.localCheckpoint(eager=False)
     deg = (edges.select(F.col("a").alias("v"))
            .unionAll(edges.select(F.col("b").alias("v")))
-           .groupBy("v").agg(F.count("*").alias("deg")))
+           .groupBy("v").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=False))
     # orient: keep each edge as (lo, hi) under the (deg, id) total order
     e = (edges
          .join(deg.withColumnRenamed("v", "a")
@@ -89,9 +94,10 @@ def triangle_census(edges: DataFrame) -> DataFrame:
                  F.struct(F.col("b").alias("lo"), F.col("a").alias("hi"))
              ).alias("e"))
          .select("e.lo", "e.hi")
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     adj = (e.groupBy("lo").agg(F.array_sort(
-        F.collect_list("hi")).alias("nbrs")))
+        F.collect_list("hi")).alias("nbrs"))
+        .localCheckpoint(eager=False))
     # closed wedges per oriented edge: |N+(lo) ∩ N+(hi)| — in-row intersect
     closed = (e
               .join(adj, "lo")
@@ -151,21 +157,31 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     """
     cur = edges.select("a", "b").localCheckpoint()
     prev_n = None
+    converged = False
     for _ in range(rounds):
         # fixpoint short-circuit: a peel that drops any node also drops
         # that node's ≥1 edges (degree-0 nodes never appear in an edge
         # list), so an unchanged edge count means every remaining round
         # is a no-op — the result is IDENTICAL to running all `rounds`,
         # which is what the unrolled SQL twin does. The count is a
-        # cheap job over the already-materialized checkpoint.
+        # cheap job over the already-materialized checkpoint. An
+        # unchanged count also PROVES the fixpoint (no edge dropped ⇔
+        # every endpoint sat in keep ⇔ every degree ≥ k), so the final
+        # assertion job below is skipped on this path.
         n = cur.count()
         if n == prev_n:
+            converged = True
             break
         prev_n = n
         # pin the survivor list: both semi-joins consume it, and
-        # without the checkpoint each would re-run the degree aggregate
+        # without the checkpoint each would re-run the degree aggregate.
+        # LAZY checkpoint: it materializes inside the round's single
+        # edge-rebuild job (the first semi-join branch computes it, the
+        # second reads the checkpointed blocks) instead of paying a
+        # dedicated keep-materialization job per round — 2 serial jobs
+        # per round, not 3; same lineage truncation, same result.
         keep = (_degrees(cur).filter(F.col("deg") >= k).select("node")
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
         cur = (cur.join(keep.withColumnRenamed("node", "a"), "a",
                         "left_semi")
                .join(keep.withColumnRenamed("node", "b"), "b",
@@ -173,7 +189,7 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
                .select("a", "b")
                .localCheckpoint())
     final = _degrees(cur)
-    if final.filter(F.col("deg") < k).limit(1).count() > 0:
+    if not converged and final.filter(F.col("deg") < k).limit(1).count() > 0:
         raise ValueError(
             f"k-core peeling did not converge in {rounds} rounds "
             f"(k={k}); raise `rounds`")

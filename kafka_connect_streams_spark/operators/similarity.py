@@ -498,16 +498,24 @@ def topk_pq_l2(queries: DataFrame, candidates: DataFrame, k: int = 5,
             .select("q_id", "c_id", "adc_dist", "rank"))
 
 
-def coarse_centroids(vectors: DataFrame, n_lists: int = 8) -> list[list[int]]:
+def coarse_centroids(vectors: DataFrame, n_lists: int = 8,
+                     quantized_col: str | None = None) -> list[list[int]]:
     """Deterministic coarse quantizer for IVF: the ``n_lists`` corpus
     vectors with smallest (md5('c:'||id), id), quantized — a different
     hash salt than the PQ sample so the two codebooks draw independent
-    vectors. O(n_lists) driver rows, broadcast into expressions."""
+    vectors. O(n_lists) driver rows, broadcast into expressions.
+
+    ``quantized_col`` names an ALREADY-quantized int64 array column to
+    sample instead of quantizing ``embedding`` — callers that pin one
+    quantized corpus (e.g. a localCheckpoint) share it across training
+    and probe legs instead of re-deriving it per pass."""
+    qv = (F.col(quantized_col) if quantized_col is not None
+          else _quantized(F.col("embedding")))
     sample = (vectors
               .withColumn("_h", F.md5(F.concat(F.lit("c:"),
                                                F.col("id").cast("string"))))
               .orderBy("_h", "id").limit(n_lists)
-              .select("_h", "id", _quantized(F.col("embedding")).alias("qv"))
+              .select("_h", "id", qv.alias("qv"))
               .collect())
     if not sample:
         return []          # empty corpus → empty coarse quantizer
@@ -528,7 +536,8 @@ def _coarse_assign(qv: Column, coarse: list[list[int]]) -> Column:
 
 def kmeans_coarse_centroids(vectors: DataFrame, n_lists: int = 8,
                             iters: int = 3,
-                            init: list | None = None) -> list:
+                            init: list | None = None,
+                            quantized_col: str | None = None) -> list:
     """TRAINED IVF coarse quantizer: full-vector Lloyd iterations on the
     quantized int64 vectors, fully deterministic — init is the hash-ordered
     sample (:func:`coarse_centroids`), every round re-assigns by exact
@@ -543,12 +552,18 @@ def kmeans_coarse_centroids(vectors: DataFrame, n_lists: int = 8,
     the broadcast centroid matrix (no join), a groupBy over n_lists keys
     computes int64 dimension sums, and O(n_lists) rows come back to the
     driver. Training cost is ``iters`` jobs regardless of corpus size.
+    ``quantized_col`` (see :func:`coarse_centroids`) lets every round
+    read a caller-pinned quantized corpus instead of re-scanning and
+    re-quantizing ``embedding`` per round.
     """
-    coarse = coarse_centroids(vectors, n_lists) if init is None else init
+    coarse = (coarse_centroids(vectors, n_lists, quantized_col)
+              if init is None else init)
     if not coarse:
         return coarse
     dim = len(coarse[0])
-    vq = vectors.select(_quantized(F.col("embedding")).alias("_v"))
+    vq = vectors.select(
+        (F.col(quantized_col) if quantized_col is not None
+         else _quantized(F.col("embedding"))).alias("_v"))
     for _ in range(iters):
         sums = (vq.select(
                     _coarse_assign(F.col("_v"), coarse)[0]["j"].alias("j"),

@@ -557,9 +557,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_streams_spark.operators.similarity import (
         topk_cosine, topk_cosine_ivf, topk_cosine_lsh)
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    # r14: pin the corpus (≥8 consumers across the three legs — each
+    # leg's signature/codebook/qvec subtrees re-scanned the parquet) and
+    # the exact top-5 (3 consumers: both hit joins + k_actual)
+    emb = (t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+           .localCheckpoint(eager=False))
     queries = emb.filter(F.col("id") % 100 == 0)
-    exact = topk_cosine(queries, emb, k=5).select("q_id", "c_id")
+    exact = (topk_cosine(queries, emb, k=5).select("q_id", "c_id")
+             .localCheckpoint(eager=False))
 
     def hits_of(approx, name):
         return (exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
@@ -591,9 +596,12 @@ def q_ann_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_streams_spark.operators.similarity import (
         topk_cosine, topk_cosine_ivf, topk_cosine_lsh)
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    # r14: same pinning as q_ann_recall (corpus + exact top-5)
+    emb = (t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+           .localCheckpoint(eager=False))
     queries = emb.filter(F.col("id") % 100 == 0)
-    exact = topk_cosine(queries, emb, k=5).select("q_id", "c_id")
+    exact = (topk_cosine(queries, emb, k=5).select("q_id", "c_id")
+             .localCheckpoint(eager=False))
 
     def hits_of(approx, name):
         return (exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
@@ -2585,33 +2593,85 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced). The THREE FIXED Lloyd rounds unroll into the SQL twin as
     chained CTE stages, like ann_pq_trained_recall's subspace version."""
     from kafka_connect_streams_spark.operators.similarity import (
-        _coarse_assign, _quantized, coarse_centroids,
-        kmeans_coarse_centroids, topk_cosine, topk_cosine_ivf_inrow)
+        MAX_BRUTE_PAIRS, _coarse_assign, _cosine, _dot, _quantized,
+        coarse_centroids, kmeans_coarse_centroids)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
-    queries = emb.filter(F.col("id") % 100 == 0)
-    cands = emb.filter(F.col("id") % 100 != 0)
-    cb_hash = coarse_centroids(emb, n_lists=8)
+    # r14 optimization (guide §2.4 — compute once, never re-derive): ONE
+    # pinned quantized corpus (id, int64 vector, self-norm) feeds the
+    # codebook sample, the 3 Lloyd rounds, the exact leg, both IVF probe
+    # legs and both skew legs — the previous spelling re-scanned and
+    # re-quantized the parquet per consumer (~10 subtrees). Each
+    # codebook's corpus-wide argmin list assignment is computed ONCE and
+    # shared by its recall leg and its skew leg; the exact top-5 table
+    # is pinned for its three consumers. topk_cosine's brute-force guard
+    # (two count jobs) folds into one aggregate over the pinned corpus,
+    # with the identical ValueError contract.
+    qv = (emb.select("id", _quantized(F.col("embedding")).alias("_v"))
+          .withColumn("_n", _dot(F.col("_v"), F.col("_v")))
+          .localCheckpoint(eager=False))
+    is_q = F.col("id") % 100 == 0
+    row = qv.agg(F.count("*").alias("n"),
+                 F.sum(is_q.cast("bigint")).alias("nq")).collect()[0]
+    n_all, nq = int(row["n"] or 0), int(row["nq"] or 0)
+    nc = n_all - nq
+    cb_hash = coarse_centroids(qv, n_lists=8, quantized_col="_v")
     if not cb_hash:        # empty corpus: nothing to train or score
         return spark.createDataFrame(
             [], "recall_hash_e9 bigint, recall_trained_e9 bigint, "
                 "n_queries bigint, skew_hash_e9 bigint, "
                 "skew_trained_e9 bigint")
-    cb_trained = kmeans_coarse_centroids(emb, n_lists=8, iters=3,
-                                         init=cb_hash)
-    exact = topk_cosine(queries, cands, k=5,
-                        exclude_self=False).select("q_id", "c_id")
+    if nq * nc > MAX_BRUTE_PAIRS:
+        raise ValueError(
+            f"brute-force topk_cosine would score {nq}×{nc} = {nq * nc:,}"
+            f" pairs (> max_pairs={MAX_BRUTE_PAIRS:,}). Use topk_cosine_lsh"
+            " or topk_cosine_ivf, or pass allow_full_scan=True if the full"
+            " scan is intentional.")
+    cb_trained = kmeans_coarse_centroids(qv, n_lists=8, iters=3,
+                                         init=cb_hash, quantized_col="_v")
 
-    def hits_of(approx, name):
-        return (exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
+    q = qv.filter(is_q).select(F.col("id").alias("q_id"),
+                               F.col("_v").alias("_qv"),
+                               F.col("_n").alias("qn"))
+    c = qv.filter(~is_q).select(F.col("id").alias("c_id"),
+                                F.col("_v").alias("_cv"),
+                                F.col("_n").alias("cn"))
+
+    def topk5(paired):
+        # exact quantized cosine over a (q_id, c_id) pair set — the
+        # _exact_topk_over_pairs shape, reading the pinned sides
+        sim = (paired.join(q, "q_id").join(c, "c_id")
+               .withColumn("cosine", _cosine(
+                   _dot(F.col("_qv"), F.col("_cv")),
+                   F.col("qn"), F.col("cn"))))
+        w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                               F.col("c_id"))
+        return (sim.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5).select("q_id", "c_id"))
+
+    exact = (topk5(q.select("q_id").crossJoin(c.select("c_id")))
+             .localCheckpoint(eager=False))
+
+    def lists_of(cb):
+        return (c.select("c_id",
+                         _coarse_assign(F.col("_cv"), cb)[0]["j"]
+                         .alias("list"))
+                .localCheckpoint(eager=False))
+
+    lists_hash, lists_trained = lists_of(cb_hash), lists_of(cb_trained)
+
+    def hits_of(cb, lists, name):
+        probes = (q.select(
+            "q_id",
+            F.explode(F.slice(_coarse_assign(F.col("_qv"), cb),
+                              1, 2)).alias("_p"))
+            .select("q_id", F.col("_p")["j"].alias("list")))
+        approx = topk5(probes.join(lists, "list").select("q_id", "c_id"))
+        return (exact.join(approx, ["q_id", "c_id"])
                 .groupBy("q_id").agg(F.count("*").alias(name)))
 
-    h_hash = hits_of(topk_cosine_ivf_inrow(
-        queries, cands, k=5, coarse=cb_hash, nprobe=2,
-        exclude_self=False), "h_hash")
-    h_trained = hits_of(topk_cosine_ivf_inrow(
-        queries, cands, k=5, coarse=cb_trained, nprobe=2,
-        exclude_self=False), "h_trained")
+    h_hash = hits_of(cb_hash, lists_hash, "h_hash")
+    h_trained = hits_of(cb_trained, lists_trained, "h_trained")
     per_q = (exact.groupBy("q_id").agg(F.count("*").alias("k_actual"))
              .join(h_hash, "q_id", "left").join(h_trained, "q_id", "left")
              .select(F.coalesce("h_hash", F.lit(0)).alias("h_hash"),
@@ -2623,19 +2683,15 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         recall("h_trained").alias("recall_trained_e9"),
                         F.count("*").alias("n_queries"))
 
-    cq = cands.select(_quantized(F.col("embedding")).alias("_cv"))
-
-    def skew_of(cb, name):
-        sizes = (cq.select(_coarse_assign(F.col("_cv"), cb)[0]["j"]
-                           .alias("list"))
-                 .groupBy("list").agg(F.count("*").alias("n")))
+    def skew_of(lists, name):
+        sizes = lists.groupBy("list").agg(F.count("*").alias("n"))
         return sizes.agg(F.expr(
             "(max(n) * 8 * CAST(1000000000 AS BIGINT)) DIV sum(n)")
             .alias(name))
 
     return (recalls
-            .crossJoin(skew_of(cb_hash, "skew_hash_e9"))
-            .crossJoin(skew_of(cb_trained, "skew_trained_e9")))
+            .crossJoin(skew_of(lists_hash, "skew_hash_e9"))
+            .crossJoin(skew_of(lists_trained, "skew_trained_e9")))
 
 
 
@@ -2984,8 +3040,14 @@ def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_streams_spark.operators.similarity import (
         _cosine, _dot, _qvecs, hyperplane_signatures)
     t = load_tables(spark, sf_dir)
-    vecs = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
-    sig = hyperplane_signatures(vecs, "id", "embedding", planes=8)
+    # r14: pin the corpus (4 consumers: sig, eval/train qvec sides, the
+    # eval id spine) and the signature table (its eval and train halves
+    # are two branches of the same plan — unpinned, the 8-plane
+    # projection ran twice over the parquet scan)
+    vecs = (t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+            .localCheckpoint(eager=False))
+    sig = (hyperplane_signatures(vecs, "id", "embedding", planes=8)
+           .localCheckpoint(eager=False))
     is_eval = F.col("id") % 50 == 0
     ev = sig.filter(is_eval).select(F.col("id").alias("id_e"), "bucket")
     tr = sig.filter(~is_eval).select(F.col("id").alias("id_t"), "bucket")
@@ -3116,16 +3178,24 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_streams_spark.operators.similarity import (
         _coarse_assign, _quantized, kmeans_coarse_centroids)
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
-    coarse = kmeans_coarse_centroids(emb, n_lists=8, iters=3)
+    # r14: pin the QUANTIZED corpus once — the codebook sample, the 3
+    # Lloyd rounds and the final assignment pass all read it (the old
+    # spelling re-scanned and re-quantized the parquet in each of those
+    # 5 subtrees; guide §2.4)
+    qv = (t["embeddings"]
+          .select(F.col("vec_id").alias("id"),
+                  _quantized(F.col("embedding")).alias("_v"))
+          .localCheckpoint(eager=False))
+    coarse = kmeans_coarse_centroids(qv, n_lists=8, iters=3,
+                                     quantized_col="_v")
     if not coarse:
         return spark.createDataFrame(
             [], "list int, vec_id bigint, rank_in_list int")
     quota = 8
     h = F.md5(F.col("id").cast("string"))
-    base = (emb.select(
+    base = (qv.select(
                 "id",
-                _coarse_assign(_quantized(F.col("embedding")), coarse)[0]["j"]
+                _coarse_assign(F.col("_v"), coarse)[0]["j"]
                 .alias("list"),
                 h.alias("_h"),
                 (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 256)
@@ -3398,17 +3468,23 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     every type transitions somewhere)."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (t["events"]
-             .withColumn("_next", F.lead("event_type").over(w))
-             .filter(F.col("_next").isNotNull())
-             .groupBy(F.col("event_type").alias("src"),
-                      F.col("_next").alias("dst"))
-             .agg(F.count("*").alias("n")))
-    edges = edges.join(
-        edges.groupBy("src").agg(F.sum("n").alias("out_n")), "src") \
-        .localCheckpoint()
+    # r14: pin the RAW edge aggregate too — the out_n self-join consumes
+    # it twice, so unpinned it re-ran the corpus lead()-window on both
+    # sides (3 corpus passes total; now 2: edge aggregate + node set).
+    # All checkpoints are LAZY: they materialize inside the caller's one
+    # action instead of as serial driver jobs at plan-build time.
+    edges0 = (t["events"]
+              .withColumn("_next", F.lead("event_type").over(w))
+              .filter(F.col("_next").isNotNull())
+              .groupBy(F.col("event_type").alias("src"),
+                       F.col("_next").alias("dst"))
+              .agg(F.count("*").alias("n"))
+              .localCheckpoint(eager=False))
+    edges = edges0.join(
+        edges0.groupBy("src").agg(F.sum("n").alias("out_n")), "src") \
+        .localCheckpoint(eager=False)
     nodes = (t["events"].select(F.col("event_type").alias("node"))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     n_nodes = nodes.agg(F.count("*").alias("nn"))
     pr = (nodes.crossJoin(F.broadcast(n_nodes))
           .select("node", F.expr("1000000000 div nn").alias("pr_e9")))
@@ -4373,8 +4449,11 @@ def _hard_negative_candidates(emb: DataFrame) -> DataFrame:
     candidates)."""
     from kafka_connect_streams_spark.operators.similarity import (
         hyperplane_signatures_multi)
-    sig = hyperplane_signatures_multi(emb, "id", "embedding",
-                                      planes=_HN_PLANES, tables=_HN_TABLES)
+    # r14: pin the multi-table signature — the probe and candidate
+    # branches are two consumers of the same corpus projection
+    sig = hyperplane_signatures_multi(
+        emb, "id", "embedding",
+        planes=_HN_PLANES, tables=_HN_TABLES).localCheckpoint(eager=False)
     probes = (sig.filter(F.col("id") % 100 == 0)
               .select(F.col("id").alias("q_id"), "tbl", F.explode(F.array(
                   F.col("bucket"),
@@ -4435,8 +4514,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hard_negatives_recall`` against the exact (scale-guarded)
     ground truth."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select(F.col("vec_id").alias("id"),
-                                 "embedding", "label")
+    # r14: pin the corpus — the LSH tables, the anchor qvec side and the
+    # candidate qvec side are three consumers of the same scan
+    emb = (t["embeddings"].select(F.col("vec_id").alias("id"),
+                                  "embedding", "label")
+           .localCheckpoint(eager=False))
     return _hard_negative_rank(emb, _hard_negative_candidates(emb))
 
 
