@@ -70,15 +70,19 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     the un-truncated plan). ``localCheckpoint`` materializes each once,
     the same discipline dedup_clusters uses for its pair graph.
     """
-    # r14: all pins LAZY — they materialize inside the caller's single
-    # action instead of as two serial driver jobs at plan-build time.
-    # deg gains its own pin: the orient join consumes it on BOTH key
-    # sides and the wedge census reads it again (3 consumers).
-    edges = edges.localCheckpoint(eager=False)
+    # r14: pins stay EAGER — the A/B (OPTIMIZATION_r14.md) measured the
+    # all-lazy spelling 1.55× SLOWER: a lazily-pinned RDD consumed by
+    # several stages of the same action is recomputed by each stage that
+    # starts before another has populated its cache blocks, so the
+    # multi-consumer subtrees here (edges ×4, deg ×3, e ×3) duplicated
+    # instead of materializing once. deg gains its own (eager) pin: the
+    # orient join consumes it on BOTH key sides and the wedge census
+    # reads it again (3 consumers).
+    edges = edges.localCheckpoint(eager=True)
     deg = (edges.select(F.col("a").alias("v"))
            .unionAll(edges.select(F.col("b").alias("v")))
            .groupBy("v").agg(F.count("*").alias("deg"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     # orient: keep each edge as (lo, hi) under the (deg, id) total order
     e = (edges
          .join(deg.withColumnRenamed("v", "a")
@@ -94,10 +98,10 @@ def triangle_census(edges: DataFrame) -> DataFrame:
                  F.struct(F.col("b").alias("lo"), F.col("a").alias("hi"))
              ).alias("e"))
          .select("e.lo", "e.hi")
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     adj = (e.groupBy("lo").agg(F.array_sort(
         F.collect_list("hi")).alias("nbrs"))
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     # closed wedges per oriented edge: |N+(lo) ∩ N+(hi)| — in-row intersect
     closed = (e
               .join(adj, "lo")

@@ -3181,11 +3181,14 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: pin the QUANTIZED corpus once — the codebook sample, the 3
     # Lloyd rounds and the final assignment pass all read it (the old
     # spelling re-scanned and re-quantized the parquet in each of those
-    # 5 subtrees; guide §2.4)
+    # 5 subtrees; guide §2.4). EAGER: the first consumer is a collect
+    # inside codebook training, and the A/B measured the lazy variant
+    # 2× slower (lazy pin + collect-driven training jobs re-derived the
+    # quantize chain instead of reading the cache).
     qv = (t["embeddings"]
           .select(F.col("vec_id").alias("id"),
                   _quantized(F.col("embedding")).alias("_v"))
-          .localCheckpoint(eager=False))
+          .localCheckpoint(eager=True))
     coarse = kmeans_coarse_centroids(qv, n_lists=8, iters=3,
                                      quantized_col="_v")
     if not coarse:
