@@ -3474,20 +3474,22 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: pin the RAW edge aggregate too — the out_n self-join consumes
     # it twice, so unpinned it re-ran the corpus lead()-window on both
     # sides (3 corpus passes total; now 2: edge aggregate + node set).
-    # All checkpoints are LAZY: they materialize inside the caller's one
-    # action instead of as serial driver jobs at plan-build time.
+    # Pins stay EAGER: the 5 unrolled iterations read edges/nodes from
+    # many parallel broadcast-build stages of ONE action, and a lazy pin
+    # re-derives its subtree in every stage that starts before another
+    # has cached it (the triangle_census A/B measured that 1.55× slower).
     edges0 = (t["events"]
               .withColumn("_next", F.lead("event_type").over(w))
               .filter(F.col("_next").isNotNull())
               .groupBy(F.col("event_type").alias("src"),
                        F.col("_next").alias("dst"))
               .agg(F.count("*").alias("n"))
-              .localCheckpoint(eager=False))
+              .localCheckpoint(eager=True))
     edges = edges0.join(
         edges0.groupBy("src").agg(F.sum("n").alias("out_n")), "src") \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     nodes = (t["events"].select(F.col("event_type").alias("node"))
-             .distinct().localCheckpoint(eager=False))
+             .distinct().localCheckpoint(eager=True))
     n_nodes = nodes.agg(F.count("*").alias("nn"))
     pr = (nodes.crossJoin(F.broadcast(n_nodes))
           .select("node", F.expr("1000000000 div nn").alias("pr_e9")))
