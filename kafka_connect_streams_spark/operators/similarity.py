@@ -163,8 +163,26 @@ def topk_cosine(queries: DataFrame, candidates: DataFrame, k: int = 10,
 # -- LSH (random hyperplane) ------------------------------------------------
 
 
+def _nonnull_key(expr: Column) -> Column:
+    """Wrap a provably-non-null computed JOIN KEY in ``coalesce(expr, -1)``.
+
+    An equi-join infers ``isnotnull(key)`` on both sides; when the key is
+    a computed expression over a scan, Catalyst pushes that predicate
+    BELOW the projection and re-substitutes the whole expression into the
+    filter — the most expensive expression in the plan (a hyperplane
+    projection, a coarse-assignment argmin) is then evaluated TWICE per
+    row (once in the pushed Filter, once in the Project; the guide's
+    §4.4 duplication, for built-in expressions). The keys wrapped here
+    never evaluate to NULL (sums of ``when/otherwise`` branches, struct
+    fields of non-empty sorted arrays), so ``coalesce`` is an identity —
+    but the optimizer folds ``isnotnull(coalesce(e, -1))`` to ``true``
+    and the duplicated evaluation disappears from the plan."""
+    return F.coalesce(expr, F.lit(-1).cast("bigint"))
+
+
 def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
-                          planes: int | None = None) -> DataFrame:
+                          planes: int | None = None,
+                          _join_key: bool = False) -> DataFrame:
     """Sign-of-projection signature: bit p = 1 iff Σ_d w(p,d)·x_d > 0.
 
     Hyperplane weight w(p,d) ∈ {+1, −1} comes from one md5 bit of "p:d" —
@@ -174,7 +192,10 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
     ``planes=None`` auto-sizes from the row count via :func:`auto_planes`
     (one cheap count) so bucket occupancy tracks the data instead of going
     quadratic as a fixed bucket count fills up.
-    """
+
+    ``_join_key=True`` wraps the bucket in :func:`_nonnull_key` for
+    callers that equi-join on it (value-identical — the bucket is a sum
+    of ``when/otherwise`` branches and never NULL)."""
     if planes is None:
         planes = auto_planes(df.count())
     dims = _vec_dims(df, vec_col)
@@ -185,6 +206,8 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
         bucket = bucket + F.when(_hyperplane_proj(p, dims) > 0,
                                  F.lit(1 << p).cast("bigint")) \
                            .otherwise(F.lit(0).cast("bigint"))
+    if _join_key:
+        bucket = _nonnull_key(bucket)
     return base.select(F.col(id_col), bucket.alias("bucket"))
 
 
@@ -263,12 +286,19 @@ def neardup_pairs(vectors: DataFrame, *, planes: int | None = None,
     sharing a hyperplane bucket are scored (sub-quadratic at scale), then
     exact quantized cosine filters to true near-dups. Emits id_a < id_b.
     ``planes=None`` → :func:`auto_planes` of the corpus count.
+
+    r14: the bucket sides read the signature table DIRECTLY — it already
+    carries (id, bucket), so the previous ``vectors.join(sig, "id")`` was
+    a no-op join that re-scanned the corpus per side (2 scans + 2 joins
+    gone from the plan; guide §2.4). ``_nonnull_key`` keeps the inferred
+    join-key null check from re-deriving the projection below it.
     """
     if planes is None:
         planes = auto_planes(vectors.count())
-    sig = hyperplane_signatures(vectors, "id", "embedding", planes)
-    a = vectors.join(sig, "id").select(F.col("id").alias("id_a"), "bucket")
-    b = vectors.join(sig, "id").select(F.col("id").alias("id_b"), "bucket")
+    sig = hyperplane_signatures(vectors, "id", "embedding", planes,
+                                _join_key=True)
+    a = sig.select(F.col("id").alias("id_a"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), "bucket")
     pairs = (a.join(b, "bucket")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b"))
@@ -291,15 +321,21 @@ def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
     shape that survives 100 TB: the expensive pair join is bucket-local.
     ``planes=None`` → :func:`auto_planes` of the **candidate** count (both
     sides must hash with the same planes, so it is sized once here).
+
+    r14: the bucket sides read each signature table DIRECTLY — it already
+    carries (id, bucket), so the previous ``queries.join(qs, "id")`` was a
+    no-op join re-scanning each corpus side (2 scans + 2 joins gone from
+    the plan; guide §2.4). ``_nonnull_key`` on the bucket keeps the
+    join's inferred null check from re-deriving the projection below it.
     """
     if planes is None:
         planes = auto_planes(candidates.count())
-    qs = hyperplane_signatures(queries, "id", "embedding", planes)
-    cs = hyperplane_signatures(candidates, "id", "embedding", planes)
-    qb = (queries.join(qs, "id")
-          .select(F.col("id").alias("q_id"), "bucket"))
-    cb = (candidates.join(cs, "id")
-          .select(F.col("id").alias("c_id"), "bucket"))
+    qs = hyperplane_signatures(queries, "id", "embedding", planes,
+                               _join_key=True)
+    cs = hyperplane_signatures(candidates, "id", "embedding", planes,
+                               _join_key=True)
+    qb = qs.select(F.col("id").alias("q_id"), "bucket")
+    cb = cs.select(F.col("id").alias("c_id"), "bucket")
     paired = qb.join(cb, "bucket").select("q_id", "c_id")
     if exclude_self:
         paired = paired.filter(F.col("q_id") != F.col("c_id"))
@@ -647,8 +683,13 @@ def topk_ivfpq(queries: DataFrame, candidates: DataFrame, k: int = 5,
     code_cols = [
         _argmin_code(_pq_sub_dists(F.col("_cv"), m, books[m], sub))
         .alias(f"code_{m}") for m in range(m_sub)]
+    # _nonnull_key: without it the list join's inferred isnotnull(list)
+    # pushes below this projection and evaluates the whole coarse
+    # argmin AGAIN per candidate row (measured in the r14 plan dump)
     coded = cq.select(
-        "c_id", _coarse_assign(F.col("_cv"), coarse)[0]["j"].alias("list"),
+        "c_id",
+        _nonnull_key(_coarse_assign(F.col("_cv"), coarse)[0]["j"])
+        .alias("list"),
         *code_cols)
 
     qq = queries.select(F.col("id").alias("q_id"),
@@ -657,7 +698,7 @@ def topk_ivfpq(queries: DataFrame, candidates: DataFrame, k: int = 5,
                 .alias(f"tab_{m}") for m in range(m_sub)]
     probes = F.slice(_coarse_assign(F.col("_qv"), coarse), 1, nprobe)
     tabs = (qq.select("q_id", F.explode(probes).alias("_p"), *tab_cols)
-            .select("q_id", F.col("_p")["j"].alias("list"),
+            .select("q_id", _nonnull_key(F.col("_p")["j"]).alias("list"),
                     *[f"tab_{m}" for m in range(m_sub)]))
 
     adc = F.expr(_ZERO)

@@ -2593,8 +2593,8 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced). The THREE FIXED Lloyd rounds unroll into the SQL twin as
     chained CTE stages, like ann_pq_trained_recall's subspace version."""
     from kafka_connect_streams_spark.operators.similarity import (
-        MAX_BRUTE_PAIRS, _coarse_assign, _cosine, _dot, _quantized,
-        coarse_centroids, kmeans_coarse_centroids)
+        MAX_BRUTE_PAIRS, _coarse_assign, _cosine, _dot, _nonnull_key,
+        _quantized, coarse_centroids, kmeans_coarse_centroids)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
     # r14 optimization (guide §2.4 — compute once, never re-derive): ONE
@@ -2665,7 +2665,7 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             F.explode(F.slice(_coarse_assign(F.col("_qv"), cb),
                               1, 2)).alias("_p"))
-            .select("q_id", F.col("_p")["j"].alias("list")))
+            .select("q_id", _nonnull_key(F.col("_p")["j"]).alias("list")))
         approx = topk5(probes.join(lists, "list").select("q_id", "c_id"))
         return (exact.join(approx, ["q_id", "c_id"])
                 .groupBy("q_id").agg(F.count("*").alias(name)))
