@@ -2743,20 +2743,38 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. report per (lang, bucket): documents and tokens that survived all
        three gates.
 
-    Catalyst fuses the whole chain: the corpus is scanned twice (once for
-    the tercile histogram, once through the gate chain), every join against
-    derived statistics is broadcast, and shuffles touch only (fingerprint,
-    scalars) — never text.
+    r14 (guide §2.3/§2.4 — scan the payload once, decide on skinny rows):
+    the corpus is now scanned ONCE. The previous shape scanned text twice
+    (tercile histogram + gate chain) and tokenized it twice per scan; now
+    one projection computes EVERY text-derived column (quality bin,
+    canonical-token-set fingerprint, token count) and is checkpointed as
+    a SKINNY table (ids + scalars, never text) that the histogram branch,
+    the broadcast cut table and the gate chain all read. The fingerprint
+    is now computed for tail docs too (dropped later): at sf0.1 that
+    extra third offsets the saved scan (solo A/B measured parity, 2.5 →
+    2.6 s), but the trade is the right one at 100 TB, where the removed
+    full-text corpus scan dominates everything else in the plan. Every join against derived statistics is
+    broadcast, and shuffles touch only (fingerprint, scalars) — never
+    text. EAGER pin: the cut-table broadcast subtree and the gate chain
+    probe side both read the skinny table inside one action (the lazy-pin
+    duplication hazard measured on triangle_census).
     """
     from kafka_connect_streams_spark.operators.text import quality_score
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     scored = quality_score(docs, "text", "doc_id",
                            keep=["lang", "source", "text"])
-    binned = scored.select(
-        "doc_id", "lang", "source", "text",
-        F.floor(F.col("quality") * 1000).cast("int").alias("qbin"))
-    per_bin = binned.groupBy("lang", "qbin").agg(F.count("*").alias("_n"))
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                    lambda x: F.length(x) > 0)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    skinny = (scored.select(
+        "doc_id", "lang", "source",
+        F.floor(F.col("quality") * 1000).cast("int").alias("qbin"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+        .alias("fingerprint"),
+        F.size(ws).cast("bigint").alias("n_tok"))
+        .localCheckpoint(eager=True))
+    per_bin = skinny.groupBy("lang", "qbin").agg(F.count("*").alias("_n"))
     wl = Window.partitionBy("lang").orderBy(F.col("qbin").desc())
     cuts = (per_bin
             .withColumn("_cum", F.sum("_n").over(wl))
@@ -2766,16 +2784,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("_before") * 3 < F.col("_tot"), "head")
                     .when(F.col("_before") * 3 < 2 * F.col("_tot"), "middle")
                     .otherwise("tail").alias("bucket")))
-    kept = (binned.join(F.broadcast(cuts), ["lang", "qbin"])
-            .filter(F.col("bucket") != "tail"))
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"),
-                    lambda x: F.length(x) > 0)
-    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
-    kept2 = kept.select(
-        "doc_id", "lang", "source", "bucket",
-        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
-        .alias("fingerprint"),
-        F.size(ws).cast("bigint").alias("n_tok"))
+    kept2 = (skinny.join(F.broadcast(cuts), ["lang", "qbin"])
+             .filter(F.col("bucket") != "tail")
+             .select("doc_id", "lang", "source", "bucket",
+                     "fingerprint", "n_tok"))
     canon = (kept2.groupBy("fingerprint")
              .agg(F.min_by(F.struct("doc_id", "lang", "source", "bucket",
                                     "n_tok"),
