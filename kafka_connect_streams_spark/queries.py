@@ -3542,12 +3542,12 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``overcount_ok`` asserts the CMS one-sided guarantee est ≥ exact
     in-plan. Sketch size is independent of corpus and vocabulary size."""
     from kafka_connect_streams_spark.operators.frequency import (
-        cms_estimate, words_of)
+        cms_estimate)
     t = load_tables(spark, sf_dir)
-    probes = (words_of(t["documents"], "text")
-              .groupBy("word").agg(F.count("*").alias("c"))
-              .orderBy(F.desc("c"), "word").limit(10).select("word"))
-    return cms_estimate(t["documents"], "text", probes)
+    # r14: probes=None derives the top-10 probe set from cms_estimate's
+    # own pinned word-count table — the corpus is tokenized ONCE for
+    # sketch + exact + probes instead of three times (guide §2.3)
+    return cms_estimate(t["documents"], "text", probes=None, probe_top=10)
 
 
 def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
