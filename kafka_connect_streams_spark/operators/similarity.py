@@ -290,13 +290,19 @@ def neardup_pairs(vectors: DataFrame, *, planes: int | None = None,
     r14: the bucket sides read the signature table DIRECTLY — it already
     carries (id, bucket), so the previous ``vectors.join(sig, "id")`` was
     a no-op join that re-scanned the corpus per side (2 scans + 2 joins
-    gone from the plan; guide §2.4). ``_nonnull_key`` keeps the inferred
-    join-key null check from re-deriving the projection below it.
+    gone from the plan; guide §2.4). The signature table is
+    checkpoint-PINNED before the bucket self-join: both sides consume it
+    (one materialization instead of two corpus projections), and the
+    un-truncated same-lineage self-join over the 8-plane expression tree
+    sent the analyzer/optimizer into seconds of plan-derivation (the
+    first no-pin spelling measured 1.3 → 6.3 s, all in driver
+    plan-build; pinned it reads 1.0 s). ``_nonnull_key`` keeps the
+    inferred join-key null check from re-deriving the projection.
     """
     if planes is None:
         planes = auto_planes(vectors.count())
     sig = hyperplane_signatures(vectors, "id", "embedding", planes,
-                                _join_key=True)
+                                _join_key=True).localCheckpoint(eager=True)
     a = sig.select(F.col("id").alias("id_a"), "bucket")
     b = sig.select(F.col("id").alias("id_b"), "bucket")
     pairs = (a.join(b, "bucket")
