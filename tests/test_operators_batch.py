@@ -1079,6 +1079,34 @@ class TestFrequency:
         assert rows and all(r.overcount_ok for r in rows)
         assert all(r.est >= r.exact for r in rows)
 
+    def test_cms_derived_probes_match_explicit_top10(self, spark):
+        """r14 pin: cms_estimate(probes=None) derives its probe set from
+        the same pinned word-count table that feeds the sketch — its
+        output must be row-identical to passing the explicit top-10
+        (count desc, word) probe set, and the exact counts must match a
+        driver-side recount. Guards the one-tokenize-pass derivation
+        (sketch counters = sum of word counts per cell)."""
+        from collections import Counter
+
+        from kafka_connect_streams_spark.operators.frequency import (
+            cms_estimate)
+
+        texts = [(i, f"alpha beta w{i % 7} w{i % 13} gamma") for i in
+                 range(400)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        derived = cms_estimate(df, "text", probes=None,
+                               probe_top=10).collect()
+        counts = Counter(w for _i, t in texts for w in t.split())
+        top10 = sorted(counts, key=lambda w: (-counts[w], w))[:10]
+        explicit_probes = spark.createDataFrame(
+            [(w,) for w in top10], "word string")
+        explicit = cms_estimate(df, "text", explicit_probes).collect()
+        as_tuples = lambda rows: sorted(  # noqa: E731
+            (r.word, r.exact, r.est, r.overcount_ok) for r in rows)
+        assert as_tuples(derived) == as_tuples(explicit)
+        assert {r.word for r in derived} == set(top10)
+        assert all(r.exact == counts[r.word] for r in derived)
+
 
 class TestGraph:
     def test_triangle_census_on_known_graphs(self, spark):

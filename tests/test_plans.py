@@ -394,6 +394,23 @@ def test_jaccard_prefix_join_filter_never_inlines_grams(spark, sf_dir):
                     "gram expression inlined into a Filter:\n" + line[:400])
 
 
+def test_computed_join_keys_never_reevaluate_in_filters(spark, sf_dir):
+    """r14 pin for the _nonnull_key fix: an equi-join on a COMPUTED key
+    (IVF list id, LSH bucket) infers isnotnull(key) and pushes it below
+    the projection, re-substituting the whole coarse-argmin/hyperplane
+    HOF tree into the Filter — the most expensive expression in the plan
+    then runs twice per row (seen in plans/r14/ann_ivfpq_before.txt
+    operator (2)). coalesce(key, -1) folds the inferred check away; no
+    Filter condition may contain the in-row vector fold (zip_with)."""
+    for qname in ("ann_ivfpq", "ann_lsh_cosine"):
+        plan = physical_plan(Q.QUERIES[qname](spark, sf_dir))
+        for line in plan.splitlines():
+            if line.strip().startswith("Condition") and "zip_with" in line:
+                raise AssertionError(
+                    f"{qname}: HOF join-key expression re-evaluated in a "
+                    "Filter:\n" + line[:400])
+
+
 def test_pagerank_iterations_run_on_checkpointed_graph(spark, sf_dir):
     """The 5 PageRank iterations must replay the materialized edge list,
     never re-expand the corpus subtree: 0 parquet scans in the plan."""
