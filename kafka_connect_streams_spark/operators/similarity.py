@@ -163,6 +163,21 @@ def topk_cosine(queries: DataFrame, candidates: DataFrame, k: int = 10,
 # -- LSH (random hyperplane) ------------------------------------------------
 
 
+def _nullsafe_ge(col: Column, lo: Column) -> Column:
+    """``col >= lo`` spelled so a filter on it infers NOTHING about the
+    nullability of ``col``'s children.
+
+    A plain ``filter(cosine >= t)`` makes Catalyst infer
+    ``isnotnull(cosine)``, walk it into the children, and push an
+    ``isnotnull(<whole quantize+dot fold>)`` predicate below the
+    projection into the scan Filter — the most expensive expression then
+    evaluates twice per row (the same §4.4-style duplication
+    :func:`_nonnull_key` fixes for join keys). The ``when/otherwise``
+    form returns the identical row set (NULL fails the threshold either
+    way) but is not an inferable null constraint."""
+    return F.when(col >= lo, F.lit(True)).otherwise(F.lit(False))
+
+
 def _nonnull_key(expr: Column) -> Column:
     """Wrap a provably-non-null computed JOIN KEY in ``coalesce(expr, -1)``.
 
@@ -314,7 +329,12 @@ def neardup_pairs(vectors: DataFrame, *, planes: int | None = None,
            .withColumn("dot", _dot(F.col("_va"), F.col("_vb")))
            .withColumn("cosine", _cosine(F.col("dot"), F.col("na"),
                                          F.col("nb"))))
-    return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    # r14: _nullsafe_ge blocks the inferred isnotnull(cosine) chain that
+    # re-evaluated the whole quantize+dot fold inside a pushed scan
+    # Filter (registry plan sweep; value-identical — NULL cosine fails
+    # the threshold either way)
+    return (sim.filter(_nullsafe_ge(F.col("cosine"), F.lit(threshold)))
+            .select("id_a", "id_b", "cosine"))
 
 
 def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
@@ -815,7 +835,8 @@ def semantic_dedup(vectors: DataFrame, n_centroids: int | None = None,
             .withColumn("cosine", _cosine(
                 _dot(F.col("_va"), F.col("_vb")),
                 F.col("na"), F.col("nb")))
-            .filter(F.col("cosine") >= threshold)
+            # same _nullsafe_ge rationale as neardup_pairs
+            .filter(_nullsafe_ge(F.col("cosine"), F.lit(threshold)))
             .select("id_b").distinct())
     sizes = lists.groupBy("cent_id").agg(
         F.count("*").alias("cluster_size"))

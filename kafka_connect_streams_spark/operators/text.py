@@ -608,9 +608,18 @@ def quality_buckets(df: DataFrame, text_col: str, id_col: str,
     tie-rule — identical in the SQL oracle.
     """
     scored = quality_score(df, text_col, id_col, keep=[lang_col])
+    # r14: pin the SKINNY binned table (id, lang, qbin — never text).
+    # Unpinned, the cut-table subtree and the probe side each re-scanned
+    # the corpus and re-ran the quality expression, and the bucket
+    # join's inferred isnotnull(qbin) pushed the WHOLE quality
+    # expression into a scan Filter a third time (registry plan sweep).
+    # EAGER per the measured lazy-pin hazard (OPTIMIZATION_r14.md).
+    # NULL-text rows keep their NULL qbin inside the pinned table and
+    # drop at the join exactly as before.
     binned = scored.select(
         F.col(id_col), F.col(lang_col),
-        F.floor(F.col("quality") * 1000).cast("int").alias("qbin"))
+        F.floor(F.col("quality") * 1000).cast("int").alias("qbin")) \
+        .localCheckpoint(eager=True)
     per_bin = binned.groupBy(lang_col, "qbin").agg(F.count("*").alias("_n"))
     wl = Window.partitionBy(lang_col).orderBy(F.col("qbin").desc())
     cuts = (per_bin
