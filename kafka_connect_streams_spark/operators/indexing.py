@@ -88,16 +88,23 @@ def cosine_pair_topk(df: DataFrame, text_col: str, id_col: str,
     """
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                    r"\W+")
+    # r14: pin the two multi-consumer tables EAGERLY (the measured
+    # eager/lazy rule, OPTIMIZATION_r14.md): unpinned, ``tf`` (consumed
+    # by the df-prune aggregate AND the prune join) re-ran the corpus
+    # tokenize+explode+aggregate chain per consumer, and ``pruned``
+    # (consumed by norms and BOTH self-join sides, fanning out in
+    # parallel within the one action) re-derived the prune join 3×.
     tf = (df.select(F.col(id_col).alias("doc_id"),
                     F.explode(toks).alias("term"))
           .where(F.length("term") > 0)
           .groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf")))
+          .agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
     rare = (tf.groupBy("term")
             .agg(F.count("*").alias("df_t"))
             .filter(F.col("df_t") <= max_df)
             .select("term"))
-    pruned = tf.join(rare, "term")
+    pruned = tf.join(rare, "term").localCheckpoint(eager=True)
     norms = (pruned.groupBy("doc_id")
              .agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")))
     a = pruned.select("term", F.col("doc_id").alias("id_a"),

@@ -1160,3 +1160,75 @@ def test_ngram_novelty_hashes_grams_before_shuffle(spark, sf_dir):
     # the shingle string column must not appear past the md5 projection
     assert len(re.findall(r"Exchange hashpartitioning\(shingle", plan)) == 0, plan
     assert has_partial_aggregate(df), plan
+
+
+def test_jl_then_neardup_replays_pinned_tables(spark, sf_dir):
+    """r14 pin: the JL decision eval's signature and projection tables
+    are double-consumed by same-lineage self-joins — unpinned, the
+    8-plane bucket tree and the 16-projection tree each re-derived (and
+    re-analyzed) per join side: 8 parquet scans in the before plan
+    (plans/r14/jl_then_neardup_before.txt). Pinned, the plan replays
+    the materialized tables only."""
+    import re
+    df = Q.q_jl_then_neardup(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_cosine_pair_topk_single_tf_derivation(spark, sf_dir):
+    """r14 pin: the all-pairs similarity plan used to re-derive the
+    (doc, term, tf) aggregate and the df-pruned table per consumer — 16
+    parquet scans / 44 exchanges in the before plan
+    (plans/r14/cosine_pair_topk_before.txt). With tf and pruned pinned,
+    every consumer replays the materialized tables (0 parquet scans)
+    and the global top-k still plans as TakeOrderedAndProject."""
+    import re
+    df = Q.q_cosine_pair_topk(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ngram_lm_counts_one_bigram_pass_one_join(spark, sf_dir):
+    """r14 restructure: both Kneser-Ney continuation statistics
+    (N1+(w.), N1+(.w)) fold in ONE conditional aggregate over an in-row
+    (token, side) fan-out of the distinct bigram table — the old
+    per-side groupBys re-derived the tokenize+explode+distinct chain
+    twice and joined three tables (6 scans / 14 exchanges before,
+    plans/r14/ngram_lm_counts_before.txt). Exactly one join (unigram ⋈
+    sides) may remain."""
+    import re
+    df = Q.q_ngram_lm_counts(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) [A-Za-z]*Join", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 4, plan
+
+
+def test_rolling_active_users_joinless_single_dedup(spark, sf_dir):
+    """r14 restructure: DAU and WAU come from ONE conditional aggregate
+    over the 7-day expansion (dau counts only report_day == day rows;
+    dau >= 1 keeps exactly the real report days), so the (user, day)
+    dedup — the only corpus-sized shuffle — derives once instead of
+    three times and the day-spine semi-join and final inner join vanish
+    (6 scans / 16 exchanges before,
+    plans/r14/rolling_active_users_before.txt)."""
+    import re
+    df = Q.q_rolling_active_users(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+
+
+def test_phrase_search_single_tokenize_pass(spark, sf_dir):
+    """r14 pin: both phrase terms' postings now come from ONE
+    tokenize+posexplode pass (isin prefilter, pinned two-term postings
+    table) instead of one full corpus pass per term — the postings
+    self-join itself is unchanged (that shape IS the operator)."""
+    import re
+    df = Q.q_phrase_search(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert len(re.findall(r"\(\d+\) [A-Za-z]*Join", plan)) == 1, plan
