@@ -78,7 +78,12 @@ EXTRA = ["gopher_rules", "semantic_dedup", "min_cost_supplier",
          # r14 batch 2: the one-permutation signature + agreement eval,
          # the Hilbert layout + equal-frequency pruning A/B
          "dedup_oph", "oph_recall", "hilbert_layout",
-         "layout_prune_ab"]
+         "layout_prune_ab",
+         # r14 optimization batch 2: the three non-headline queries
+         # whose shapes the resumed session restructured (fused
+         # continuation aggregate, single-pass postings, joinless
+         # DAU/WAU) — scorecards audit the new shapes
+         "ngram_lm_counts", "phrase_search", "rolling_active_users"]
 
 #: Cost-ceiling notes for the eval/iterative harnesses (r12 verdict #7):
 #: one sentence each stating which FIXED iteration/sweep count dominates
