@@ -90,6 +90,23 @@ def _qvecs(df: DataFrame, id_col: str, vec_col: str,
             .withColumn(n_out, _dot(F.col(v_out), F.col(v_out))))
 
 
+def _qside(prequantized: "DataFrame | None", raw: DataFrame,
+           id_out: str, v_out: str, n_out: str) -> DataFrame:
+    """One quantized side of a pair computation.
+
+    ``prequantized`` — if given — is a canonical ``(id, _v, n)`` table,
+    exactly ``_qvecs(df, id, "embedding", "id", "_v", "n")`` (callers
+    pin ONE such table and share it across legs instead of re-deriving
+    the quantize+norm fold per consumer — guide §2.4; value-identical
+    by construction, only the derivation count changes). ``None`` keeps
+    the self-contained behavior: quantize ``raw`` in place."""
+    if prequantized is not None:
+        return prequantized.select(F.col("id").alias(id_out),
+                                   F.col("_v").alias(v_out),
+                                   F.col("n").alias(n_out))
+    return _qvecs(raw, "id", "embedding", id_out, v_out, n_out)
+
+
 def _cosine(dot: Column, na: Column, nb: Column) -> Column:
     # int64·int64 norm product can exceed int64 → promote to double first
     return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
@@ -97,7 +114,9 @@ def _cosine(dot: Column, na: Column, nb: Column) -> Column:
 
 def cosine_pairs(queries: DataFrame, candidates: DataFrame,
                  id_q: str = "q_id", id_c: str = "c_id",
-                 max_pairs: int | None = None) -> DataFrame:
+                 max_pairs: int | None = None,
+                 _q: DataFrame | None = None,
+                 _c: DataFrame | None = None) -> DataFrame:
     """Quantized cosine for every (query, candidate) pair, scored in-row.
 
     Inputs must have columns (id, embedding). The pair join carries whole
@@ -120,8 +139,10 @@ def cosine_pairs(queries: DataFrame, candidates: DataFrame,
                 f" (> max_pairs={max_pairs:,}). Use a bucketed candidate"
                 " generator (LSH/IVF), or raise max_pairs if the full"
                 " scan is intentional.")
-    q = _qvecs(queries, "id", "embedding", id_q, "_qv", "qn")
-    c = _qvecs(candidates, "id", "embedding", id_c, "_cv", "cn")
+    # r14: _q/_c let multi-leg callers share ONE pinned quantized table
+    # per side (see _qside) instead of re-deriving the fold per call
+    q = _qside(_q, queries, id_q, "_qv", "qn")
+    c = _qside(_c, candidates, id_c, "_cv", "cn")
     return (q.crossJoin(c)
             .withColumn("dot", _dot(F.col("_qv"), F.col("_cv")))
             .withColumn("cosine", _cosine(F.col("dot"), F.col("qn"),
@@ -131,7 +152,9 @@ def cosine_pairs(queries: DataFrame, candidates: DataFrame,
 
 def topk_cosine(queries: DataFrame, candidates: DataFrame, k: int = 10,
                 exclude_self: bool = True, max_pairs: int = MAX_BRUTE_PAIRS,
-                allow_full_scan: bool = False) -> DataFrame:
+                allow_full_scan: bool = False,
+                _q: DataFrame | None = None,
+                _c: DataFrame | None = None) -> DataFrame:
     """Brute-force top-k neighbors per query by quantized cosine.
 
     Ties broken by candidate id so results are total-ordered and
@@ -151,7 +174,7 @@ def topk_cosine(queries: DataFrame, candidates: DataFrame, k: int = 10,
                 f" pairs (> max_pairs={max_pairs:,}). Use topk_cosine_lsh or"
                 " topk_cosine_ivf, or pass allow_full_scan=True if the full"
                 " scan is intentional.")
-    pairs = cosine_pairs(queries, candidates)
+    pairs = cosine_pairs(queries, candidates, _q=_q, _c=_c)
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -339,7 +362,11 @@ def neardup_pairs(vectors: DataFrame, *, planes: int | None = None,
 
 def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
                     planes: int | None = None,
-                    exclude_self: bool = True) -> DataFrame:
+                    exclude_self: bool = True,
+                    _q: DataFrame | None = None,
+                    _c: DataFrame | None = None,
+                    _qs: DataFrame | None = None,
+                    _cs: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: quantized cosine, but only within shared LSH buckets.
 
     With p planes the candidate set shrinks ~2^p-fold for near-uniform data;
@@ -356,30 +383,37 @@ def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
     """
     if planes is None:
         planes = auto_planes(candidates.count())
-    qs = hyperplane_signatures(queries, "id", "embedding", planes,
-                               _join_key=True)
-    cs = hyperplane_signatures(candidates, "id", "embedding", planes,
-                               _join_key=True)
+    # r14: _qs/_cs let multi-leg callers pass pinned signature tables
+    # (built with the SAME planes and _join_key=True so the bucket
+    # values — coalesce(bucket, -1) — are identical); _q/_c share the
+    # pinned quantized tables with the rescoring stage (see _qside)
+    qs = _qs if _qs is not None else hyperplane_signatures(
+        queries, "id", "embedding", planes, _join_key=True)
+    cs = _cs if _cs is not None else hyperplane_signatures(
+        candidates, "id", "embedding", planes, _join_key=True)
     qb = qs.select(F.col("id").alias("q_id"), "bucket")
     cb = cs.select(F.col("id").alias("c_id"), "bucket")
     paired = qb.join(cb, "bucket").select("q_id", "c_id")
     if exclude_self:
         paired = paired.filter(F.col("q_id") != F.col("c_id"))
-    return _exact_topk_over_pairs(paired, queries, candidates, k)
+    return _exact_topk_over_pairs(paired, queries, candidates, k,
+                                  _q=_q, _c=_c)
 
 
 # -- IVF (inverted-file index) ----------------------------------------------
 
 
 def _exact_topk_over_pairs(paired: DataFrame, queries: DataFrame,
-                           candidates: DataFrame, k: int) -> DataFrame:
+                           candidates: DataFrame, k: int,
+                           _q: DataFrame | None = None,
+                           _c: DataFrame | None = None) -> DataFrame:
     """Exact quantized cosine restricted to a (q_id, c_id) candidate set.
 
     The pair table joins each side's whole quantized vector and scores
     in-row (``zip_with``+``aggregate``): the shuffle carries one array cell
     per pair side instead of D rows, and there is no aggregation stage."""
-    q = _qvecs(queries, "id", "embedding", "q_id", "_qv", "qn")
-    c = _qvecs(candidates, "id", "embedding", "c_id", "_cv", "cn")
+    q = _qside(_q, queries, "q_id", "_qv", "qn")
+    c = _qside(_c, candidates, "c_id", "_cv", "cn")
     sim = (paired.join(q, "q_id").join(c, "c_id")
            .withColumn("dot", _dot(F.col("_qv"), F.col("_cv")))
            .withColumn("cosine", _cosine(F.col("dot"), F.col("qn"),
@@ -392,7 +426,9 @@ def _exact_topk_over_pairs(paired: DataFrame, queries: DataFrame,
 
 def topk_cosine_ivf(queries: DataFrame, candidates: DataFrame, k: int = 10,
                     n_centroids: int | None = None, nprobe: int = 4,
-                    exclude_self: bool = True) -> DataFrame:
+                    exclude_self: bool = True,
+                    _q: DataFrame | None = None,
+                    _c: DataFrame | None = None) -> DataFrame:
     """IVF top-k: coarse-quantize candidates into centroid lists; probe a few.
 
     The classic inverted-file ANN layout (IVF-Flat), Spark-first:
@@ -418,15 +454,18 @@ def topk_cosine_ivf(queries: DataFrame, candidates: DataFrame, k: int = 10,
                  .select(F.col("id").alias("id"), "embedding"))
     cent = F.broadcast(centroids)
 
-    # candidate → nearest centroid (inverted lists)
-    ap = cosine_pairs(candidates, cent, id_q="c_id", id_c="cent_id")
+    # candidate → nearest centroid (inverted lists); _c shares the
+    # caller's pinned quantized corpus with the assignment pass
+    ap = cosine_pairs(candidates, cent, id_q="c_id", id_c="cent_id",
+                      _q=_c)
     wa = Window.partitionBy("c_id").orderBy(F.col("cosine").desc(),
                                             F.col("cent_id"))
     lists = (ap.withColumn("rn", F.row_number().over(wa))
              .filter(F.col("rn") == 1).select("c_id", "cent_id"))
 
     # query → nprobe nearest centroids
-    qp = cosine_pairs(queries, cent, id_q="q_id", id_c="cent_id")
+    qp = cosine_pairs(queries, cent, id_q="q_id", id_c="cent_id",
+                      _q=_q)
     wq = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
                                             F.col("cent_id"))
     probes = (qp.withColumn("rn", F.row_number().over(wq))
@@ -435,7 +474,8 @@ def topk_cosine_ivf(queries: DataFrame, candidates: DataFrame, k: int = 10,
     paired = probes.join(lists, "cent_id").select("q_id", "c_id")
     if exclude_self:
         paired = paired.filter(F.col("q_id") != F.col("c_id"))
-    return _exact_topk_over_pairs(paired, queries, candidates, k)
+    return _exact_topk_over_pairs(paired, queries, candidates, k,
+                                  _q=_q, _c=_c)
 
 
 # -- PQ (product quantization, asymmetric distance) -------------------------

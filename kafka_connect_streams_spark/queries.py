@@ -555,24 +555,40 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     production ANN deployment runs before trusting an index, kept entirely
     distributed (per-query hit counts, scalar sums at the end)."""
     from kafka_connect_streams_spark.operators.similarity import (
-        topk_cosine, topk_cosine_ivf, topk_cosine_lsh)
+        _qvecs, hyperplane_signatures, topk_cosine, topk_cosine_ivf,
+        topk_cosine_lsh)
     t = load_tables(spark, sf_dir)
     # r14: pin the corpus (≥8 consumers across the three legs — each
     # leg's signature/codebook/qvec subtrees re-scanned the parquet) and
-    # the exact top-5 (3 consumers: both hit joins + k_actual)
+    # the exact top-5 (3 consumers: both hit joins + k_actual).
+    # r14 batch 2 ("not yet" #1): the three legs now SHARE one pinned
+    # quantized table and one pinned signature table — before, each leg
+    # re-ran the quantize+norm fold per side (≈8 derivations) and the
+    # LSH leg hashed queries and candidates separately even though
+    # queries ⊂ candidates (the filter commutes with the per-row map,
+    # so sig.filter IS the query-side signature table). EAGER per the
+    # measured parallel-consumer rule.
     emb = (t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
            .localCheckpoint(eager=False))
     queries = emb.filter(F.col("id") % 100 == 0)
-    exact = (topk_cosine(queries, emb, k=5).select("q_id", "c_id")
+    qv = _qvecs(emb, "id", "embedding", "id", "_v", "n") \
+        .localCheckpoint(eager=True)
+    qq = qv.filter(F.col("id") % 100 == 0)
+    sig = hyperplane_signatures(emb, "id", "embedding", 6,
+                                _join_key=True).localCheckpoint(eager=True)
+    exact = (topk_cosine(queries, emb, k=5, _q=qq, _c=qv)
+             .select("q_id", "c_id")
              .localCheckpoint(eager=False))
 
     def hits_of(approx, name):
         return (exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
                 .groupBy("q_id").agg(F.count("*").alias(name)))
 
-    h_lsh = hits_of(topk_cosine_lsh(queries, emb, k=5, planes=6), "h_lsh")
+    h_lsh = hits_of(topk_cosine_lsh(
+        queries, emb, k=5, planes=6, _q=qq, _c=qv,
+        _qs=sig.filter(F.col("id") % 100 == 0), _cs=sig), "h_lsh")
     h_ivf = hits_of(topk_cosine_ivf(queries, emb, k=5, n_centroids=16,
-                                    nprobe=4), "h_ivf")
+                                    nprobe=4, _q=qq, _c=qv), "h_ivf")
     per_q = (exact.groupBy("q_id").agg(F.count("*").alias("k_actual"))
              .join(h_lsh, "q_id", "left").join(h_ivf, "q_id", "left")
              .select(F.coalesce("h_lsh", F.lit(0)).alias("h_lsh"),
@@ -594,22 +610,38 @@ def q_ann_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query that proves the 100×-scale auto-sizing path, not just the
     hand-tuned constants."""
     from kafka_connect_streams_spark.operators.similarity import (
+        _qvecs, auto_centroids, auto_planes, hyperplane_signatures,
         topk_cosine, topk_cosine_ivf, topk_cosine_lsh)
     t = load_tables(spark, sf_dir)
-    # r14: same pinning as q_ann_recall (corpus + exact top-5)
+    # r14: same pinning and leg-sharing as q_ann_recall; the auto
+    # sizes are resolved HERE from the pinned corpus count — the exact
+    # expressions topk_cosine_lsh(planes=None) / topk_cosine_ivf(
+    # n_centroids=None) evaluate (auto_planes/auto_centroids of the
+    # candidate count) — so the shared signature table is built with
+    # the same planes the operator would choose
     emb = (t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
            .localCheckpoint(eager=False))
+    n = emb.count()
+    planes, n_cent = auto_planes(n), auto_centroids(n)
     queries = emb.filter(F.col("id") % 100 == 0)
-    exact = (topk_cosine(queries, emb, k=5).select("q_id", "c_id")
+    qv = _qvecs(emb, "id", "embedding", "id", "_v", "n") \
+        .localCheckpoint(eager=True)
+    qq = qv.filter(F.col("id") % 100 == 0)
+    sig = hyperplane_signatures(emb, "id", "embedding", planes,
+                                _join_key=True).localCheckpoint(eager=True)
+    exact = (topk_cosine(queries, emb, k=5, _q=qq, _c=qv)
+             .select("q_id", "c_id")
              .localCheckpoint(eager=False))
 
     def hits_of(approx, name):
         return (exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
                 .groupBy("q_id").agg(F.count("*").alias(name)))
 
-    h_lsh = hits_of(topk_cosine_lsh(queries, emb, k=5, planes=None), "h_lsh")
-    h_ivf = hits_of(topk_cosine_ivf(queries, emb, k=5, n_centroids=None,
-                                    nprobe=4), "h_ivf")
+    h_lsh = hits_of(topk_cosine_lsh(
+        queries, emb, k=5, planes=planes, _q=qq, _c=qv,
+        _qs=sig.filter(F.col("id") % 100 == 0), _cs=sig), "h_lsh")
+    h_ivf = hits_of(topk_cosine_ivf(queries, emb, k=5, n_centroids=n_cent,
+                                    nprobe=4, _q=qq, _c=qv), "h_ivf")
     per_q = (exact.groupBy("q_id").agg(F.count("*").alias("k_actual"))
              .join(h_lsh, "q_id", "left").join(h_ivf, "q_id", "left")
              .select(F.coalesce("h_lsh", F.lit(0)).alias("h_lsh"),
@@ -5467,14 +5499,17 @@ _R14_WINDOW = [
     # optimization-phase code-touched queries lead (the changed-query
     # rule): cosine_pair_topk (tf/pruned pins), ngram_lm_counts (fused
     # continuation aggregate), phrase_search (single tokenize pass),
-    # rolling_active_users (joinless conditional aggregate) — all four
+    # rolling_active_users (joinless conditional aggregate),
+    # ann_recall + ann_auto_recall (the three legs now share one pinned
+    # quantized table and one pinned signature table) — all six
     # hash-identical, verified at sf0.001/0.01/0.1; jl_then_neardup
-    # (sig/proj pins) was already windowed below. The last four
+    # (sig/proj pins) was already windowed below. The last six
     # r10-cohort tail rows (chunk_dedup, tokenizer_fertility,
-    # ann_pq_adc, ann_pq_recall — code-unchanged, r10-green) cede;
-    # slot arithmetic becomes 4 + 7 + 14 + 25 = 50.
+    # ann_pq_adc, ann_pq_recall, packing_efficiency, doc_chunking —
+    # code-unchanged, r10-green) cede; slot arithmetic becomes
+    # 6 + 7 + 14 + 23 = 50.
     "cosine_pair_topk", "ngram_lm_counts", "phrase_search",
-    "rolling_active_users",
+    "rolling_active_users", "ann_recall", "ann_auto_recall",
     "phash_robustness", "audiofp_robustness", "pii_report", "pii_mask",
     "dp_counts", "dp_utility", "dedup_oph", "oph_recall",
     "hilbert_layout", "layout_prune_ab",
@@ -5490,7 +5525,7 @@ _R14_WINDOW = [
     "conditional_agg", "null_handling", "linestatus_priority",
     "sequence_packing", "training_order", "bootstrap_ci",
     "sorted_neighborhood", "snm_multikey", "quantile_sketch",
-    "jl_then_neardup", "packing_efficiency", "doc_chunking",
+    "jl_then_neardup",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},

@@ -1232,3 +1232,17 @@ def test_phrase_search_single_tokenize_pass(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
     assert "ExistingRDD" in plan, plan
     assert len(re.findall(r"\(\d+\) [A-Za-z]*Join", plan)) == 1, plan
+
+
+def test_ann_recall_legs_share_quantized_corpus(spark, sf_dir):
+    """r14 pin: the three-leg recall harness shares ONE pinned quantized
+    table and ONE pinned signature table across the exact/LSH/IVF legs —
+    before, each leg re-ran the quantize+norm fold per side (the
+    `transform(embedding, ...)` fold appeared 10× in the plan,
+    plans/r14/ann_recall_before.txt). Only the IVF centroid sides (16
+    broadcast rows) may still quantize in place."""
+    for qname in ("ann_recall", "ann_auto_recall"):
+        plan = physical_plan(Q.QUERIES[qname](spark, sf_dir))
+        folds = plan.count("transform(embedding")
+        assert folds <= 2, f"{qname}: {folds} quantize folds\n" + plan[:2000]
+        assert "ExistingRDD" in plan, qname
