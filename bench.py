@@ -232,6 +232,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    build_s: dict[str, float] = {}
+    exec_s: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES.get(name)
         if fn is None:
@@ -239,19 +241,37 @@ def main() -> None:
         # one untimed warm-up so codegen/compilation and page-cache effects
         # don't land on an arbitrary repeat
         _force(fn(spark, sf_dir))
-        runs = []
+        runs, builds, execs = [], [], []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            # fresh plan each run: no cross-run exchange/cache reuse
-            _force(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
+            # fresh plan each run: no cross-run exchange/cache reuse.
+            # build = driver plan construction incl. eager training
+            # jobs/collects/pins; exec = noop evaluation of the final plan
+            # (same split as tools/profile_query.py). The per-query
+            # contract number is unchanged: median of (build + exec) per
+            # repeat, exactly what the single time.perf_counter() pair
+            # around _force(fn(...)) measured before.
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            _force(df)
+            t2 = time.perf_counter()
+            runs.append(t2 - t0)
+            builds.append(t1 - t0)
+            execs.append(t2 - t1)
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = round(max(runs) - min(runs), 3)
+        build_s[name] = round(statistics.median(builds), 3)
+        exec_s[name] = round(statistics.median(execs), 3)
 
     total = round(sum(timings.values()), 3)
-    # diagnostics off the contract line (driver tails 2000 chars of stdout)
+    # diagnostics off the contract line (driver tails 2000 chars of stdout):
+    # build_s/exec_s decompose each entry into driver/serial-job time vs
+    # distributed evaluation (VERDICT r14 next-round #3) so serial-job-
+    # dominated entries are diagnosable from driver artifacts alone.
     print(json.dumps({
         "spread": spread,
+        "build_s": build_s,
+        "exec_s": exec_s,
         "repeats": repeats,
         "eval": "noop",   # full-evaluation sink, r10+ (see _force)
         "suite_wallclock": round(time.perf_counter() - suite_t0, 3),

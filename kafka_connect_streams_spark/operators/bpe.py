@@ -100,47 +100,60 @@ def bpe_merges(spark: SparkSession, df: DataFrame, text_col: str,
     precedent for learned parameters); everything else is DataFrame
     algebra over the checkpointed |vocab|-row symbol table.
 
-    Serial-job shape: ``2 + rounds`` jobs — one corpus pass (the eager
-    word-frequency checkpoint), one argmax TakeOrdered per round, and
-    ONE trailing job computing the whole compression curve (every
-    round's post-merge token total) as a union of 1-row aggregates
-    over the per-round symbol tables. Each round's merged table is a
-    LAZY ``localCheckpoint``: it materializes as a side effect of the
-    next round's argmax job (or of the counts job for the last round),
-    so lineage still truncates every round without a dedicated
-    materialization job. The previous shape ran an eager checkpoint
-    job AND a 1-row count collect per round (``1 + 3·rounds`` jobs);
-    training wall-clock was dominated by that serial job latency, not
-    by the vocab-sized data (guide §1.2: fix the pass structure first).
+    Serial-job shape (r15): ``1 + rounds`` jobs — one corpus pass (the
+    eager word-frequency checkpoint), then one argmax per round, with
+    the pre-merge corpus token total folded into the FIRST round's
+    argmax job. The compression curve needs no job at all:
+
+        n_tokens_after(r) = n_tokens_after(r-1) − pair_count(r)
+
+    exactly, because with left ≠ right no two (a,b) adjacencies can
+    overlap (overlap needs a = b), so ``_apply_merge`` merges EVERY
+    counted adjacency and each merge removes exactly one token — the
+    argmax's own ``pair_count`` IS the per-round token reduction. The
+    r14 shape ran one trailing job re-scanning every round's symbol
+    table for the same totals (and before that, ``1 + 3·rounds`` jobs);
+    training wall-clock is serial job latency, not vocab-sized data
+    (guide §1.2: fix the pass structure first). The LAST round's merge
+    is consequently never applied (its symbol table had no consumer but
+    that trailing job); intermediate rounds keep the LAZY per-round
+    checkpoints that materialize inside the next round's argmax job.
     """
     syms = (word_freq(df, text_col, id_col)
             .select("word", "cnt",
                     F.expr("regexp_extract_all(word, '.', 0)").alias("s"))
             .localCheckpoint(eager=True))
-    picked: list[tuple] = []   # (round, lhs, rhs, pair_count, syms_after)
+    picked: list[tuple] = []   # (round, lhs, rhs, pair_count)
+    n_tok = 0                  # pre-merge corpus token total (round 1)
     for r in range(1, rounds + 1):
-        best = (_pair_counts(syms)
-                .where(F.col("a") != F.col("b"))
-                .orderBy(F.desc("c"), "a", "b")
-                .limit(1).collect())
+        best_df = (_pair_counts(syms)
+                   .where(F.col("a") != F.col("b"))
+                   .orderBy(F.desc("c"), "a", "b")
+                   .limit(1))
+        if r == 1:
+            # ride the token total on the first argmax job: both
+            # subtrees scan the same checkpointed symbol table, so the
+            # extra aggregate costs no extra pass and no extra job
+            best = best_df.crossJoin(
+                syms.agg(F.sum(F.col("cnt") * F.size("s"))
+                         .alias("_n0"))).collect()
+        else:
+            best = best_df.collect()
         if not best:
             break
         a, b, c = best[0].a, best[0].b, best[0].c
-        syms = _apply_merge(syms, a, b).localCheckpoint(eager=False)
-        picked.append((r, a, b, int(c), syms))
+        if r == 1:
+            n_tok = int(best[0]["_n0"])
+        picked.append((r, a, b, int(c)))
+        if r < rounds:
+            syms = _apply_merge(syms, a, b).localCheckpoint(eager=False)
     if not picked:
         return spark.createDataFrame([], MERGE_SCHEMA)
-    curve = picked[0][4].agg(
-        F.lit(picked[0][0]).alias("r"),
-        F.sum(F.col("cnt") * F.size("s")).alias("n"))
-    for r, _a, _b, _c, s in picked[1:]:
-        curve = curve.unionByName(s.agg(
-            F.lit(r).alias("r"),
-            F.sum(F.col("cnt") * F.size("s")).alias("n")))
-    n_after = {row["r"]: int(row["n"]) for row in curve.collect()}
-    return spark.createDataFrame(
-        [(r, a, b, c, n_after[r]) for r, a, b, c, _s in picked],
-        MERGE_SCHEMA)
+    rows = []
+    for r, a, b, c in picked:
+        n_tok -= c             # the non-overlap identity above
+        rows.append((r, a, b, c, n_tok))
+    return spark.createDataFrame(rows, MERGE_SCHEMA)
 
 
 def bpe_encode(df: DataFrame, text_col: str, id_col: str,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def inverted_index(df: DataFrame, text_col: str, id_col: str,
@@ -77,7 +78,14 @@ def cosine_pair_topk(df: DataFrame, text_col: str, id_col: str,
     self-join whose fan-out is capped at max_df² per term, one pair
     aggregate over integer dots, and a global top-k that plans as
     TakeOrderedAndProject (per-partition top-k + single k-row merge,
-    never a total sort).
+    never a total sort). r15: the per-doc squared norm is computed as a
+    window over the pruned table INSIDE its pin and carried through the
+    self-join and the pair aggregate (it is constant per doc, so
+    ``min(na)`` per pair group reproduces it exactly) — the r14 shape
+    re-joined the PAIR-level dots table against a separate norms
+    aggregate twice (by id_a, then id_b), i.e. two extra shuffles of
+    the pair table, the largest intermediate in the plan (guide §2.4;
+    the carried norm costs 8 bytes/row on the term shuffle instead).
 
     Corpus note: the df-prune presumes a Zipf tail (real corpora: most
     terms are rare). The synthetic testdata draws from a ~30-word
@@ -104,22 +112,23 @@ def cosine_pair_topk(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count("*").alias("df_t"))
             .filter(F.col("df_t") <= max_df)
             .select("term"))
-    pruned = tf.join(rare, "term").localCheckpoint(eager=True)
-    norms = (pruned.groupBy("doc_id")
-             .agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")))
+    wdoc = Window.partitionBy("doc_id")
+    pruned = (tf.join(rare, "term")
+              .withColumn("norm_sq",
+                          F.sum(F.col("tf") * F.col("tf")).over(wdoc))
+              .localCheckpoint(eager=True))
     a = pruned.select("term", F.col("doc_id").alias("id_a"),
-                      F.col("tf").alias("tf_a"))
+                      F.col("tf").alias("tf_a"),
+                      F.col("norm_sq").alias("na"))
     b = pruned.select("term", F.col("doc_id").alias("id_b"),
-                      F.col("tf").alias("tf_b"))
+                      F.col("tf").alias("tf_b"),
+                      F.col("norm_sq").alias("nb"))
     dots = (a.join(b, "term")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot")))
-    na = norms.select(F.col("doc_id").alias("id_a"),
-                      F.col("norm_sq").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("id_b"),
-                      F.col("norm_sq").alias("nb"))
-    return (dots.join(na, "id_a").join(nb, "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"),
+                 F.min("na").alias("na"), F.min("nb").alias("nb")))
+    return (dots
             .select("id_a", "id_b", "dot", "na", "nb",
                     F.expr("(CAST(dot AS DECIMAL(38,0)) * dot "
                            "* CAST(1000000000 AS BIGINT)) "

@@ -21,6 +21,8 @@ cancels in the ratio. The final division runs in double on identical ints.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,6 +38,14 @@ LSH_TARGET_BUCKET = 128
 #: default brute-force pair budget — above this, refuse without explicit
 #: ``allow_full_scan=True`` (see :func:`topk_cosine`).
 MAX_BRUTE_PAIRS = 10_000_000
+
+#: salt width for the IVF probe⋈lists join (:func:`_salted_list_join`).
+#: The inverted-list id has only n_centroids/n_lists distinct values —
+#: a guaranteed hot-key shuffle at 100 TB (guide §2.5; AQE skew-join
+#: cannot split a single enormous key). Local default 4 keeps the bench
+#: comparable; in production size it so n_lists × salt ≳ a few × the
+#: cluster's cores (e.g. 64-256 via SPARK_GRAFT_IVF_SALT).
+IVF_JOIN_SALT = max(1, int(os.environ.get("SPARK_GRAFT_IVF_SALT", "4")))
 
 
 def auto_planes(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
@@ -380,8 +390,16 @@ def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
     no-op join re-scanning each corpus side (2 scans + 2 joins gone from
     the plan; guide §2.4). ``_nonnull_key`` on the bucket keeps the
     join's inferred null check from re-deriving the projection below it.
+
+    CONTRACT for ``_qs``/``_cs``: both tables must have been built by
+    ``hyperplane_signatures(..., planes, _join_key=True)`` with the SAME
+    ``planes`` as each other (and as this call's ``planes`` when any
+    side is derived here) — a mismatch silently corrupts bucket pairing
+    (wrong recall, no error). When BOTH are supplied, ``planes`` is
+    never consulted, so the ``planes=None`` auto-sizing count job is
+    skipped (r15: it previously ran and discarded the result).
     """
-    if planes is None:
+    if planes is None and (_qs is None or _cs is None):
         planes = auto_planes(candidates.count())
     # r14: _qs/_cs let multi-leg callers pass pinned signature tables
     # (built with the SAME planes and _join_key=True so the bucket
@@ -401,6 +419,34 @@ def topk_cosine_lsh(queries: DataFrame, candidates: DataFrame, k: int = 10,
 
 
 # -- IVF (inverted-file index) ----------------------------------------------
+
+
+def _salted_list_join(probes: DataFrame, lists: DataFrame,
+                      key: str) -> DataFrame:
+    """``probes ⋈ lists`` on an inverted-list id, salted against hot keys.
+
+    The list id has only n_centroids/n_lists distinct values, so at
+    100 TB the plain equi-join shuffles the corpus-sized ``lists`` side
+    into that many hot partitions (guide §2.5 — and AQE's skew-join
+    splitter cannot split one enormous key). The salt spreads each list
+    key over ``IVF_JOIN_SALT`` shuffle partitions: the big ``lists``
+    side derives a DETERMINISTIC salt from its own row id
+    (``pmod(xxhash64(c_id), salt)`` — never rand(), which re-draws
+    under task retry and loses/duplicates rows, SPARK-38388), and the
+    small probes side replicates ``salt`` ways so every (key, salt)
+    cell is covered. The result set is EXACTLY the unsalted join's:
+    keys match iff they matched before, and each (probe, lists-row)
+    pair appears exactly once — at the lists row's single salt value.
+    Returns (q_id, c_id)."""
+    k = IVF_JOIN_SALT
+    if k <= 1:
+        return probes.join(lists, key).select("q_id", "c_id")
+    ls = lists.withColumn(
+        "_ivf_salt",
+        F.pmod(F.xxhash64(F.col("c_id")), F.lit(k)).cast("int"))
+    ps = probes.withColumn(
+        "_ivf_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    return ps.join(ls, [key, "_ivf_salt"]).select("q_id", "c_id")
 
 
 def _exact_topk_over_pairs(paired: DataFrame, queries: DataFrame,
@@ -471,7 +517,7 @@ def topk_cosine_ivf(queries: DataFrame, candidates: DataFrame, k: int = 10,
     probes = (qp.withColumn("rn", F.row_number().over(wq))
               .filter(F.col("rn") <= nprobe).select("q_id", "cent_id"))
 
-    paired = probes.join(lists, "cent_id").select("q_id", "c_id")
+    paired = _salted_list_join(probes, lists, "cent_id")
     if exclude_self:
         paired = paired.filter(F.col("q_id") != F.col("c_id"))
     return _exact_topk_over_pairs(paired, queries, candidates, k,
@@ -712,7 +758,7 @@ def topk_cosine_ivf_inrow(queries: DataFrame, candidates: DataFrame,
         F.explode(F.slice(_coarse_assign(F.col("_qv"), coarse),
                           1, nprobe)).alias("_p"))
         .select("q_id", F.col("_p")["j"].alias("list")))
-    paired = probes.join(lists, "list").select("q_id", "c_id")
+    paired = _salted_list_join(probes, lists, "list")
     if exclude_self:
         paired = paired.filter(F.col("q_id") != F.col("c_id"))
     return _exact_topk_over_pairs(paired, queries, candidates, k)

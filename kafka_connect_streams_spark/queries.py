@@ -2652,7 +2652,8 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTE stages, like ann_pq_trained_recall's subspace version."""
     from kafka_connect_streams_spark.operators.similarity import (
         MAX_BRUTE_PAIRS, _coarse_assign, _cosine, _dot, _nonnull_key,
-        _quantized, coarse_centroids, kmeans_coarse_centroids)
+        _quantized, _salted_list_join, coarse_centroids,
+        kmeans_coarse_centroids)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
     # r14 optimization (guide §2.4 — compute once, never re-derive): ONE
@@ -2724,7 +2725,9 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.slice(_coarse_assign(F.col("_qv"), cb),
                               1, 2)).alias("_p"))
             .select("q_id", _nonnull_key(F.col("_p")["j"]).alias("list")))
-        approx = topk5(probes.join(lists, "list").select("q_id", "c_id"))
+        # r15: 8-key probe⋈lists join salted against the guaranteed
+        # hot keys at scale (see _salted_list_join — result-identical)
+        approx = topk5(_salted_list_join(probes, lists, "list"))
         return (exact.join(approx, ["q_id", "c_id"])
                 .groupBy("q_id").agg(F.count("*").alias(name)))
 

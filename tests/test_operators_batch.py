@@ -3178,3 +3178,32 @@ class TestClusteredWrite:
                                                          n_files)
         # and real clustering actually prunes: far fewer than all pairs
         assert touched["zorder"] < n_files["zorder"] * 16 * 0.5
+
+
+class TestSaltedListJoin:
+    """r15: the IVF probe⋈lists hot-key salting must be result-invisible
+    (guide §2.5 — the salt only re-shapes the shuffle)."""
+
+    def test_salted_join_equals_plain_join(self, spark):
+        from kafka_connect_streams_spark.operators.similarity import (
+            _salted_list_join)
+        probes = spark.createDataFrame(
+            [(q, l) for q in range(7) for l in (q % 3, (q + 1) % 3)],
+            "q_id bigint, list bigint")
+        lists = spark.createDataFrame(
+            [(c, c % 3) for c in range(40)] + [(100, 7)],  # 7: no probe
+            "c_id bigint, list bigint")
+        got = sorted(map(tuple, _salted_list_join(probes, lists, "list")
+                         .collect()))
+        want = sorted(map(tuple, probes.join(lists, "list")
+                          .select("q_id", "c_id").collect()))
+        assert got == want and len(got) > 0
+
+    def test_ivf_plan_carries_the_salted_key(self, spark, sf_dir):
+        """The probe⋈lists join key must include the salt so the hot
+        16-key exchange spreads IVF_JOIN_SALT-fold at scale."""
+        from kafka_connect_streams_spark import queries as Q
+        from kafka_connect_streams_spark.plans.explain import physical_plan
+        plan = physical_plan(Q.QUERIES["ann_ivf_cosine"](spark, sf_dir),
+                             mode="simple")
+        assert "_ivf_salt" in plan

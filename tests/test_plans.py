@@ -245,7 +245,14 @@ def test_ann_scoring_has_no_dimension_explode(spark, sf_dir):
     appear anywhere in the ANN plans."""
     for name in ("ann_lsh_cosine", "ann_ivf_cosine", "embedding_neardup"):
         plan = physical_plan(Q.QUERIES[name](spark, sf_dir), mode="simple")
-        assert "Generate" not in plan, f"{name} explodes dimensions:\n{plan}"
+        # r15: the salted IVF list join (_salted_list_join) replicates
+        # the SMALL probes side IVF_JOIN_SALT (=4) ways via an explode —
+        # a deliberate constant fan-out on (q_id, cent_id) rows, not a
+        # per-dimension explode of the vectors. Any other Generate is
+        # still a dimension explode and still fails.
+        bad = [ln for ln in plan.splitlines()
+               if "Generate" in ln and "_ivf_salt" not in ln]
+        assert not bad, f"{name} explodes dimensions:\n{plan}"
 
 
 def test_ivf_codebook_joins_are_broadcast(spark, sf_dir):
