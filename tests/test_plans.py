@@ -151,14 +151,29 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
     assert shuffle_count(df) <= 5, physical_plan(df)
 
 
-def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
-    """Fleet-wide hygiene: NO registered query may plan a row-at-a-time
-    Python eval (BatchEvalPython); Arrow-batched Python (MapInPandas) is
-    allowed only where batched Python IS the operator's design: the
-    multimodal decode seam, and the bounded-state summary scans
-    (Misra-Gries candidates, KMV k-mins, per-batch skylines) whose
-    k-bounded streaming state Spark SQL cannot express as an
-    aggregate. Everything else must stay JVM-side."""
+def test_registry_wide_plan_hygiene_single_pass(spark, sf_dir):
+    """Fleet-wide hygiene over ONE registry-wide plan-build pass (r15:
+    the Python-boundary scan and the hot-content-window scan each
+    rebuilt all 218 plans — ~100 s per scan, the two heaviest non-slow
+    tests in the suite; plan construction dominates, so both audits now
+    read the same build).
+
+    Audit 1 — Python boundary: NO registered query may plan a
+    row-at-a-time Python eval (BatchEvalPython); Arrow-batched Python
+    (MapInPandas) is allowed only where batched Python IS the
+    operator's design: the multimodal decode seam, and the
+    bounded-state summary scans (Misra-Gries candidates, KMV k-mins,
+    per-batch skylines) whose k-bounded streaming state Spark SQL
+    cannot express as an aggregate. Everything else stays JVM-side.
+
+    Audit 2 — the r12 verdict's generalized hot-window audit: no
+    Window over a content-derived partition key (term/token/gram/
+    shingle/word/block/fingerprint families) unless it is an ordered
+    rank window protected by WindowGroupLimit. An unordered aggregate
+    window cannot partial-aggregate and AQE cannot skew-split it, so
+    one hot key serializes corpus-proportional rows on one reducer at
+    100×. (The planted-defect control below keeps the audit itself
+    honest.) Plan-build only — no execution."""
     arrow_ok = {"multimodal_decode", "frame_sampling", "audio_segments",
                 "media_phash", "media_audiofp", "media_videofp",
                 "video_scene_cuts",
@@ -166,16 +181,21 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
                 # sanctioned Arrow decode path as their media twins
                 "phash_robustness", "audiofp_robustness",
                 "heavy_hitters", "kmv_set_ops", "skyline"}
-    offenders = []
+    py_offenders, win_offenders = [], []
     for name, fn in Q.QUERIES.items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "BatchEvalPython" in plan:
-            offenders.append((name, "BatchEvalPython"))
+            py_offenders.append((name, "BatchEvalPython"))
         if "MapInPandas" in plan and name not in arrow_ok:
-            offenders.append((name, "MapInPandas"))
+            py_offenders.append((name, "MapInPandas"))
         if "ArrowEvalPython" in plan:
-            offenders.append((name, "ArrowEvalPython"))
-    assert not offenders, offenders
+            py_offenders.append((name, "ArrowEvalPython"))
+        for kind, cols in content_window_offenses(plan):
+            win_offenders.append((name, kind, cols))
+    assert not py_offenders, py_offenders
+    assert not win_offenders, (
+        "queries planning a hot-content-key Window "
+        f"(skew-unsafe at 100×): {win_offenders}")
 
 
 def test_runtime_bloom_filter_injected(spark, sf_dir):
@@ -1075,29 +1095,10 @@ def content_window_offenses(plan: str) -> list[tuple[str, str]]:
     return out
 
 
-def test_no_hot_content_window_registry_wide(spark, sf_dir):
-    """The r12 verdict's generalized audit, pinned as a test: NO
-    registered query may plan a Window over a content-derived partition
-    key (term/token/gram/shingle/word/block/fingerprint families)
-    unless it is an ordered rank window protected by WindowGroupLimit.
-    An unordered aggregate window cannot partial-aggregate and AQE
-    cannot skew-split it, so one hot key (the term "the", a boilerplate
-    fingerprint) serializes corpus-proportional rows on a single
-    reducer at 100×. The r11 audit matched only ``*fp``-suffixed
-    columns and missed tfidf_topk's DF window over ``term`` — this one
-    matches the whole content family, which is exactly how that
-    instance would have been caught. Aggregates-over-content-keys must
-    be groupBy(key).agg(...) + an AQE-skew-splittable join back (the
-    block_dedup / ngram_novelty / bm25_multiterm shape, applied to
-    tfidf_topk in r13). Plan-build only (no execution)."""
-    offenders = []
-    for name, fn in Q.QUERIES.items():
-        plan = physical_plan(fn(spark, sf_dir))
-        for kind, cols in content_window_offenses(plan):
-            offenders.append((name, kind, cols))
-    assert not offenders, (
-        "queries planning a hot-content-key Window "
-        f"(skew-unsafe at 100×): {offenders}")
+# (r15: the registry-wide hot-content-window audit now runs inside
+# test_registry_wide_plan_hygiene_single_pass above — one plan-build
+# pass serves both it and the Python-boundary audit. The planted-defect
+# control below still pins content_window_offenses' detector itself.)
 
 
 def test_content_window_audit_catches_planted_df_window(spark, sf_dir):
