@@ -2414,7 +2414,16 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform over the token array, no position explode); the only
     shuffles carry (token, count) and distinct (w1, w2) pairs."""
     t = load_tables(spark, sf_dir)
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+    # r15 sweep fix: coalesce(text, '') (the repo-wide NULL-text policy
+    # spelling) makes the token array NON-NULLABLE, so the explode's
+    # inferred isnotnull(<whole tokenize tree>) folds away instead of
+    # re-evaluating filter(split(lower(...))) a third time per row in
+    # the pushed scan Filter (plans/r15/sweep_hof_filters.txt — the one
+    # isnotnull-bearing HOF flag in the registry). Row set identical:
+    # NULL text tokenizes to [] which the non-outer explode and the
+    # size >= 2 bigram gate drop exactly as they dropped the NULL array.
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                            r"\W+"),
                     lambda x: F.length(x) > 0)
     base = t["documents"].select(toks.alias("toks"))
     uni = (base.select(F.explode("toks").alias("token"))
@@ -5531,8 +5540,55 @@ _R14_WINDOW = [
     "jl_then_neardup",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
-QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)}}
+
+#: ROUND-15 WINDOW — the 50 names the driver hashes this round, per
+#: VERDICT r14 "Next round" #1 (slot arithmetic: 5 + 20 + 25 = 50):
+#: (a) the five r15-optimization-touched queries that were already
+#: r14-verified but whose code changed AGAIN this round (the
+#: changed-query rule): cosine_pair_topk (norm window carried through
+#: the pair aggregate — 2 joins and 8 exchanges removed), ann_ivf_cosine
+#: + ann_recall + ann_auto_recall (salted IVF list join;
+#: topk_cosine_lsh prebuilt-signature count skip), and ngram_lm_counts
+#: (non-nullable tokenize — the sweep's one isnotnull-bearing HOF flag);
+#: (b) the ~20 r14-touched queries the r14 window did NOT cover — the
+#: r14 verdict's enumerated correctness debt (cms_frequency one-pass
+#: sketch, curation_pipeline scan fusion, semantic_dedup _nullsafe_ge,
+#: ccnet_buckets skinny pin, the five bpe queries behind the training
+#: restructure — bpe_merges/encode/fertility/packing/generalization,
+#: ALSO r15-touched: the compression curve is now derived
+#: arithmetically from the argmax pair counts — the dedup-family pins
+#: (dedup_clusters, dedup_minhash_lsh, dedup_ngram_jaccard,
+#: dedup_edit_distance, dedup_recall), ann_ivf_trained_recall (r14 big
+#: restructure + r15 salted list join), ann_ivfpq, cluster_balanced_
+#: sample, pagerank_types, triangle_census, embedding_decontamination);
+#: (c) 25 of the 26 remaining r10-cohort rows in staleness order —
+#: customer_distribution (thin TPC-H shape, code-stable since r10)
+#: cedes its slot to ngram_lm_counts and is the ONE r10 row left for
+#: the next rotation. All 50 locally hash-green via tools/check.py at
+#: sf0.01 AND sf0.1 before commit; the driver row is the bar.
+_R15_WINDOW = [
+    "cosine_pair_topk", "ann_ivf_cosine", "ann_recall",
+    "ann_auto_recall", "ngram_lm_counts",
+    "cms_frequency", "curation_pipeline", "semantic_dedup",
+    "ccnet_buckets", "bpe_merges", "bpe_encode", "bpe_fertility",
+    "bpe_packing", "bpe_generalization", "dedup_clusters",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_edit_distance",
+    "dedup_recall", "ann_ivf_trained_recall", "ann_ivfpq",
+    "cluster_balanced_sample", "pagerank_types", "triangle_census",
+    "embedding_decontamination",
+    "ann_pq_adc", "ann_pq_recall", "ann_pq_trained_recall",
+    "chunk_dedup", "curriculum_order",
+    "doc_chunking", "dominant_suppliers", "dsir_importance",
+    "exact_k_sample", "forecast_revenue", "join_skew_report",
+    "local_supplier_volume", "min_cost_supplier",
+    "nation_volume_shipping", "pack_spans", "packing_efficiency",
+    "product_profit", "resample_gapfill", "supplier_part_counts",
+    "token_budget_sample", "tokenizer_fertility", "top_supplier",
+    "transition_matrix", "waiting_suppliers", "winsorize",
+]
+assert len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50
+QUERIES = {**{k: QUERIES[k] for k in _R15_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in set(_R15_WINDOW)}}
 
 def _kcore_round_sql(i: int, k: int = 16) -> str:
     """One unrolled k-core peel round as oracle CTEs (the bpe_round_sql
